@@ -1,0 +1,1 @@
+"""analytics_pack — filled in as operators land."""

@@ -1,0 +1,1 @@
+"""events_pack — filled in as operators land."""

@@ -1,0 +1,1 @@
+"""merge_pack — filled in as operators land."""

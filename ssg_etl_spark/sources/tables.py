@@ -1,0 +1,44 @@
+"""Parquet table sources for the driver testdata (S1/S5 equivalents).
+
+The reference scans whole JDBC tables (sparkFiles/sparkProcess.py:181-188)
+and pandas-reads SQL (build_etl_pipeline_python.py:29); here every scan is a
+declarative ``spark.read.parquet`` so Catalyst gets predicate pushdown and
+column pruning for free (SURVEY §4). At 100 TB the same call reads a
+partitioned parquet/table layout; nothing in the operator code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Plain parquet scan — no collect, no cache."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    if not names:
+        names = TABLE_NAMES
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
