@@ -1,0 +1,268 @@
+"""SQL-analytics operators (SURVEY §2.3-2.6): top-k, association, retention,
+two-level aggregation, pivot/melt, YoY with date spine, running totals,
+as-of lookup, correlated-scalar decorrelation.
+
+Each re-expresses one of the reference's analytics queries (scripts/SQL/*,
+scripts/Python Data Analysis.ipynb) as a pure DataFrame function. Scale
+notes inline per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.operators.rollups import DEC, dec_sum
+
+
+def top_products(lineitem: DataFrame, part: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k products by revenue (scripts/SQL/Product Analysis using SQL.md:23-29).
+
+    orderBy+limit plans as TakeOrderedAndProject: each partition keeps k
+    rows, the driver merges — no global sort even at 100 TB. Tie-broken by
+    part key for determinism.
+    """
+    revenue = lineitem.groupBy("l_partkey").agg(
+        dec_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        revenue.join(F.broadcast(part), revenue.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("brand"),
+            F.col("revenue"),
+            F.col("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("part_key"))
+        .limit(k)
+    )
+
+
+def product_association(orders_items: DataFrame, k: int = 20) -> DataFrame:
+    """Market-basket pair frequencies (scripts/SQL/Product_Association.sql:4-23).
+
+    DISTINCT (basket, item) then self equi-join on basket with the theta
+    part (a.item < b.item) as a post-join filter — the reference's exact
+    shape. The self-join shuffles once on the basket key; pair-count
+    aggregation is map-side partial. ``orders_items`` must have columns
+    (basket_id, item_id).
+    """
+    items = orders_items.select("basket_id", "item_id").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, F.col("a.basket_id") == F.col("b.basket_id"))
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("frequency"))
+    )
+    return pairs.orderBy(F.desc("frequency"), F.asc("item_a"), F.asc("item_b")).limit(k)
+
+
+def retention_split(orders: DataFrame) -> DataFrame:
+    """New-vs-repeat customer split + retention rate
+    (scripts/SQL/new_v_return_plus_retention_rate.sql:4-41).
+
+    ROW_NUMBER per customer ordered by purchase time (W1); rownum>1 →
+    repeat. Emits a single KPI row; the scalar total (A10) is computed in
+    the same aggregation instead of a crossJoin of a subquery.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    per_cust = ranked.groupBy("o_custkey").agg(F.max("rn").alias("n_orders"))
+    return per_cust.agg(
+        F.count(F.lit(1)).alias("total_customers"),
+        F.sum((F.col("n_orders") > 1).cast("long")).alias("repeat_customers"),
+        F.sum((F.col("n_orders") == 1).cast("long")).alias("new_customers"),
+        (
+            F.sum((F.col("n_orders") > 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("retention_rate"),
+    )
+
+
+def avg_daily_orders_sales(orders: DataFrame) -> DataFrame:
+    """Two-level aggregate: per-day totals, then averages over days
+    (scripts/SQL/avg_daily_orders_sales.sql:2-13, A5+A6).
+    """
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.countDistinct("o_orderkey").alias("order_count"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("daily_sales"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("order_count").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_daily_orders"
+        ),
+        (F.sum("daily_sales").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_daily_sales"
+        ),
+    )
+
+
+PIVOT_YEARS = list(range(1995, 2002))  # testdata orderdate span (stable, all SFs)
+
+
+def pivot_status_year(orders: DataFrame) -> DataFrame:
+    """Pivot sales by order status × year (A12; pandas pivot_table in
+    scripts/Python Data Analysis.ipynb).
+
+    Spark's groupBy().pivot() with an explicit value list — no extra pass to
+    discover the domain, and the plan is a single hash aggregate.
+    """
+    df = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_year", PIVOT_YEARS)
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"))
+    )
+    for y in PIVOT_YEARS:
+        df = df.withColumnRenamed(str(y), f"y{y}")
+    return df
+
+
+def prepare_pivot_input(orders: DataFrame) -> DataFrame:
+    return orders.withColumn("o_year", F.year("o_orderdate"))
+
+
+def melt_part_metrics(part: DataFrame) -> DataFrame:
+    """Unpivot wide metric columns to (key, metric, value) rows (A13;
+    pd.melt in dltproject/fxrate_pipeline.py:21-26). Spark `unpivot`.
+    """
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    ).select(
+        F.col("p_partkey").alias("part_key"), "metric", "metric_value"
+    )
+
+
+# Testdata orderdate span; stable across scale factors (seed=42 generator).
+SPINE_START = "1995-01-01"
+SPINE_END = "2001-08-01"
+
+
+def month_spine(spark) -> DataFrame:
+    """Continuous monthly calendar (W7 date-spine gap fill; pandas
+    .asfreq('D') in Python Data Analysis.ipynb). Generated, not scanned.
+    """
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(SPINE_START).cast("date"),
+                F.lit(SPINE_END).cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+
+
+def yoy_monthly_sales(spark, orders: DataFrame) -> DataFrame:
+    """Same-period-last-year comparison over a gap-filled monthly spine
+    (W4+W7: groupby(month,day).shift() after .asfreq fill).
+
+    lag(12 months) is expressed as lag-by-1 over a window partitioned by
+    calendar month and ordered by year — exactly the reference's
+    groupby(month,day).shift(). The spine join guarantees missing months
+    read as 0 rather than silently collapsing the lag offset.
+    """
+    monthly = orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("sales_dec")
+    )
+    spine = month_spine(spark)
+    filled = spine.join(monthly, "month_start", "left").select(
+        "month_start",
+        F.coalesce(F.col("sales_dec"), F.lit(0).cast(DEC)).alias("sales_dec"),
+    )
+    w = Window.partitionBy(F.month("month_start")).orderBy(F.year("month_start"))
+    return filled.select(
+        F.year("month_start").alias("sales_year"),
+        F.month("month_start").alias("sales_month"),
+        F.col("sales_dec").cast("double").alias("sales"),
+        F.lag("sales_dec", 1).over(w).cast("double").alias("prev_year_sales"),
+    )
+
+
+def running_total_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Cumulative sales per nation over time (W5; pandas
+    groupby('Country').cumsum() in Python Data Analysis.ipynb).
+
+    Window sum with UNBOUNDED PRECEDING..CURRENT ROW over (nation, date).
+    One shuffle on nation; within-partition sort is the window's cost.
+    """
+    daily = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("daily_sales"))
+    )
+    w = (
+        Window.partitionBy("nation_name")
+        .orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "nation_name",
+        "order_date",
+        F.col("daily_sales").cast("double").alias("daily_sales"),
+        F.sum("daily_sales").over(w).cast("double").alias("running_sales"),
+    )
+
+
+def asof_last_before(
+    lineitem: DataFrame, cutoff: str = "2000-01-01"
+) -> DataFrame:
+    """As-of lookup: latest row before a cutoff per (part, supplier)
+    (J13; scripts/test/item_valuation_update.py:98-120 MAX(posting_datetime)).
+
+    row_number over (key, ts DESC) filtered to 1 — single shuffle on the
+    key; Spark pushes the rank-limit down per partition (WindowGroupLimit).
+    """
+    w = Window.partitionBy("l_partkey", "l_suppkey").orderBy(
+        F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("l_suppkey").alias("supp_key"),
+            F.col("l_shipdate").cast("date").alias("last_ship_date"),
+            F.col("l_extendedprice").alias("last_price"),
+            F.col("l_quantity").alias("last_quantity"),
+        )
+    )
+
+
+def max_line_per_order(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Decorrelated scalar subquery (J12;
+    item_valuation_update.py:488-493 correlated MAX).
+
+    The correlated `(SELECT MAX(...) WHERE l_orderkey = o_orderkey)` becomes
+    groupBy(key).agg(max) + left join — the rewrite Catalyst itself applies
+    to scalar subqueries in SQL form.
+    """
+    maxes = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_extendedprice").alias("max_line_price")
+    )
+    return orders.join(maxes, orders.o_orderkey == maxes.l_orderkey, "left").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("max_line_price"),
+    )

@@ -1,1 +1,366 @@
-"""analytics_pack — filled in as operators land."""
+"""Analytics query pack (SURVEY §7 step 3): top-k, association, retention,
+two-level aggregates, pivot/melt, YoY spine, running totals, as-of,
+correlated-scalar, ratios, rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.functions.scalar import null_profile_exprs, safe_ratio
+from ssg_etl_spark.operators import analytics, rollups
+from ssg_etl_spark.operators.rollups import DEC
+from ssg_etl_spark.plans.registry import register
+from ssg_etl_spark.sources.tables import load_table, load_tables
+
+DEC_SQL = "DECIMAL(28,6)"
+
+
+@register(
+    "top_products",
+    oracle=f"""
+SELECT p.p_partkey AS part_key, p.p_name AS part_name, p.p_brand AS brand,
+  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS {DEC_SQL})) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, part_key ASC
+LIMIT 10
+""",
+    tags=("O3", "J4", "A11"),
+)
+def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 products by discounted revenue (TakeOrderedAndProject plan)."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    return analytics.top_products(lineitem, part, k=10)
+
+
+@register(
+    "product_association",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem)
+SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS frequency
+FROM items a JOIN items b ON a.basket_id = b.basket_id AND a.item_id < b.item_id
+GROUP BY 1, 2
+ORDER BY frequency DESC, item_a ASC, item_b ASC
+LIMIT 20
+""",
+    tags=("J3", "A11", "O3"),
+)
+def product_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket self theta-join (Product_Association.sql:4-23)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item_id")
+    )
+    return analytics.product_association(baskets, k=20)
+
+
+@register(
+    "retention_split",
+    oracle="""
+WITH per_cust AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+SELECT COUNT(*) AS total_customers,
+  SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS repeat_customers,
+  SUM(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS new_customers,
+  CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS retention_rate
+FROM per_cust
+""",
+    tags=("W1", "J6", "A10"),
+)
+def retention_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-repeat split + retention rate (new_v_return_plus_retention_rate.sql)."""
+    return analytics.retention_split(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "avg_daily_orders_sales",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         COUNT(DISTINCT o_orderkey) AS order_count,
+         SUM(CAST(o_totalprice AS {DEC_SQL})) AS daily_sales
+  FROM orders GROUP BY 1)
+SELECT COUNT(*) AS n_days,
+  CAST(SUM(order_count) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_daily_orders,
+  CAST(SUM(daily_sales) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_daily_sales
+FROM daily
+""",
+    tags=("A5", "A6"),
+)
+def avg_daily_orders_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregate (avg_daily_orders_sales.sql:2-13)."""
+    return analytics.avg_daily_orders_sales(load_table(spark, sf_dir, "orders"))
+
+
+def _pivot_cases() -> str:
+    cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN year(o_orderdate) = {y} THEN CAST(o_totalprice AS {DEC_SQL}) END) AS DOUBLE) AS y{y}"
+        for y in analytics.PIVOT_YEARS
+    )
+    return f"SELECT o_orderstatus AS status,\n  {cols}\nFROM orders GROUP BY 1"
+
+
+@register("pivot_status_year", oracle=_pivot_cases(), tags=("A12",))
+def pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: sales by status × year (pandas pivot_table twin)."""
+    orders = analytics.prepare_pivot_input(load_table(spark, sf_dir, "orders"))
+    return analytics.pivot_status_year(orders)
+
+
+@register(
+    "melt_part_metrics",
+    oracle="""
+SELECT p_partkey AS part_key, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
+UNION ALL
+SELECT p_partkey AS part_key, 'p_retailprice' AS metric, p_retailprice AS metric_value FROM part
+""",
+    tags=("A13",),
+)
+def melt_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide metrics to long rows (fxrate melt twin)."""
+    return analytics.melt_part_metrics(load_table(spark, sf_dir, "part"))
+
+
+@register(
+    "yoy_monthly_sales",
+    oracle=f"""
+WITH spine AS (
+  SELECT CAST(range AS DATE) AS month_start
+  FROM range(DATE '1995-01-01', DATE '2001-09-01', INTERVAL 1 month)),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         SUM(CAST(o_totalprice AS {DEC_SQL})) AS sales_dec
+  FROM orders GROUP BY 1),
+filled AS (
+  SELECT s.month_start, COALESCE(m.sales_dec, 0) AS sales_dec
+  FROM spine s LEFT JOIN monthly m USING (month_start))
+SELECT year(month_start) AS sales_year, month(month_start) AS sales_month,
+  CAST(sales_dec AS DOUBLE) AS sales,
+  CAST(lag(sales_dec) OVER (PARTITION BY month(month_start) ORDER BY year(month_start)) AS DOUBLE) AS prev_year_sales
+FROM filled
+""",
+    tags=("W4", "W7"),
+)
+def yoy_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-month-last-year lag over a gap-filled monthly spine."""
+    return analytics.yoy_monthly_sales(spark, load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "running_total_by_nation",
+    oracle=f"""
+WITH daily AS (
+  SELECT n.n_name AS nation_name, CAST(o.o_orderdate AS DATE) AS order_date,
+         SUM(CAST(o.o_totalprice AS {DEC_SQL})) AS daily_sales
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2)
+SELECT nation_name, order_date, CAST(daily_sales AS DOUBLE) AS daily_sales,
+  CAST(SUM(daily_sales) OVER (
+    PARTITION BY nation_name ORDER BY order_date
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sales
+FROM daily
+""",
+    tags=("W5",),
+)
+def running_total_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sales per nation (pandas groupby().cumsum() twin)."""
+    orders, customer, nation = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    return analytics.running_total_by_nation(orders, customer, nation)
+
+
+@register(
+    "asof_last_before",
+    oracle="""
+SELECT part_key, supp_key, last_ship_date, last_price, last_quantity FROM (
+  SELECT l_partkey AS part_key, l_suppkey AS supp_key,
+    CAST(l_shipdate AS DATE) AS last_ship_date,
+    l_extendedprice AS last_price, l_quantity AS last_quantity,
+    row_number() OVER (
+      PARTITION BY l_partkey, l_suppkey
+      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01') t
+WHERE rn = 1
+""",
+    tags=("J13", "W3"),
+)
+def asof_last_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup: last row before cutoff per key (valuation :98-120)."""
+    return analytics.asof_last_before(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "correlated_scalar_max",
+    oracle="""
+SELECT o.o_orderkey AS order_key, o.o_totalprice AS total_price,
+  (SELECT MAX(l.l_extendedprice) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS max_line_price
+FROM orders o
+""",
+    tags=("J12",),
+)
+def correlated_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated to agg+join (valuation :488-493)."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    return analytics.max_line_per_order(orders, lineitem)
+
+
+@register(
+    "agg_ratio_per_part",
+    oracle=f"""
+SELECT l_partkey AS part_key,
+  CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) AS total_qty,
+  CAST(SUM(CAST(l_extendedprice AS {DEC_SQL})) AS DOUBLE) AS total_value,
+  ROUND(
+    COALESCE(CAST(SUM(CAST(l_extendedprice AS {DEC_SQL})) AS DOUBLE), 0)
+    / NULLIF(COALESCE(CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE), 0), 0),
+    4) AS avg_rate
+FROM lineitem GROUP BY 1
+""",
+    tags=("A9", "F7", "F8"),
+)
+def agg_ratio_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM + COALESCE-guarded ratio (item_valuation_update.py:361-370)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sum_qty = F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+    sum_val = F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+    return l.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        sum_qty.alias("total_qty"),
+        sum_val.alias("total_value"),
+        safe_ratio(sum_val, sum_qty, 4).alias("avg_rate"),
+    )
+
+
+@register(
+    "count_distinct_daily",
+    oracle="""
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+  COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+""",
+    tags=("A5",),
+)
+def count_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT per group (avg_daily_orders_sales.sql:2-8)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "window_rownum_global",
+    oracle="""
+SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS entry_no,
+  o_orderkey AS order_key, CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+""",
+    tags=("W2", "W3"),
+)
+def window_rownum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ROW_NUMBER for surrogate sequence numbers (ssg_erp_op.py:296).
+
+    Made deterministic by an explicit total order (the reference's
+    ``ORDER BY (SELECT NULL)`` is nondeterministic — documented divergence,
+    SURVEY §7). Single-partition window: fine for dimension-sized inputs;
+    at fact scale use zipWithIndex-style id generation instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.row_number().over(w).alias("entry_no"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@register(
+    "null_profile_customer",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS c_custkey_nulls,
+  SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS c_name_nulls,
+  SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS c_nationkey_nulls,
+  SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS c_acctbal_nulls,
+  SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS c_mktsegment_nulls
+FROM customer
+""",
+    tags=("A15",),
+)
+def null_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-count profile (pandas df.isnull().sum() twin)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.agg(
+        F.count(F.lit(1)).alias("n_rows"), *null_profile_exprs(customer.columns)
+    )
+
+
+@register(
+    "kpi_totals",
+    oracle=f"""
+SELECT CAST(SUM(CAST(o_totalprice AS {DEC_SQL})) AS DOUBLE) AS total_sales,
+  COUNT(*) AS total_orders, COUNT(DISTINCT o_custkey) AS active_customers
+FROM orders
+""",
+    tags=("A14", "A7"),
+)
+def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table KPI totals (Python Data Analysis.ipynb KPI cell)."""
+    return load_table(spark, sf_dir, "orders").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_sales"),
+        F.count(F.lit(1)).alias("total_orders"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
+
+
+# --- telemetry rollups (the reference's real Spark stage) -----------------
+
+
+@register(
+    "rollup_date_type",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+  CAST(SUM(CAST(value AS {DEC_SQL})) AS DOUBLE) AS total_value, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+    tags=("A1",),
+)
+def rollup_date_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date × type rollup (sparkProcess.py:248-249)."""
+    return rollups.rollup_date_type(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rollup_date_shift",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date,
+  CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'Day' ELSE 'Night' END AS shift,
+  CAST(SUM(CAST(value AS {DEC_SQL})) AS DOUBLE) AS total_value, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+    tags=("A2", "F1"),
+)
+def rollup_date_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date × shift rollup with CASE recode (sparkProcess.py:257-258)."""
+    return rollups.rollup_date_shift(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rollup_date_user",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
+  CAST(SUM(CAST(value AS {DEC_SQL})) AS DOUBLE) AS total_value, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2, 3
+""",
+    tags=("A3",),
+)
+def rollup_date_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date × user × type rollup (sparkProcess.py:266-267)."""
+    return rollups.rollup_date_user(load_table(spark, sf_dir, "events"))

@@ -1,1 +1,118 @@
-"""events_pack — filled in as operators land."""
+"""Event-stream query pack: time windows, JSON extraction, watermark
+incremental reads, interval lookbacks (SURVEY §2.8-2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.operators import incremental
+from ssg_etl_spark.operators.rollups import DEC
+from ssg_etl_spark.plans.registry import register
+from ssg_etl_spark.sources.tables import load_table
+
+DEC_SQL = "DECIMAL(28,6)"
+
+
+@register(
+    "events_10min_window",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS {DEC_SQL})) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "P6"),
+)
+def events_10min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregate — batch twin of the streaming
+    version (ssg_etl_spark/streaming). Reference does 10-min processing-time
+    lookbacks (dags/hanger_lanes_to_pg_etl.py:117); tumbling event-time
+    windows are the Spark-native form. Epoch-aligned in both engines
+    (DuckDB time_bucket's origin 2000-01-03 is a multiple of 10 min).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+SELECT event_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+""",
+    tags=("F9",),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + predicate (F9: jsonb ops, json_normalize)."""
+    events = load_table(spark, sf_dir, "events")
+    prop_k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_id", "event_type", prop_k.alias("prop_k"))
+        .filter(F.col("prop_k") > 50)
+    )
+
+
+@register(
+    "interval_filter_last_day",
+    oracle=f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+""",
+    tags=("P6", "P7", "F6"),
+)
+def interval_filter_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding lookback: last day relative to the data's max timestamp
+    (P7: NOW() - INTERVAL '1 day', anchored to data for determinism).
+    """
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("mx")).first()["mx"]
+    return events.filter(
+        F.col("ts") >= F.lit(max_ts) - F.expr("interval 1 day")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "watermark_incremental",
+    oracle=f"""
+WITH wm AS (SELECT MAX(ts) AS w FROM events WHERE event_id % 10 = 0)
+SELECT COUNT(*) AS n_rows, MIN(e.ts) AS min_ts, MAX(e.ts) AS max_ts,
+  CAST(SUM(CAST(e.value AS {DEC_SQL})) AS DOUBLE) AS total_value
+FROM events e, wm WHERE e.ts > wm.w
+""",
+    tags=("M1", "M2", "M4", "P5"),
+)
+def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark protocol end-to-end: persisted max-event-time, strictly
+    greater filter, audit aggregate (dags/ssg_gl_etl.py:97-124, 331-333).
+
+    The 'previous run' is simulated as every 10th event; its max ts is the
+    stored watermark. The incremental batch is summarized so the check
+    result is one stable row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    prior = events.filter(F.col("event_id") % 10 == 0)
+    wm = prior.agg(F.max("ts").alias("wm")).first()["wm"]
+    batch = incremental.incremental_read(events, "ts", wm)
+    return batch.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
