@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the engine's headline queries at a given scale
+factor and prints ONE JSON line with per-query and total wall times.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Each query is forced with a `noop` write (full computation, no sink cost),
+after a small untimed JVM warm-up. Times are end-to-end per query, including
+Catalyst planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline queries: one per capability cluster (joins, rollups, top-k,
+# association, retention, windows, as-of, ratio, events).
+HEADLINE = [
+    "gl_enrichment",
+    "seven_way_join",
+    "top_products",
+    "product_association",
+    "retention_split",
+    "rollup_date_user",
+    "running_total_by_nation",
+    "yoy_monthly_sales",
+    "asof_last_before",
+    "agg_ratio_per_part",
+    "events_10min_window",
+    "avg_daily_orders_sales",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ssg_etl_spark.plans.registry import queries
+    from ssg_etl_spark.session import get_spark
+
+    spark = get_spark(
+        "ssg-etl-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus)),
+    )
+    qs = queries()
+
+    # Untimed warm-up: spin up executors, JIT the scan path.
+    force(qs["kpi_totals"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Merge / upsert / change-detection / SCD2 (SURVEY §2.9 M5-M14).
+
+The reference's signature operations: staging-table ON CONFLICT upsert
+(dags/upsert_utils.py:27-99), destination change comparison (Incremental
+Load notebook: exceptAll + semi/anti split), source change detection
+(created/modified watermark), and dlt's SCD2 strategy
+(dltproject/sql_product_scd.py:11-33).
+
+Spark has no in-place UPDATE; every merge is a join-rewrite: read target,
+join with staging, coalesce, rewrite. At scale this is a partition-scoped
+rewrite (only partitions containing touched keys), which is exactly what
+Delta/Iceberg MERGE INTO compiles to — here implemented directly on
+DataFrames so it runs on plain parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """M5/M10: full-outer join-rewrite merge — source wins on key collision.
+
+    Equivalent of ``INSERT ... ON CONFLICT (keys) DO UPDATE SET col =
+    EXCLUDED.col`` (upsert_utils.py:76-84). One shuffle on the key; with a
+    bucketed/partitioned target the join co-locates and only touched
+    partitions rewrite.
+    """
+    value_cols = [c for c in target.columns if c not in keys]
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    joined = t.join(s, cond, "full_outer")
+    out_keys = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+    ]
+    # Row-level winner: if the source row exists, all its values win
+    # (EXCLUDED.*); else keep target. Decided per-row, not per-column, so a
+    # legitimate NULL in the source still overwrites.
+    src_exists = F.col(f"s.{keys[0]}").isNotNull()
+    for k in keys[1:]:
+        src_exists = src_exists & F.col(f"s.{k}").isNotNull()
+    out_vals = [
+        F.when(src_exists, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in value_cols
+    ]
+    return joined.select(*out_keys, *out_vals)
+
+
+def detect_changes(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """M7: destination change comparison.
+
+    ``changes = source EXCEPT ALL target`` (full-row diff), then split into
+    updates (key exists in target — left semi) and inserts (left anti),
+    returned as one DataFrame tagged ``change_type``. Mirrors the notebook's
+    three cells (J7/J8/J9) in a single shuffle-shared plan.
+    """
+    changes = source.exceptAll(target)
+    target_keys = target.select(*keys).distinct()
+    updates = changes.join(target_keys, keys, "left_semi").withColumn(
+        "change_type", F.lit("update")
+    )
+    inserts = changes.join(target_keys, keys, "left_anti").withColumn(
+        "change_type", F.lit("insert")
+    )
+    return updates.unionByName(inserts)
+
+
+def source_changed_rows(
+    df: DataFrame, created_col: str, modified_col: str, watermark
+) -> DataFrame:
+    """M8: source change detection — created OR modified since watermark
+    (Source-Change-Detection notebook: ``created_at >= wm OR modified_at >= wm``).
+    """
+    return df.filter(
+        (F.col(created_col) >= F.lit(watermark)) | (F.col(modified_col) >= F.lit(watermark))
+    )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective_date: str,
+) -> DataFrame:
+    """M11: SCD Type-2 expire-and-insert.
+
+    ``current`` carries (keys, attrs, valid_from, valid_to, is_current).
+    For every update whose attributes differ from the current version:
+    expire the old row (valid_to = effective_date, is_current = false) and
+    append a new version (valid_from = effective_date). Updates identical to
+    the current version are no-ops. Equivalent to dlt's
+    ``write_disposition={'strategy': 'scd2'}`` (sql_product_scd.py:11-33).
+    """
+    eff = F.lit(effective_date).cast("date")
+
+    cur = current.alias("c")
+    upd = updates.alias("u")
+    join_cond = [F.col(f"c.{k}") == F.col(f"u.{k}") for k in keys]
+
+    attr_differs = F.lit(False)
+    for a in attrs:
+        attr_differs = attr_differs | ~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}"))
+
+    # Updates that actually change the current version of their key.
+    changed = (
+        cur.filter(F.col("c.is_current"))
+        .join(upd, join_cond)
+        .filter(attr_differs)
+        .select(*[F.col(f"u.{k}").alias(k) for k in keys], *[F.col(f"u.{a}").alias(a) for a in attrs])
+    )
+    changed_keys = changed.select(*keys).distinct()
+
+    # 1) current rows whose key changed → expired.
+    expired = (
+        current.filter(F.col("is_current"))
+        .join(changed_keys, keys, "left_semi")
+        .withColumn("valid_to", eff)
+        .withColumn("is_current", F.lit(False))
+    )
+    # 2) current rows untouched (plus all already-historical rows).
+    untouched_current = current.filter(F.col("is_current")).join(
+        changed_keys, keys, "left_anti"
+    )
+    history = current.filter(~F.col("is_current"))
+    # 3) new versions.
+    new_versions = (
+        changed.withColumn("valid_from", eff)
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    cols = current.columns
+    return (
+        history.select(cols)
+        .unionByName(untouched_current.select(cols))
+        .unionByName(expired.select(cols))
+        .unionByName(new_versions.select(cols))
+    )
