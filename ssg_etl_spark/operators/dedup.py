@@ -1,0 +1,217 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash (BASELINE.json north-star extensions).
+
+Scale design:
+* Exact dedup — hash-groupBy on a content digest; one shuffle on the digest.
+* N-gram Jaccard — exact pairwise similarity via a shingle self-join;
+  quadratic in cluster size, linear in corpus (only docs sharing a shingle
+  ever meet). The candidate join is the shuffle; shingle sets are distinct'd
+  first to bound fanout.
+* MinHash+LSH — the 100 TB path: k hash functions → per-doc signature →
+  banded bucket join → candidates → exact-Jaccard verification. Only
+  bucket-colliding pairs are verified, so cost ~ O(corpus + candidates).
+* SimHash — 64-bit signatures from word hashes; near-dup = small Hamming
+  distance; banded by signature bytes for candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.operators.text import normalize_text, word_shingles
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Exact duplicate grouping on normalized-content digest.
+
+    Returns one row per distinct content: canonical (min) doc_id, the
+    digest, and the duplicate count. `md5(text)` matches DuckDB's md5 for
+    oracle parity; at scale swap for xxhash64 (cheaper, same plan).
+    """
+    norm = normalize_text(F.col("text"))
+    return (
+        documents.select(
+            F.col("doc_id"), F.md5(norm.cast("binary")).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+    )
+
+
+def _shingle_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over DISTINCT shingle sets: |∩| via self-join on
+    shingle, |∪| = |A|+|B|-|∩|."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jacc.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-duplicate pairs (the small-scale
+    baseline the approximate methods are verified against)."""
+    return _shingle_jaccard(word_shingles(documents), threshold)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs with exact verification.
+
+    Pipeline: shingle → k×xxhash64 → per-doc min-signature → band buckets →
+    bucket-join candidates → exact Jaccard on candidates → threshold filter.
+    With 64 hashes in 32 bands of 2 rows, P(miss) at s≥0.5 is (1-s²)^32
+    ≤ 1e-4 and ~1e-40 at the s≈0.98 of true near-dups, so the verified
+    output equals the exact operator on all but adversarial inputs (and
+    false positives are eliminated by verification).
+    """
+    num_bands = num_hashes // rows_per_band
+    shingles = word_shingles(documents)
+
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(num_bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Exact verification restricted to candidate docs only.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    cand_shingles = shingles.join(cand_docs, "doc_id", "left_semi")
+    verified = _shingle_jaccard(cand_shingles, threshold)
+    return verified.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+
+def simhash_signatures(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """Per-document SimHash: sign of the per-bit sum of shingle-hash bits.
+
+    3-word shingles (same unit as MinHash — single words are not
+    discriminative when the corpus shares a vocabulary) → xxhash64 per
+    shingle → per-bit ±1 votes → sign vector packed into a long. JVM-side
+    via explode over bit positions.
+    """
+    shingles = word_shingles(documents).withColumnRenamed("shingle", "w")
+    bit_votes = shingles.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bits - 1}), "
+                f"b -> struct(b as bit, CASE WHEN (shiftright(xxhash64(w), b) & 1) = 1 THEN 1 ELSE -1 END as vote))"
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
+    per_bit = bit_votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    bit_value = F.expr("shiftleft(cast(1 as bigint), bit)")
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, bit_value).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame, bits: int = 64, max_hamming: int = 7
+) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) ≤ k.
+
+    Candidate generation is banded (8 bytes of the signature → docs sharing
+    any byte meet); with k ≤ 7 over 8 bands, pigeonhole guarantees every
+    qualifying pair shares at least one exact band — no recall loss.
+    """
+    sig = simhash_signatures(documents, bits)
+    n_bands = 8
+    band_bits = bits // n_bands
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

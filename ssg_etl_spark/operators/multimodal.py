@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with decode/feature-extraction as Arrow-batched mapInPandas stages
+(BASELINE.json north-star extension).
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_media`` raises NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decoder (seeded by the payload digest) produces
+feature vectors with the real schema, partitioning, and batch shape — the
+Spark-side plumbing under test is real; only the codec is fake.
+
+Scale design: payloads stay opaque binary through the plan (never parsed by
+Catalyst, never a join key); metadata columns are the pruned/filtered
+surface. mapInPandas streams Arrow record batches, so executor memory is
+bounded by batch size × payload size, not partition size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Build a media-asset table (schemas.MEDIA_ASSETS shape) using document
+    text bytes as stand-in payloads: doc_id → asset, round-robin media type,
+    metadata derived from the payload."""
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.col("text").cast("binary")
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        mt.alias("media_type"),
+        payload.alias("payload"),
+        F.concat(F.lit("application/x-fake-"), mt).alias("mime"),
+        F.when(mt == "image", (F.col("doc_id") % 640 + 1).cast("int")).alias("width"),
+        F.when(mt == "image", (F.col("doc_id") % 480 + 1).cast("int")).alias("height"),
+        F.when(mt != "image", (F.col("n_chars") * 100).cast("long")).alias("duration_ms"),
+        F.create_map(F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")).alias(
+            "meta"
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic fake feature vector from the payload digest."""
+    digest = hashlib.md5(payload).digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False) -> list[float]:
+    """Decode one payload into a feature vector.
+
+    Real codecs (PIL/librosa/ffmpeg) are unavailable in this environment —
+    the real branch is intentionally unimplemented; substitute the library
+    call at deployment time.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "use fake=True for the deterministic stub"
+        )
+    return _fake_decode(payload)
+
+
+def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over media payloads.
+
+    mapInPandas so each Python call handles a whole record batch; the
+    returned frame carries a fixed-dim ``array<double>`` feature column
+    ready for the similarity operators.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_media(p, m, fake=fake) for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": pdf["payload"].map(len),
+                    "feature": feats,
+                }
+            )
+
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        run, FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video assets: one row per planned sample
+    timestamp (the decode itself happens in extract_features). Pure
+    DataFrame: sequence+explode, no Python."""
+    video = assets.filter(F.col("media_type") == "video")
+    return video.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
+        ).alias("sample_ms"),
+    )

@@ -1,0 +1,124 @@
+"""Data-quality expectation engine (SURVEY §5).
+
+Port of the reference's two assertion families as first-class DataFrame
+operators:
+* pytest checks (scripts/Python_ETL/product/test_product_pipeline.py:9-46):
+  column exists, no nulls, uniqueness, dtype, range, domain set;
+* Great Expectations suites (GreatExpectations/dimproducts_suite.json):
+  unique / not_null (with ``mostly``), value_set, max-between,
+  mean-between, row-count.
+
+Each expectation compiles to Column expressions evaluated in ONE aggregate
+pass per DataFrame (``run_suite`` merges them), so a 100 TB validation is a
+single scan — not one job per expectation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative check: aggregate expressions + a verdict function."""
+
+    name: str
+    aggs: dict[str, Column]  # alias -> aggregate expression
+    verdict: Any  # callable: dict[str, value] -> bool
+
+
+def expect_not_null(col: str, mostly: float = 1.0) -> Expectation:
+    a = {
+        f"{col}__nonnull": F.count(col),
+        f"{col}__total": F.count(F.lit(1)),
+    }
+    return Expectation(
+        f"not_null({col}, mostly={mostly})",
+        a,
+        lambda m: m[f"{col}__total"] == 0
+        or m[f"{col}__nonnull"] / m[f"{col}__total"] >= mostly,
+    )
+
+
+def expect_unique(col: str) -> Expectation:
+    a = {
+        f"{col}__distinct": F.countDistinct(col),
+        f"{col}__nonnull": F.count(col),
+    }
+    return Expectation(
+        f"unique({col})", a, lambda m: m[f"{col}__distinct"] == m[f"{col}__nonnull"]
+    )
+
+
+def expect_in_set(col: str, values: list, mostly: float = 1.0) -> Expectation:
+    hit = F.sum(F.col(col).isin(values).cast("long"))
+    a = {f"{col}__inset": hit, f"{col}__nonnull2": F.count(col)}
+    return Expectation(
+        f"in_set({col})",
+        a,
+        lambda m: m[f"{col}__nonnull2"] == 0
+        or (m[f"{col}__inset"] or 0) / m[f"{col}__nonnull2"] >= mostly,
+    )
+
+
+def expect_between(col: str, lo, hi, mostly: float = 1.0) -> Expectation:
+    hit = F.sum(F.col(col).between(lo, hi).cast("long"))
+    a = {f"{col}__between": hit, f"{col}__nonnull3": F.count(col)}
+    return Expectation(
+        f"between({col}, {lo}, {hi})",
+        a,
+        lambda m: m[f"{col}__nonnull3"] == 0
+        or (m[f"{col}__between"] or 0) / m[f"{col}__nonnull3"] >= mostly,
+    )
+
+
+def expect_max_between(col: str, lo, hi) -> Expectation:
+    a = {f"{col}__max": F.max(col)}
+    return Expectation(
+        f"max_between({col}, {lo}, {hi})",
+        a,
+        lambda m: m[f"{col}__max"] is not None and lo <= m[f"{col}__max"] <= hi,
+    )
+
+
+def expect_mean_between(col: str, lo, hi) -> Expectation:
+    a = {f"{col}__mean": F.avg(col)}
+    return Expectation(
+        f"mean_between({col}, {lo}, {hi})",
+        a,
+        lambda m: m[f"{col}__mean"] is not None and lo <= m[f"{col}__mean"] <= hi,
+    )
+
+
+def expect_row_count_between(lo: int, hi: int) -> Expectation:
+    a = {"__rowcount": F.count(F.lit(1))}
+    return Expectation(
+        f"row_count_between({lo}, {hi})", a, lambda m: lo <= m["__rowcount"] <= hi
+    )
+
+
+def run_suite(df: DataFrame, expectations: list[Expectation]) -> list[dict]:
+    """Evaluate every expectation in ONE aggregation pass over ``df``.
+
+    Returns [{name, passed, metrics}]; raises nothing — callers decide
+    whether failures abort (the reference's GE checkpoint raises; its pytest
+    suite asserts)."""
+    merged: dict[str, Column] = {}
+    for e in expectations:
+        merged.update(e.aggs)
+    row = df.agg(*[c.alias(k) for k, c in merged.items()]).first().asDict()
+    results = []
+    for e in expectations:
+        metrics = {k: row[k] for k in e.aggs}
+        results.append(
+            {"name": e.name, "passed": bool(e.verdict(row)), "metrics": metrics}
+        )
+    return results
+
+
+def suite_passed(results: list[dict]) -> bool:
+    return all(r["passed"] for r in results)

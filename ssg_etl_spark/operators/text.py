@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+normalization, shingling, token counting, quality scoring, language ID,
+fingerprinting (BASELINE.json north-star extensions; not in the reference).
+
+All pure Column expressions — JVM-side, whole-stage codegen, no Python in
+the row path. Designed for the ``documents`` table (doc_id, text, lang,
+source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword lexicons for the language-ID heuristic. Deliberately small:
+# the point is the operator shape (per-language hit scoring + argmax), not
+# linguistic accuracy.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+}
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def words(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """DISTINCT n-word shingles per document (the unit set for Jaccard /
+    MinHash). Expressed with transform+sequence so the explode happens
+    JVM-side; documents shorter than n words contribute no shingles.
+    """
+    assert n == 3, "SQL-oracle parity is written for n=3"
+    shingles = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1], ' ', split(text, ' ')[i+2])) "
+        "ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def text_metrics(df: DataFrame) -> DataFrame:
+    """Per-document quality metrics: length, word stats, punctuation and
+    stopword ratios, and a composite quality score (heuristics in the style
+    of C4/Gopher quality filters)."""
+    ws = words(F.col("text"))
+    n_chars = F.length("text").cast("long")
+    n_words = F.size(ws).cast("long")
+    stop_hits = F.expr(
+        "size(filter(split(text, ' '), w -> array_contains(array('the','a','of','and','to'), w)))"
+    ).cast("long")
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("long")
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_words.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        stop_hits.alias("stopword_hits"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        n_punct.alias("n_punct"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        # Composite score: reward stopword density, penalize punctuation
+        # noise and degenerate word lengths.
+        F.round(
+            stop_ratio * F.lit(0.5)
+            + F.when((avg_word_len >= 3) & (avg_word_len <= 10), 0.3).otherwise(0.0)
+            + F.when(punct_ratio <= 0.1, 0.2).otherwise(0.0),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letters / digits / other)."""
+    return df.select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("regex_tokens"),
+    )
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax with
+    lexicographic tie-break, 'und' (undetermined) when nothing hits."""
+    scores = {
+        lang: F.expr(
+            "size(filter(split(text, ' '), w -> array_contains(array("
+            + ",".join(f"'{w}'" for w in lex)
+            + "), w)))"
+        ).cast("long")
+        for lang, lex in LANG_LEXICONS.items()
+    }
+    langs = sorted(scores)  # lexicographic order doubles as the tie-break
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df.select(
+        "doc_id",
+        *[scores[lg].alias(f"score_{lg}") for lg in langs],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """Document fingerprints: content hash of the normalized text and a
+    bag-of-words fingerprint (order-insensitive near-exact signature)."""
+    norm = normalize_text(F.col("text"))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(words(norm))))
+    return df.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_fp"),
+        F.md5(bag.cast("binary")).alias("bag_fp"),
+    )

@@ -320,6 +320,35 @@ def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_profile_part",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+  COUNT(DISTINCT p_partkey) AS n_distinct_keys,
+  SUM(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) AS name_nulls,
+  MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+  CAST(SUM(CAST(p_retailprice AS {DEC_SQL})) AS DOUBLE) / COUNT(*) AS mean_retail
+FROM part
+""",
+    tags=("quality", "A7", "A15"),
+)
+def quality_profile_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile — the aggregate layer under the
+    expectation engine (operators/quality.py; GE dimproducts_suite port)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("p_partkey").alias("n_distinct_keys"),
+        F.sum(F.col("p_name").isNull().cast("long")).alias("name_nulls"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        (
+            F.sum(F.col("p_retailprice").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_retail"),
+    )
+
+
 # --- telemetry rollups (the reference's real Spark stage) -----------------
 
 

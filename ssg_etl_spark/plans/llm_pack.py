@@ -1,1 +1,240 @@
-"""llm_pack — filled in as operators land."""
+"""LLM training-data pipeline pack: dedup, similarity search, text
+analysis, multimodal plumbing (BASELINE.json north-star extensions —
+first-class components alongside the reference's own surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.operators import dedup, multimodal, similarity, text
+from ssg_etl_spark.plans.registry import register
+from ssg_etl_spark.sources.tables import load_table
+
+# Shared oracle fragment: DISTINCT 3-word shingles per document. DuckDB 1.0
+# cannot lateral-join generate_series on a column, so a bounded range
+# (documents are ≤ ~100 words) is cross-joined and filtered.
+SHINGLES_SQL = """
+wordarrs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM wordarrs, range(1, 1024) g(i) WHERE i <= len(ws) - 2)
+"""
+
+JACCARD_SQL = f"""
+WITH {SHINGLES_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id,
+    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+  FROM documents)
+SELECT content_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_duplicates
+FROM norm GROUP BY 1
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content digest → hash groupBy."""
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", oracle=JACCARD_SQL, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs (threshold 0.5)."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register("dedup_minhash_lsh", oracle=JACCARD_SQL, tags=("llm", "dedup"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-verified — equals the exact operator
+    up to LSH recall (P(miss) ≈ (1-s²)^32: ~1e-40 at the data's s≈0.98),
+    hence shares its oracle."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 32-bit signatures).
+    Hash-defined output → rows-only check; correctness is pinned by the
+    pytest suite (planted near-dups recovered, disjoint docs rejected)."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+COSINE_SQL = """
+list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+/ (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+ * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+"""
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+WITH scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS vec_id, {COSINE_SQL} AS cosine_sim
+  FROM embeddings a, embeddings b
+  WHERE b.vec_id % 100 = 0 AND a.vec_id <> b.vec_id)
+SELECT query_id, rank, vec_id, cosine_sim FROM (
+  SELECT query_id, vec_id, cosine_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+""",
+    tags=("llm", "similarity"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id % 100 = 0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {COSINE_SQL} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {COSINE_SQL} >= 0.45
+""",
+    tags=("llm", "dedup", "similarity"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.45)."""
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.45
+    )
+
+
+@register("ann_lsh_topk", oracle=None, tags=("llm", "similarity"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via anchor-hyperplane LSH buckets — the scale path
+    (recall < 1 by design → rows-only check; pytest asserts recall vs the
+    exact baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_bucketed_topk(emb, queries, k=10)
+
+
+@register(
+    "text_quality_metrics",
+    oracle=r"""
+WITH m AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_words,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains(['the','a','of','and','to'], w))) AS stopword_hits,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents)
+SELECT doc_id, n_chars, n_words,
+  round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
+  stopword_hits,
+  round(CAST(stopword_hits AS DOUBLE) / n_words, 6) AS stopword_ratio,
+  n_punct,
+  round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+  round(
+    CAST(stopword_hits AS DOUBLE) / n_words * 0.5
+    + CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words BETWEEN 3 AND 10
+           THEN 0.3 ELSE 0.0 END
+    + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.2 ELSE 0.0 END,
+    6) AS quality_score
+FROM m
+""",
+    tags=("llm", "text"),
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (C4/Gopher-style heuristics)."""
+    return text.text_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS regex_tokens
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n    ".join(
+        "len(list_filter(string_split(text, ' '), w -> list_contains(["
+        + ",".join(f"'{w}'" for w in lex)
+        + f"], w))) AS score_{lang}"
+        for lang, lex in sorted(text.LANG_LEXICONS.items())
+    )
+    langs = sorted(text.LANG_LEXICONS)
+    g = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    branches = "\n    ".join(
+        f"WHEN score_{lg} = {g} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM documents)
+SELECT doc_id, {", ".join(f"score_{lg}" for lg in langs)},
+  CASE WHEN {g} = 0 THEN 'und'
+    {branches}
+    ELSE 'und' END AS predicted_lang
+FROM s
+"""
+
+
+@register("lang_id", oracle=_langid_oracle(), tags=("llm", "text"))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID with deterministic argmax."""
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+SELECT doc_id,
+  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_fp,
+  md5(array_to_string(
+    list_sort(list_distinct(string_split(
+      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ')) AS bag_fp
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + bag-of-words fingerprints (md5, engine-portable)."""
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register("media_features", oracle=None, tags=("llm", "multimodal"))
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload table → Arrow-batched feature
+    extraction (decode stubbed — deterministic fake; schema/partitioning/
+    batch shape real). Rows-only check; pytest pins the schema and values."""
+    assets = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(assets, fake=True)

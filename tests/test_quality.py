@@ -1,0 +1,36 @@
+"""Expectation engine: GE-suite port evaluated in one pass."""
+
+from __future__ import annotations
+
+from ssg_etl_spark.operators import quality as Q
+from ssg_etl_spark.sources.tables import load_table
+
+
+def test_suite_on_part(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    results = Q.run_suite(
+        part,
+        [
+            Q.expect_unique("p_partkey"),
+            Q.expect_not_null("p_partkey"),
+            Q.expect_not_null("p_name"),
+            Q.expect_between("p_size", 0, 1000),
+            Q.expect_max_between("p_size", 1, 1000),
+            Q.expect_row_count_between(1, 10_000_000),
+        ],
+    )
+    assert Q.suite_passed(results), [r for r in results if not r["passed"]]
+
+
+def test_failing_expectation_detected(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    results = Q.run_suite(part, [Q.expect_between("p_retailprice", 0, 1)])
+    assert not Q.suite_passed(results)
+    assert results[0]["metrics"]  # observed metrics surfaced for triage
+
+
+def test_mostly_threshold(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], ["x"])
+    ok = Q.run_suite(df, [Q.expect_not_null("x", mostly=0.6)])
+    strict = Q.run_suite(df, [Q.expect_not_null("x", mostly=0.99)])
+    assert Q.suite_passed(ok) and not Q.suite_passed(strict)

@@ -1,0 +1,49 @@
+"""Similarity search: brute-force exactness (vs numpy) and LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.operators import similarity
+from ssg_etl_spark.sources.tables import load_table
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_brute_force_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    out = similarity.brute_force_topk(emb, _queries(emb), k=5).collect()
+    by_query: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        by_query.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, got in by_query.items():
+        q = vecs[qid]
+        sims = {
+            vid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        want = [vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+        assert got == want, qid
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, _queries(emb), k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_bucketed_topk(emb, _queries(emb), k=10).collect()
+    }
+    # Approximate path: no junk (every hit is a real vector pair), and some
+    # overlap with the exact answer set.
+    assert approx, "LSH produced nothing"
+    assert len(approx & exact) / len(exact) > 0.2

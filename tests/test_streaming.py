@@ -1,0 +1,83 @@
+"""Structured Streaming slice: file micro-batches → windowed aggregate →
+results equal the batch twin; foreachBatch CDC merge is idempotent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.sources.tables import load_table
+from ssg_etl_spark.streaming.pipeline import (
+    foreach_batch_upsert,
+    run_events_pipeline_once,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Stream source: events split into files by event-time range, written
+    in arrival order (a real source — Kafka, log shipper — delivers roughly
+    event-time-ordered micro-batches; random file order would make most
+    rows watermark-late, which is not the semantics under test)."""
+    import os
+    import time
+
+    path = str(tmp_path_factory.mktemp("events_src"))
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.selectExpr("min(ts) lo", "max(ts) hi").first()
+    cuts = [bounds.lo + (bounds.hi - bounds.lo) * i / 4 for i in range(5)]
+    base = time.time()
+    seen: set[str] = set()
+    for i in range(4):
+        part = events.filter(
+            (F.col("ts") >= cuts[i])
+            & ((F.col("ts") < cuts[i + 1]) if i < 3 else (F.col("ts") <= cuts[i + 1]))
+        )
+        part.coalesce(1).write.mode("append").parquet(path)
+        # FileStreamSource orders by modification time: space the batches out.
+        for f in set(os.listdir(path)) - seen:
+            t = base + i * 60
+            os.utime(os.path.join(path, f), (t, t))
+            seen.add(f)
+    return path
+
+
+def test_stream_matches_batch_twin(spark, sf_dir, events_dir, tmp_path):
+    from ssg_etl_spark.plans.registry import queries
+
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    run_events_pipeline_once(spark, events_dir, ckpt, out)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in queries()["events_10min_window"](spark, sf_dir).collect()
+    }
+    # Append mode emits a window once the watermark (max ts - 30 min) passes
+    # its end; later windows stay open in state. Everything emitted must
+    # match the batch twin exactly, and every closed window must be emitted.
+    assert got, "stream emitted nothing"
+    for key, val in got.items():
+        assert val == want[key], key
+    import datetime
+
+    hi = max(ws for ws, _ in want)
+    cutoff = hi - datetime.timedelta(minutes=40)  # watermark 30m + window 10m
+    closed = {k for k in want if k[0] + datetime.timedelta(minutes=10) <= cutoff}
+    missing = closed - set(got)
+    assert not missing, sorted(missing)[:5]
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    target = str(tmp_path / "target")
+    apply = foreach_batch_upsert(target, keys=["k"])
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    apply(b1, 0)
+    b2 = spark.createDataFrame([(2, "B"), (2, "B"), (3, "c")], ["k", "v"])
+    apply(b2, 1)
+    apply(b2, 1)  # replayed batch (at-least-once delivery)
+    out = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
