@@ -92,6 +92,24 @@ def enrich_gl(
     )
 
 
+def validate_gl(enriched: DataFrame) -> DataFrame:
+    """F11: vectorized twin of the reference's row-validation UDF
+    (dags/ssg_gl_etl.py:228-257 — coerce debit/credit, derive net, drop
+    rows whose key is missing or whose net is absurd, |net| ≥ 1e12).
+
+    Row-at-a-time Python becomes three JVM-side expressions: ``coalesce``
+    coercion, arithmetic, one ``filter`` — whole-stage-codegen'd, no UDF.
+    """
+    debit = F.coalesce(F.col("debit").cast("double"), F.lit(0.0))
+    credit = F.coalesce(F.col("credit").cast("double"), F.lit(0.0))
+    return (
+        enriched.withColumn("debit", debit)
+        .withColumn("credit", credit)
+        .withColumn("net", debit - credit)
+        .filter(F.col("order_key").isNotNull() & (F.abs(F.col("net")) < F.lit(1e12)))
+    )
+
+
 ENRICH_GL_ORACLE = """
 SELECT
   o.o_orderkey                      AS order_key,

@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_pack,
         merge_pack,
         relational,
+        sources_pack,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,115 @@
+"""Source/sink-surface queries (SURVEY §2.1): synthetic generator, REST
+JSON flattening, catalog scan, row validation — each oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ssg_etl_spark.operators.gl import ENRICH_GL_ORACLE, enrich_gl, validate_gl
+from ssg_etl_spark.plans.registry import register
+from ssg_etl_spark.sources import tables
+from ssg_etl_spark.sources.files import flatten_json_records
+from ssg_etl_spark.sources.generator import (
+    synthetic_transactions,
+    synthetic_transactions_oracle,
+)
+from ssg_etl_spark.sources.tables import load_tables
+
+
+@register(
+    "synthetic_transactions",
+    oracle=synthetic_transactions_oracle(1000),
+    tags=("sources", "S9", "F10"),
+)
+def synthetic_transactions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: deterministic faker-transaction generator (1000 rows)."""
+    return synthetic_transactions(spark, 1000)
+
+
+# The reference's REST payload shape (dags/get_data_api.py:17-40: id, name,
+# nested address/company flattened with string concat).
+_REST_PAYLOAD = (
+    '[{"id": 1, "name": "Leanne", "address": {"city": "Gwenborough",'
+    ' "street": "Kulas Light"}, "company": {"name": "Romaguera"}},'
+    ' {"id": 2, "name": "Ervin", "address": {"city": "Wisokyburgh",'
+    ' "street": "Victor Plains"}, "company": {"name": "Deckow"}},'
+    ' {"id": 3, "name": "Clementine", "address": {"city": "McKenziehaven",'
+    ' "street": "Douglas Extension"}, "company": {"name": "Keebler"}}]'
+)
+
+_REST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField(
+            "address",
+            T.StructType(
+                [
+                    T.StructField("city", T.StringType()),
+                    T.StructField("street", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "company",
+            T.StructType([T.StructField("name", T.StringType())]),
+        ),
+    ]
+)
+
+
+@register(
+    "rest_json_flatten",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'Leanne',     'Gwenborough',   'Kulas Light, Gwenborough',       'Romaguera'),
+  (2, 'Ervin',      'Wisokyburgh',   'Victor Plains, Wisokyburgh',     'Deckow'),
+  (3, 'Clementine', 'McKenziehaven', 'Douglas Extension, McKenziehaven', 'Keebler')
+) t(id, name, city, full_address, company_name)
+""",
+    tags=("sources", "S8", "F9", "F3"),
+)
+def rest_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: REST payload → from_json + explode → flat typed rows, with the
+    reference's address concat (dags/get_data_api.py:31-32)."""
+    recs = flatten_json_records(spark, _REST_PAYLOAD, _REST_SCHEMA)
+    return recs.select(
+        "id",
+        "name",
+        F.col("address.city").alias("city"),
+        F.concat_ws(", ", F.col("address.street"), F.col("address.city")).alias(
+            "full_address"
+        ),
+        F.col("company.name").alias("company_name"),
+    )
+
+
+@register(
+    "catalog_tables",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{n}')" for n in sorted(tables.TABLE_NAMES))
+    + ") t(table_name)",
+    tags=("sources", "S11"),
+)
+def catalog_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: catalog scan of the registered engine tables."""
+    return tables.catalog_tables(spark, sf_dir)
+
+
+@register(
+    "gl_validated",
+    oracle=f"""
+SELECT * FROM ({ENRICH_GL_ORACLE}) e
+WHERE e.order_key IS NOT NULL AND abs(e.net) < 1e12
+""",
+    tags=("functions", "F11"),
+)
+def gl_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: flagship enrichment through the vectorized validation gate."""
+    orders, customer, nation, region, lineitem = load_tables(
+        spark, sf_dir, "orders", "customer", "nation", "region", "lineitem"
+    )
+    return validate_gl(enrich_gl(orders, customer, nation, region, lineitem))

@@ -1,0 +1,63 @@
+"""Write-path operators (SURVEY §2.1 S2/S4/S6, §2.3 J11, §2.9 M14).
+
+The reference lands data three ways — JDBC overwrite from Spark
+(sparkFiles/sparkProcess.py:333-341), 1000-row batched ORM inserts
+(dags/ssg_gl_etl.py:441-463), and pandas ``to_sql`` with 100k chunks
+(build_etl_pipeline_python.py:42). Spark-native form: one atomic
+``df.write`` per job; batching, parallelism, and retries are the
+framework's job, not hand-rolled loops.
+
+Scale design (the part that matters at 100 TB):
+
+* **Partitioned layout** — ``partitionBy`` on the dominant filter columns
+  (date, source) so downstream scans prune partitions instead of reading
+  the world (SURVEY §4: the reference has no partitioned storage; we
+  introduce it).
+* **File sizing** — a partition-count cap before write avoids the
+  many-small-files failure mode that kills object-store listings.
+* **Modified-timestamp stamping** replaces the reference's AFTER-UPDATE
+  triggers (dltproject/sql scripts/create trigger.sql:12-22, J11): the
+  engine has no in-place update, so the stamp happens on the write path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stamp_modified(df: DataFrame, col: str = "modified_at") -> DataFrame:
+    """J11: ModifiedDate trigger → write-path timestamp column."""
+    return df.withColumn(col, F.current_timestamp())
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_files_per_partition: int | None = None,
+) -> None:
+    """S2/S4/S6: atomic partitioned parquet write.
+
+    ``max_files_per_partition`` repartitions by the partition columns first
+    so each output directory holds a bounded number of well-sized files
+    (AQE coalescing handles the small side; this caps the large side).
+    """
+    out = df
+    if partition_by and max_files_per_partition:
+        out = df.repartition(max_files_per_partition, *[F.col(c) for c in partition_by])
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def replicate_table(
+    spark: SparkSession, source_path: str, target_path: str
+) -> None:
+    """S14/M14: full-refresh copy — read source, atomically overwrite target
+    (the reference DELETEs then re-inserts row-by-row,
+    scripts/test/replicate_table.py:49-74; an overwrite write is the
+    transactional equivalent with none of the partial-failure window)."""
+    spark.read.parquet(source_path).write.mode("overwrite").parquet(target_path)

@@ -56,3 +56,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql queries."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: catalog scan driving a per-table loop — the reference's
+    ``select t.name from sys.tables where t.name in (…)``
+    (dags/automate_etl_with_airflow.py:42-47). Spark-native:
+    ``spark.catalog.listTables()`` filtered to the known set."""
+    register_views(spark, sf_dir)
+    known = set(TABLE_NAMES)
+    names = sorted(t.name for t in spark.catalog.listTables() if t.name in known)
+    return spark.createDataFrame([(n,) for n in names], "table_name string")
