@@ -66,3 +66,35 @@ def rollup_date_user(events: DataFrame) -> DataFrame:
         F.col("user_id"),
         F.col("event_type"),
     )
+
+
+GROUPING_SETS_SQL = f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type,
+    CASE WHEN hour(ts) BETWEEN 6 AND 17 THEN 'Day' ELSE 'Night' END AS shift,
+    user_id, value
+  FROM {{table}})
+SELECT event_date, event_type, shift, user_id,
+  CAST(GROUPING(event_type)*4 + GROUPING(shift)*2 + GROUPING(user_id) AS INT) AS gid,
+  CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS total_value,
+  COUNT(*) AS n_events
+FROM e
+GROUP BY GROUPING SETS (
+  (event_date, event_type),
+  (event_date, shift),
+  (event_date, user_id, event_type))
+"""
+
+
+def rollup_grouping_sets(events: DataFrame) -> DataFrame:
+    """A1+A2+A3 in ONE pass via GROUPING SETS (the single-shuffle form
+    SURVEY §2.4 flags as the moral equivalent of the reference's three
+    separate groupBys over the same input, sparkProcess.py:248-267).
+
+    Physically: one scan → Expand (3 replicas tagged by grouping id) → one
+    hash aggregate/shuffle — at 100 TB this reads the fact once instead of
+    three times. ``gid`` (bitmask of GROUPING() flags) tells the three
+    rollups apart; identical semantics in DuckDB.
+    """
+    events.createOrReplaceTempView("events_gs_input")
+    return events.sparkSession.sql(GROUPING_SETS_SQL.format(table="events_gs_input"))

@@ -1,0 +1,77 @@
+"""Skew mitigation for hot keys (SURVEY §7.9 scale design; no reference
+twin — the reference never shuffles, but at 100 TB skewed keys are the
+dominant aggregation/join failure mode).
+
+Two complementary tools:
+
+* **AQE skew-join** is already on (session.py: adaptive.skewJoin.enabled)
+  — it splits oversized *join* partitions at runtime. It does NOT help
+  aggregation skew, and only triggers post-shuffle.
+* **Salting** (here) spreads one logical hot key over ``n_salts`` physical
+  reducers *before* the shuffle. Deterministic: the salt is a hash of a
+  caller-named spread column (not RNG), so retries and oracles reproduce.
+
+Algebra: two-stage aggregation is exact for decomposable aggregates
+(sum/count/min/max — partial per (key, salt), then final per key). The
+salted broadcast-replica join is exact for any join whose small side fits
+replicated ``n_salts`` times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(spread: Column | str, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts): hash of a high-cardinality
+    spread column (e.g. the fact's line number / doc id)."""
+    c = F.col(spread) if isinstance(spread, str) else spread
+    return F.pmod(F.hash(c), F.lit(n_salts)).cast("int")
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    spread: str,
+    n_salts: int = 16,
+    dec: str = "decimal(28,6)",
+) -> DataFrame:
+    """Skew-safe ``groupBy(keys).agg(sum(value), count(*))``.
+
+    Stage 1 aggregates per (keys, salt) — the hot key's rows split across
+    ``n_salts`` reducers; stage 2 combines the ≤ n_salts partials per key.
+    The second shuffle moves only ``|distinct keys| × n_salts`` rows.
+    Decimal intermediates keep the sum order-independent (engine-portable).
+    """
+    stage1 = (
+        df.withColumn("_salt", salt_col(spread, n_salts))
+        .groupBy(*keys, "_salt")
+        .agg(
+            F.sum(F.col(value_col).cast(dec)).alias("_psum"),
+            F.count(F.lit(1)).alias("_pcnt"),
+        )
+    )
+    return stage1.groupBy(*keys).agg(
+        F.sum("_psum").cast("double").alias("total_value"),
+        F.sum("_pcnt").alias("n_rows"),
+    )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    spread: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the large side, replicate the small side
+    ``n_salts``× (explode), join on (key, salt). Exact for any ``how`` whose
+    unmatched side is the large one (inner/left)."""
+    salted_large = large.withColumn("_salt", salt_col(spread, n_salts))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return salted_large.join(replicated, [key, "_salt"], how).drop("_salt")

@@ -393,3 +393,13 @@ FROM events GROUP BY 1, 2, 3
 def rollup_date_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date × user × type rollup (sparkProcess.py:266-267)."""
     return rollups.rollup_date_user(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rollup_grouping_sets",
+    oracle=rollups.GROUPING_SETS_SQL.format(table="events"),
+    tags=("A1", "A2", "A3", "grouping-sets"),
+)
+def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three telemetry rollups in one pass (single scan + shuffle)."""
+    return rollups.rollup_grouping_sets(load_table(spark, sf_dir, "events"))

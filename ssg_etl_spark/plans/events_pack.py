@@ -116,3 +116,17 @@ def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("max_ts"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
     )
+
+
+from ssg_etl_spark.streaming.stateful import sessionize_batch, sessionize_batch_oracle
+
+
+@register(
+    "user_sessions",
+    oracle=sessionize_batch_oracle(30),
+    tags=("streaming", "W5", "sessionization"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap), batch twin of the
+    applyInPandasWithState streaming operator (streaming/stateful.py)."""
+    return sessionize_batch(load_table(spark, sf_dir, "events"), 30)

@@ -1,0 +1,143 @@
+"""Custom stateful streaming operator: gap-based sessionization
+(SURVEY §2.10/§2.11 — the reference has no stateful streaming op; this is
+the ``applyInPandasWithState`` pattern a Spark-native engine provides for
+arbitrary cross-row streaming state, the streaming sibling of the batch
+valuation recompute in operators/valuation.py).
+
+Two twins, identical semantics:
+
+* :func:`sessionize_batch` — pure DataFrame form (lag → gap flag → cumsum
+  session id → groupBy), SQL-expressible, DuckDB-oracled via the
+  ``user_sessions`` registry query.
+* :func:`sessionize_stream` — ``applyInPandasWithState`` per user_id with
+  event-time timeout: state carries the open session; a session emits when
+  a later event arrives past the gap, or when the watermark passes the
+  session end + gap (timeout).
+
+Scale: state per user is O(1) (4 scalars); the stream shuffles once on
+user_id; watermark bounds state lifetime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_OUT = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+_STATE = "start bigint, end bigint, n bigint, v double"  # ts in micros
+_US = 1_000_000
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization, batch form: a new session starts where the gap
+    from the previous event of the same user exceeds ``gap_minutes``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = events.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * _US), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "_session_no",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "_session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+    ).drop("_session_no")
+
+
+def sessionize_batch_oracle(gap_minutes: int = 30) -> str:
+    """DuckDB twin of :func:`sessionize_batch` over the events table."""
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_minutes * 60 * _US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def sessionize_stream(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin: per-user open-session state with event-time timeout.
+
+    Emits exactly the closed sessions: closure happens either inline (a
+    newer event of the same user beyond the gap) or by timeout (watermark
+    moved past session_end + gap with no newer event).
+    """
+    import pandas as pd  # noqa: F401 — imported for the worker closure
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * _US
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+
+        def emit(s):
+            start, end, n, v = s
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                    "total_value": [float(v)],
+                }
+            )
+
+        if state.hasTimedOut:
+            cur = state.get
+            state.remove()
+            yield emit(cur)
+            return
+
+        ts_v: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            ns = pdf["ts"].astype("int64")  # pandas datetime64[ns]
+            ts_v.extend(zip((ns // 1000).tolist(), pdf["value"].astype(float).tolist()))
+        ts_v.sort()
+
+        cur = state.get if state.exists else None
+        for t, v in ts_v:
+            if cur is None:
+                cur = (t, t, 1, v)
+            elif t - cur[1] > gap_us:
+                yield emit(cur)
+                cur = (t, t, 1, v)
+            else:
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1, cur[3] + v)
+        if cur is not None:
+            state.update(cur)
+            # Close via timeout once the watermark passes session_end + gap.
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUT, _STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

@@ -81,3 +81,45 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     apply(b2, 1)  # replayed batch (at-least-once delivery)
     out = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """applyInPandasWithState sessions == batch twin for sessions closed
+    before the final watermark (open/timeout-pending sessions stay in
+    state at availableNow termination)."""
+    import datetime
+
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.streaming.pipeline import events_file_stream
+    from ssg_etl_spark.streaming.stateful import sessionize_batch, sessionize_stream
+
+    out = str(tmp_path / "sessions")
+    q = (
+        sessionize_stream(events_file_stream(spark, events_dir), 30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, round(r.total_value, 6))
+        for r in sessionize_batch(events, 30).collect()
+    }
+    assert got, "no sessions emitted"
+    for key, val in got.items():
+        assert val == want[key], key
+    # Coverage: every session that closed (gap passed) before the final
+    # watermark minus slack must have been emitted.
+    hi = events.agg(F.max("ts")).first()[0]
+    cutoff = hi - datetime.timedelta(minutes=30 + 30 + 10)  # watermark+gap+slack
+    closed = {k for k in want if k[2] <= cutoff}
+    missing = closed - set(got)
+    assert not missing, sorted(missing)[:3]
