@@ -1,0 +1,95 @@
+"""CDC envelope parsing and topic routing (SURVEY §2.1 S10, §2.9 M12/M13).
+
+The reference's Kafka consumer subscribes to topic-per-table streams
+(``sqlserver.silverstr.sales_master|sales_items``), JSON-deserializes each
+message, and routes by topic to the matching insert
+(scripts/test/transform.py:46-83). Its trigger-based CDC captures old/new
+row images into a JSONB object (scripts/test/scripts.sql:25-49, Debezium
+prep with REPLICA IDENTITY FULL).
+
+Spark-native form: messages are (topic, value) rows — from
+``spark.readStream.format("kafka")`` in production, from any DataFrame in
+tests (the functions are stream/batch agnostic, which is what makes them
+testable without a broker). ``from_json`` with the per-topic schema does
+the deserialization JVM-side; routing is a filter per topic (one shared
+scan; Catalyst collapses the filters into the source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def route_topics(
+    messages: DataFrame, topic_schemas: dict[str, T.StructType]
+) -> dict[str, DataFrame]:
+    """M13: topic-per-table routing + typed deserialization.
+
+    ``messages`` has (topic string, value string) — the Kafka wire shape.
+    Returns one typed DataFrame per topic, ready for ``foreach_batch_upsert``
+    (streaming/pipeline.py) or a plain append.
+    """
+    out: dict[str, DataFrame] = {}
+    for topic, schema in topic_schemas.items():
+        out[topic] = (
+            messages.filter(F.col("topic") == topic)
+            .select(F.from_json(F.col("value"), schema).alias("rec"))
+            .select("rec.*")
+        )
+    return out
+
+
+# The trigger's JSONB envelope (scripts/test/scripts.sql:29-45):
+# {"operation": "UPDATE", "old": {...}, "new": {...}}
+def change_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("operation", T.StringType()),
+            T.StructField("old", row_schema),
+            T.StructField("new", row_schema),
+        ]
+    )
+
+
+def parse_change_envelopes(
+    envelopes: DataFrame, row_schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """M12: parse trigger/Debezium-style old/new change events.
+
+    Emits (operation, old struct, new struct, changed_fields array) — the
+    changed-fields diff is computed JVM-side by comparing old/new field
+    pairs with the null-safe equality the reference's trigger uses
+    (``IS DISTINCT FROM``, scripts.sql:37).
+    """
+    parsed = envelopes.select(
+        F.from_json(F.col(value_col), change_envelope_schema(row_schema)).alias("e")
+    ).select("e.operation", "e.old", "e.new")
+
+    def changed(field: str) -> Column:
+        # null-safe inequality: NOT (old <=> new)
+        return F.when(
+            ~F.col(f"old.{field}").eqNullSafe(F.col(f"new.{field}")), F.lit(field)
+        )
+
+    fields = [f.name for f in row_schema.fields]
+    return parsed.withColumn(
+        "changed_fields",
+        F.array_compact(F.array(*[changed(f) for f in fields])),
+    )
+
+
+def apply_cdc_batch(
+    target: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Apply parsed change events to a target snapshot: DELETEs drop, the
+    latest UPSERT per key wins (join-rewrite, no in-place update)."""
+    from ssg_etl_spark.operators.merge import merge_upsert
+
+    deletes = changes.filter(F.col("operation") == "DELETE").select(
+        *[F.col(f"old.{k}").alias(k) for k in keys]
+    )
+    upserts = changes.filter(F.col("operation") != "DELETE").select("new.*")
+    survived = target.join(deletes, keys, "left_anti")
+    return merge_upsert(survived, upserts, keys)
