@@ -403,3 +403,84 @@ def rollup_date_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three telemetry rollups in one pass (single scan + shuffle)."""
     return rollups.rollup_grouping_sets(load_table(spark, sf_dir, "events"))
+
+
+# --- Product Analysis using SQL.md query family (J4 variants) -------------
+
+
+@register(
+    "sales_by_product",
+    oracle=f"""
+SELECT p.p_name AS product_name,
+  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS {DEC_SQL})) AS DOUBLE) AS sales_amount
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+GROUP BY 1
+""",
+    tags=("J4", "A11", "O3"),
+)
+def sales_by_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 of Product Analysis using SQL.md: full sales-by-product rollup
+    (unlimited — the sibling of top_products without the top-k)."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_name").alias("product_name"))
+        .agg(F.sum(revenue).cast("double").alias("sales_amount"))
+    )
+
+
+@register(
+    "lowest_cost_products",
+    oracle=f"""
+SELECT p.p_name AS product_name,
+  CAST(SUM(CAST(l.l_extendedprice AS {DEC_SQL})) AS DOUBLE) AS total_cost
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+GROUP BY 1
+ORDER BY total_cost ASC, product_name ASC
+LIMIT 10
+""",
+    tags=("J4", "O3"),
+)
+def lowest_cost_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 of Product Analysis using SQL.md: bottom-10 by aggregate cost
+    (ascending top-k — still TakeOrderedAndProject, no global sort)."""
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_name").alias("product_name"))
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("total_cost"))
+        .orderBy(F.asc("total_cost"), F.asc("product_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "category_performance",
+    oracle=f"""
+SELECT r.r_name AS region_name,
+  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS {DEC_SQL})) AS DOUBLE) AS total_sales
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+    tags=("J4", "A11"),
+)
+def category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 of Product Analysis using SQL.md: snowflake-hierarchy rollup
+    (fact → 2-level dim chain → top-level grouping; broadcast dims)."""
+    lineitem, orders, customer, nation, region = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.sum(revenue).cast("double").alias("total_sales"))
+    )
