@@ -37,6 +37,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos→micros truncation, so oracles still hash-match.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Defensive: timestamps in the testdata are naive and the oracles are
+    # timezone-less — pin the session to UTC even under a caller-built
+    # SparkSession (runtime-settable conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
