@@ -29,18 +29,19 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     """
     value_cols = [c for c in target.columns if c not in keys]
     t = target.alias("t")
-    s = source.alias("s")
+    s = source.withColumn("_src_present", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
+    # Key columns may legitimately be NULL (eqNullSafe join), so source-row
+    # presence is tracked with an explicit marker, not key non-nullness.
+    src_exists = F.coalesce(F.col("s._src_present"), F.lit(False))
     out_keys = [
-        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+        F.when(src_exists, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
+        for k in keys
     ]
     # Row-level winner: if the source row exists, all its values win
     # (EXCLUDED.*); else keep target. Decided per-row, not per-column, so a
     # legitimate NULL in the source still overwrites.
-    src_exists = F.col(f"s.{keys[0]}").isNotNull()
-    for k in keys[1:]:
-        src_exists = src_exists & F.col(f"s.{k}").isNotNull()
     out_vals = [
         F.when(src_exists, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in value_cols
@@ -91,10 +92,17 @@ def scd2_apply(
     For every update whose attributes differ from the current version:
     expire the old row (valid_to = effective_date, is_current = false) and
     append a new version (valid_from = effective_date). Updates identical to
-    the current version are no-ops. Equivalent to dlt's
+    the current version are no-ops; updates for brand-new (or retired) keys
+    insert a fresh current version. Equivalent to dlt's
     ``write_disposition={'strategy': 'scd2'}`` (sql_product_scd.py:11-33).
+
+    ``updates`` is reduced to one row per key first (a dimension batch
+    should carry at most one version per key; when it carries several, an
+    arbitrary one is kept — pre-aggregate upstream if order matters). Keys
+    are assumed non-null (dimension natural keys).
     """
     eff = F.lit(effective_date).cast("date")
+    updates = updates.dropDuplicates(keys)
 
     cur = current.alias("c")
     upd = updates.alias("u")
@@ -125,9 +133,18 @@ def scd2_apply(
         changed_keys, keys, "left_anti"
     )
     history = current.filter(~F.col("is_current"))
-    # 3) new versions.
+    # 3) new versions of changed keys.
     new_versions = (
         changed.withColumn("valid_from", eff)
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    # 4) inserts: keys with no live current version (brand-new or retired).
+    live_keys = current.filter(F.col("is_current")).select(*keys).distinct()
+    inserts = (
+        updates.join(live_keys, keys, "left_anti")
+        .select(*keys, *attrs)
+        .withColumn("valid_from", eff)
         .withColumn("valid_to", F.lit(None).cast("date"))
         .withColumn("is_current", F.lit(True))
     )
@@ -137,4 +154,5 @@ def scd2_apply(
         .unionByName(untouched_current.select(cols))
         .unionByName(expired.select(cols))
         .unionByName(new_versions.select(cols))
+        .unionByName(inserts.select(cols))
     )

@@ -107,15 +107,23 @@ def run_suite(df: DataFrame, expectations: list[Expectation]) -> list[dict]:
     Returns [{name, passed, metrics}]; raises nothing — callers decide
     whether failures abort (the reference's GE checkpoint raises; its pytest
     suite asserts)."""
+    # Aliases are namespaced per expectation index so two same-type checks
+    # on the same column (different parameters) never collide.
     merged: dict[str, Column] = {}
-    for e in expectations:
-        merged.update(e.aggs)
+    remap: list[dict[str, str]] = []
+    for i, e in enumerate(expectations):
+        m = {}
+        for k, c in e.aggs.items():
+            uk = f"e{i}__{k}"
+            merged[uk] = c
+            m[k] = uk
+        remap.append(m)
     row = df.agg(*[c.alias(k) for k, c in merged.items()]).first().asDict()
     results = []
-    for e in expectations:
-        metrics = {k: row[k] for k in e.aggs}
+    for e, m in zip(expectations, remap):
+        metrics = {k: row[uk] for k, uk in m.items()}
         results.append(
-            {"name": e.name, "passed": bool(e.verdict(row)), "metrics": metrics}
+            {"name": e.name, "passed": bool(e.verdict(metrics)), "metrics": metrics}
         )
     return results
 

@@ -39,12 +39,19 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     JVM-side; documents shorter than n words contribute no shingles.
     """
     assert n == 3, "SQL-oracle parity is written for n=3"
-    shingles = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(0, size(split(text, ' ')) - 3), "
-        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1], ' ', split(text, ' ')[i+2])) "
-        "ELSE array() END"
-    )
+    ws = F.split(F.col(text_col), " ")
+    shingles = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+                F.element_at(ws, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()

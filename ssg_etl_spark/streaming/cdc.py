@@ -58,14 +58,18 @@ def parse_change_envelopes(
 ) -> DataFrame:
     """M12: parse trigger/Debezium-style old/new change events.
 
-    Emits (operation, old struct, new struct, changed_fields array) — the
-    changed-fields diff is computed JVM-side by comparing old/new field
+    Emits (…passthrough, operation, old struct, new struct, changed_fields
+    array) — non-value input columns (a Kafka offset / CDC LSN, topic,
+    partition) pass through untouched so they can sequence the apply step.
+    The changed-fields diff is computed JVM-side by comparing old/new field
     pairs with the null-safe equality the reference's trigger uses
     (``IS DISTINCT FROM``, scripts.sql:37).
     """
+    extra = [c for c in envelopes.columns if c != value_col]
     parsed = envelopes.select(
-        F.from_json(F.col(value_col), change_envelope_schema(row_schema)).alias("e")
-    ).select("e.operation", "e.old", "e.new")
+        *extra,
+        F.from_json(F.col(value_col), change_envelope_schema(row_schema)).alias("e"),
+    ).select(*extra, "e.operation", "e.old", "e.new")
 
     def changed(field: str) -> Column:
         # null-safe inequality: NOT (old <=> new)
@@ -81,15 +85,41 @@ def parse_change_envelopes(
 
 
 def apply_cdc_batch(
-    target: DataFrame, changes: DataFrame, keys: list[str]
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str | None = None,
 ) -> DataFrame:
-    """Apply parsed change events to a target snapshot: DELETEs drop, the
-    latest UPSERT per key wins (join-rewrite, no in-place update)."""
+    """Apply parsed change events to a target snapshot (join-rewrite, no
+    in-place update).
+
+    The batch is first reduced to ONE change per key — the one that decides
+    the key's final state: with ``seq_col`` (CDC LSN / offset) the
+    highest-sequence change wins, so update-then-delete deletes and
+    delete-then-reinsert reinserts. Without ``seq_col`` an arbitrary change
+    per key is kept; pass it whenever batches may hold multiple changes for
+    one key. DELETE winners drop the key; other winners upsert their new
+    image.
+    """
+    from pyspark.sql.window import Window
+
     from ssg_etl_spark.operators.merge import merge_upsert
 
-    deletes = changes.filter(F.col("operation") == "DELETE").select(
-        *[F.col(f"old.{k}").alias(k) for k in keys]
+    key_of = [
+        F.coalesce(F.col(f"new.{k}"), F.col(f"old.{k}")).alias(f"_k_{k}")
+        for k in keys
+    ]
+    seq = F.col(seq_col) if seq_col is not None else F.lit(0)
+    w = Window.partitionBy(*[f"_k_{k}" for k in keys]).orderBy(F.desc("_seq"))
+    latest = (
+        changes.select("*", *key_of, seq.alias("_seq"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
     )
-    upserts = changes.filter(F.col("operation") != "DELETE").select("new.*")
+
+    deletes = latest.filter(F.col("operation") == "DELETE").select(
+        *[F.col(f"_k_{k}").alias(k) for k in keys]
+    )
+    upserts = latest.filter(F.col("operation") != "DELETE").select("new.*")
     survived = target.join(deletes, keys, "left_anti")
     return merge_upsert(survived, upserts, keys)

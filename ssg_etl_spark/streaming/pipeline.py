@@ -64,21 +64,44 @@ def windowed_event_counts(
     )
 
 
-def foreach_batch_upsert(target_path: str, keys: list[str]):
+def foreach_batch_upsert(target_path: str, keys: list[str], seq_col: str | None = None):
     """M13: CDC apply as a foreachBatch merge into a parquet target.
 
-    Each micro-batch is first deduplicated to its latest row per key (late
-    CDC replays), then merged (join-rewrite, operators/merge.merge_upsert)
+    Each micro-batch is first reduced to one row per key: with ``seq_col``
+    (a CDC LSN / Kafka offset / event time), the highest-sequence row wins
+    deterministically; without it, an arbitrary row per key is kept — pass
+    ``seq_col`` whenever a batch can hold several changes for one key.
+    The reduced batch is merged (join-rewrite, operators/merge.merge_upsert)
     into the target and atomically rewritten. Idempotent per batch."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.window import Window
+
         spark = batch.sparkSession
-        latest = batch.dropDuplicates(keys)
+        if seq_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+            latest = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            latest = batch.dropDuplicates(keys)
         try:
             target = spark.read.parquet(target_path)
-            merged = merge_upsert(target, latest.select(*target.columns), keys)
-        except Exception:  # first batch: no target yet
-            merged = latest
+        except AnalysisException as exc:
+            # Only a genuinely-missing target means "first batch"; any other
+            # failure must propagate — falling through would overwrite the
+            # target with this batch alone and silently lose history.
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            target = None
+        merged = (
+            latest
+            if target is None
+            else merge_upsert(target, latest.select(*target.columns), keys)
+        )
         merged.write.mode("overwrite").parquet(target_path)
 
     return apply

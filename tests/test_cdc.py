@@ -95,3 +95,27 @@ def test_retry_permanent_fails_fast():
     with pytest.raises(ValueError):
         bad_sql()
     assert calls["n"] == 1  # not retried: permanent error triage
+
+
+def test_apply_cdc_batch_multi_change_per_key_with_seq(spark):
+    target = spark.createDataFrame([(1, "a", 10.0)], ROW)
+    env = spark.createDataFrame(
+        [
+            ('{"operation": "UPDATE", "old": {"k": 1, "name": "a", "amount": 10.0},'
+             ' "new": {"k": 1, "name": "a1", "amount": 11.0}}', 1),
+            ('{"operation": "DELETE", "old": {"k": 1, "name": "a1", "amount": 11.0},'
+             ' "new": null}', 2),
+            ('{"operation": "INSERT", "old": null,'
+             ' "new": {"k": 5, "name": "e", "amount": 50.0}}', 1),
+            ('{"operation": "UPDATE", "old": {"k": 5, "name": "e", "amount": 50.0},'
+             ' "new": {"k": 5, "name": "e2", "amount": 51.0}}', 2),
+        ],
+        "value string, seq int",
+    )
+    changes = cdc.parse_change_envelopes(env, ROW)  # seq passes through
+    out = {
+        r.k: (r.name, r.amount)
+        for r in cdc.apply_cdc_batch(target, changes, ["k"], seq_col="seq").collect()
+    }
+    # k=1: update then delete -> gone; k=5: insert then update -> latest image.
+    assert out == {5: ("e2", 51.0)}

@@ -49,3 +49,43 @@ def test_scd2_versions(spark):
         (1, "a2", "2024-01-01", "None", True),          # new version
         (2, "b", "2020-01-01", "None", True),           # untouched no-op
     ]
+
+
+def test_merge_upsert_null_key_component(spark):
+    target = _df(spark, [(None, "old")], "k int, name string")
+    source = _df(spark, [(None, "new")], "k int, name string")
+    out = M.merge_upsert(target, source, ["k"]).collect()
+    assert len(out) == 1 and out[0].name == "new"  # NULL keys match; source wins
+
+
+def test_scd2_inserts_new_keys(spark):
+    current = _df(
+        spark,
+        [(1, "a", "2020-01-01", None, True)],
+        "k int, v string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "v", "cast(valid_from as date) valid_from",
+        "cast(valid_to as date) valid_to", "is_current",
+    )
+    updates = _df(spark, [(2, "brand-new")], ["k", "v"])
+    out = M.scd2_apply(current, updates, ["k"], ["v"], "2024-01-01")
+    rows = sorted((r.k, r.v, str(r.valid_from), r.is_current) for r in out.collect())
+    assert rows == [
+        (1, "a", "2020-01-01", True),
+        (2, "brand-new", "2024-01-01", True),
+    ]
+
+
+def test_scd2_duplicate_update_keys_single_current(spark):
+    current = _df(
+        spark,
+        [(1, "a", "2020-01-01", None, True)],
+        "k int, v string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "v", "cast(valid_from as date) valid_from",
+        "cast(valid_to as date) valid_to", "is_current",
+    )
+    updates = _df(spark, [(1, "x"), (1, "x")], ["k", "v"])
+    out = M.scd2_apply(current, updates, ["k"], ["v"], "2024-01-01")
+    current_rows = [r for r in out.collect() if r.is_current]
+    assert len(current_rows) == 1  # invariant: one current version per key

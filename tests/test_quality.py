@@ -34,3 +34,11 @@ def test_mostly_threshold(spark):
     ok = Q.run_suite(df, [Q.expect_not_null("x", mostly=0.6)])
     strict = Q.run_suite(df, [Q.expect_not_null("x", mostly=0.99)])
     assert Q.suite_passed(ok) and not Q.suite_passed(strict)
+
+
+def test_same_column_same_type_expectations_do_not_collide(spark):
+    from ssg_etl_spark.operators.quality import expect_between, run_suite
+
+    df = spark.createDataFrame([(500,), (600,)], "x int")
+    results = run_suite(df, [expect_between("x", 0, 10), expect_between("x", 0, 1000)])
+    assert [r["passed"] for r in results] == [False, True]
