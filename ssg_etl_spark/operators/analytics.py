@@ -68,13 +68,14 @@ def retention_split(orders: DataFrame) -> DataFrame:
     """New-vs-repeat customer split + retention rate
     (scripts/SQL/new_v_return_plus_retention_rate.sql:4-41).
 
-    ROW_NUMBER per customer ordered by purchase time (W1); rownum>1 →
-    repeat. Emits a single KPI row; the scalar total (A10) is computed in
-    the same aggregation instead of a crossJoin of a subquery.
+    The reference splits with ROW_NUMBER (W1) and re-joins; Spark-first the
+    same semantics is a hash aggregate — ``max(row_number)`` per customer IS
+    ``count(*)``, and groupBy-count needs no sort (W1 itself is covered by
+    window_rownum_global / asof_last_before). The scalar total (A10) is
+    computed in the same aggregation instead of a crossJoin of a subquery.
+    Emits a single KPI row.
     """
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    ranked = orders.withColumn("rn", F.row_number().over(w))
-    per_cust = ranked.groupBy("o_custkey").agg(F.max("rn").alias("n_orders"))
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
     return per_cust.agg(
         F.count(F.lit(1)).alias("total_customers"),
         F.sum((F.col("n_orders") > 1).cast("long")).alias("repeat_customers"),
@@ -147,22 +148,20 @@ def melt_part_metrics(part: DataFrame) -> DataFrame:
     )
 
 
-# Testdata orderdate span; stable across scale factors (seed=42 generator).
-SPINE_START = "1995-01-01"
-SPINE_END = "2001-08-01"
-
-
-def month_spine(spark) -> DataFrame:
-    """Continuous monthly calendar (W7 date-spine gap fill; pandas
-    .asfreq('D') in Python Data Analysis.ipynb). Generated, not scanned.
+def month_spine(orders: DataFrame, date_col: str = "o_orderdate") -> DataFrame:
+    """Continuous monthly calendar spanning the data (W7 date-spine gap
+    fill; pandas .asfreq('D') in Python Data Analysis.ipynb). Bounds derive
+    from min/max of the data — no hardcoded calendar, so no rows are
+    silently dropped outside a fixed span. The bounds aggregate is a cheap
+    min/max scan; the spine itself is generated, not scanned.
     """
-    return spark.range(1).select(
+    bounds = orders.agg(
+        F.date_trunc("month", F.min(date_col)).cast("date").alias("lo"),
+        F.date_trunc("month", F.max(date_col)).cast("date").alias("hi"),
+    )
+    return bounds.select(
         F.explode(
-            F.sequence(
-                F.lit(SPINE_START).cast("date"),
-                F.lit(SPINE_END).cast("date"),
-                F.expr("interval 1 month"),
-            )
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 month"))
         ).alias("month_start")
     )
 
@@ -179,7 +178,7 @@ def yoy_monthly_sales(spark, orders: DataFrame) -> DataFrame:
     monthly = orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start")).agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("sales_dec")
     )
-    spine = month_spine(spark)
+    spine = month_spine(orders)
     filled = spine.join(monthly, "month_start", "left").select(
         "month_start",
         F.coalesce(F.col("sales_dec"), F.lit(0).cast(DEC)).alias("sales_dec"),

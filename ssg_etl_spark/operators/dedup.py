@@ -175,6 +175,9 @@ def simhash_pairs(
     """
     sig = simhash_signatures(documents, bits)
     n_bands = 8
+    # Pigeonhole: k differing bits can ruin at most k bands, so a shared
+    # band is guaranteed only while max_hamming < n_bands.
+    assert max_hamming < n_bands, "banded recall guarantee requires max_hamming < 8"
     band_bits = bits // n_bands
     bands = sig.select(
         "doc_id",

@@ -61,7 +61,12 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def text_metrics(df: DataFrame) -> DataFrame:
     """Per-document quality metrics: length, word stats, punctuation and
     stopword ratios, and a composite quality score (heuristics in the style
-    of C4/Gopher quality filters)."""
+    of C4/Gopher quality filters).
+
+    Tokenization is a plain single-space split, mirrored exactly by the
+    DuckDB oracle (consecutive spaces yield empty tokens in BOTH engines,
+    and 0-length docs null the ratios in both) — run ``normalize_text``
+    upstream when the corpus is not single-spaced."""
     ws = words(F.col("text"))
     n_chars = F.length("text").cast("long")
     n_words = F.size(ws).cast("long")

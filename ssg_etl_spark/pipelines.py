@@ -3,23 +3,33 @@ re-expressed Spark-first).
 
 One scheduled run of the reference's flagship DAG shape
 (dags/ssg_gl_etl.py: watermark read → has-new-data gate → extract →
-transform → load → watermark advance) as a single pure-ish function over
-parquet state. The aggregation load is **additive**: per-key partial sums
-from each batch are merged into the target by addition, which is exact for
-decomposable aggregates (sum/count) and makes the pipeline's output equal
-a from-scratch batch rollup after any sequence of runs — the invariant
-`tests/test_pipeline.py` pins.
+transform → load → watermark advance) as a single function over parquet
+state. The aggregation load is **additive**: per-key partial sums from each
+batch merge into the target by addition — exact for decomposable aggregates
+(sum/count), so the target equals a from-scratch batch rollup after any
+sequence of runs (`tests/test_pipeline.py` pins this invariant).
 
-Scale: each run shuffles only the new batch (watermark-pruned scan); the
-merge joins target×delta on the rollup key — both sides are aggregate-sized
-(days × types), not fact-sized. State (log + target) is plain parquet,
-rewritten atomically per run.
+Exactly-once across crashes: a staged-commit protocol. The merged target is
+written to a staging directory, then a commit marker (atomic rename) makes
+the run durable, then staging swaps into place and the audit-log row is
+appended; `_recover` finishes any interrupted run at the next start. A
+crash at ANY point either leaves the watermark unadvanced (batch replays
+into an untouched target) or completes on recovery — never a double-count.
+The swap uses local-FS rename; on HDFS/S3 swap this layer for a
+transactional table format (Delta/Iceberg MERGE), keeping the same logic.
+
+Scale: each run shuffles only the new batch (watermark-pruned scan, cached
+once and reused for the audit aggregate + rollup — one source scan); the
+merge joins target×delta on the rollup key — both aggregate-sized (days ×
+types), not fact-sized.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +38,15 @@ from ssg_etl_spark.operators import incremental as inc
 from ssg_etl_spark.operators.rollups import rollup_date_type
 
 SOURCE_NAME = "events_rollup"
+
+
+def _paths(state_dir: str) -> dict[str, str]:
+    return {
+        "log": os.path.join(state_dir, "log"),
+        "target": os.path.join(state_dir, "target"),
+        "staging": os.path.join(state_dir, "target__staging"),
+        "marker": os.path.join(state_dir, "_commit.json"),
+    }
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -53,12 +72,62 @@ def merge_additive(
     merged = t.join(d, cond, "full_outer")
     key_cols = [F.coalesce(t[k], d[k]).alias(k) for k in keys]
     val_cols = [
-        (
-            F.coalesce(t[c], F.lit(0)) + F.coalesce(d[c], F.lit(0))
-        ).alias(c)
+        (F.coalesce(t[c], F.lit(0)) + F.coalesce(d[c], F.lit(0))).alias(c)
         for c in sum_cols
     ]
     return merged.select(*key_cols, *val_cols)
+
+
+def _write_marker(marker_path: str, payload: dict) -> None:
+    tmp = marker_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.rename(tmp, marker_path)  # atomic on POSIX: this IS the commit point
+
+
+def _log_has_run(spark: SparkSession, log_path: str, run_id: str) -> bool:
+    log = _read_or_none(spark, log_path)
+    if log is None:
+        return False
+    return log.filter(F.col("process_log_id") == run_id).limit(1).count() > 0
+
+
+def _publish(spark: SparkSession, p: dict[str, str], log_row: DataFrame | None) -> None:
+    """Swap staging → target and append the audit row; safe to re-run."""
+    if os.path.exists(p["staging"]):
+        if os.path.exists(p["target"]):
+            shutil.rmtree(p["target"])
+        os.rename(p["staging"], p["target"])
+    if log_row is not None:
+        log_row.write.mode("append").parquet(p["log"])
+    os.remove(p["marker"])
+
+
+def _recover(spark: SparkSession, p: dict[str, str]) -> None:
+    """Finish (or discard) whatever a crashed previous run left behind."""
+    if os.path.exists(p["marker"]):
+        with open(p["marker"]) as f:
+            committed = json.load(f)
+        run_id = committed["run_id"]
+        if _log_has_run(spark, p["log"], run_id):
+            # Swap + log landed; only the marker removal was lost.
+            _publish(spark, p, None)
+        else:
+            from ssg_etl_spark.schemas import ETL_LOG
+
+            raw = committed["log_row"]
+            parsed = {
+                f.name: (
+                    dt.datetime.fromisoformat(raw[f.name])
+                    if raw.get(f.name) is not None
+                    and f.dataType.typeName() == "timestamp"
+                    else raw.get(f.name)
+                )
+                for f in ETL_LOG.fields
+            }
+            _publish(spark, p, spark.createDataFrame([parsed], ETL_LOG))
+    elif os.path.exists(p["staging"]):
+        shutil.rmtree(p["staging"])  # un-committed staging: discard
 
 
 def run_events_rollup_once(
@@ -67,15 +136,12 @@ def run_events_rollup_once(
     state_dir: str,
     started_at: dt.datetime | None = None,
 ) -> dict:
-    """One pipeline run. Returns run metrics (rows extracted, gate result).
+    """One pipeline run. Returns run metrics (rows extracted, gate result)."""
+    p = _paths(state_dir)
+    os.makedirs(state_dir, exist_ok=True)
+    _recover(spark, p)
 
-    State layout: ``{state_dir}/log`` (ETL audit log, M1-M4) and
-    ``{state_dir}/target`` (the rollup table the run maintains).
-    """
-    log_path = os.path.join(state_dir, "log")
-    target_path = os.path.join(state_dir, "target")
-
-    log = _read_or_none(spark, log_path)
+    log = _read_or_none(spark, p["log"])
     if log is None:
         log = inc.empty_log(spark)
 
@@ -83,20 +149,25 @@ def run_events_rollup_once(
     if wm is not None and not inc.has_new_data(events, "ts", wm):
         return {"extracted": 0, "skipped": True}  # M4 gate: nothing new
 
-    batch, log_row = inc.run_incremental(
-        spark, events, "ts", log, SOURCE_NAME, started_at
-    )
-    delta = rollup_date_type(batch)
-
-    target = _read_or_none(spark, target_path)
-    merged = merge_additive(
-        target, delta, ["event_date", "event_type"], ["total_value", "n_events"]
-    )
-
-    # Materialize BEFORE overwriting the input it reads (target_path).
-    staged = merged.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").parquet(target_path)
-    # The audit log is append-only (M3): one row per run.
-    log_row.write.mode("append").parquet(log_path)
-    extracted = log_row.first()["rows_extracted"]
-    return {"extracted": extracted, "skipped": False}
+    started = started_at or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    if wm is None:
+        wm = inc.bootstrap_watermark(events, "ts")
+    batch = inc.incremental_read(events, "ts", wm)
+    batch.persist()  # one source scan feeds both the audit agg and the rollup
+    try:
+        log_row = inc.advance_watermark(spark, SOURCE_NAME, batch, "ts", started)
+        delta = rollup_date_type(batch)
+        target = _read_or_none(spark, p["target"])
+        merged = merge_additive(
+            target, delta, ["event_date", "event_type"], ["total_value", "n_events"]
+        )
+        merged.write.mode("overwrite").parquet(p["staging"])  # 1) stage
+        row_dict = {
+            k: (v.isoformat() if isinstance(v, dt.datetime) else v)
+            for k, v in log_row.first().asDict().items()
+        }
+        _write_marker(p["marker"], {"run_id": row_dict["process_log_id"], "log_row": row_dict})  # 2) commit
+        _publish(spark, p, log_row)  # 3) swap + audit append + marker removal
+        return {"extracted": row_dict["rows_extracted"], "skipped": False}
+    finally:
+        batch.unpersist()

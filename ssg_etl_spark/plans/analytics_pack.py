@@ -127,9 +127,13 @@ def melt_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "yoy_monthly_sales",
     oracle=f"""
-WITH spine AS (
-  SELECT CAST(range AS DATE) AS month_start
-  FROM range(DATE '1995-01-01', DATE '2001-09-01', INTERVAL 1 month)),
+WITH bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 month)) AS DATE) AS month_start
+  FROM bounds),
 monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
          SUM(CAST(o_totalprice AS {DEC_SQL})) AS sales_dec

@@ -71,7 +71,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 over 32-bit signatures).
+    """SimHash near-dup pairs (Hamming ≤ 7 over 64-bit signatures, 8-band
+    candidate generation — lossless for that bound by pigeonhole).
     Hash-defined output → rows-only check; correctness is pinned by the
     pytest suite (planted near-dups recovered, disjoint docs rejected)."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))

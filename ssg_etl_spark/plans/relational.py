@@ -115,7 +115,8 @@ def semi_join_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey AS cust_key, c.c_name AS cust_name
 FROM customer c
-WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
 """,
     tags=("J8",),
 )

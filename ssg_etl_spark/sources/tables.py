@@ -35,6 +35,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; we read it as int64 nanos (legacy conf) and truncate to
     microseconds with integer division — byte-identical to DuckDB's
     nanos→micros truncation, so oracles still hash-match.
+
+    Side effect (deliberate): both confs below are session-level and stay
+    set — they must hold at task-execution time, not just plan time, so a
+    save/restore around the read would break deferred execution. UTC is the
+    engine's contract; nanosAsLong only affects TIMESTAMP(NANOS) parquet,
+    which vanilla Spark cannot read at all.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Defensive: timestamps in the testdata are naive and the oracles are

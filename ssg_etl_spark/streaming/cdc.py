@@ -117,9 +117,14 @@ def apply_cdc_batch(
         .filter(F.col("_rn") == 1)
     )
 
-    deletes = latest.filter(F.col("operation") == "DELETE").select(
-        *[F.col(f"_k_{k}").alias(k) for k in keys]
+    # Remove every OLD image key (covers DELETEs and key-changing UPDATEs —
+    # an update whose new key differs must also retire the old-key row),
+    # then upsert the new images of the non-DELETE winners.
+    removed = (
+        latest.filter(F.col("old").isNotNull())
+        .select(*[F.col(f"old.{k}").alias(k) for k in keys])
+        .distinct()
     )
     upserts = latest.filter(F.col("operation") != "DELETE").select("new.*")
-    survived = target.join(deletes, keys, "left_anti")
+    survived = target.join(removed, keys, "left_anti")
     return merge_upsert(survived, upserts, keys)

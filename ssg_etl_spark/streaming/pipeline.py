@@ -102,7 +102,11 @@ def foreach_batch_upsert(target_path: str, keys: list[str], seq_col: str | None 
             if target is None
             else merge_upsert(target, latest.select(*target.columns), keys)
         )
-        merged.write.mode("overwrite").parquet(target_path)
+        # Materialization barrier: the merge plan reads target_path, which the
+        # overwrite deletes at job start. Without this the write only works
+        # when AQE happens to have materialized the join's shuffle stages
+        # first — with AQE off it fails AND clears the target.
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 
     return apply
 

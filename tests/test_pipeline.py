@@ -39,3 +39,71 @@ def test_incremental_runs_equal_batch(spark, sf_dir, tmp_path):
     m3 = run_events_rollup_once(spark, events, state)
     assert m3 == {"extracted": 0, "skipped": True}
     assert _snapshot(spark, state) == want
+
+
+def test_crash_after_commit_marker_recovers_exactly_once(spark, sf_dir, tmp_path):
+    """Crash between commit marker and publish: the next run completes the
+    swap + audit append instead of double-counting the batch."""
+    import json
+    import os
+
+    from ssg_etl_spark import pipelines as P
+
+    state = str(tmp_path / "state")
+    events = load_table(spark, sf_dir, "events")
+    cut = events.selectExpr("percentile_approx(ts, 0.5) p").first().p
+    first_half = events.filter(F.col("ts") <= cut)
+    run_events_rollup_once(spark, first_half, state)
+
+    # Simulate run 2 crashing right after the marker write: stage the merged
+    # result and write the marker, but never publish.
+    p = P._paths(state)
+    log = spark.read.parquet(p["log"])
+    import datetime as dt
+    wm = P.inc.get_watermark(log, P.SOURCE_NAME)
+    batch = P.inc.incremental_read(events, "ts", wm)
+    log_row = P.inc.advance_watermark(
+        spark, P.SOURCE_NAME, batch, "ts", dt.datetime(2024, 6, 1)
+    )
+    delta = P.rollup_date_type(batch)
+    target = spark.read.parquet(p["target"])
+    P.merge_additive(
+        target, delta, ["event_date", "event_type"], ["total_value", "n_events"]
+    ).write.mode("overwrite").parquet(p["staging"])
+    row = {
+        k: (v.isoformat() if hasattr(v, "isoformat") else v)
+        for k, v in log_row.first().asDict().items()
+    }
+    P._write_marker(p["marker"], {"run_id": row["process_log_id"], "log_row": row})
+    # ---- crash here; next run must recover, then see nothing new ----
+    m = run_events_rollup_once(spark, events, state)
+    assert m == {"extracted": 0, "skipped": True}
+    assert not os.path.exists(p["marker"]) and not os.path.exists(p["staging"])
+    want = {
+        (r.event_date, r.event_type): (round(r.total_value, 6), r.n_events)
+        for r in rollup_date_type(events).collect()
+    }
+    assert _snapshot(spark, state) == want
+
+
+def test_uncommitted_staging_is_discarded(spark, sf_dir, tmp_path):
+    """Crash before the marker: staging is discarded and the batch replays
+    cleanly (watermark never advanced)."""
+    import os
+
+    from ssg_etl_spark import pipelines as P
+
+    state = str(tmp_path / "state")
+    events = load_table(spark, sf_dir, "events")
+    cut = events.selectExpr("percentile_approx(ts, 0.5) p").first().p
+    run_events_rollup_once(spark, events.filter(F.col("ts") <= cut), state)
+    p = P._paths(state)
+    # Orphan staging dir, no marker (crash mid-stage).
+    os.makedirs(p["staging"], exist_ok=True)
+    m = run_events_rollup_once(spark, events, state)
+    assert not m["skipped"] and m["extracted"] > 0
+    want = {
+        (r.event_date, r.event_type): (round(r.total_value, 6), r.n_events)
+        for r in rollup_date_type(events).collect()
+    }
+    assert _snapshot(spark, state) == want
