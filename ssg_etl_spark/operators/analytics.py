@@ -166,7 +166,7 @@ def month_spine(orders: DataFrame, date_col: str = "o_orderdate") -> DataFrame:
     )
 
 
-def yoy_monthly_sales(spark, orders: DataFrame) -> DataFrame:
+def yoy_monthly_sales(orders: DataFrame) -> DataFrame:
     """Same-period-last-year comparison over a gap-filled monthly spine
     (W4+W7: groupby(month,day).shift() after .asfreq fill).
 

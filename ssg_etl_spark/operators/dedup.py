@@ -92,7 +92,10 @@ def minhash_lsh_pairs(
     false positives are eliminated by verification).
     """
     num_bands = num_hashes // rows_per_band
-    shingles = word_shingles(documents)
+    # Shingling (split+explode+distinct, one shuffle) feeds three plan
+    # branches (signatures, candidate sizes, candidate self-join); persist
+    # so it computes once. MEMORY_AND_DISK + LRU eviction keeps this safe.
+    shingles = word_shingles(documents).persist()
 
     sig = shingles.groupBy("doc_id").agg(
         *[

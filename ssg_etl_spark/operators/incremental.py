@@ -98,7 +98,14 @@ def run_incremental(
     source: str,
     started_at: dt.datetime | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full M1→M4 cycle: returns (incremental batch, new log row)."""
+    """Full M1→M4 cycle: returns (incremental batch, new log row).
+
+    The returned batch is lazy; the log row's count/max come from their own
+    action. Against an immutable snapshot source (parquet files) the two
+    scans agree; against a LIVE mutable source, persist or write the batch
+    BEFORE deriving anything else from it so the audit row and the loaded
+    rows describe the same data (pipelines.run_events_rollup_once persists).
+    """
     started = started_at or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     wm = get_watermark(log, source)
     if wm is None:

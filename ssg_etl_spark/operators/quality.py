@@ -107,6 +107,8 @@ def run_suite(df: DataFrame, expectations: list[Expectation]) -> list[dict]:
     Returns [{name, passed, metrics}]; raises nothing — callers decide
     whether failures abort (the reference's GE checkpoint raises; its pytest
     suite asserts)."""
+    if not expectations:
+        return []
     # Aliases are namespaced per expectation index so two same-type checks
     # on the same column (different parameters) never collide.
     merged: dict[str, Column] = {}

@@ -68,8 +68,11 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: salt the large side, replicate the small side
-    ``n_salts``× (explode), join on (key, salt). Exact for any ``how`` whose
-    unmatched side is the large one (inner/left)."""
+    ``n_salts``× (explode), join on (key, salt). Exact only for joins whose
+    unmatched side is the large one — right/full would emit ``n_salts``
+    null-padded rows per unmatched small-side key, so they are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salted_large = large.withColumn("_salt", salt_col(spread, n_salts))
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))

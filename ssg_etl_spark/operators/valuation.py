@@ -16,8 +16,12 @@ not expressible as a window function. Spark-first form: grouped-map
 pandas function with a sequential loop inside (SNIPPETS.md patterns [1]-[3]).
 
 Scale: one shuffle on the group key; groups process in parallel across
-executors. Arrow batches keep the Python boundary cheap; group sizes are
-bounded by per-key history length, not table size.
+executors. Arrow batches keep the transfer cheap, but each grouped-map call
+materializes ONE whole bucket (≈ table/n_buckets rows) in a Python worker —
+size ``n_buckets`` so a bucket fits executor memory (rows·width/n_buckets ≲
+worker heap); for very large ledgers raise n_buckets, or group directly by
+the natural key to bound memory by per-key history at the cost of one
+grouped-map call per key.
 
 Testdata mapping (FIXTURES.md §6): lineitem per (l_partkey, l_suppkey)
 ordered by (l_shipdate, l_orderkey, l_linenumber); voucher type from

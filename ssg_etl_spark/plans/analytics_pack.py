@@ -150,7 +150,7 @@ FROM filled
 )
 def yoy_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-month-last-year lag over a gap-filled monthly spine."""
-    return analytics.yoy_monthly_sales(spark, load_table(spark, sf_dir, "orders"))
+    return analytics.yoy_monthly_sales(load_table(spark, sf_dir, "orders"))
 
 
 @register(

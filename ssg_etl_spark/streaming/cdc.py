@@ -105,6 +105,11 @@ def apply_cdc_batch(
 
     from ssg_etl_spark.operators.merge import merge_upsert
 
+    # Malformed envelopes (operation missing/unknown) are excluded entirely —
+    # otherwise a NULL operation would fail the != 'DELETE' filter (3VL) and
+    # turn the row into an unintended delete.
+    changes = changes.filter(F.col("operation").isin("INSERT", "UPDATE", "DELETE"))
+
     key_of = [
         F.coalesce(F.col(f"new.{k}"), F.col(f"old.{k}")).alias(f"_k_{k}")
         for k in keys
@@ -117,11 +122,12 @@ def apply_cdc_batch(
         .filter(F.col("_rn") == 1)
     )
 
-    # Remove every OLD image key (covers DELETEs and key-changing UPDATEs —
-    # an update whose new key differs must also retire the old-key row),
-    # then upsert the new images of the non-DELETE winners.
+    # Retire every OLD image key referenced ANYWHERE in the batch (not just
+    # by winners): a key-changing UPDATE retires its old key even when a
+    # later change wins its new key's partition. Keys that end alive are
+    # re-inserted by the winners' new images below.
     removed = (
-        latest.filter(F.col("old").isNotNull())
+        changes.filter(F.col("old").isNotNull())
         .select(*[F.col(f"old.{k}").alias(k) for k in keys])
         .distinct()
     )

@@ -74,11 +74,26 @@ def foreach_batch_upsert(target_path: str, keys: list[str], seq_col: str | None 
     The reduced batch is merged (join-rewrite, operators/merge.merge_upsert)
     into the target and atomically rewritten. Idempotent per batch."""
 
+    staging_path = target_path.rstrip("/") + "__staging"
+
     def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         from pyspark.errors import AnalysisException
         from pyspark.sql.window import Window
 
         spark = batch.sparkSession
+        # Crash recovery: a previous apply may have died mid-swap. Completed
+        # staging with missing target → finish the swap; stale staging next
+        # to an intact target → discard and recompute. (Local-FS rename; on
+        # HDFS/S3 use a transactional table format for this step instead.)
+        if os.path.exists(staging_path):
+            if os.path.exists(target_path):
+                shutil.rmtree(staging_path)
+            else:
+                os.rename(staging_path, target_path)
+
         if seq_col is not None:
             w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
             latest = (
@@ -102,11 +117,14 @@ def foreach_batch_upsert(target_path: str, keys: list[str], seq_col: str | None 
             if target is None
             else merge_upsert(target, latest.select(*target.columns), keys)
         )
-        # Materialization barrier: the merge plan reads target_path, which the
-        # overwrite deletes at job start. Without this the write only works
-        # when AQE happens to have materialized the join's shuffle stages
-        # first — with AQE off it fails AND clears the target.
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+        # Stage-then-swap: writing to a sibling path keeps the plan's input
+        # (target_path) intact while it is being read, and the rename swap
+        # means a crash can never leave the target half-written or missing
+        # without a completed staging copy beside it.
+        merged.write.mode("overwrite").parquet(staging_path)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        os.rename(staging_path, target_path)
 
     return apply
 

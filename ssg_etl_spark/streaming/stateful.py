@@ -124,6 +124,12 @@ def sessionize_stream(
         for t, v in ts_v:
             if cur is None:
                 cur = (t, t, 1, v)
+            elif t < cur[0] - gap_us:
+                # Stray event more than a gap BEFORE the open session: its
+                # own session closed in event time already — emit it alone
+                # rather than merging across the gap (keeps parity with the
+                # batch twin for late-but-admitted events).
+                yield emit((t, t, 1, v))
             elif t - cur[1] > gap_us:
                 yield emit(cur)
                 cur = (t, t, 1, v)

@@ -119,3 +119,36 @@ def test_apply_cdc_batch_multi_change_per_key_with_seq(spark):
     }
     # k=1: update then delete -> gone; k=5: insert then update -> latest image.
     assert out == {5: ("e2", 51.0)}
+
+
+def test_apply_cdc_batch_key_change_retires_old_key(spark):
+    """A key-changing UPDATE retires its old key even when a later change
+    wins the new key's partition."""
+    target = spark.createDataFrame([(1, "a", 10.0), (9, "z", 90.0)], ROW)
+    env = spark.createDataFrame(
+        [
+            ('{"operation": "UPDATE", "old": {"k": 1, "name": "a", "amount": 10.0},'
+             ' "new": {"k": 2, "name": "a", "amount": 10.0}}', 1),
+            ('{"operation": "UPDATE", "old": {"k": 2, "name": "a", "amount": 10.0},'
+             ' "new": {"k": 2, "name": "a2", "amount": 12.0}}', 2),
+        ],
+        "value string, seq int",
+    )
+    changes = cdc.parse_change_envelopes(env, ROW)
+    out = {
+        r.k: (r.name, r.amount)
+        for r in cdc.apply_cdc_batch(target, changes, ["k"], seq_col="seq").collect()
+    }
+    assert out == {2: ("a2", 12.0), 9: ("z", 90.0)}  # k=1 retired, not stale
+
+
+def test_apply_cdc_batch_malformed_operation_is_ignored(spark):
+    target = spark.createDataFrame([(1, "a", 10.0)], ROW)
+    env = spark.createDataFrame(
+        [('{"old": {"k": 1, "name": "a", "amount": 10.0},'
+          ' "new": {"k": 1, "name": "mangled", "amount": 0.0}}',)],
+        "value string",
+    )
+    changes = cdc.parse_change_envelopes(env, ROW)
+    out = {r.k: r.name for r in cdc.apply_cdc_batch(target, changes, ["k"]).collect()}
+    assert out == {1: "a"}  # neither deleted nor mangled
