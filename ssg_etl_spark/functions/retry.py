@@ -43,19 +43,22 @@ def with_retry(
 ):
     """Decorator: retry a callable with exponential backoff.
 
-    ``only_transient`` replicates the reference's error triage — permanent
-    errors (bad SQL, auth) fail fast; connectivity blips retry.
+    ``retries`` counts RETRIES, not attempts: the function always runs once,
+    plus up to ``retries`` more times on transient failure (``retries=0``
+    → single attempt, never re-run). ``only_transient`` replicates the
+    reference's error triage — permanent errors (bad SQL, auth) fail fast;
+    connectivity blips retry.
     """
 
     def deco(fn: Callable[..., R]) -> Callable[..., R]:
         @wraps(fn)
         def wrapped(*args, **kwargs) -> R:
             delay = base_delay
-            for attempt in range(retries):
+            for attempt in range(retries + 1):
                 try:
                     return fn(*args, **kwargs)
                 except Exception as exc:
-                    last = attempt == retries - 1
+                    last = attempt == retries
                     if last or (only_transient and not is_transient(exc)):
                         raise
                     sleep(delay)

@@ -70,8 +70,11 @@ def text_metrics(df: DataFrame) -> DataFrame:
     ws = words(F.col("text"))
     n_chars = F.length("text").cast("long")
     n_words = F.size(ws).cast("long")
+    # Stopword list shared with lang_id (and the generated oracles) — one
+    # point of truth, no drift between stopword_ratio and language scoring.
+    en = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
     stop_hits = F.expr(
-        "size(filter(split(text, ' '), w -> array_contains(array('the','a','of','and','to'), w)))"
+        f"size(filter(split(text, ' '), w -> array_contains(array({en}), w)))"
     ).cast("long")
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("long")
     avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words.cast("double")

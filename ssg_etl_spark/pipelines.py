@@ -139,6 +139,35 @@ def run_events_rollup_once(
     """One pipeline run. Returns run metrics (rows extracted, gate result)."""
     p = _paths(state_dir)
     os.makedirs(state_dir, exist_ok=True)
+
+    # Single-writer guard: overlapping scheduled runs would double-count the
+    # same batch (both read the old watermark). O_EXCL lock; a crash leaves
+    # a stale lock which is taken over after one hour.
+    lock = os.path.join(state_dir, "_run.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        import time
+
+        if time.time() - os.path.getmtime(lock) < 3600:
+            return {"extracted": 0, "skipped": True, "reason": "run in progress"}
+        os.utime(lock)  # stale lock: take over
+    try:
+        return _run_locked(spark, events, p, started_at)
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _run_locked(
+    spark: SparkSession,
+    events: DataFrame,
+    p: dict[str, str],
+    started_at: dt.datetime | None,
+) -> dict:
     _recover(spark, p)
 
     log = _read_or_none(spark, p["log"])

@@ -14,7 +14,9 @@ from ssg_etl_spark.operators.rollups import DEC
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table, load_tables
 
-DEC_SQL = "DECIMAL(28,6)"
+# One point of truth for aggregate precision: the engine-side constant
+# (DuckDB parses the same lowercase type name).
+DEC_SQL = DEC
 
 
 @register(

@@ -12,7 +12,7 @@ from ssg_etl_spark.operators.rollups import DEC
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table
 
-DEC_SQL = "DECIMAL(28,6)"
+DEC_SQL = DEC  # one point of truth with the engine-side precision
 
 
 @register(

@@ -137,15 +137,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, queries, k=10)
 
 
+_EN_STOPWORDS = ",".join(f"'{w}'" for w in text.LANG_LEXICONS["en"])
+
 @register(
     "text_quality_metrics",
-    oracle=r"""
+    oracle=rf"""
 WITH m AS (
   SELECT doc_id,
     length(text) AS n_chars,
     len(string_split(text, ' ')) AS n_words,
     len(list_filter(string_split(text, ' '),
-        w -> list_contains(['the','a','of','and','to'], w))) AS stopword_hits,
+        w -> list_contains([{_EN_STOPWORDS}], w))) AS stopword_hits,
     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
   FROM documents)
 SELECT doc_id, n_chars, n_words,

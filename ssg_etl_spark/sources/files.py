@@ -33,15 +33,27 @@ def read_csv(
     schema: T.StructType,
     header: bool = True,
     delimiter: str = ",",
+    corrupt_col: str | None = "_corrupt_record",
 ) -> DataFrame:
-    """S7: CSV scan with declared schema (no inference pass)."""
-    return (
+    """S7: CSV scan with declared schema (no inference pass).
+
+    Malformed rows land whole in ``corrupt_col`` (their typed columns NULL)
+    so bad input is distinguishable from legitimate NULLs; pass
+    ``corrupt_col=None`` to drop the capture column.
+    """
+    if corrupt_col is not None:
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+        )
+    reader = (
         spark.read.schema(schema)
         .option("header", header)
         .option("delimiter", delimiter)
         .option("mode", "PERMISSIVE")
-        .csv(path)
     )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.csv(path)
 
 
 def read_json_lines(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

@@ -40,13 +40,19 @@ def write_partitioned(
 ) -> None:
     """S2/S4/S6: atomic partitioned parquet write.
 
-    ``max_files_per_partition`` repartitions by the partition columns first
-    so each output directory holds a bounded number of well-sized files
-    (AQE coalescing handles the small side; this caps the large side).
+    ``max_files_per_partition`` bounds files per output directory from BOTH
+    sides: repartitioning on (partition columns + a salt in [0, max))
+    spreads each partition value over at most ``max`` shuffle partitions —
+    so a skewed 2 TB date writes up to ``max`` well-sized files instead of
+    one giant one, and an unskewed date still collapses to few files.
+    (Repartitioning on the partition columns alone would put each value in
+    exactly ONE task → one giant file per directory.)
     """
     out = df
     if partition_by and max_files_per_partition:
-        out = df.repartition(max_files_per_partition, *[F.col(c) for c in partition_by])
+        non_part = [c for c in df.columns if c not in partition_by]
+        salt = F.pmod(F.hash(*[F.col(c) for c in non_part]), F.lit(max_files_per_partition))
+        out = df.repartition(*[F.col(c) for c in partition_by], salt)
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -31,10 +31,11 @@ def canon(value: object) -> str:
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        # repr round-trips doubles exactly; 17 sig digits.
-        return repr(round(value, 9))
+        # Absolute 9-decimal tolerance; +0.0 forces -0.0 → 0.0 (Spark's
+        # round normalizes the sign of zero, DuckDB's preserves it).
+        return repr(round(value, 9) + 0.0)
     if isinstance(value, Decimal):
-        return repr(round(float(value), 9))
+        return repr(round(float(value), 9) + 0.0)
     if isinstance(value, datetime.datetime):
         return value.isoformat(sep=" ")
     if isinstance(value, datetime.date):
@@ -67,7 +68,14 @@ def main() -> int:
 
     specs = load_all()
     if only:
+        unknown = only - set(specs)
+        if unknown:
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+            return 2
         specs = {k: v for k, v in specs.items() if k in only}
+    if not specs:
+        print("ERROR: no queries selected")
+        return 2
 
     spark = get_spark("check_correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
