@@ -490,3 +490,56 @@ def category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(F.sum(revenue).cast("double").alias("total_sales"))
     )
+
+
+@register(
+    "quality_suite_part",
+    oracle="""
+SELECT 'unique(p_partkey)' AS expectation,
+       (COUNT(DISTINCT p_partkey) = COUNT(p_partkey)) AS passed FROM part
+UNION ALL
+SELECT 'not_null(p_name, mostly=1.0)',
+       COUNT(*) = 0 OR CAST(COUNT(p_name) AS DOUBLE) / COUNT(*) >= 1.0 FROM part
+UNION ALL
+SELECT 'between(p_size, 1, 50)',
+       COUNT(p_size) = 0
+       OR CAST(SUM(CASE WHEN p_size BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(p_size) >= 1.0 FROM part
+UNION ALL
+SELECT 'between(p_retailprice, 0, 950)',
+       COUNT(p_retailprice) = 0
+       OR CAST(SUM(CASE WHEN p_retailprice BETWEEN 0 AND 950 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(p_retailprice) >= 0.9 FROM part
+UNION ALL
+SELECT 'mean_between(p_retailprice, 100, 5000)',
+       AVG(p_retailprice) IS NOT NULL AND AVG(p_retailprice) BETWEEN 100 AND 5000 FROM part
+UNION ALL
+SELECT 'max_between(p_size, 1, 50)',
+       MAX(p_size) IS NOT NULL AND MAX(p_size) BETWEEN 1 AND 50 FROM part
+UNION ALL
+SELECT 'row_count_between(1, 1000000000)',
+       COUNT(*) BETWEEN 1 AND 1000000000 FROM part
+""",
+    tags=("quality", "GE-suite"),
+)
+def quality_suite_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§5 GE-suite port as an oracle-checked query: the expectation engine
+    (operators/quality.py — dimproducts_suite.json shape: unique, not_null,
+    value range with ``mostly``, mean/max bounds, row count) evaluated in
+    ONE aggregate pass; verdicts returned as (expectation, passed) rows."""
+    from ssg_etl_spark.operators import quality as Q
+
+    suite = [
+        Q.expect_unique("p_partkey"),
+        Q.expect_not_null("p_name", mostly=1.0),
+        Q.expect_between("p_size", 1, 50),
+        Q.expect_between("p_retailprice", 0, 950, mostly=0.9),
+        Q.expect_mean_between("p_retailprice", 100, 5000),
+        Q.expect_max_between("p_size", 1, 50),
+        Q.expect_row_count_between(1, 1_000_000_000),
+    ]
+    results = Q.run_suite(load_table(spark, sf_dir, "part"), suite)
+    return spark.createDataFrame(
+        [(r["name"], r["passed"]) for r in results],
+        "expectation string, passed boolean",
+    )
