@@ -64,8 +64,8 @@ def product_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_cust AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
 SELECT COUNT(*) AS total_customers,
-  SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS repeat_customers,
-  SUM(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS new_customers,
+  CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT) AS repeat_customers,
+  CAST(SUM(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_customers,
   CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS DOUBLE)
     / CAST(COUNT(*) AS DOUBLE) AS retention_rate
 FROM per_cust
@@ -291,11 +291,11 @@ def window_rownum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_profile_customer",
     oracle="""
 SELECT COUNT(*) AS n_rows,
-  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS c_custkey_nulls,
-  SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS c_name_nulls,
-  SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS c_nationkey_nulls,
-  SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS c_acctbal_nulls,
-  SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS c_mktsegment_nulls
+  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_custkey_nulls,
+  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_name_nulls,
+  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey_nulls,
+  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal_nulls,
+  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_nulls
 FROM customer
 """,
     tags=("A15",),
@@ -331,7 +331,7 @@ def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT COUNT(*) AS n_rows,
   COUNT(DISTINCT p_partkey) AS n_distinct_keys,
-  SUM(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) AS name_nulls,
+  CAST(SUM(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS name_nulls,
   MIN(p_size) AS min_size, MAX(p_size) AS max_size,
   CAST(SUM(CAST(p_retailprice AS {DEC_SQL})) AS DOUBLE) / COUNT(*) AS mean_retail
 FROM part

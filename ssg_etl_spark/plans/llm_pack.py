@@ -234,10 +234,42 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
-@register("media_features", oracle=None, tags=("llm", "multimodal"))
+# The fake decoder's feature vector is md5-digest bytes scaled to [0,1];
+# digest byte i is hex pair [2i, 2i+1] of md5(payload), so the oracle can
+# recompute the features exactly. The driver's canonicalizer cannot hash
+# array cells, so the query emits the vector as a comma-joined integer
+# string (feature[i] * 255 == digest byte, exactly).
+_MEDIA_BYTES = ", ".join(
+    f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS INTEGER)"
+    for i in range(multimodal.FEATURE_DIM)
+)
+
+
+@register(
+    "media_features",
+    oracle=f"""
+SELECT doc_id AS asset_id,
+  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+  octet_length(encode(text)) AS payload_bytes,
+  concat_ws(',', {_MEDIA_BYTES}) AS feature_bytes
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload table → Arrow-batched feature
     extraction (decode stubbed — deterministic fake; schema/partitioning/
-    batch shape real). Rows-only check; pytest pins the schema and values."""
+    batch shape real). The array<double> feature column is projected to a
+    deterministic integer string so the driver can hash it (its pandas
+    canonicalizer cannot sort list cells)."""
     assets = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(assets, fake=True)
+    feats = multimodal.extract_features(assets, fake=True)
+    byte_str = F.transform(
+        F.col("feature"), lambda x: F.round(x * 255).cast("int").cast("string")
+    )
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "payload_bytes",
+        F.concat_ws(",", byte_str).alias("feature_bytes"),
+    )

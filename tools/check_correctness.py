@@ -35,7 +35,10 @@ def canon(value: object) -> str:
         # round normalizes the sign of zero, DuckDB's preserves it).
         return repr(round(value, 9) + 0.0)
     if isinstance(value, Decimal):
-        return repr(round(float(value), 9) + 0.0)
+        # Deliberately NOT collapsed into the float form: the driver's hash is
+        # type-strict, so a DuckDB DECIMAL/HUGEINT (e.g. untyped SUM(CASE…))
+        # vs a Spark BIGINT/DOUBLE must FAIL here too, not be masked.
+        return "dec:" + repr(round(float(value), 9) + 0.0)
     if isinstance(value, datetime.datetime):
         return value.isoformat(sep=" ")
     if isinstance(value, datetime.date):
@@ -43,6 +46,33 @@ def canon(value: object) -> str:
     if isinstance(value, (list, tuple)):
         return "[" + ",".join(canon(v) for v in value) + "]"
     return str(value)
+
+
+def _bucket(type_name: str) -> str:
+    """Coarse type bucket for strict-ish cross-engine type comparison.
+
+    The driver's hash is computed over pandas-converted values, so a DuckDB
+    HUGEINT/DECIMAL column (from an untyped ``SUM(CASE…)``) hashes differently
+    from a Spark BIGINT even when every value is equal. fetchall() converts
+    HUGEINT to plain ``int`` and hides that, so we compare declared types too:
+    DuckDB via the arrow schema, Spark via ``df.schema``.
+    """
+    t = type_name.lower()
+    if "decimal" in t or "hugeint" in t:
+        return "decimal"
+    if t.startswith(("int", "uint", "tinyint", "smallint", "bigint", "long", "short", "byte")):
+        return "int"
+    if t.startswith(("float", "double", "halffloat")):
+        return "float"
+    if t.startswith("bool"):
+        return "bool"
+    if "timestamp" in t:
+        return "timestamp"
+    if t.startswith("date"):
+        return "date"
+    if "string" in t or "varchar" in t or "utf8" in t:
+        return "string"
+    return t
 
 
 def table_digest(rows: list[tuple], columns: list[str]) -> str:
@@ -104,7 +134,8 @@ def main() -> int:
         try:
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otable = res.arrow()
+            orows = [tuple(r.values()) for r in otable.to_pylist()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -113,6 +144,17 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            stypes = {f.name: _bucket(f.dataType.simpleString()) for f in sdf.schema.fields}
+            otypes = {
+                fld.name: _bucket(str(otable.schema.field(fld.name).type))
+                for fld in otable.schema
+            }
+            drift = {
+                c: (stypes[c], otypes[c]) for c in stypes if stypes[c] != otypes.get(c)
+            }
+            if drift:
+                problems.append(f"type drift (spark vs oracle): {drift}")
         if len(srows) != len(orows):
             problems.append(f"rowcount: spark={len(srows)} oracle={len(orows)}")
         if not problems:
