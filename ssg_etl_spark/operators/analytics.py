@@ -27,7 +27,7 @@ def top_products(lineitem: DataFrame, part: DataFrame, k: int = 10) -> DataFrame
         F.count(F.lit(1)).alias("n_lines"),
     )
     return (
-        revenue.join(F.broadcast(part), revenue.l_partkey == part.p_partkey)
+        revenue.join(part, revenue.l_partkey == part.p_partkey)
         .select(
             F.col("p_partkey").alias("part_key"),
             F.col("p_name").alias("part_name"),
@@ -202,7 +202,7 @@ def running_total_by_nation(
     One shuffle on nation; within-partition sort is the window's cost.
     """
     daily = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation_name"),
@@ -246,6 +246,64 @@ def asof_last_before(
             F.col("l_extendedprice").alias("last_price"),
             F.col("l_quantity").alias("last_quantity"),
         )
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    prefix_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "entry_no",
+) -> DataFrame:
+    """Distributed global ROW_NUMBER over (prefix, tiebreaks) — W2 at scale.
+
+    A bare ``Window.orderBy(...)`` funnels every row through ONE task (Spark
+    itself warns); this form keeps full parallelism: rank within each prefix
+    group (one shuffle on the prefix), then add the number of rows in all
+    earlier prefixes, computed from a prefix histogram. The histogram is
+    prefix-cardinality-sized (dates, not rows), so its cumulative window is
+    dimension-scale work; no row data ever converges on one task.
+    """
+    order_cols = [prefix_col, *tiebreak_cols]
+    hist = df.groupBy(prefix_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # Cumulative counts over the histogram WITHOUT an unpartitioned window
+    # (even dimension-sized ones trip Spark's single-partition WindowExec
+    # path): cumsum within a coarse bucket (year), plus bucket-level offsets
+    # from a driver-collected bucket histogram — a handful of AGGREGATE rows
+    # (years), never row data.
+    coarse = F.year(prefix_col).alias("_coarse")
+    hist = hist.select("*", coarse)
+    bucket_rows = sorted(
+        (r["_coarse"], r["_n"])
+        for r in hist.groupBy("_coarse").agg(F.sum("_cnt").alias("_n")).collect()
+    )
+    bucket_offsets, acc = {}, 0
+    for bucket, n in bucket_rows:
+        bucket_offsets[bucket] = acc
+        acc += n
+    bucket_offset = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in bucket_offsets.items() for x in kv]
+        ),
+        F.col("_coarse"),
+    )
+    w_hist = (
+        Window.partitionBy("_coarse")
+        .orderBy(prefix_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = hist.select(
+        prefix_col,
+        (bucket_offset + F.sum("_cnt").over(w_hist) - F.col("_cnt")).alias("_offset"),
+    )
+    w_local = Window.partitionBy(prefix_col).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.join(F.broadcast(offsets), prefix_col)
+        .withColumn(
+            out_col,
+            (F.col("_offset") + F.row_number().over(w_local)).cast("long"),
+        )
+        .drop("_offset")
     )
 
 

@@ -57,7 +57,7 @@ def enrich_gl(
     first_line = lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
 
     enriched = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
         # Composite-key join (reference: ULID1=ID1 AND ULID2=ID2).

@@ -48,7 +48,7 @@ GROUP BY 1, 2
 ORDER BY frequency DESC, item_a ASC, item_b ASC
 LIMIT 20
 """,
-    tags=("J3", "A11", "O3"),
+    tags=("J3", "A11", "O3", "P11"),
 )
 def product_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket self theta-join (Product_Association.sql:4-23)."""
@@ -248,6 +248,7 @@ SELECT CAST(o_orderdate AS DATE) AS order_date,
 FROM orders GROUP BY 1
 """,
     tags=("A5",),
+    extra=True,
 )
 def count_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT DISTINCT per group (avg_daily_orders_sales.sql:2-8)."""
@@ -275,13 +276,17 @@ def window_rownum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Made deterministic by an explicit total order (the reference's
     ``ORDER BY (SELECT NULL)`` is nondeterministic — documented divergence,
-    SURVEY §7). Single-partition window: fine for dimension-sized inputs;
-    at fact scale use zipWithIndex-style id generation instead.
+    SURVEY §7). Computed with the distributed histogram-offset form
+    (operators/analytics.global_row_number) — rank within each date
+    partition plus a date-histogram offset — NOT a bare ordered window,
+    which would funnel every row through one task.
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        F.row_number().over(w).alias("entry_no"),
+    numbered = analytics.global_row_number(
+        orders, "o_orderdate", ["o_orderkey"], out_col="entry_no"
+    )
+    return numbered.select(
+        "entry_no",
         F.col("o_orderkey").alias("order_key"),
         F.col("o_orderdate").cast("date").alias("order_date"),
     )
@@ -337,6 +342,7 @@ SELECT COUNT(*) AS n_rows,
 FROM part
 """,
     tags=("quality", "A7", "A15"),
+    extra=True,
 )
 def quality_profile_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data-quality profile — the aggregate layer under the
@@ -366,6 +372,7 @@ SELECT CAST(ts AS DATE) AS event_date, event_type,
 FROM events GROUP BY 1, 2
 """,
     tags=("A1",),
+    extra=True,
 )
 def rollup_date_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date × type rollup (sparkProcess.py:248-249)."""
@@ -381,6 +388,7 @@ SELECT CAST(ts AS DATE) AS event_date,
 FROM events GROUP BY 1, 2
 """,
     tags=("A2", "F1"),
+    extra=True,
 )
 def rollup_date_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date × shift rollup with CASE recode (sparkProcess.py:257-258)."""
@@ -395,6 +403,7 @@ SELECT CAST(ts AS DATE) AS event_date, user_id, event_type,
 FROM events GROUP BY 1, 2, 3
 """,
     tags=("A3",),
+    extra=True,
 )
 def rollup_date_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date × user × type rollup (sparkProcess.py:266-267)."""
@@ -423,6 +432,7 @@ FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
 GROUP BY 1
 """,
     tags=("J4", "A11", "O3"),
+    extra=True,
 )
 def sales_by_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 of Product Analysis using SQL.md: full sales-by-product rollup
@@ -430,7 +440,7 @@ def sales_by_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
     revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(F.col("p_name").alias("product_name"))
         .agg(F.sum(revenue).cast("double").alias("sales_amount"))
     )
@@ -447,13 +457,14 @@ ORDER BY total_cost ASC, product_name ASC
 LIMIT 10
 """,
     tags=("J4", "O3"),
+    extra=True,
 )
 def lowest_cost_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 of Product Analysis using SQL.md: bottom-10 by aggregate cost
     (ascending top-k — still TakeOrderedAndProject, no global sort)."""
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(F.col("p_name").alias("product_name"))
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("total_cost"))
         .orderBy(F.asc("total_cost"), F.asc("product_name"))
@@ -474,6 +485,7 @@ JOIN region r   ON n.n_regionkey = r.r_regionkey
 GROUP BY 1
 """,
     tags=("J4", "A11"),
+    extra=True,
 )
 def category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 of Product Analysis using SQL.md: snowflake-hierarchy rollup
@@ -484,7 +496,7 @@ def category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))

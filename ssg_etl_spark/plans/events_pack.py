@@ -57,6 +57,7 @@ FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
 """,
     tags=("F9",),
+    extra=True,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + predicate (F9: jsonb ops, json_normalize)."""
@@ -91,31 +92,48 @@ def interval_filter_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "watermark_incremental",
     oracle=f"""
-WITH wm AS (SELECT MAX(ts) AS w FROM events WHERE event_id % 10 = 0)
-SELECT COUNT(*) AS n_rows, MIN(e.ts) AS min_ts, MAX(e.ts) AS max_ts,
-  CAST(SUM(CAST(e.value AS {DEC_SQL})) AS DOUBLE) AS total_value
-FROM events e, wm WHERE e.ts > wm.w
+WITH wm AS (SELECT MAX(ts) AS w FROM events WHERE event_id % 10 = 0),
+batch AS (SELECT e.* FROM events e, wm WHERE e.ts > wm.w)
+SELECT COUNT(*) AS n_rows, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+  CAST(SUM(CAST(value AS {DEC_SQL})) AS DOUBLE) AS total_value,
+  COUNT(*) AS rows_extracted, MAX(ts) AS wm_after,
+  TRUE AS success, 'completed' AS status
+FROM batch
 """,
-    tags=("M1", "M2", "M4", "P5"),
+    tags=("M1", "M2", "M3", "M4", "P5"),
 )
 def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark protocol end-to-end: persisted max-event-time, strictly
-    greater filter, audit aggregate (dags/ssg_gl_etl.py:97-124, 331-333).
+    greater filter, audit aggregate, and the M3 advance record
+    (dags/ssg_gl_etl.py:97-124, 127-181, 331-333).
 
     The 'previous run' is simulated as every 10th event; its max ts is the
-    stored watermark. The incremental batch is summarized so the check
-    result is one stable row.
+    stored watermark. The incremental batch is summarized, then joined with
+    the deterministic fields of the one-row M3 audit record produced by
+    ``advance_watermark`` (rows_extracted, the advanced watermark, success,
+    status) so the driver verifies the advance protocol too.
     """
+    import datetime as dt
+
     events = load_table(spark, sf_dir, "events")
     prior = events.filter(F.col("event_id") % 10 == 0)
     wm = prior.agg(F.max("ts").alias("wm")).first()["wm"]
     batch = incremental.incremental_read(events, "ts", wm)
-    return batch.agg(
+    summary = batch.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
     )
+    audit = incremental.advance_watermark(
+        spark, "events", batch, "ts", started_at=dt.datetime(2024, 1, 1)
+    ).select(
+        F.col("rows_extracted"),
+        F.col("last_extract_ts").alias("wm_after"),
+        "success",
+        "status",
+    )
+    return summary.crossJoin(audit)
 
 
 from ssg_etl_spark.streaming.stateful import sessionize_batch, sessionize_batch_oracle
@@ -125,6 +143,7 @@ from ssg_etl_spark.streaming.stateful import sessionize_batch, sessionize_batch_
     "user_sessions",
     oracle=sessionize_batch_oracle(30),
     tags=("streaming", "W5", "sessionization"),
+    extra=True,
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap), batch twin of the

@@ -200,6 +200,98 @@ def full_refresh_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CDC envelope parse + batch apply (M12/M13), driver-verified ----------
+#
+# Deterministic change stream derived from the customer table so the oracle
+# can replay it: keys 501-1500 each emit ONE envelope, op chosen by key % 3
+# (0 → DELETE old image, 1 → UPDATE with acct_bal+25, 2 → INSERT new image),
+# against the target snapshot of keys <= 1000. A decoy topic verifies the
+# routing filter drops foreign messages.
+_CDC_SRC_SQL = (
+    "SELECT c_custkey AS cust_key, c_name AS cust_name, c_acctbal AS acct_bal "
+    "FROM customer WHERE c_custkey BETWEEN 501 AND 1500"
+)
+
+
+@register(
+    "cdc_batch_apply",
+    oracle=f"""
+WITH target AS ({TARGET_SQL}), src AS ({_CDC_SRC_SQL})
+SELECT t.cust_key, t.cust_name, t.acct_bal
+FROM target t WHERE t.cust_key NOT IN (SELECT cust_key FROM src)
+UNION ALL
+SELECT cust_key, cust_name, acct_bal + 25.0 AS acct_bal
+FROM src WHERE cust_key % 3 = 1
+UNION ALL
+SELECT cust_key, cust_name, acct_bal FROM src WHERE cust_key % 3 = 2
+""",
+    tags=("M12", "M13", "S10"),
+)
+def cdc_batch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger-CDC envelopes end-to-end: JSON old/new-image messages on a
+    topic-per-table wire → topic routing filter → ``parse_change_envelopes``
+    (M12) → ``apply_cdc_batch`` against the snapshot (M13).
+
+    Reference: scripts/test/scripts.sql:25-49 (trigger envelope) and
+    scripts/test/transform.py:46-83 (topic-routed consumer). The wire shape
+    is exactly Kafka's (topic, value, offset); a decoy topic exercises the
+    routing, and the per-key sequence is the offset.
+    """
+    from pyspark.sql import types as T
+
+    from ssg_etl_spark.streaming import cdc
+
+    c = load_table(spark, sf_dir, "customer")
+    src = c.filter(F.col("c_custkey").between(501, 1500)).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_acctbal").alias("acct_bal"),
+    )
+    image = F.struct("cust_key", "cust_name", "acct_bal")
+    new_image = F.struct(
+        F.col("cust_key"),
+        F.col("cust_name"),
+        (F.col("acct_bal") + F.lit(25.0)).alias("acct_bal"),
+    )
+    op = (
+        F.when(F.col("cust_key") % 3 == 0, F.lit("DELETE"))
+        .when(F.col("cust_key") % 3 == 1, F.lit("UPDATE"))
+        .otherwise(F.lit("INSERT"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            op.alias("operation"),
+            F.when(op != "INSERT", image).alias("old"),
+            F.when(op == "UPDATE", new_image).when(op == "INSERT", image).alias("new"),
+        )
+    )
+    messages = src.select(
+        F.lit("cdc.customer").alias("topic"),
+        envelope.alias("value"),
+        F.col("cust_key").alias("offset"),
+    ).unionByName(
+        # Decoy topic the routing must drop (would corrupt keys if applied).
+        src.limit(50).select(
+            F.lit("cdc.orders").alias("topic"),
+            envelope.alias("value"),
+            (F.col("cust_key") + 1_000_000).alias("offset"),
+        )
+    )
+
+    row_schema = T.StructType(
+        [
+            T.StructField("cust_key", T.LongType()),
+            T.StructField("cust_name", T.StringType()),
+            T.StructField("acct_bal", T.DoubleType()),
+        ]
+    )
+    routed = messages.filter(F.col("topic") == "cdc.customer").select("value", "offset")
+    changes = cdc.parse_change_envelopes(routed, row_schema)
+    return cdc.apply_cdc_batch(
+        _target(spark, sf_dir), changes, keys=["cust_key"], seq_col="offset"
+    )
+
+
 @register("valuation_recompute", oracle=VALUATION_ORACLE, tags=("W6",))
 def valuation_recompute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful running weighted-average valuation via applyInPandas

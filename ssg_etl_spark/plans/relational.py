@@ -63,11 +63,11 @@ def seven_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .select(
             l.l_orderkey.alias("order_key"),
             l.l_linenumber.alias("line_number"),
@@ -91,6 +91,7 @@ FROM orders o
 WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
 """,
     tags=("J7",),
+    extra=True,
 )
 def semi_join_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join — 'rows whose key exists in the change set'.
@@ -101,7 +102,7 @@ def semi_join_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     neg = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
     return (
-        orders.join(F.broadcast(neg), orders.o_custkey == neg.c_custkey, "left_semi")
+        orders.join(neg, orders.o_custkey == neg.c_custkey, "left_semi")
         .select(
             F.col("o_orderkey").alias("order_key"),
             F.col("o_custkey").alias("cust_key"),
@@ -119,6 +120,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
 """,
     tags=("J8",),
+    extra=True,
 )
 def anti_join_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — 'rows with no match in the target' (new records).
@@ -162,7 +164,7 @@ def tuple_in_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(
-            F.broadcast(recent_pairs),
+            recent_pairs,
             ["l_partkey", "l_suppkey"],
             "left_semi",
         )
@@ -183,6 +185,7 @@ SELECT DISTINCT l_partkey AS part_key, l_returnflag AS return_flag, l_linestatus
 FROM lineitem
 """,
     tags=("P11",),
+    extra=True,
 )
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection (dedup before association analysis).
@@ -241,6 +244,7 @@ SELECT o_orderkey AS order_key, o_custkey AS cust_key, o_orderstatus AS status
 FROM orders WHERE o_totalprice > 100000
 """,
     tags=("U2", "J9"),
+    extra=True,
 )
 def except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-row anti-diff (EXCEPT ALL) — change detection between snapshots.

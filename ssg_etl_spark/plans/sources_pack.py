@@ -16,7 +16,7 @@ from ssg_etl_spark.sources.generator import (
     synthetic_transactions,
     synthetic_transactions_oracle,
 )
-from ssg_etl_spark.sources.tables import load_tables
+from ssg_etl_spark.sources.tables import load_table, load_tables
 
 
 @register(
@@ -97,6 +97,56 @@ def rest_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 def catalog_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: catalog scan of the registered engine tables."""
     return tables.catalog_tables(spark, sf_dir)
+
+
+@register(
+    "write_roundtrip",
+    oracle="""
+SELECT c_custkey AS cust_key, c_name AS cust_name, c_mktsegment AS segment,
+  c_acctbal AS acct_bal, TIMESTAMP '2024-01-01 00:00:00' AS modified_at
+FROM customer WHERE c_custkey <= 1000
+""",
+    tags=("sinks", "S2", "S4", "S6", "J11"),
+)
+def write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S4/S6/J11 driver-verified end-to-end: project a dim slice, stamp
+    the write-path ModifiedDate (pinned batch_ts → deterministic), land it
+    via the atomic partitioned writer, and read the files back.
+
+    Reference write paths: sparkFiles/sparkProcess.py:333-341 (JDBC
+    overwrite), dags/ssg_gl_etl.py:441-463 (batched inserts),
+    build_etl_pipeline_python.py:42 (pandas to_sql). The parquet target is
+    the sandbox stand-in; jdbc_write_options (sinks.py) is the JDBC form.
+    """
+    import tempfile
+
+    from ssg_etl_spark.sources import sinks
+
+    slice_df = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acct_bal"),
+        )
+    )
+    stamped = sinks.stamp_modified(slice_df, batch_ts="2024-01-01 00:00:00")
+    target = tempfile.mkdtemp(prefix="write_roundtrip_")
+    sinks.write_partitioned(
+        stamped, target, partition_by=["segment"], max_files_per_partition=4
+    )
+    back = spark.read.parquet(target)
+    # Partition-column values round-trip through directory names as strings;
+    # reselect in declared order (partitionBy moves the column last).
+    return back.select(
+        "cust_key",
+        "cust_name",
+        F.col("segment").cast("string").alias("segment"),
+        "acct_bal",
+        "modified_at",
+    )
 
 
 @register(

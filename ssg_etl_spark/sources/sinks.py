@@ -26,9 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def stamp_modified(df: DataFrame, col: str = "modified_at") -> DataFrame:
-    """J11: ModifiedDate trigger → write-path timestamp column."""
-    return df.withColumn(col, F.current_timestamp())
+def stamp_modified(df: DataFrame, col: str = "modified_at", batch_ts=None) -> DataFrame:
+    """J11: ModifiedDate trigger → write-path timestamp column.
+
+    ``batch_ts`` (datetime or ISO string) pins the stamp for reproducible /
+    oracle-checked runs; default is wall-clock, like the reference trigger
+    (dltproject/sql scripts/create trigger.sql:12-22).
+    """
+    stamp = (
+        F.current_timestamp()
+        if batch_ts is None
+        else F.lit(batch_ts).cast("timestamp")
+    )
+    return df.withColumn(col, stamp)
 
 
 def write_partitioned(

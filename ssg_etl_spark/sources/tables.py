@@ -56,6 +56,69 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def jdbc_read_options(
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """S1/S3: option map for a (possibly parallel) JDBC extract.
+
+    Mirrors the reference's full-table JDBC scan
+    (sparkFiles/sparkProcess.py:181-188) and its hand-rolled cursor batching
+    (build_etl_pipeline_python.py:29): ``partition_column`` +
+    bounds/num_partitions turns the single-cursor loop into N concurrent
+    range-bounded cursors — Spark's native parallel extract. Exactly one of
+    ``table``/``query`` must be given; ``fetchsize`` bounds driver-side row
+    buffering per round trip.
+    """
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table/query is required")
+    opts: dict[str, str] = {"url": url, "fetchsize": str(fetch_size)}
+    if table is not None:
+        opts["dbtable"] = table
+    if query is not None:
+        opts["query"] = query
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    if driver is not None:
+        opts["driver"] = driver
+    if partition_column is not None:
+        if query is not None:
+            raise ValueError("partitioned reads require table, not query")
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column needs lower_bound/upper_bound/num_partitions"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def jdbc_read(spark: SparkSession, **kwargs) -> DataFrame:
+    """S1/S3: JDBC table/query scan (``kwargs`` as in ``jdbc_read_options``).
+
+    The production twin of ``load_table`` — same downstream plan; Catalyst
+    pushes filters into the generated WHERE clause. Untestable in this
+    sandbox (no database/driver jar), so the option plumbing is unit-tested
+    and this stays a thin ``.load()``.
+    """
+    return spark.read.format("jdbc").options(**jdbc_read_options(**kwargs)).load()
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     if not names:
         names = TABLE_NAMES

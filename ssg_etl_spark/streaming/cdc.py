@@ -131,6 +131,22 @@ def apply_cdc_batch(
         .select(*[F.col(f"old.{k}").alias(k) for k in keys])
         .distinct()
     )
-    upserts = latest.filter(F.col("operation") != "DELETE").select("new.*")
+    # A winner is superseded if a LATER key-changing event moved its key
+    # away: INSERT(k=A, seq1) + UPDATE(old A → new B, seq2) must end with
+    # only B — the INSERT wins partition A (the move competes under B), but
+    # its image predates A's retirement, so it must not be re-upserted.
+    key_differs = [~F.col(f"old.{k}").eqNullSafe(F.col(f"new.{k}")) for k in keys]
+    moved_away = (
+        changes.filter(F.col("old").isNotNull() & F.col("new").isNotNull())
+        .filter(F.array_contains(F.array(*key_differs), F.lit(True)))
+        .groupBy(*[F.col(f"old.{k}").alias(f"_k_{k}") for k in keys])
+        .agg(F.max(seq).alias("_moved_seq"))
+    )
+    upserts = (
+        latest.filter(F.col("operation") != "DELETE")
+        .join(moved_away, [f"_k_{k}" for k in keys], "left")
+        .filter(F.col("_moved_seq").isNull() | (F.col("_seq") > F.col("_moved_seq")))
+        .select("new.*")
+    )
     survived = target.join(removed, keys, "left_anti")
     return merge_upsert(survived, upserts, keys)

@@ -142,6 +142,49 @@ def test_apply_cdc_batch_key_change_retires_old_key(spark):
     assert out == {2: ("a2", 12.0), 9: ("z", 90.0)}  # k=1 retired, not stale
 
 
+def test_apply_cdc_batch_key_move_supersedes_earlier_winner(spark):
+    """INSERT(k=A, seq1) then key-change UPDATE(A→B, seq2): the INSERT wins
+    partition A (the move competes under B) but predates A's retirement —
+    final state must contain only B."""
+    target = spark.createDataFrame([(9, "z", 90.0)], ROW)
+    env = spark.createDataFrame(
+        [
+            ('{"operation": "INSERT", "old": null,'
+             ' "new": {"k": 1, "name": "a", "amount": 10.0}}', 1),
+            ('{"operation": "UPDATE", "old": {"k": 1, "name": "a", "amount": 10.0},'
+             ' "new": {"k": 2, "name": "a", "amount": 10.0}}', 2),
+        ],
+        "value string, seq int",
+    )
+    changes = cdc.parse_change_envelopes(env, ROW)
+    out = {
+        r.k: (r.name, r.amount)
+        for r in cdc.apply_cdc_batch(target, changes, ["k"], seq_col="seq").collect()
+    }
+    assert out == {2: ("a", 10.0), 9: ("z", 90.0)}  # k=1 NOT resurrected
+
+
+def test_apply_cdc_batch_key_reborn_after_move_survives(spark):
+    """A key re-established AFTER its move-away must survive:
+    UPDATE(A→B, seq1) then INSERT(k=A, seq2) ends with both A and B."""
+    target = spark.createDataFrame([(1, "a", 10.0)], ROW)
+    env = spark.createDataFrame(
+        [
+            ('{"operation": "UPDATE", "old": {"k": 1, "name": "a", "amount": 10.0},'
+             ' "new": {"k": 2, "name": "a", "amount": 10.0}}', 1),
+            ('{"operation": "INSERT", "old": null,'
+             ' "new": {"k": 1, "name": "a-new", "amount": 11.0}}', 2),
+        ],
+        "value string, seq int",
+    )
+    changes = cdc.parse_change_envelopes(env, ROW)
+    out = {
+        r.k: (r.name, r.amount)
+        for r in cdc.apply_cdc_batch(target, changes, ["k"], seq_col="seq").collect()
+    }
+    assert out == {1: ("a-new", 11.0), 2: ("a", 10.0)}
+
+
 def test_apply_cdc_batch_malformed_operation_is_ignored(spark):
     target = spark.createDataFrame([(1, "a", 10.0)], ROW)
     env = spark.createDataFrame(

@@ -96,7 +96,7 @@ def main() -> int:
     from ssg_etl_spark.plans.registry import load_all
     from ssg_etl_spark.session import get_spark
 
-    specs = load_all()
+    specs = load_all(include_extra=True)
     if only:
         unknown = only - set(specs)
         if unknown:
