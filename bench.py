@@ -47,7 +47,7 @@ def main() -> None:
     except ValueError:
         sf = sf_dir  # non-sfN dir name: report the path rather than crash
 
-    from ssg_etl_spark.plans.registry import queries
+    from ssg_etl_spark.plans.registry import load_all
     from ssg_etl_spark.session import get_spark
 
     spark = get_spark(
@@ -55,7 +55,9 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus)),
     )
-    qs = queries()
+    # include_extra: the headline set predates the 50-entry public cap and
+    # must stay comparable round-over-round (rollup_date_user is extra now).
+    qs = {name: spec.builder for name, spec in load_all(include_extra=True).items()}
 
     # Untimed warm-up: spin up executors, JIT the scan path.
     force(qs["kpi_totals"](spark, sf_dir))

@@ -40,7 +40,9 @@ def top_products(lineitem: DataFrame, part: DataFrame, k: int = 10) -> DataFrame
     )
 
 
-def product_association(orders_items: DataFrame, k: int = 20) -> DataFrame:
+def product_association(
+    orders_items: DataFrame, k: int = 20, max_basket_size: int | None = 1000
+) -> DataFrame:
     """Market-basket pair frequencies (scripts/SQL/Product_Association.sql:4-23).
 
     DISTINCT (basket, item) then self equi-join on basket with the theta
@@ -48,8 +50,23 @@ def product_association(orders_items: DataFrame, k: int = 20) -> DataFrame:
     shape. The self-join shuffles once on the basket key; pair-count
     aggregation is map-side partial. ``orders_items`` must have columns
     (basket_id, item_id).
+
+    Skew guard: the pair join is O(size²) PER BASKET, so one mega-basket
+    (a crawler session, a bot cart) dominates the whole stage at scale.
+    ``max_basket_size`` deterministically truncates each basket to its
+    first N items by item id BEFORE the self-join, bounding any basket's
+    pair count at N·(N−1)/2. Orders in this data model hold ≤7 items, so
+    the default cap never fires here (oracle-identical); it exists for the
+    heavy-tail corpora where it must. ``None`` disables it (exact mode).
     """
     items = orders_items.select("basket_id", "item_id").distinct()
+    if max_basket_size is not None:
+        w = Window.partitionBy("basket_id").orderBy("item_id")
+        items = (
+            items.withColumn("_in_rank", F.row_number().over(w))
+            .filter(F.col("_in_rank") <= max_basket_size)
+            .drop("_in_rank")
+        )
     a = items.alias("a")
     b = items.alias("b")
     pairs = (

@@ -121,15 +121,37 @@ def _recompute_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def valuation_recompute(lineitem: DataFrame, n_buckets: int = 256) -> DataFrame:
+# Target rows materialized per grouped-map call: ~200k rows × ~80 B/row ≈
+# 16 MB per pandas bucket — bounded well under a Python worker's memory.
+ROWS_PER_BUCKET = 200_000
+
+
+def _adaptive_buckets(n_rows: int, parallelism: int) -> int:
+    """Bucket count that (a) bounds each pandas call to ~ROWS_PER_BUCKET
+    rows regardless of input size and (b) never drops below 2× the cluster
+    parallelism (so every core gets work). Monotone in ``n_rows``."""
+    by_size = -(-n_rows // ROWS_PER_BUCKET)  # ceil
+    return max(2 * max(parallelism, 1), by_size, 1)
+
+
+def valuation_recompute(lineitem: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """Run the stateful recompute over every (part, supplier) stock ledger.
 
     Keys are hashed into ``n_buckets`` coarse groups; each grouped-map call
     then walks all of its (whole) key groups sequentially. A key never
-    splits across buckets, so semantics equal per-key processing. Size
-    ``n_buckets`` ≈ 2-3× total executor cores at scale.
+    splits across buckets, so semantics equal per-key processing.
+
+    ``n_buckets`` defaults to adaptive: a parquet-metadata count sizes the
+    bucket count so one bucket stays ~ROWS_PER_BUCKET rows at ANY input
+    scale (a fixed constant would materialize rows/256 per Python worker —
+    unbounded at 100 TB). Pass an explicit value to pin it.
     """
     from pyspark.sql import functions as F
+
+    if n_buckets is None:
+        n_buckets = _adaptive_buckets(
+            lineitem.count(), lineitem.sparkSession.sparkContext.defaultParallelism
+        )
 
     prepared = lineitem.select(
         F.col("l_partkey").alias("part_key"),

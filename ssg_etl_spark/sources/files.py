@@ -61,17 +61,100 @@ def read_json_lines(spark: SparkSession, path: str, schema: T.StructType) -> Dat
     return spark.read.schema(schema).json(path)
 
 
-def read_excel(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def _xlsx_rows(path: str, sheet: str | None = None) -> list[list[str | None]]:
+    """Parse one worksheet of an xlsx into cell-string rows, stdlib-only.
+
+    xlsx is a zip of XML parts: shared strings live in
+    ``xl/sharedStrings.xml``; each sheet's cells carry a column reference
+    (``r="B3"``), a type (``t="s"`` shared string, ``t="inlineStr"``,
+    ``t="b"`` bool, default numeric), and a value node. openpyxl does the
+    same walk; using the stdlib keeps S7 real in this container. Covers the
+    reference-data shapes of etl_load_reference_data.py (header + literal
+    cells), not formulas/dates-as-styles.
+    """
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t")))
+        sheet_paths = sorted(
+            n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheet_paths:
+            raise ValueError(f"no worksheets in {path}")
+        target = sheet_paths[0]
+        if sheet is not None:
+            # Resolve the sheet name through workbook.xml's declared order.
+            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+            names = [s.get("name") for s in wb.iter(f"{{{ns['m']}}}sheet")]
+            if sheet not in names:
+                raise ValueError(f"sheet {sheet!r} not in {names}")
+            target = sheet_paths[names.index(sheet)]
+        root = ET.fromstring(zf.read(target))
+        rows: list[list[str | None]] = []
+        for row_el in root.iter(f"{{{ns['m']}}}row"):
+            cells: dict[int, str | None] = {}
+            for c in row_el.findall("m:c", ns):
+                ref = c.get("r") or ""
+                col_letters = "".join(ch for ch in ref if ch.isalpha())
+                if col_letters:
+                    idx = 0
+                    for ch in col_letters:
+                        idx = idx * 26 + (ord(ch.upper()) - 64)
+                    idx -= 1
+                else:  # no cell ref → next position
+                    idx = len(cells)
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find("m:is", ns)
+                    val = (
+                        "".join(t.text or "" for t in is_el.iter(f"{{{ns['m']}}}t"))
+                        if is_el is not None
+                        else None
+                    )
+                else:
+                    v = c.find("m:v", ns)
+                    val = None if v is None else v.text
+                    if ctype == "s" and val is not None:
+                        val = shared[int(val)]
+                cells[idx] = val
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+    return rows
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sheet: str | None = None,
+    header: bool = True,
+) -> DataFrame:
     """S7: Excel reference-data scan (etl_load_reference_data.py:22-34).
 
-    STUB — xlsx decode libraries are not available in this container.
-    Production options: (a) land xlsx → CSV/parquet at the ingest edge and
-    use read_csv, or (b) the spark-excel datasource
-    (``format("com.crealytics.spark.excel")``) on a cluster that ships it.
+    The xlsx is parsed driver-side (stdlib zip+XML — reference data is
+    dimension-sized control-plane input, like the REST payloads), cells are
+    cast to the declared schema through ``createDataFrame`` on string rows.
+    At bulk scale land xlsx → CSV/parquet at the ingest edge, or ship the
+    spark-excel datasource; this path is for small reference workbooks.
     """
-    raise NotImplementedError(
-        "xlsx decode not available here; convert to CSV/parquet at the edge "
-        "or add the spark-excel datasource on the cluster"
+    rows = _xlsx_rows(path, sheet)
+    if header and rows:
+        rows = rows[1:]
+    n = len(schema.fields)
+    padded = [tuple((r + [None] * n)[:n]) for r in rows]
+    as_strings = T.StructType(
+        [T.StructField(f.name, T.StringType()) for f in schema.fields]
+    )
+    raw = spark.createDataFrame(padded, as_strings)
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
 
 

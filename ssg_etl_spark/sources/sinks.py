@@ -69,6 +69,56 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def jdbc_write_options(
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    isolation_level: str = "READ_COMMITTED",
+    truncate: bool = True,
+) -> dict[str, str]:
+    """S2: option map for a JDBC overwrite/append landing.
+
+    Mirrors the reference's Spark JDBC overwrite
+    (sparkFiles/sparkProcess.py:333-341) and replaces its 1000-row ORM
+    insert loops (dags/ssg_gl_etl.py:441-463): ``batchsize`` is the insert
+    batching, per-partition connections are the parallelism, and
+    ``truncate=true`` keeps overwrite as TRUNCATE+INSERT instead of
+    DROP+CREATE (preserves grants/indexes).
+    """
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "isolationLevel": isolation_level,
+        "truncate": str(truncate).lower(),
+    }
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    if driver is not None:
+        opts["driver"] = driver
+    return opts
+
+
+def jdbc_write(
+    df: DataFrame, mode: str = "overwrite", num_partitions: int | None = None, **kwargs
+) -> None:
+    """S2/S4: land a DataFrame over JDBC (``kwargs`` as in
+    ``jdbc_write_options``).
+
+    ``num_partitions`` caps concurrent connections (a 1000-task write would
+    open 1000 sessions — coalesce, don't shuffle, to bound it). Untestable
+    in this sandbox (no database/driver jar); the option plumbing is
+    unit-tested and this stays a thin ``.save()``.
+    """
+    out = df.coalesce(num_partitions) if num_partitions else df
+    out.write.format("jdbc").options(**jdbc_write_options(**kwargs)).mode(mode).save()
+
+
 def replicate_table(
     spark: SparkSession, source_path: str, target_path: str
 ) -> None:

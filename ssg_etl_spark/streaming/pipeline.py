@@ -39,6 +39,89 @@ def events_file_stream(
     )
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: list[str],
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """S10: option map for the Kafka micro-batch source.
+
+    Mirrors the reference consumer's subscription
+    (scripts/test/transform.py:46-83: two topics, earliest offsets,
+    JSON-deserialized). ``maxOffsetsPerTrigger`` is the per-micro-batch
+    rate cap — the backpressure knob the reference's poll loop lacks.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_stream(spark: SparkSession, **kwargs) -> DataFrame:
+    """S10: raw Kafka stream as (topic, value, offset, ts) rows — the wire
+    shape ``cdc.route_topics`` / ``cdc.parse_change_envelopes`` consume.
+
+    Untestable in this sandbox (no broker / kafka connector jar); the option
+    plumbing is unit-tested and ``events_file_stream`` is the in-repo
+    stand-in with an identical downstream plan.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .options(**kafka_source_options(**kwargs))
+        .load()
+    )
+    return raw.select(
+        F.col("topic"),
+        F.col("value").cast("string").alias("value"),
+        F.col("offset"),
+        F.col("timestamp").alias("kafka_ts"),
+    )
+
+
+def events_kafka_stream(spark: SparkSession, **kwargs) -> DataFrame:
+    """S10: Kafka → typed events rows (from_json over the EVENTS schema),
+    plan-compatible with ``events_file_stream`` so every downstream operator
+    (windowed counts, foreachBatch upsert) is source-agnostic."""
+    return (
+        kafka_stream(spark, **kwargs)
+        .select(F.from_json("value", EVENTS).alias("rec"))
+        .select("rec.*")
+    )
+
+
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str
+) -> dict[str, str]:
+    """Option map for the Kafka sink (topic-per-table publication)."""
+    return {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+
+
+def write_stream_to_kafka(
+    df: DataFrame, checkpoint: str, key_cols: list[str] | None = None, **kwargs
+):
+    """Publish a streaming DataFrame to Kafka as JSON messages; returns the
+    started query. Key by ``key_cols`` for per-key log compaction."""
+    key = (
+        F.to_json(F.struct(*key_cols)).alias("key")
+        if key_cols
+        else F.lit(None).cast("string").alias("key")
+    )
+    payload = df.select(key, F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .options(**kafka_sink_options(**kwargs))
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def windowed_event_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

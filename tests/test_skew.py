@@ -48,3 +48,31 @@ def test_salt_deterministic(spark, sf_dir):
     b = ev.select(skew.salt_col("event_id", 8).alias("s")).collect()
     assert [r.s for r in a] == [r.s for r in b]
     assert all(0 <= r.s < 8 for r in a)
+
+
+def test_product_association_hot_basket_cap(spark):
+    """Mega-basket (bot cart) is deterministically truncated before the
+    O(size²) pair join; normal baskets are unaffected."""
+    from ssg_etl_spark.operators.analytics import product_association
+
+    hot = [(0, i) for i in range(200)]          # one 200-item basket
+    normal = [(b, i) for b in (1, 2) for i in (10, 20, 30)]
+    df = spark.createDataFrame(hot + normal, "basket_id int, item_id int")
+
+    capped = product_association(df, k=10**6, max_basket_size=10)
+    rows = capped.collect()
+    # Hot basket contributes C(10,2)=45 pairs over its 10 SMALLEST item ids;
+    # the two normal baskets contribute C(3,2)=3 shared pairs at freq 2.
+    hot_pairs = [r for r in rows if r.item_b < 10]
+    assert len(hot_pairs) == 45
+    assert all(r.item_a < 10 for r in hot_pairs)
+    assert {(r.item_a, r.item_b, r.frequency) for r in rows if r.frequency == 2} == {
+        (10, 20, 2), (10, 30, 2), (20, 30, 2),
+    }
+    # Truncation is total: no pair reaches beyond the 10 kept hot items.
+    assert all(r.item_b <= 9 for r in hot_pairs)
+
+    # Exact mode: all C(200,2) pairs (the normal baskets' items are a
+    # subset of the hot basket's, so they add frequency, not new pairs).
+    exact = product_association(df, k=10**6, max_basket_size=None)
+    assert exact.count() == 200 * 199 // 2

@@ -37,11 +37,6 @@ def test_json_lines_roundtrip(spark, tmp_path):
     assert sorted((r.k, r.name, r.amt) for r in out) == [(1, "a", 1.5), (2, "b", 2.5)]
 
 
-def test_excel_is_explicit_stub(spark):
-    with pytest.raises(NotImplementedError):
-        read_excel(spark, "/nope.xlsx", SCHEMA)
-
-
 def test_generator_deterministic_across_partitionings(spark):
     a = synthetic_transactions(spark, 200, num_partitions=1).collect()
     b = synthetic_transactions(spark, 200, num_partitions=7).collect()
@@ -73,3 +68,133 @@ def test_stamp_modified_and_replicate(spark, tmp_path):
     df.write.parquet(src)
     replicate_table(spark, src, dst)
     assert spark.read.parquet(dst).count() == 10
+
+
+def test_jdbc_read_options_plumbing():
+    from ssg_etl_spark.sources.tables import jdbc_read_options
+
+    opts = jdbc_read_options(
+        url="jdbc:postgresql://host/db",
+        table="public.orders",
+        user="u",
+        password="p",
+        driver="org.postgresql.Driver",
+        partition_column="o_orderkey",
+        lower_bound=1,
+        upper_bound=1_000_000,
+        num_partitions=16,
+        fetch_size=5000,
+    )
+    assert opts["dbtable"] == "public.orders"
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (
+        "1", "1000000", "16",
+    )
+    assert opts["fetchsize"] == "5000"
+
+    q = jdbc_read_options(url="jdbc:x", query="SELECT 1")
+    assert q["query"] == "SELECT 1" and "dbtable" not in q
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jdbc_read_options(url="jdbc:x")  # neither table nor query
+    with _pytest.raises(ValueError):
+        jdbc_read_options(url="jdbc:x", table="t", query="q")  # both
+    with _pytest.raises(ValueError):
+        jdbc_read_options(url="jdbc:x", query="q", partition_column="c")
+    with _pytest.raises(ValueError):
+        jdbc_read_options(url="jdbc:x", table="t", partition_column="c")
+
+
+def test_jdbc_write_options_plumbing():
+    from ssg_etl_spark.sources.sinks import jdbc_write_options
+
+    opts = jdbc_write_options(
+        url="jdbc:postgresql://host/db", table="gl", user="u", password="p",
+        batch_size=2000, truncate=False,
+    )
+    assert opts["batchsize"] == "2000"
+    assert opts["truncate"] == "false"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+
+
+def _write_minimal_xlsx(path, header, rows, sheet_name="RefData"):
+    """Minimal well-formed xlsx (stdlib zip+XML) for the S7 reader test:
+    shared strings for text cells, plain <v> for numerics."""
+    import zipfile
+
+    strings = []
+
+    def cell(ref, val):
+        if isinstance(val, str):
+            if val not in strings:
+                strings.append(val)
+            return f'<c r="{ref}" t="s"><v>{strings.index(val)}</v></c>'
+        return f'<c r="{ref}"><v>{val}</v></c>'
+
+    def row_xml(i, vals):
+        cols = "ABCDEFGH"
+        cells = "".join(cell(f"{cols[j]}{i}", v) for j, v in enumerate(vals) if v is not None)
+        return f'<row r="{i}">{cells}</row>'
+
+    all_rows = [header] + rows
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        + "".join(row_xml(i + 1, r) for i, r in enumerate(all_rows))
+        + "</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0"?><sst xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    workbook = (
+        '<?xml version="1.0"?><workbook xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets>'
+        f'<sheet name="{sheet_name}" sheetId="1"/></sheets></workbook>'
+    )
+    types = (
+        '<?xml version="1.0"?><Types xmlns='
+        '"http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", types)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_excel_stdlib(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from ssg_etl_spark.sources.files import read_excel
+
+    path = str(tmp_path / "ref.xlsx")
+    _write_minimal_xlsx(
+        path,
+        header=["code", "label", "rate"],
+        rows=[["A1", "Alpha", 1.5], ["B2", "Beta, comma", 2.25], ["C3", None, 3]],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("code", T.StringType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("rate", T.DoubleType()),
+        ]
+    )
+    out = {r.code: (r.label, r.rate) for r in read_excel(spark, path, schema).collect()}
+    assert out == {
+        "A1": ("Alpha", 1.5),
+        "B2": ("Beta, comma", 2.25),
+        "C3": (None, 3.0),
+    }
+    named = read_excel(spark, path, schema, sheet="RefData")
+    assert named.count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_excel(spark, path, schema, sheet="Nope")

@@ -123,3 +123,27 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, events_dir, tmp_pa
     closed = {k for k in want if k[2] <= cutoff}
     missing = closed - set(got)
     assert not missing, sorted(missing)[:3]
+
+
+def test_kafka_option_plumbing():
+    from ssg_etl_spark.streaming.pipeline import (
+        kafka_sink_options,
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options(
+        "broker1:9092,broker2:9092",
+        ["sqlserver.silverstr.sales_master", "sqlserver.silverstr.sales_items"],
+        starting_offsets="latest",
+        max_offsets_per_trigger=100_000,
+    )
+    assert opts["subscribe"] == (
+        "sqlserver.silverstr.sales_master,sqlserver.silverstr.sales_items"
+    )
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["failOnDataLoss"] == "true"
+    assert kafka_sink_options("b:9092", "out") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out",
+    }

@@ -48,3 +48,15 @@ def test_valuation_matches_python_oracle(spark, sf_dir):
     assert len(got) == len(expected)
     for k, v in expected.items():
         assert got[k] == v, k  # bit-exact: same op order, same doubles
+
+
+def test_adaptive_bucket_count_grows_with_input():
+    from ssg_etl_spark.operators.valuation import ROWS_PER_BUCKET, _adaptive_buckets
+
+    # Small inputs: floor at 2× parallelism so every core gets a bucket.
+    assert _adaptive_buckets(10_000, 32) == 64
+    # Large inputs: grows linearly so one bucket stays ~ROWS_PER_BUCKET.
+    assert _adaptive_buckets(100 * ROWS_PER_BUCKET, 32) == 100
+    assert _adaptive_buckets(10_000 * ROWS_PER_BUCKET, 32) == 10_000
+    sizes = [_adaptive_buckets(n, 8) for n in (1, 10**5, 10**7, 10**9, 10**11)]
+    assert sizes == sorted(sizes)  # monotone
