@@ -285,10 +285,12 @@ def global_row_number(
     hist = df.groupBy(prefix_col).agg(F.count(F.lit(1)).alias("_cnt"))
     # Cumulative counts over the histogram WITHOUT an unpartitioned window
     # (even dimension-sized ones trip Spark's single-partition WindowExec
-    # path): cumsum within a coarse bucket (year), plus bucket-level offsets
-    # from a driver-collected bucket histogram — a handful of AGGREGATE rows
-    # (years), never row data.
-    coarse = F.year(prefix_col).alias("_coarse")
+    # path): cumsum within a coarse bucket (year; NULL prefixes → a sentinel
+    # bucket that sorts first, matching NULLS FIRST ascending order), plus
+    # bucket-level offsets from a driver-collected bucket histogram — a
+    # handful of AGGREGATE rows (years), never row data.
+    null_bucket = -(2**31)
+    coarse = F.coalesce(F.year(prefix_col), F.lit(null_bucket)).alias("_coarse")
     hist = hist.select("*", coarse)
     bucket_rows = sorted(
         (r["_coarse"], r["_n"])
@@ -306,21 +308,23 @@ def global_row_number(
     )
     w_hist = (
         Window.partitionBy("_coarse")
-        .orderBy(prefix_col)
+        .orderBy(F.asc_nulls_first(prefix_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = hist.select(
-        prefix_col,
+        F.col(prefix_col).alias("_prefix"),
         (bucket_offset + F.sum("_cnt").over(w_hist) - F.col("_cnt")).alias("_offset"),
     )
     w_local = Window.partitionBy(prefix_col).orderBy(*[F.col(c) for c in order_cols])
+    # Null-safe join so NULL-prefix rows keep their offset instead of
+    # silently dropping out of an equi-join.
     return (
-        df.join(F.broadcast(offsets), prefix_col)
+        df.join(F.broadcast(offsets), F.col(prefix_col).eqNullSafe(F.col("_prefix")))
         .withColumn(
             out_col,
             (F.col("_offset") + F.row_number().over(w_local)).cast("long"),
         )
-        .drop("_offset")
+        .drop("_offset", "_prefix")
     )
 
 

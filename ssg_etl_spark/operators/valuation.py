@@ -134,6 +134,22 @@ def _adaptive_buckets(n_rows: int, parallelism: int) -> int:
     return max(2 * max(parallelism, 1), by_size, 1)
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Input row estimate WITHOUT running a job: Catalyst plan statistics
+    (parquet footer counts / CBO estimates). Over-estimates are safe — they
+    only make buckets smaller. Falls back to ``count()`` (cheap for raw
+    parquet scans: metadata-only) if stats are unavailable."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(int(str(rc.get())), 1)
+        # ~64 B/row floor keeps the estimate conservative (more buckets).
+        return max(int(str(stats.sizeInBytes())) // 64, 1)
+    except Exception:  # noqa: BLE001 — private API; any change → safe path
+        return max(df.count(), 1)
+
+
 def valuation_recompute(lineitem: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """Run the stateful recompute over every (part, supplier) stock ledger.
 
@@ -141,16 +157,19 @@ def valuation_recompute(lineitem: DataFrame, n_buckets: int | None = None) -> Da
     then walks all of its (whole) key groups sequentially. A key never
     splits across buckets, so semantics equal per-key processing.
 
-    ``n_buckets`` defaults to adaptive: a parquet-metadata count sizes the
-    bucket count so one bucket stays ~ROWS_PER_BUCKET rows at ANY input
-    scale (a fixed constant would materialize rows/256 per Python worker —
-    unbounded at 100 TB). Pass an explicit value to pin it.
+    ``n_buckets`` defaults to adaptive: a plan-statistics row estimate (no
+    extra job — important when the input is a derived join/filter, which a
+    ``count()`` would recompute end-to-end) sizes the bucket count so one
+    bucket stays ~ROWS_PER_BUCKET rows at ANY input scale (a fixed constant
+    would materialize rows/256 per Python worker — unbounded at 100 TB).
+    Pass an explicit value to pin it.
     """
     from pyspark.sql import functions as F
 
     if n_buckets is None:
         n_buckets = _adaptive_buckets(
-            lineitem.count(), lineitem.sparkSession.sparkContext.defaultParallelism
+            _estimate_rows(lineitem),
+            lineitem.sparkSession.sparkContext.defaultParallelism,
         )
 
     prepared = lineitem.select(

@@ -11,6 +11,14 @@ Determinism rules for oracle-matched queries (both engines):
   final column to DOUBLE so both engines materialize the same value/type.
 * Cast timestamps used as group keys to DATE (or format to strings).
 * Alias every computed column identically in DataFrame code and SQL.
+* Integer conditional counters: wrap ``SUM(CASE WHEN … THEN 1 …)`` in
+  ``CAST(… AS BIGINT)`` in the ORACLE — DuckDB types an untyped integer SUM
+  as HUGEINT/DECIMAL(38,0) while Spark emits BIGINT, and the driver's value
+  hash is type-strict (r1 failed three queries this way). ``COUNT`` is safe
+  (BIGINT in both engines). ``tools/check_correctness.py`` now compares
+  declared type buckets so this drift fails locally too.
+* No array/list columns in query output — the driver's pandas canonicalizer
+  cannot sort list cells; project vectors to deterministic strings.
 """
 
 from __future__ import annotations

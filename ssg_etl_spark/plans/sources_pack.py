@@ -118,6 +118,8 @@ def write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_etl_pipeline_python.py:42 (pandas to_sql). The parquet target is
     the sandbox stand-in; jdbc_write_options (sinks.py) is the JDBC form.
     """
+    import hashlib
+    import os
     import tempfile
 
     from ssg_etl_spark.sources import sinks
@@ -133,7 +135,12 @@ def write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stamped = sinks.stamp_modified(slice_df, batch_ts="2024-01-01 00:00:00")
-    target = tempfile.mkdtemp(prefix="write_roundtrip_")
+    # Stable scratch path per (user, sf_dir), overwritten each run — a fresh
+    # mkdtemp per build would leak one parquet dataset per invocation.
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"ssg_etl_write_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
     sinks.write_partitioned(
         stamped, target, partition_by=["segment"], max_files_per_partition=4
     )

@@ -84,22 +84,45 @@ def _xlsx_rows(path: str, sheet: str | None = None) -> list[list[str | None]]:
             for si in root.findall("m:si", ns):
                 shared.append("".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t")))
         sheet_paths = sorted(
-            n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            # numeric sort: sheet10.xml after sheet2.xml
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
         )
         if not sheet_paths:
             raise ValueError(f"no worksheets in {path}")
         target = sheet_paths[0]
         if sheet is not None:
-            # Resolve the sheet name through workbook.xml's declared order.
+            # Resolve name → worksheet part through workbook.xml's r:id and
+            # the workbook rels (declared order need not match sheetN file
+            # numbering, so an index into sorted paths would be wrong).
+            rel_ns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
             wb = ET.fromstring(zf.read("xl/workbook.xml"))
-            names = [s.get("name") for s in wb.iter(f"{{{ns['m']}}}sheet")]
-            if sheet not in names:
-                raise ValueError(f"sheet {sheet!r} not in {names}")
-            target = sheet_paths[names.index(sheet)]
+            name_to_rid = {
+                s.get("name"): s.get(f"{rel_ns}id")
+                for s in wb.iter(f"{{{ns['m']}}}sheet")
+            }
+            if sheet not in name_to_rid:
+                raise ValueError(f"sheet {sheet!r} not in {sorted(name_to_rid)}")
+            rid_to_target = {}
+            if "xl/_rels/workbook.xml.rels" in zf.namelist():
+                rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+                for rel in rels.iter(
+                    "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+                ):
+                    rid_to_target[rel.get("Id")] = "xl/" + rel.get("Target").lstrip("/")
+            resolved = rid_to_target.get(name_to_rid[sheet])
+            if resolved is not None and resolved in zf.namelist():
+                target = resolved
+            else:
+                # Minimal packages without rels: fall back to declared order
+                # over numerically-sorted sheet parts.
+                names = list(name_to_rid)
+                target = sheet_paths[names.index(sheet)]
         root = ET.fromstring(zf.read(target))
         rows: list[list[str | None]] = []
         for row_el in root.iter(f"{{{ns['m']}}}row"):
             cells: dict[int, str | None] = {}
+            last_idx = -1
             for c in row_el.findall("m:c", ns):
                 ref = c.get("r") or ""
                 col_letters = "".join(ch for ch in ref if ch.isalpha())
@@ -108,8 +131,9 @@ def _xlsx_rows(path: str, sheet: str | None = None) -> list[list[str | None]]:
                     for ch in col_letters:
                         idx = idx * 26 + (ord(ch.upper()) - 64)
                     idx -= 1
-                else:  # no cell ref → next position
-                    idx = len(cells)
+                else:  # no cell ref → the position after the previous cell
+                    idx = last_idx + 1
+                last_idx = idx
                 ctype = c.get("t", "n")
                 if ctype == "inlineStr":
                     is_el = c.find("m:is", ns)

@@ -119,6 +119,46 @@ def jdbc_write(
     out.write.format("jdbc").options(**jdbc_write_options(**kwargs)).mode(mode).save()
 
 
+def bigquery_write_options(
+    table: str,
+    temporary_gcs_bucket: str | None = None,
+    write_method: str = "direct",
+    partition_field: str | None = None,
+    clustered_fields: list[str] | None = None,
+) -> dict[str, str]:
+    """S12: option map for the spark-bigquery connector sink.
+
+    Mirrors the reference's pandas→BigQuery load
+    (scripts/ETL Pipeline/gpc_extract_and_load.py:45 ``to_gbq``), Spark-form:
+    ``format("bigquery")`` with either the Storage Write API (``direct``,
+    no staging bucket) or ``indirect`` staging through GCS. Partition/
+    cluster fields map the engine's partitioned-layout discipline onto the
+    warehouse table.
+    """
+    if write_method not in ("direct", "indirect"):
+        raise ValueError(f"write_method must be direct|indirect, got {write_method!r}")
+    if write_method == "indirect" and not temporary_gcs_bucket:
+        raise ValueError("indirect writes need temporary_gcs_bucket")
+    opts = {"table": table, "writeMethod": write_method}
+    if temporary_gcs_bucket:
+        opts["temporaryGcsBucket"] = temporary_gcs_bucket
+    if partition_field:
+        opts["partitionField"] = partition_field
+    if clustered_fields:
+        opts["clusteredFields"] = ",".join(clustered_fields)
+    return opts
+
+
+def bigquery_write(df: DataFrame, mode: str = "append", **kwargs) -> None:
+    """S12: land a DataFrame in BigQuery (``kwargs`` as in
+    ``bigquery_write_options``). Needs the spark-bigquery connector jar on
+    the cluster; untestable here, so the option plumbing is unit-tested and
+    this stays a thin ``.save()``."""
+    df.write.format("bigquery").options(**bigquery_write_options(**kwargs)).mode(
+        mode
+    ).save()
+
+
 def replicate_table(
     spark: SparkSession, source_path: str, target_path: str
 ) -> None:

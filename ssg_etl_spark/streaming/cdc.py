@@ -131,10 +131,13 @@ def apply_cdc_batch(
         .select(*[F.col(f"old.{k}").alias(k) for k in keys])
         .distinct()
     )
-    # A winner is superseded if a LATER key-changing event moved its key
-    # away: INSERT(k=A, seq1) + UPDATE(old A → new B, seq2) must end with
-    # only B — the INSERT wins partition A (the move competes under B), but
-    # its image predates A's retirement, so it must not be re-upserted.
+    # A winner is superseded if a STRICTLY LATER key-changing event moved
+    # its key away: INSERT(k=A, seq1) + UPDATE(old A → new B, seq2) must end
+    # with only B — the INSERT wins partition A (the move competes under B),
+    # but its image predates A's retirement, so it must not be re-upserted.
+    # Ties (same LSN, e.g. one transaction; or no seq_col at all, where every
+    # _seq is 0) are NOT suppressed: without a strict order we keep the
+    # per-final-key winner rather than silently dropping data.
     key_differs = [~F.col(f"old.{k}").eqNullSafe(F.col(f"new.{k}")) for k in keys]
     moved_away = (
         changes.filter(F.col("old").isNotNull() & F.col("new").isNotNull())
@@ -145,7 +148,7 @@ def apply_cdc_batch(
     upserts = (
         latest.filter(F.col("operation") != "DELETE")
         .join(moved_away, [f"_k_{k}" for k in keys], "left")
-        .filter(F.col("_moved_seq").isNull() | (F.col("_seq") > F.col("_moved_seq")))
+        .filter(F.col("_moved_seq").isNull() | (F.col("_seq") >= F.col("_moved_seq")))
         .select("new.*")
     )
     survived = target.join(removed, keys, "left_anti")

@@ -185,6 +185,27 @@ def test_apply_cdc_batch_key_reborn_after_move_survives(spark):
     assert out == {1: ("a-new", 11.0), 2: ("a", 10.0)}
 
 
+def test_apply_cdc_batch_same_seq_move_and_rebirth_keeps_row(spark):
+    """One transaction can emit a key-move and a rebirth with the SAME LSN;
+    without a strict order the reborn row must be kept, not dropped."""
+    target = spark.createDataFrame([(1, "a", 10.0)], ROW)
+    env = spark.createDataFrame(
+        [
+            ('{"operation": "UPDATE", "old": {"k": 1, "name": "a", "amount": 10.0},'
+             ' "new": {"k": 2, "name": "a", "amount": 10.0}}', 5),
+            ('{"operation": "INSERT", "old": null,'
+             ' "new": {"k": 1, "name": "a-re", "amount": 11.0}}', 5),
+        ],
+        "value string, seq int",
+    )
+    changes = cdc.parse_change_envelopes(env, ROW)
+    out = {
+        r.k: r.name
+        for r in cdc.apply_cdc_batch(target, changes, ["k"], seq_col="seq").collect()
+    }
+    assert out == {1: "a-re", 2: "a"}
+
+
 def test_apply_cdc_batch_malformed_operation_is_ignored(spark):
     target = spark.createDataFrame([(1, "a", 10.0)], ROW)
     env = spark.createDataFrame(

@@ -76,3 +76,33 @@ def test_product_association_hot_basket_cap(spark):
     # subset of the hot basket's, so they add frequency, not new pairs).
     exact = product_association(df, k=10**6, max_basket_size=None)
     assert exact.count() == 200 * 199 // 2
+
+
+def test_global_row_number_handles_null_prefix(spark):
+    """NULL prefix values sort first (ascending NULLS FIRST) and keep their
+    rows — the histogram join is null-safe."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators.analytics import global_row_number
+
+    rows = [
+        (None, 3),
+        (dt.date(2020, 1, 2), 1),
+        (None, 1),
+        (dt.date(2021, 5, 1), 9),
+        (dt.date(2020, 1, 2), 0),
+    ]
+    df = spark.createDataFrame(rows, "d date, id int")
+    out = global_row_number(df, "d", ["id"], out_col="rn")
+    got = [(r.d, r.id) for r in out.orderBy("rn").collect()]
+    assert [r.rn for r in out.orderBy("rn").collect()] == [1, 2, 3, 4, 5]
+    assert got == [
+        (None, 1),
+        (None, 3),
+        (dt.date(2020, 1, 2), 0),
+        (dt.date(2020, 1, 2), 1),
+        (dt.date(2021, 5, 1), 9),
+    ]
+    assert out.filter(F.col("d").isNull()).count() == 2

@@ -198,3 +198,79 @@ def test_read_excel_stdlib(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_excel(spark, path, schema, sheet="Nope")
+
+
+def test_bigquery_write_options_plumbing():
+    from ssg_etl_spark.sources.sinks import bigquery_write_options
+
+    opts = bigquery_write_options(
+        table="proj.dataset.gl",
+        write_method="indirect",
+        temporary_gcs_bucket="staging-bkt",
+        partition_field="order_date",
+        clustered_fields=["region_name", "status_code"],
+    )
+    assert opts == {
+        "table": "proj.dataset.gl",
+        "writeMethod": "indirect",
+        "temporaryGcsBucket": "staging-bkt",
+        "partitionField": "order_date",
+        "clusteredFields": "region_name,status_code",
+    }
+    assert bigquery_write_options(table="p.d.t") == {
+        "table": "p.d.t",
+        "writeMethod": "direct",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bigquery_write_options(table="p.d.t", write_method="indirect")
+    with _pytest.raises(ValueError):
+        bigquery_write_options(table="p.d.t", write_method="streaming")
+
+
+def test_read_excel_sheet_resolution_via_rels(spark, tmp_path):
+    """Sheet names resolve through workbook rels (r:id → part), not through
+    declared-order-onto-sorted-paths (which breaks when workbook order and
+    sheetN numbering disagree)."""
+    import zipfile
+
+    from pyspark.sql import types as T
+
+    from ssg_etl_spark.sources.files import read_excel
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pr = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+    def sheet_xml(value):
+        return (
+            f'<?xml version="1.0"?><worksheet xmlns="{m}"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>v</t></is></c></row>'
+            f'<row r="2"><c r="A2"><v>{value}</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    # Declared order: First (→ sheet2.xml!), Second (→ sheet1.xml).
+    workbook = (
+        f'<?xml version="1.0"?><workbook xmlns="{m}" xmlns:r="{r}"><sheets>'
+        '<sheet name="First" sheetId="1" r:id="rId7"/>'
+        '<sheet name="Second" sheetId="2" r:id="rId3"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships xmlns="{pr}">'
+        '<Relationship Id="rId7" Type="x" Target="worksheets/sheet2.xml"/>'
+        '<Relationship Id="rId3" Type="x" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    path = str(tmp_path / "multi.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml(111))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml(222))
+
+    schema = T.StructType([T.StructField("v", T.IntegerType())])
+    assert read_excel(spark, path, schema, sheet="First").collect()[0].v == 222
+    assert read_excel(spark, path, schema, sheet="Second").collect()[0].v == 111

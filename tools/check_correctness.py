@@ -60,6 +60,12 @@ def _bucket(type_name: str) -> str:
     t = type_name.lower()
     if "decimal" in t or "hugeint" in t:
         return "decimal"
+    # Integer/float widths are deliberately collapsed per KIND: r1 driver
+    # evidence shows int32-vs-BIGINT hashing equal (window_rownum_global
+    # passed with Spark IntegerType vs DuckDB row_number BIGINT) — the
+    # driver is kind-strict (int vs float vs Decimal/object), not
+    # width-strict. Width-strict buckets here would fail queries the driver
+    # passes.
     if t.startswith(("int", "uint", "tinyint", "smallint", "bigint", "long", "short", "byte")):
         return "int"
     if t.startswith(("float", "double", "halffloat")):
