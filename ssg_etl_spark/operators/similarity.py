@@ -112,6 +112,147 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFra
     )
 
 
+def _unit_corpus(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, original vec, unit-normalized vec) — spherical k-means operates
+    on unit vectors, where cosine == dot."""
+    d = df.select(
+        id_col,
+        F.col(vec_col),
+        _to_double(F.col(vec_col)).alias("_d"),
+        norm(F.col(vec_col)).alias("_norm"),
+    )
+    return d.select(
+        id_col,
+        vec_col,
+        F.transform("_d", lambda x: x / F.col("_norm")).alias("_unit"),
+    )
+
+
+def _cells_by_distance(unit: Column) -> Column:
+    """array<struct<neg_sim,cell>> sorted best-first (struct sort: neg_sim
+    ascending = similarity descending, cell id breaks ties)."""
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-dot(c["vec"], unit)).alias("neg_sim"), c["cell"].alias("cell")
+        ),
+    )
+    return F.array_sort(scored)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_iters: int = 2,
+    train_mod: int = 1,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the clustered
+    alternative to :func:`lsh_bucketed_topk`.
+
+    Spherical k-means, fully declarative and deterministic (no RNG, no
+    driver-side model state): seeds are the first ``n_cells`` corpus vectors
+    by id; each Lloyd round is assign (argmax dot against the broadcast
+    centroid list) + per-dimension mean (decimal-summed → order-independent)
+    + renormalize. Corpus vectors land in their nearest cell (the inverted
+    file); each query exactly re-ranks only its ``n_probe`` nearest cells'
+    members. Recall misses only neighbors assigned to unprobed cells —
+    raise ``n_probe`` to trade work for recall.
+
+    At 100 TB: train on a modular sample (``train_mod``: vec_id % mod == 0 —
+    deterministic, no ``sample()``), assign the full corpus in one scan
+    partitioned by cell, and broadcast the probe lists; per-query work is
+    bucket occupancy × n_probe, not corpus size.
+    """
+    corpus = _unit_corpus(embeddings, "vec_id", "embedding")
+    train = corpus.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else corpus
+
+    # Seed centroid list: first n_cells unit vectors, shaped like the LSH
+    # anchor list (single-row broadcast array — no collect).
+    # Cell labels need not be dense — the seed's vec_id IS the cell id
+    # (avoids a global row_number over the seed set).
+    cents = (
+        train.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("_unit").alias("vec"))
+    )
+
+    def cent_list(cdf: DataFrame):
+        return F.broadcast(
+            cdf.groupBy().agg(
+                F.array_sort(F.collect_list(F.struct("cell", "vec"))).alias("_cents")
+            )
+        )
+
+    dec = "decimal(28,12)"  # unit components are ≤1 in magnitude
+    for _ in range(train_iters):
+        assigned = train.crossJoin(cent_list(cents)).select(
+            "_unit",
+            F.element_at(_cells_by_distance(F.col("_unit")), 1)["cell"].alias("_cell"),
+        )
+        per_dim = (
+            assigned.select("_cell", F.posexplode("_unit").alias("_pos", "_v"))
+            .groupBy("_cell", "_pos")
+            .agg(
+                (F.sum(F.col("_v").cast(dec)) / F.count(F.lit(1)))
+                .cast("double")
+                .alias("_m")
+            )
+        )
+        raw = (
+            per_dim.groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+            .select(
+                F.col("_cell").alias("cell"),
+                F.transform("_pm", lambda p: p["_m"]).alias("_raw"),
+            )
+        )
+        cents = raw.select(
+            "cell",
+            F.transform(
+                "_raw",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate("_raw", F.lit(0.0), lambda acc, y: acc + y * y)
+                ),
+            ).alias("vec"),
+        )
+
+    final_cents = cent_list(cents)
+    corpus_cells = corpus.crossJoin(final_cents).select(
+        "vec_id",
+        "embedding",
+        F.element_at(_cells_by_distance(F.col("_unit")), 1)["cell"].alias("cell"),
+    )
+    q = _unit_corpus(queries, "query_id", "query_vec")
+    query_probes = (
+        q.crossJoin(final_cents)
+        .select(
+            "query_id",
+            "query_vec",
+            F.explode(
+                F.transform(
+                    F.slice(_cells_by_distance(F.col("_unit")), 1, n_probe),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+    )
+    candidates = corpus_cells.join(F.broadcast(query_probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = cosine(F.col("query_vec"), F.col("embedding"))
+    scored = candidates.select("query_id", "vec_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,

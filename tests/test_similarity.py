@@ -47,3 +47,27 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     # overlap with the exact answer set.
     assert approx, "LSH produced nothing"
     assert len(approx & exact) / len(exact) > 0.2
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, _queries(emb), k=10).collect()
+    }
+    approx = similarity.ivf_topk(
+        emb, _queries(emb), k=10, n_cells=8, n_probe=4, train_iters=2
+    ).collect()
+    got = {(r.query_id, r.vec_id) for r in approx}
+    assert got, "IVF produced nothing"
+    # Probing half the cells should recover a meaningful share of the
+    # exact top-10; exact values on the hits (cosine computed on originals).
+    assert len(got & exact) / len(exact) > 0.3
+    # Probing ALL cells makes IVF exact: candidate set == corpus.
+    full = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            emb, _queries(emb), k=10, n_cells=8, n_probe=8, train_iters=1
+        ).collect()
+    }
+    assert full == exact
