@@ -45,3 +45,60 @@ def test_detect_changes_partition(spark, target, source):
     assert inserts == {k for k in source if k not in target}
     assert updates == {k for k in source if k in target and target[k] != source[k]}
     assert not inserts & updates
+
+
+# --- CDC batch apply ≡ sequential replay --------------------------------
+#
+# Random VALID change streams (inserts of absent keys, updates/renames of
+# present keys, deletes of present keys — the only sequences a database
+# trigger can emit) generated as a program over a state machine; the
+# batch-apply algebra (per-final-key winners + old-key retirement +
+# move-supersede) must equal replaying the events one by one.
+
+_PROG = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 97), VALS), max_size=10
+)
+_KEYSPACE = 14
+
+
+@given(target=ROWS, prog=_PROG)
+@_SETTINGS
+def test_apply_cdc_batch_equals_sequential_replay(spark, target, prog):
+    from ssg_etl_spark.streaming.cdc import apply_cdc_batch
+
+    state = dict(target)
+    events = []
+    seq = 0
+    for choice, pick, val in prog:
+        present = sorted(state)
+        absent = [k for k in range(_KEYSPACE) if k not in state]
+        if choice == 0 and absent:  # INSERT a currently-absent key
+            k = absent[pick % len(absent)]
+            seq += 1
+            events.append(("INSERT", None, (k, val), seq))
+            state[k] = val
+        elif choice == 1 and present:  # UPDATE, sometimes renaming the key
+            k = present[pick % len(present)]
+            nk = absent[pick % len(absent)] if absent and pick % 2 == 0 else k
+            seq += 1
+            events.append(("UPDATE", (k, state[k]), (nk, val), seq))
+            del state[k]
+            state[nk] = val
+        elif choice == 2 and present:  # DELETE a present key
+            k = present[pick % len(present)]
+            seq += 1
+            events.append(("DELETE", (k, state[k]), None, seq))
+            del state[k]
+
+    schema = (
+        "operation string, old struct<k:int,v:string>, "
+        "new struct<k:int,v:string>, seq int"
+    )
+    changes = spark.createDataFrame(events, schema)
+    out = {
+        r.k: r.v
+        for r in apply_cdc_batch(
+            _df(spark, target), changes, ["k"], seq_col="seq"
+        ).collect()
+    }
+    assert out == state
