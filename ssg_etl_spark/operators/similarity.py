@@ -74,14 +74,7 @@ def brute_force_topk(
         "vec_id",
         sim.alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine_sim")
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
@@ -112,16 +105,32 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFra
     )
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: deterministic rank (sim desc, id asc) per query.
+    One copy so tie-breaking stays bit-identical across the exact and both
+    approximate operators (the IVF exactness test depends on it)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
 def _unit_corpus(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, original vec, unit-normalized vec) — spherical k-means operates
-    on unit vectors, where cosine == dot."""
+    on unit vectors, where cosine == dot.
+
+    Zero-norm vectors are dropped: cosine is undefined for them, and an
+    all-NULL unit vector would otherwise poison centroid seeding and make
+    cell assignment NULL-ordering-driven."""
     d = df.select(
         id_col,
         F.col(vec_col),
         _to_double(F.col(vec_col)).alias("_d"),
         norm(F.col(vec_col)).alias("_norm"),
     )
-    return d.select(
+    return d.filter(F.col("_norm") > 0).select(
         id_col,
         vec_col,
         F.transform("_d", lambda x: x / F.col("_norm")).alias("_unit"),
@@ -244,12 +253,8 @@ def ivf_topk(
         F.col("vec_id") != F.col("query_id")
     )
     sim = cosine(F.col("query_vec"), F.col("embedding"))
-    scored = candidates.select("query_id", "vec_id", sim.alias("cosine_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine_sim")
+    return _rank_topk(
+        candidates.select("query_id", "vec_id", sim.alias("cosine_sim")), k
     )
 
 
@@ -325,10 +330,6 @@ def lsh_bucketed_topk(
         .dropDuplicates(["query_id", "vec_id"])
     )
     sim = cosine(F.col("query_vec"), F.col("embedding"))
-    scored = candidates.select("query_id", "vec_id", sim.alias("cosine_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine_sim")
+    return _rank_topk(
+        candidates.select("query_id", "vec_id", sim.alias("cosine_sim")), k
     )

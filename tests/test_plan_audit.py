@@ -19,8 +19,31 @@ def test_headline_plans_have_no_scale_flags(spark, sf_dir):
     specs = load_all(include_extra=True)
     flagged = {}
     for name in AUDIT_DEFAULT:
-        plan = formatted_plan(specs[name].builder(spark, sf_dir))
-        notes = [n for n in audit_one(name, plan) if "<-- FIX" in n]
+        df = specs[name].builder(spark, sf_dir)
+        notes = [n for n in audit_one(name, df, formatted_plan(df)) if "<-- FIX" in n]
         if notes:
             flagged[name] = notes
     assert not flagged, flagged
+
+
+def test_detector_catches_single_partition_window(spark, sf_dir):
+    """The JVM-tree detector must actually fire on a bare ordered window —
+    the text form is ungreppable (formatted explain drops empty arg lists),
+    which made a regex detector silently vacuous."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from plan_audit import single_partition_windows
+
+    from ssg_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    bad = orders.select(
+        F.row_number().over(Window.orderBy("o_orderkey")).alias("rn")
+    )
+    assert single_partition_windows(bad) >= 1
+    good = orders.select(
+        F.row_number()
+        .over(Window.partitionBy("o_orderdate").orderBy("o_orderkey"))
+        .alias("rn")
+    )
+    assert single_partition_windows(good) == 0

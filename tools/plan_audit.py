@@ -2,19 +2,21 @@
 gate made repeatable.
 
 For each audited query, prints a one-line verdict over the properties that
-decide 100 TB behavior, derived from the formatted physical plan:
+decide 100 TB behavior:
 
-* scan pruning   — ReadSchema column count vs full table width, and whether
-                   any PushedFilters reached the parquet scan;
-* join strategy  — broadcast vs sort-merge/shuffled-hash counts (forced
-                   broadcasts of SF-proportional tables would show up here
-                   as broadcasts whose build side is a big table scan);
-* window safety  — flags any WindowExec without partitioning keys
-                   (single-partition funnel) and notes WindowGroupLimit
-                   rank pushdown;
-* python stages  — ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas
-                   occurrences (the deliberate pandas operators), and
-                   BatchEvalPython (row-at-a-time UDFs — always a bug here).
+* scan pruning   — ReadSchema column count (top-level, nested-type aware)
+                   and whether any PushedFilters reached the parquet scan;
+* join strategy  — broadcast vs sort-merge/shuffled-hash counts;
+* window safety  — walks the JVM plan tree for WindowExec nodes with an
+                   EMPTY partitionSpec (single-partition funnel — the text
+                   form can't be grepped: formatted explain drops empty
+                   argument lists) and notes WindowGroupLimit pushdown;
+* python stages  — FlatMapGroupsInPandas / MapInPandas / ArrowEvalPython
+                   (the deliberate pandas operators) vs BatchEvalPython
+                   (row-at-a-time UDFs — always a bug here).
+
+Node counts come from the numbered details section ("(N) NodeName") only —
+the tree overview repeats every node, which would double-count.
 
 Usage:  python tools/plan_audit.py [sf_dir] [query ...]
 """
@@ -56,48 +58,99 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
-def audit_one(name: str, plan: str) -> list[str]:
-    notes: list[str] = []
+def node_counts(plan: str) -> dict[str, int]:
+    """Physical node histogram from the numbered details section only."""
+    counts: dict[str, int] = {}
+    for m in re.finditer(r"^\(\d+\) (\w+)", plan, re.MULTILINE):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
 
-    scans = re.findall(r"Scan parquet[^\n]*", plan)
-    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+def _top_level_cols(schema_body: str) -> int:
+    """Count top-level fields of a struct<...> body (commas inside nested
+    array<>/map<>/struct<> type parameters are not field separators)."""
+    depth = 0
+    cols = 1 if schema_body.strip() else 0
+    for ch in schema_body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cols += 1
+    return cols
+
+
+def single_partition_windows(df) -> int:
+    """Walk the JVM plan tree; count WindowExec nodes whose partitionSpec is
+    empty (all rows funnel through one task). Text grep cannot see this:
+    formatted explain omits empty argument lists entirely."""
+    hits = 0
+    try:
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getSimpleName()
+            if cls in ("WindowExec", "WindowInPandasExec"):
+                if node.partitionSpec().isEmpty():
+                    hits += 1
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+            # AQE wrapper exposes its pre-execution plan separately.
+            if cls == "AdaptiveSparkPlanExec":
+                stack.append(node.initialPlan())
+    except Exception as exc:  # noqa: BLE001 — private API; surface, don't hide
+        print(f"        (jvm window walk unavailable: {type(exc).__name__})")
+        return -1
+    return hits
+
+
+def audit_one(name: str, df, plan: str) -> list[str]:
+    notes: list[str] = []
+    counts = node_counts(plan)
+
+    read_schemas = re.findall(r"ReadSchema: struct<(.*)>\s*$", plan, re.MULTILINE)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     n_pushed = sum(1 for p in pushed if p.strip())
-    col_counts = [len([c for c in rs.split(",") if c.strip()]) for rs in read_schemas]
+    col_counts = [_top_level_cols(rs) for rs in read_schemas]
+    n_scans = sum(v for k, v in counts.items() if k.startswith("Scan"))
     notes.append(
-        f"scans={len(scans)} read_cols={col_counts} pushed_filter_scans={n_pushed}"
+        f"scans={n_scans} read_cols={col_counts} pushed_filter_scans={n_pushed}"
     )
 
-    bhj = len(re.findall(r"BroadcastHashJoin", plan))
-    smj = len(re.findall(r"SortMergeJoin", plan))
-    shj = len(re.findall(r"ShuffledHashJoin", plan))
-    bnl = len(re.findall(r"BroadcastNestedLoopJoin", plan))
-    notes.append(f"joins: broadcast={bhj} sortmerge={smj} shuffledhash={shj} nestedloop={bnl}")
+    notes.append(
+        "joins: broadcast={} sortmerge={} shuffledhash={} nestedloop={}".format(
+            counts.get("BroadcastHashJoin", 0),
+            counts.get("SortMergeJoin", 0),
+            counts.get("ShuffledHashJoin", 0),
+            counts.get("BroadcastNestedLoopJoin", 0),
+        )
+    )
 
-    # Window without "partitionBy"-style keys: formatted plan prints
-    # `Arguments: [sortkeys], [partkeys], ...` for Window nodes; an empty
-    # partition spec shows as `, [], `. Cheap proxy: count Window nodes and
-    # empty partition specs adjacent to them.
-    n_window = len(re.findall(r"\bWindow\b", plan))
-    n_wgl = len(re.findall(r"WindowGroupLimit", plan))
-    single_part = len(re.findall(r"Window[^\n]*\n(?:[^\n]*\n)*?[^\n]*Arguments: \[[^\]]*\], \[\]", plan))
+    n_window = counts.get("Window", 0) + counts.get("WindowInPandas", 0)
+    n_wgl = counts.get("WindowGroupLimit", 0)
+    sp = single_partition_windows(df)
     w = f"windows={n_window} group_limit={n_wgl}"
-    if single_part:
-        w += f" SINGLE_PARTITION={single_part} <-- FIX"
+    if sp > 0:
+        w += f" SINGLE_PARTITION={sp} <-- FIX"
+    elif sp < 0:
+        w += " single_partition=unknown"
     notes.append(w)
 
-    pandas_ops = len(
-        re.findall(r"FlatMapGroupsInPandas|MapInPandas|ArrowEvalPython", plan)
+    pandas_ops = sum(
+        counts.get(k, 0)
+        for k in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython")
     )
-    row_udfs = len(re.findall(r"BatchEvalPython", plan))
+    row_udfs = counts.get("BatchEvalPython", 0)
     p = f"pandas_stages={pandas_ops}"
     if row_udfs:
         p += f" ROW_UDF={row_udfs} <-- FIX"
     notes.append(p)
 
-    exchanges = len(re.findall(r"\bExchange\b", plan))
-    reuses = len(re.findall(r"ReusedExchange", plan))
-    notes.append(f"exchanges={exchanges} reused={reuses}")
+    notes.append(
+        f"exchanges={counts.get('Exchange', 0)} reused={counts.get('ReusedExchange', 0)}"
+    )
     return notes
 
 
@@ -118,8 +171,8 @@ def main() -> int:
             print(f"??    {name}: unknown query")
             bad += 1
             continue
-        plan = formatted_plan(specs[name].builder(spark, sf_dir))
-        notes = audit_one(name, plan)
+        df = specs[name].builder(spark, sf_dir)
+        notes = audit_one(name, df, formatted_plan(df))
         flag = any("<-- FIX" in n for n in notes)
         bad += int(flag)
         print(("FLAG  " if flag else "ok    ") + name)
