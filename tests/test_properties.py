@@ -102,3 +102,43 @@ def test_apply_cdc_batch_equals_sequential_replay(spark, target, prog):
         ).collect()
     }
     assert out == state
+
+
+# --- SCD2 expire-and-insert ≡ dictionary model ---------------------------
+
+_HIST_KEYS = st.lists(KEYS, max_size=4)
+
+
+@given(live=ROWS, hist_keys=_HIST_KEYS, updates=ROWS)
+@_SETTINGS
+def test_scd2_apply_matches_model(spark, live, hist_keys, updates):
+    import datetime as dt
+
+    eff = "2024-01-01"
+    d2020, d2018, d2019 = dt.date(2020, 1, 1), dt.date(2018, 1, 1), dt.date(2019, 1, 1)
+    deff = dt.date(2024, 1, 1)
+
+    cur_rows = [(k, v, d2020, None, True) for k, v in sorted(live.items())]
+    cur_rows += [(k, "h", d2018, d2019, False) for k in hist_keys]
+    current = spark.createDataFrame(
+        cur_rows or [],
+        "k int, v string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = _df(spark, updates)
+
+    expected = [(k, "h", d2018, d2019, False) for k in hist_keys]
+    for k, v in live.items():
+        if k in updates and updates[k] != v:  # null-safe: None==None is no-op
+            expected.append((k, v, d2020, deff, False))
+            expected.append((k, updates[k], deff, None, True))
+        else:
+            expected.append((k, v, d2020, None, True))
+    for k, v in updates.items():
+        if k not in live:
+            expected.append((k, v, deff, None, True))
+
+    out = M.scd2_apply(current, upd, ["k"], ["v"], eff)
+    got = [
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out.collect()
+    ]
+    assert sorted(got, key=repr) == sorted(expected, key=repr)

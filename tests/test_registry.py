@@ -1,0 +1,31 @@
+"""Public-registry contract: the driver evaluates at most the first 50
+entries, so the public surface must stay at/below the cap, ordered with the
+flagship packs first, and rows-only checks must stay the two documented
+exceptions."""
+
+from __future__ import annotations
+
+from ssg_etl_spark.plans.registry import MAX_PUBLIC_QUERIES, load_all
+
+
+def test_public_registry_contract():
+    public = load_all()
+    assert len(public) <= MAX_PUBLIC_QUERIES
+    # Flagship relational queries lead the evaluation order.
+    names = list(public)
+    assert names[0] == "gl_enrichment"
+    assert names.index("seven_way_join") < 10
+    # Only the two documented hash-defined queries lack oracles.
+    no_oracle = {n for n, s in public.items() if not s.oracle}
+    assert no_oracle == {"dedup_simhash", "ann_lsh_topk"}
+
+
+def test_extra_registry_is_disjoint_and_oracled():
+    public = set(load_all())
+    both = load_all(include_extra=True)
+    extra = {n: s for n, s in both.items() if n not in public}
+    assert public <= set(both)
+    # Every demoted near-duplicate keeps its oracle (still locally checked).
+    assert all(s.oracle for s in extra.values()), [
+        n for n, s in extra.items() if not s.oracle
+    ]
