@@ -94,6 +94,36 @@ def expect_mean_between(col: str, lo, hi) -> Expectation:
     )
 
 
+def expect_regex(col: str, pattern: str, mostly: float = 1.0) -> Expectation:
+    """values_to_match_regex: share of non-null values matching ``pattern``."""
+    hit = F.sum(F.col(col).rlike(pattern).cast("long"))
+    a = {f"{col}__regex": hit, f"{col}__nonnull4": F.count(col)}
+    return Expectation(
+        f"regex({col}, {pattern!r}, mostly={mostly})",
+        a,
+        lambda m: m[f"{col}__nonnull4"] == 0
+        or (m[f"{col}__regex"] or 0) / m[f"{col}__nonnull4"] >= mostly,
+    )
+
+
+def expect_min_between(col: str, lo, hi) -> Expectation:
+    a = {f"{col}__min": F.min(col)}
+    return Expectation(
+        f"min_between({col}, {lo}, {hi})",
+        a,
+        lambda m: m[f"{col}__min"] is not None and lo <= m[f"{col}__min"] <= hi,
+    )
+
+
+def expect_distinct_count_between(col: str, lo: int, hi: int) -> Expectation:
+    a = {f"{col}__ndv": F.countDistinct(col)}
+    return Expectation(
+        f"distinct_count_between({col}, {lo}, {hi})",
+        a,
+        lambda m: lo <= m[f"{col}__ndv"] <= hi,
+    )
+
+
 def expect_row_count_between(lo: int, hi: int) -> Expectation:
     a = {"__rowcount": F.count(F.lit(1))}
     return Expectation(

@@ -42,3 +42,34 @@ def test_same_column_same_type_expectations_do_not_collide(spark):
     df = spark.createDataFrame([(500,), (600,)], "x int")
     results = run_suite(df, [expect_between("x", 0, 10), expect_between("x", 0, 1000)])
     assert [r["passed"] for r in results] == [False, True]
+
+
+def test_regex_min_distinct_expectations(spark):
+    from ssg_etl_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [("SKU-1", 5), ("SKU-2", 9), ("bad", 3), (None, 7)],
+        "code string, qty int",
+    )
+    results = {
+        r["name"]: r["passed"]
+        for r in Q.run_suite(
+            df,
+            [
+                Q.expect_regex("code", r"^SKU-\d+$"),           # 2/3 match
+                Q.expect_regex("code", r"^SKU-\d+$", mostly=0.6),
+                Q.expect_min_between("qty", 1, 4),
+                Q.expect_min_between("qty", 4, 9),
+                Q.expect_distinct_count_between("code", 3, 3),  # nulls excluded
+                Q.expect_distinct_count_between("code", 4, 9),
+            ],
+        )
+    }
+    assert results == {
+        "regex(code, '^SKU-\\\\d+$', mostly=1.0)": False,
+        "regex(code, '^SKU-\\\\d+$', mostly=0.6)": True,
+        "min_between(qty, 1, 4)": True,
+        "min_between(qty, 4, 9)": False,
+        "distinct_count_between(code, 3, 3)": True,
+        "distinct_count_between(code, 4, 9)": False,
+    }
