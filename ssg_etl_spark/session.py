@@ -56,6 +56,13 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Local mode runs everything in ONE JVM whose default 1g heap is shared
+    # by every concurrent task — local[32] leaves ~30 MB/task and OOMs on
+    # shuffle-heavy plans. Size the heap for the thread count (only
+    # effective before JVM launch; a cluster sets executor memory instead).
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
