@@ -183,7 +183,9 @@ def simhash_pairs(
     any byte meet); with k ≤ 7 over 8 bands, pigeonhole guarantees every
     qualifying pair shares at least one exact band — no recall loss.
     """
-    sig = simhash_signatures(documents, bits)
+    # Persisted: the banded candidate generation SELF-joins the signature
+    # table; without caching the two-aggregation signature plan runs twice.
+    sig = simhash_signatures(documents, bits).persist()
     n_bands = 8
     # Pigeonhole: k differing bits can ruin at most k bands, so a shared
     # band is guaranteed only while max_hamming < n_bands.

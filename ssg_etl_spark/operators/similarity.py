@@ -175,7 +175,10 @@ def ivf_topk(
     partitioned by cell, and broadcast the probe lists; per-query work is
     bucket occupancy × n_probe, not corpus size.
     """
-    corpus = _unit_corpus(embeddings, "vec_id", "embedding")
+    # Persisted: the unit-normalized corpus is re-scanned every Lloyd round
+    # and again for the final cell assignment (the standard k-means cache;
+    # MEMORY_AND_DISK spills rather than OOMs at scale).
+    corpus = _unit_corpus(embeddings, "vec_id", "embedding").persist()
     train = corpus.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else corpus
 
     # Seed centroid list: first n_cells unit vectors, shaped like the LSH
@@ -218,6 +221,10 @@ def ivf_topk(
                 F.transform("_pm", lambda p: p["_m"]).alias("_raw"),
             )
         )
+        # Persist each round's centroids (n_cells tiny rows): the next
+        # round's assignment and the two final consumers (corpus cells,
+        # query probes) would otherwise re-run every earlier round's
+        # aggregation recursively.
         cents = raw.select(
             "cell",
             F.transform(
@@ -227,7 +234,7 @@ def ivf_topk(
                     F.aggregate("_raw", F.lit(0.0), lambda acc, y: acc + y * y)
                 ),
             ).alias("vec"),
-        )
+        ).persist()
 
     final_cents = cent_list(cents)
     corpus_cells = corpus.crossJoin(final_cents).select(
