@@ -23,7 +23,9 @@ def case_map(col: Column, mapping: Mapping[object, object], default: object = No
     """
     expr: Column | None = None
     for key, value in mapping.items():
-        cond = col == F.lit(key)
+        # A None key must match NULL inputs: `col == lit(None)` is never
+        # true under three-valued logic, so use an explicit null test.
+        cond = col.isNull() if key is None else col == F.lit(key)
         expr = F.when(cond, F.lit(value)) if expr is None else expr.when(cond, F.lit(value))
     if expr is None:
         return F.lit(default)

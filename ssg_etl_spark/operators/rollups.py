@@ -96,5 +96,15 @@ def rollup_grouping_sets(events: DataFrame) -> DataFrame:
     three times. ``gid`` (bitmask of GROUPING() flags) tells the three
     rollups apart; identical semantics in DuckDB.
     """
-    events.createOrReplaceTempView("events_gs_input")
-    return events.sparkSession.sql(GROUPING_SETS_SQL.format(table="events_gs_input"))
+    # Unique per-call view name: a shared fixed name would clobber a
+    # caller's view and race under concurrent plan-building in one session.
+    # spark.sql resolves the view during analysis, so dropping it right
+    # after keeps the returned (lazy) DataFrame valid.
+    import uuid
+
+    view = f"events_gs_input_{uuid.uuid4().hex}"
+    events.createOrReplaceTempView(view)
+    try:
+        return events.sparkSession.sql(GROUPING_SETS_SQL.format(table=view))
+    finally:
+        events.sparkSession.catalog.dropTempView(view)

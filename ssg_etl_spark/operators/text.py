@@ -141,8 +141,14 @@ def fingerprints(df: DataFrame) -> DataFrame:
     bag-of-words fingerprint (order-insensitive near-exact signature)."""
     norm = normalize_text(F.col("text"))
     bag = F.concat_ws(" ", F.array_sort(F.array_distinct(words(norm))))
+    # concat_ws maps a NULL array to '' — without the guard a NULL document
+    # would get md5('') and collide with genuinely-empty docs (and diverge
+    # from the oracle, where array_to_string(NULL) stays NULL).
+    bag_fp = F.when(F.col("text").isNull(), F.lit(None)).otherwise(
+        F.md5(bag.cast("binary"))
+    )
     return df.select(
         "doc_id",
         F.md5(norm.cast("binary")).alias("content_fp"),
-        F.md5(bag.cast("binary")).alias("bag_fp"),
+        bag_fp.alias("bag_fp"),
     )

@@ -71,8 +71,13 @@ def merge_additive(
     cond = [t[k].eqNullSafe(d[k]) for k in keys]
     merged = t.join(d, cond, "full_outer")
     key_cols = [F.coalesce(t[k], d[k]).alias(k) for k in keys]
+    # SUM of an all-NULL group is NULL — a key whose stored AND incoming
+    # values are both NULL must stay NULL (coalescing to 0 would diverge
+    # from the from-scratch rollup the pipeline invariant pins).
     val_cols = [
-        (F.coalesce(t[c], F.lit(0)) + F.coalesce(d[c], F.lit(0))).alias(c)
+        F.when(t[c].isNull() & d[c].isNull(), F.lit(None))
+        .otherwise(F.coalesce(t[c], F.lit(0)) + F.coalesce(d[c], F.lit(0)))
+        .alias(c)
         for c in sum_cols
     ]
     return merged.select(*key_cols, *val_cols)
@@ -136,7 +141,15 @@ def run_events_rollup_once(
     state_dir: str,
     started_at: dt.datetime | None = None,
 ) -> dict:
-    """One pipeline run. Returns run metrics (rows extracted, gate result)."""
+    """One pipeline run. Returns run metrics (rows extracted, gate result).
+
+    Rows with a NULL event time are excluded BY DESIGN: the strictly-greater
+    watermark predicate can never admit them, and re-admitting them every
+    run would double-count under the additive merge. Quarantine/repair
+    NULL-timestamp rows upstream (sources/files.read_csv's corrupt-record
+    channel is the ingest-side hook) — the from-scratch-equality invariant
+    is over rows with event time.
+    """
     p = _paths(state_dir)
     os.makedirs(state_dir, exist_ok=True)
 
@@ -150,9 +163,28 @@ def run_events_rollup_once(
     except FileExistsError:
         import time
 
-        if time.time() - os.path.getmtime(lock) < 3600:
+        try:
+            mtime = os.path.getmtime(lock)
+        except FileNotFoundError:
+            # Holder released between our open and the stat; treat as busy —
+            # the next scheduled run picks the batch up.
+            return {"extracted": 0, "skipped": True, "reason": "lock contention"}
+        if time.time() - mtime < 3600:
             return {"extracted": 0, "skipped": True, "reason": "run in progress"}
-        os.utime(lock)  # stale lock: take over
+        # Stale-lock takeover must elect ONE winner (mtime check alone is a
+        # TOCTOU: two waiters could both pass it). rename() is atomic — the
+        # single successful renamer re-acquires; everyone else skips.
+        stale = f"{lock}.stale-{os.getpid()}-{time.time_ns()}"
+        try:
+            os.rename(lock, stale)
+        except FileNotFoundError:
+            return {"extracted": 0, "skipped": True, "reason": "lock contention"}
+        os.remove(stale)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            return {"extracted": 0, "skipped": True, "reason": "lock contention"}
     try:
         return _run_locked(spark, events, p, started_at)
     finally:

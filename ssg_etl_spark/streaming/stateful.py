@@ -47,11 +47,13 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    from ssg_etl_spark.operators.rollups import dec_sum
+
     return sessions.groupBy("user_id", "_session_no").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        dec_sum("value", "total_value"),
     ).drop("_session_no")
 
 
@@ -92,9 +94,19 @@ def sessionize_stream(
     gap_us = gap_minutes * 60 * _US
 
     def fn(key: tuple, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
         import pandas as pd
 
         (user_id,) = key
+        q6 = Decimal("0.000001")
+
+        def dec(v: float) -> Decimal:
+            # Mirror the batch twin's cast(value as decimal(28,6)): quantize
+            # each input once, then accumulate EXACTLY — float accumulation
+            # would drift from the decimal-summed batch result on large or
+            # cancelling magnitudes.
+            return Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP)
 
         def emit(s):
             start, end, n, v = s
@@ -120,23 +132,37 @@ def sessionize_stream(
             ts_v.extend(zip((ns // 1000).tolist(), pdf["value"].astype(float).tolist()))
         ts_v.sort()
 
-        cur = state.get if state.exists else None
+        if state.exists:
+            s0, s1, s2, s3 = state.get
+            cur = (s0, s1, s2, Decimal(repr(s3)).quantize(q6, rounding=ROUND_HALF_UP))
+        else:
+            cur = None
+        # Late-but-admitted events more than a gap BEFORE the open session
+        # closed in event time already; they are sessionized among
+        # THEMSELVES (two strays within one gap form ONE session, as the
+        # batch twin would) and emitted closed. Sorted order makes the
+        # strays a prefix, so one running chain suffices.
+        stray = None
         for t, v in ts_v:
             if cur is None:
-                cur = (t, t, 1, v)
+                cur = (t, t, 1, dec(v))
             elif t < cur[0] - gap_us:
-                # Stray event more than a gap BEFORE the open session: its
-                # own session closed in event time already — emit it alone
-                # rather than merging across the gap (keeps parity with the
-                # batch twin for late-but-admitted events).
-                yield emit((t, t, 1, v))
+                if stray is None:
+                    stray = (t, t, 1, dec(v))
+                elif t - stray[1] > gap_us:
+                    yield emit(stray)
+                    stray = (t, t, 1, dec(v))
+                else:
+                    stray = (stray[0], max(stray[1], t), stray[2] + 1, stray[3] + dec(v))
             elif t - cur[1] > gap_us:
                 yield emit(cur)
-                cur = (t, t, 1, v)
+                cur = (t, t, 1, dec(v))
             else:
-                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1, cur[3] + v)
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1, cur[3] + dec(v))
+        if stray is not None:
+            yield emit(stray)
         if cur is not None:
-            state.update(cur)
+            state.update((cur[0], cur[1], cur[2], float(cur[3])))
             # Close via timeout once the watermark passes session_end + gap.
             state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
 

@@ -147,3 +147,66 @@ def test_kafka_option_plumbing():
         "kafka.bootstrap.servers": "b:9092",
         "topic": "out",
     }
+
+
+def test_stateful_late_strays_merge_into_one_session(spark, tmp_path):
+    """Two admitted-late events within one gap of each other must come out
+    as ONE merged session (the batch twin's answer), not two singletons —
+    and events within the gap of each other but before the open session
+    stay separate from it."""
+    import datetime as dt
+    import os
+    import time
+
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.streaming.pipeline import events_file_stream
+    from ssg_etl_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "src")
+    day = dt.datetime(2024, 1, 1)
+
+    def write_batch(rows, mtime_offset):
+        df = spark.createDataFrame(rows, EVENTS)
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        df.coalesce(1).write.mode("append").parquet(src)
+        t = time.time() + mtime_offset
+        for f in set(os.listdir(src)) - before:
+            os.utime(os.path.join(src, f), (t, t))
+
+    # Batch 1 opens a session at 10:00 (watermark 4h admits the strays).
+    write_batch([(1, day + dt.timedelta(hours=10), 7, "click", 1.0, None)], -120)
+    # Batch 2: late events at 08:00 and 08:10 — both > gap before 10:00.
+    write_batch(
+        [
+            (2, day + dt.timedelta(hours=8), 7, "click", 2.0, None),
+            (3, day + dt.timedelta(hours=8, minutes=10), 7, "click", 3.0, None),
+        ],
+        -60,
+    )
+
+    out = str(tmp_path / "sessions")
+    q = (
+        sessionize_stream(
+            events_file_stream(spark, src), gap_minutes=30, watermark="4 hours"
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert got == [
+        (
+            7,
+            day + dt.timedelta(hours=8),
+            day + dt.timedelta(hours=8, minutes=10),
+            2,
+            5.0,
+        )
+    ]
