@@ -26,6 +26,12 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     EXCLUDED.col`` (upsert_utils.py:76-84). One shuffle on the key; with a
     bucketed/partitioned target the join co-locates and only touched
     partitions rewrite.
+
+    Precondition (as in the Postgres analog, which errors on it): ``source``
+    carries at most ONE row per key — duplicate source keys would fan the
+    join out to duplicate-key output. Reduce first (``dropDuplicates`` or a
+    sequenced winner, as apply_cdc_batch / foreach_batch_upsert do).
+    Output keeps the target's column order — a drop-in target rewrite.
     """
     value_cols = [c for c in target.columns if c not in keys]
     t = target.alias("t")
@@ -35,37 +41,52 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     # Key columns may legitimately be NULL (eqNullSafe join), so source-row
     # presence is tracked with an explicit marker, not key non-nullness.
     src_exists = F.coalesce(F.col("s._src_present"), F.lit(False))
-    out_keys = [
-        F.when(src_exists, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
-        for k in keys
-    ]
     # Row-level winner: if the source row exists, all its values win
     # (EXCLUDED.*); else keep target. Decided per-row, not per-column, so a
     # legitimate NULL in the source still overwrites.
-    out_vals = [
-        F.when(src_exists, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-        for c in value_cols
-    ]
-    return joined.select(*out_keys, *out_vals)
+    out = {
+        c: F.when(src_exists, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in keys + value_cols
+    }
+    return joined.select(*[out[c] for c in target.columns])
 
 
 def detect_changes(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
     """M7: destination change comparison.
 
     ``changes = source EXCEPT ALL target`` (full-row diff), then split into
-    updates (key exists in target — left semi) and inserts (left anti),
-    returned as one DataFrame tagged ``change_type``. Mirrors the notebook's
-    three cells (J7/J8/J9) in a single shuffle-shared plan.
+    updates (key exists in target) and inserts (no such key), returned as
+    one DataFrame tagged ``change_type``. Mirrors the notebook's three
+    cells (J7/J8/J9) in a single shuffle-shared plan; the key membership
+    test is null-safe (same key semantics as :func:`merge_upsert`), and the
+    update/insert split is ONE left join classified by a presence marker,
+    not two joins.
     """
-    changes = source.exceptAll(target)
-    target_keys = target.select(*keys).distinct()
-    updates = changes.join(target_keys, keys, "left_semi").withColumn(
-        "change_type", F.lit("update")
+    if set(source.columns) != set(target.columns):
+        raise ValueError(
+            f"column sets differ: source={sorted(source.columns)} "
+            f"target={sorted(target.columns)}"
+        )
+    # exceptAll compares positionally — align source to the target's order
+    # so same-named-different-order inputs diff the right columns.
+    source = source.select(*target.columns)
+    changes = source.exceptAll(target).alias("c")
+    target_keys = (
+        target.select(*keys)
+        .distinct()
+        .withColumn("_t_present", F.lit(True))
+        .alias("tk")
     )
-    inserts = changes.join(target_keys, keys, "left_anti").withColumn(
-        "change_type", F.lit("insert")
+    cond = [F.col(f"c.{k}").eqNullSafe(F.col(f"tk.{k}")) for k in keys]
+    return (
+        changes.join(target_keys, cond, "left")
+        .select(
+            *[F.col(f"c.{c}") for c in target.columns],
+            F.when(F.coalesce(F.col("_t_present"), F.lit(False)), F.lit("update"))
+            .otherwise(F.lit("insert"))
+            .alias("change_type"),
+        )
     )
-    return updates.unionByName(inserts)
 
 
 def source_changed_rows(

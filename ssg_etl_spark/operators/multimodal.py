@@ -91,12 +91,19 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_media(p, m, fake=fake) for p, m in zip(pdf["payload"], pdf["media_type"])]
+            # NULL payloads yield NULL features/sizes (a crashed codec call
+            # would fail the whole job; a null row is inspectable output).
+            feats = [
+                None if p is None else decode_media(p, m, fake=fake)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
-                    "payload_bytes": pdf["payload"].map(len),
+                    "payload_bytes": pdf["payload"].map(
+                        lambda p: None if p is None else len(p)
+                    ),
                     "feature": feats,
                 }
             )
@@ -111,9 +118,11 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     timestamp (the decode itself happens in extract_features). Pure
     DataFrame: sequence+explode, no Python."""
     video = assets.filter(F.col("media_type") == "video")
+    # explode_outer: an asset with NULL duration keeps one row (sample_ms
+    # NULL) instead of silently vanishing from the plan.
     return video.select(
         "asset_id",
-        F.explode(
+        F.explode_outer(
             F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
         ).alias("sample_ms"),
     )

@@ -56,23 +56,23 @@ def expect_unique(col: str) -> Expectation:
 
 def expect_in_set(col: str, values: list, mostly: float = 1.0) -> Expectation:
     hit = F.sum(F.col(col).isin(values).cast("long"))
-    a = {f"{col}__inset": hit, f"{col}__nonnull2": F.count(col)}
+    a = {f"{col}__inset": hit, f"{col}__nonnull": F.count(col)}
     return Expectation(
         f"in_set({col})",
         a,
-        lambda m: m[f"{col}__nonnull2"] == 0
-        or (m[f"{col}__inset"] or 0) / m[f"{col}__nonnull2"] >= mostly,
+        lambda m: m[f"{col}__nonnull"] == 0
+        or (m[f"{col}__inset"] or 0) / m[f"{col}__nonnull"] >= mostly,
     )
 
 
 def expect_between(col: str, lo, hi, mostly: float = 1.0) -> Expectation:
     hit = F.sum(F.col(col).between(lo, hi).cast("long"))
-    a = {f"{col}__between": hit, f"{col}__nonnull3": F.count(col)}
+    a = {f"{col}__between": hit, f"{col}__nonnull": F.count(col)}
     return Expectation(
         f"between({col}, {lo}, {hi})",
         a,
-        lambda m: m[f"{col}__nonnull3"] == 0
-        or (m[f"{col}__between"] or 0) / m[f"{col}__nonnull3"] >= mostly,
+        lambda m: m[f"{col}__nonnull"] == 0
+        or (m[f"{col}__between"] or 0) / m[f"{col}__nonnull"] >= mostly,
     )
 
 
@@ -97,12 +97,12 @@ def expect_mean_between(col: str, lo, hi) -> Expectation:
 def expect_regex(col: str, pattern: str, mostly: float = 1.0) -> Expectation:
     """values_to_match_regex: share of non-null values matching ``pattern``."""
     hit = F.sum(F.col(col).rlike(pattern).cast("long"))
-    a = {f"{col}__regex": hit, f"{col}__nonnull4": F.count(col)}
+    a = {f"{col}__regex": hit, f"{col}__nonnull": F.count(col)}
     return Expectation(
         f"regex({col}, {pattern!r}, mostly={mostly})",
         a,
-        lambda m: m[f"{col}__nonnull4"] == 0
-        or (m[f"{col}__regex"] or 0) / m[f"{col}__nonnull4"] >= mostly,
+        lambda m: m[f"{col}__nonnull"] == 0
+        or (m[f"{col}__regex"] or 0) / m[f"{col}__nonnull"] >= mostly,
     )
 
 

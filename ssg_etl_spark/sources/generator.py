@@ -50,9 +50,12 @@ def synthetic_transactions(
             F.array(*[F.lit(c) for c in CITIES]),
             ((F.col("id") % len(CITIES)) + 1).cast("int"),
         ).alias("city"),
-        (
-            F.lit("2024-01-01 00:00:00").cast("timestamp")
-            + F.expr("make_interval(0, 0, 0, 0, 0, id, 0)")
+        # Micros arithmetic, not make_interval(..., mins=id, ...): the
+        # interval minutes argument is INT, so id >= 2^31 would silently
+        # wrap under non-ANSI casts. bigint micros hold ~292k years of ids.
+        F.timestamp_micros(
+            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            + F.col("id") * F.lit(60_000_000).cast("bigint")
         ).alias("created_at"),
     )
 

@@ -89,3 +89,29 @@ def test_scd2_duplicate_update_keys_single_current(spark):
     out = M.scd2_apply(current, updates, ["k"], ["v"], "2024-01-01")
     current_rows = [r for r in out.collect() if r.is_current]
     assert len(current_rows) == 1  # invariant: one current version per key
+
+
+def test_merge_upsert_preserves_target_column_order(spark):
+    target = _df(spark, [("a", 1, 10.0)], ["name", "k", "bal"])
+    source = _df(spark, [("b", 2, 20.0)], ["name", "k", "bal"])
+    out = M.merge_upsert(target, source, ["k"])
+    assert out.columns == ["name", "k", "bal"]  # drop-in target rewrite
+
+
+def test_detect_changes_null_key_is_update(spark):
+    target = _df(spark, [(None, "x")], "k int, v string")
+    source = _df(spark, [(None, "y")], "k int, v string")
+    out = M.detect_changes(target, source, ["k"]).collect()
+    assert [(r.k, r.v, r.change_type) for r in out] == [(None, "y", "update")]
+
+
+def test_detect_changes_aligns_columns_by_name(spark):
+    target = _df(spark, [(1, "a", "b")], ["k", "created_by", "updated_by"])
+    source = spark.createDataFrame(
+        [(1, "b", "a")], ["k", "updated_by", "created_by"]
+    )  # same values, different column order
+    assert M.detect_changes(target, source, ["k"]).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.detect_changes(target, source.drop("updated_by"), ["k"])

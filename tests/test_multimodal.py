@@ -31,3 +31,27 @@ def test_frame_sample_plan(spark, sf_dir):
     plan = MM.frame_sample_plan(assets, every_ms=1000)
     n_video = assets.filter("media_type = 'video'").count()
     assert plan.select("asset_id").distinct().count() == n_video
+
+
+def test_extract_features_null_payload_yields_null_row(spark):
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators.multimodal import extract_features, frame_sample_plan
+
+    assets = spark.createDataFrame(
+        [(1, "image", b"abc"), (2, "audio", None)],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = {r.asset_id: r for r in extract_features(assets, fake=True).collect()}
+    assert rows[1].feature is not None and rows[1].payload_bytes == 3
+    assert rows[2].feature is None and rows[2].payload_bytes is None
+
+    # NULL duration keeps the asset in the sample plan (sample_ms NULL).
+    vids = spark.createDataFrame(
+        [(1, "video", 2000), (2, "video", None)],
+        "asset_id long, media_type string, duration_ms long",
+    )
+    plan = frame_sample_plan(vids, every_ms=1000)
+    got = {r.asset_id for r in plan.collect()}
+    assert got == {1, 2}
+    assert plan.filter(F.col("asset_id") == 2).first().sample_ms is None
