@@ -69,6 +69,31 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table for CO-LOCATED joins (SURVEY §4 scale
+    design: 'repartition/bucketing for co-located joins').
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle: each task reads matching bucket files from both
+    sides (the plan shows no Exchange on the join key —
+    ``tests/test_sources.py`` pins this). The in-bucket sort makes the join
+    a streaming merge and improves min/max skipping. This is the parquet
+    analog of the reference's clustered-index landing tables; at 100 TB,
+    bucket the fact and its hot dimension on the join key once at write
+    time and every downstream join of the pair skips its biggest shuffle.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
+
+
 def jdbc_write_options(
     url: str,
     table: str,

@@ -274,3 +274,43 @@ def test_read_excel_sheet_resolution_via_rels(spark, tmp_path):
     schema = T.StructType([T.StructField("v", T.IntegerType())])
     assert read_excel(spark, path, schema, sheet="First").collect()[0].v == 222
     assert read_excel(spark, path, schema, sheet="Second").collect()[0].v == 111
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-bucketed tables must join with NO Exchange on the join key — the
+    whole point of write_bucketed (SURVEY §4 co-located joins)."""
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.sources.sinks import write_bucketed
+
+    fact = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    dim = spark.range(0, 1_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_fact")
+    spark.sql("DROP TABLE IF EXISTS bkt_dim")
+    write_bucketed(fact, "bkt_fact", ["k"], num_buckets=8)
+    write_bucketed(dim, "bkt_dim", ["k"], num_buckets=8)
+    try:
+        # Disable broadcast so the shuffle would be visible if bucketing
+        # didn't line up; AQE off so the initial plan is the executed shape.
+        with_conf = [
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.adaptive.enabled", "false"),
+        ]
+        old = {k: spark.conf.get(k) for k, _ in with_conf}
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        try:
+            joined = spark.table("bkt_fact").join(spark.table("bkt_dim"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning(k" not in plan, plan[:2000]
+            assert joined.count() == 1_000
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_fact")
+        spark.sql("DROP TABLE IF EXISTS bkt_dim")
