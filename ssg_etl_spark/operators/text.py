@@ -152,3 +152,39 @@ def fingerprints(df: DataFrame) -> DataFrame:
         F.md5(norm.cast("binary")).alias("content_fp"),
         bag_fp.alias("bag_fp"),
     )
+
+
+def chunk_documents(
+    df: DataFrame, chunk_words: int = 64, overlap_words: int = 16
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the standard
+    pre-tokenization unit for training-data pipelines (context-window
+    packing, per-chunk dedup/quality filtering).
+
+    Chunk i covers words [i*step, i*step + chunk_words) with
+    step = chunk_words - overlap_words; the final chunk may be short; a
+    document shorter than one chunk yields exactly one chunk. Pure
+    sequence+slice+explode — the chunk explosion is JVM-side and the output
+    grows ~n_words/step per doc, independent of document count skew.
+    """
+    if overlap_words >= chunk_words:
+        raise ValueError("overlap_words must be < chunk_words")
+    step = chunk_words - overlap_words
+    ws = words(F.col("text"))
+    n = F.size(ws)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap_words - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select("doc_id", F.explode(starts).alias("start"), ws.alias("_ws"))
+        .select(
+            "doc_id",
+            (F.col("start") / step).cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("_ws"), F.col("start") + 1, chunk_words), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("_ws"), F.col("start") + 1, chunk_words)).alias(
+                "chunk_words"
+            ),
+        )
+    )

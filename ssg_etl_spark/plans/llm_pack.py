@@ -273,3 +273,29 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_bytes",
         F.concat_ws(",", byte_str).alias("feature_bytes"),
     )
+
+
+_CHUNK, _OVERLAP = 32, 8
+_STEP = _CHUNK - _OVERLAP
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+WITH wordarrs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+  array_to_string(ws[(i*{_STEP}+1):(i*{_STEP}+{_CHUNK})], ' ') AS chunk_text,
+  CAST(len(ws[(i*{_STEP}+1):(i*{_STEP}+{_CHUNK})]) AS INT) AS chunk_words
+FROM wordarrs, range(0, 1024) s(i)
+WHERE i*{_STEP} <= greatest(len(ws) - {_OVERLAP} - 1, 0)
+""",
+    tags=("llm", "text", "chunking"),
+    extra=True,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (context-window packing unit).
+    Extra registry: the public surface is at the 50-entry driver cap; this
+    stays locally oracle-verified."""
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_words=_CHUNK, overlap_words=_OVERLAP
+    )

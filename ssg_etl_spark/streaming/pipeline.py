@@ -147,6 +147,21 @@ def windowed_event_counts(
     )
 
 
+def dedupe_stream(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Exactly-once-ification of an at-least-once source: drop redelivered
+    events by key within the watermark horizon.
+
+    The reference's Kafka consumer re-inserts on redelivery
+    (scripts/test/transform.py poll loop — at-least-once, duplicates land).
+    ``dropDuplicatesWithinWatermark`` keeps first-seen per key and expires
+    its dedup state once the watermark passes — bounded state, unlike a
+    plain dropDuplicates which would grow forever on a stream.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def foreach_batch_upsert(target_path: str, keys: list[str], seq_col: str | None = None):
     """M13: CDC apply as a foreachBatch merge into a parquet target.
 

@@ -32,3 +32,40 @@ def test_exact_dedup_counts(spark, sf_dir):
     groups = dedup.exact_dedup_groups(docs)
     total = groups.agg({"n_duplicates": "sum"}).first()[0]
     assert total == docs.count()  # partition of the corpus
+
+
+def test_chunk_documents_invariants(spark):
+    from ssg_etl_spark.operators.text import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_words=32, overlap_words=8)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk_text, r.chunk_words) for r in out.collect())
+    )
+    by_doc = {}
+    for d, c, t, n in rows:
+        by_doc.setdefault(d, []).append((c, t, n))
+
+    # Doc 1: chunks step by 24, each ≤32 words, consecutive chunks share
+    # the 8-word overlap, and stitching steps reconstructs the document.
+    chunks1 = by_doc[1]
+    assert [c for c, _, _ in chunks1] == list(range(len(chunks1)))
+    assert all(n <= 32 for _, _, n in chunks1)
+    stitched = chunks1[0][1].split()
+    for _, t, _ in chunks1[1:]:
+        w = t.split()
+        assert stitched[-8:] == w[:8]  # overlap agrees
+        stitched.extend(w[8:])
+    assert stitched == long_text.split()
+    # Short doc → one whole chunk; empty doc → one chunk of its one token.
+    assert by_doc[2] == [(0, "short doc", 2)]
+    assert len(by_doc[3]) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_words=8, overlap_words=8)

@@ -210,3 +210,45 @@ def test_stateful_late_strays_merge_into_one_session(spark, tmp_path):
             5.0,
         )
     ]
+
+
+def test_dedupe_stream_drops_redelivered_events(spark, tmp_path):
+    """At-least-once redelivery (same event_id in a later micro-batch)
+    must come out once; distinct events all survive."""
+    import datetime as dt
+    import os
+    import time
+
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.streaming.pipeline import dedupe_stream, events_file_stream
+
+    src = str(tmp_path / "src")
+    day = dt.datetime(2024, 1, 1)
+
+    def write_batch(rows, mtime_offset):
+        df = spark.createDataFrame(rows, EVENTS)
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        df.coalesce(1).write.mode("append").parquet(src)
+        t = time.time() + mtime_offset
+        for f in set(os.listdir(src)) - before:
+            os.utime(os.path.join(src, f), (t, t))
+
+    e1 = (1, day, 7, "click", 1.0, None)
+    e2 = (2, day + dt.timedelta(minutes=1), 7, "view", 2.0, None)
+    e3 = (3, day + dt.timedelta(minutes=2), 8, "click", 3.0, None)
+    write_batch([e1, e2], -120)
+    write_batch([e2, e3], -60)  # e2 redelivered in the next micro-batch
+
+    out = str(tmp_path / "deduped")
+    q = (
+        dedupe_stream(events_file_stream(spark, src), ["event_id"], watermark="2 hours")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
