@@ -188,3 +188,36 @@ def chunk_documents(
             ),
         )
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    TF = term count within the document; IDF = ln(N / df_t) with document
+    frequency over DISTINCT (doc, term). Classic corpus-analysis op for
+    training-data inspection (what is this document about / near-dup
+    clustering features). One explode + two aggregations + a broadcast-sized
+    term-frequency join; ranking is a per-document window (rank-limit
+    pushdown). Ties break lexicographically for determinism.
+    """
+    terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .select("term", F.log(F.lit(float(n_docs)) / F.col("df_t")).alias("idf"))
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term_rank", "term", "tfidf")
+    )

@@ -299,3 +299,31 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_words=_CHUNK, overlap_words=_OVERLAP
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+idf AS (
+  SELECT term, ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / COUNT(*)) AS idf
+  FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (term))
+SELECT doc_id, term_rank, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+  FROM scored) t
+WHERE term_rank <= 5
+""",
+    tags=("llm", "text", "tfidf"),
+    extra=True,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (corpus characterization). Extra
+    registry: locally oracle-verified, off the 50-entry driver surface."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)

@@ -69,3 +69,25 @@ def test_chunk_documents_invariants(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_words=8, overlap_words=8)
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from ssg_etl_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common yak yak"),
+            (3, "common xylophone"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.term_rank): (r.term, r.tfidf)
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    # 'common' appears in every doc → idf = ln(3/3) = 0 → never rank 1.
+    assert out[(1, 1)][0] == "zebra"
+    assert out[(2, 1)][0] == "yak"
+    assert out[(3, 1)][0] == "xylophone"
+    assert all(v[1] == 0.0 for k, v in out.items() if v[0] == "common")
