@@ -167,8 +167,11 @@ def chunk_documents(
     sequence+slice+explode — the chunk explosion is JVM-side and the output
     grows ~n_words/step per doc, independent of document count skew.
     """
-    if overlap_words >= chunk_words:
-        raise ValueError("overlap_words must be < chunk_words")
+    if not (0 <= overlap_words < chunk_words):
+        raise ValueError(
+            "need 0 <= overlap_words < chunk_words (negative overlap would "
+            "silently skip words between chunks)"
+        )
     step = chunk_words - overlap_words
     ws = words(F.col("text"))
     n = F.size(ws)
@@ -202,11 +205,14 @@ def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
     """
     terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    # N stays a lazy one-row aggregate (crossJoin broadcasts it) — a
+    # .first() here would run a real job at plan-CONSTRUCTION time.
+    n_docs = df.agg(F.countDistinct("doc_id").cast("double").alias("_n"))
     idf = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_t"))
-        .select("term", F.log(F.lit(float(n_docs)) / F.col("df_t")).alias("idf"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", F.log(F.col("_n") / F.col("df_t")).alias("idf"))
     )
     scored = tf.join(idf, "term").select(
         "doc_id",

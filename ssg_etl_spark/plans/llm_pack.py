@@ -279,6 +279,9 @@ _CHUNK, _OVERLAP = 32, 8
 _STEP = _CHUNK - _OVERLAP
 
 
+# Like SHINGLES_SQL, the oracle cross-joins a bounded range because DuckDB
+# 1.0 cannot lateral-join a column-dependent generate_series: 1024 chunk
+# slots cover documents up to ~24k words (testdata documents are ≤ ~100).
 @register(
     "doc_chunks",
     oracle=f"""

@@ -80,12 +80,31 @@ def compact_parquet(
     Long-running incremental pipelines accrete one small file per
     run/partition; at object-store scale the listing + open overhead of
     10^6 tiny files dominates scan time. Sizing uses the dataset's actual
-    on-disk bytes (driver-side os.walk — metadata, not row data). The
-    rewrite is staged-then-swapped like foreach_batch_upsert, so a crash
-    leaves either the old or the new layout, never half of one.
+    on-disk bytes (driver-side os.walk — metadata, not row data); a
+    Hive-partitioned layout (``key=value`` directories) is preserved, with
+    partition-column type inference disabled so ``src=01`` doesn't come
+    back as bigint 1. The rewrite is staged-then-swapped with the same
+    crash recovery as foreach_batch_upsert: completed staging + missing
+    target → finish the swap; stale staging next to an intact target →
+    discard and recompute. Local-FS only — on an object store use a
+    transactional table format's OPTIMIZE/rewrite instead (this guard
+    raises rather than funneling a remote dataset through one task).
     """
     import os
     import shutil
+
+    if "://" in path:
+        raise ValueError(
+            "compact_parquet sizes and swaps via the local filesystem; for "
+            f"remote storage ({path!r}) use the table format's compaction"
+        )
+    staging = path.rstrip("/") + "__compact"
+    # Crash recovery from a previous interrupted compaction.
+    if os.path.exists(staging):
+        if os.path.exists(path):
+            shutil.rmtree(staging)
+        else:
+            os.rename(staging, path)
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -93,9 +112,34 @@ def compact_parquet(
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, -(-total // target_file_bytes))  # ceil
-    staging = path.rstrip("/") + "__compact"
-    df = spark.read.parquet(path)
-    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+
+    # Detect Hive-style partition directories (one branch is enough — the
+    # layout is uniform) so the rewrite keeps the pruning structure.
+    part_cols: list[str] = []
+    probe = path
+    while True:
+        subdirs = [
+            d for d in os.listdir(probe)
+            if "=" in d and os.path.isdir(os.path.join(probe, d))
+        ]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subdirs[0])
+
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")  # keep partition values verbatim
+    try:
+        df = spark.read.parquet(path)  # file index resolves here
+    finally:
+        spark.conf.set(infer_key, old_infer)
+    writer = (
+        df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+    ).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
     shutil.rmtree(path)
     os.rename(staging, path)
     return n_files
@@ -121,7 +165,13 @@ def write_bucketed(
     bucket the fact and its hot dimension on the join key once at write
     time and every downstream join of the pair skips its biggest shuffle.
     """
-    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    # Pre-shuffle onto the bucket keys: without it every upstream task
+    # writes its own file per bucket (P × num_buckets small files, and each
+    # bucket fragmented across P files — the opposite of the point).
+    arranged = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    writer = (
+        arranged.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    )
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     writer.saveAsTable(table)
 

@@ -333,3 +333,31 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     after_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(after_files) == n == 1  # tiny dataset → one file
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+
+
+def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "part")
+    for i in range(6):  # several appends → several files per partition dir
+        spark.range(i * 5, (i + 1) * 5).select(
+            F.col("id"), F.format_string("%02d", F.col("id") % 2).alias("src")
+        ).write.partitionBy("src").mode("append").parquet(path)
+    before = sorted((r.id, r.src) for r in spark.read.parquet(path).collect())
+
+    compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    # Hive layout preserved, partition values verbatim (no '01' -> 1).
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("src=")
+    ) == ["src=00", "src=01"]
+    after = sorted((r.id, r.src) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, "s3a://bucket/ds")
