@@ -147,21 +147,34 @@ def minhash_lsh_pairs(
     return verified.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
 
-def simhash_signatures(documents: DataFrame, bits: int = 64) -> DataFrame:
+def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
     """Per-document SimHash: sign of the per-bit sum of shingle-hash bits.
 
     3-word shingles (same unit as MinHash — single words are not
-    discriminative when the corpus shares a vocabulary) → xxhash64 per
-    shingle → per-bit ±1 votes → sign vector packed into a long. JVM-side
-    via explode over bit positions.
+    discriminative when the corpus shares a vocabulary) → 60-bit
+    md5-derived hash per shingle → per-bit ±1 votes → sign vector packed
+    into a long. JVM-side via explode over bit positions.
+
+    The shingle hash is the first 15 hex chars of md5 (60 bits): md5 is
+    engine-portable (DuckDB computes the identical digest), and 60 bits fit
+    a signed BIGINT in both engines without overflow games — which makes
+    the whole signature + Hamming pipeline SQL-expressible for the oracle.
+    xxhash64 would be cheaper per shingle at 100 TB, but the signature cost
+    is dominated by the shuffle, not the hash.
     """
     shingles = word_shingles(documents).withColumnRenamed("shingle", "w")
-    bit_votes = shingles.select(
+    hashed = shingles.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bit_votes = hashed.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bits - 1}), "
-                f"b -> struct(b as bit, CASE WHEN (shiftright(xxhash64(w), b) & 1) = 1 THEN 1 ELSE -1 END as vote))"
+                f"b -> struct(b as bit, CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END as vote))"
             )
         ).alias("bv"),
     ).select("doc_id", F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
@@ -175,13 +188,18 @@ def simhash_signatures(documents: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def simhash_pairs(
-    documents: DataFrame, bits: int = 64, max_hamming: int = 7
+    documents: DataFrame, bits: int = 60, max_hamming: int = 7
 ) -> DataFrame:
     """SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) ≤ k.
 
-    Candidate generation is banded (8 bytes of the signature → docs sharing
-    any byte meet); with k ≤ 7 over 8 bands, pigeonhole guarantees every
-    qualifying pair shares at least one exact band — no recall loss.
+    Candidate generation is banded (8 equal chunks of the signature → docs
+    sharing any chunk meet); with k ≤ 7 differing bits over 8 bands,
+    pigeonhole guarantees every qualifying pair shares at least one exact
+    band — no recall loss. With 60-bit signatures the bands cover bits
+    0..55; the uncovered top bits can only ADD candidates (two docs
+    differing solely there still share all 8 bands), and membership is
+    decided by the exact Hamming filter over the full signature, so the
+    guarantee is intact.
     """
     # Persisted: the banded candidate generation SELF-joins the signature
     # table; without caching the two-aggregation signature plan runs twice.

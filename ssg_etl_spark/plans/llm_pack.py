@@ -69,12 +69,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
 
 
-@register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
+# The banded candidate join is lossless for Hamming ≤ 7 (pigeonhole over 8
+# bands), so the oracle can use the straightforward O(N²) signature
+# comparison: same 60-bit md5-derived shingle hash, same ±1 bit votes, same
+# sign packing — bit-identical signatures in both engines.
+SIMHASH_SQL = f"""
+WITH {SHINGLES_SQL},
+hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM shingles),
+bitvotes AS (
+  SELECT doc_id, g.bit AS bit,
+    CASE WHEN (h >> g.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM hashed, range(0, 60) g(bit)),
+perbit AS (SELECT doc_id, bit, SUM(vote) AS v FROM bitvotes GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+      AS simhash
+  FROM perbit GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+"""
+
+
+@register("dedup_simhash", oracle=SIMHASH_SQL, tags=("llm", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 7 over 64-bit signatures, 8-band
-    candidate generation — lossless for that bound by pigeonhole).
-    Hash-defined output → rows-only check; correctness is pinned by the
-    pytest suite (planted near-dups recovered, disjoint docs rejected)."""
+    """SimHash near-dup pairs (Hamming ≤ 7 over 60-bit md5-derived
+    signatures, 8-band candidate generation — lossless for that bound by
+    pigeonhole, so the exact pairwise oracle is the same set)."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -125,11 +151,52 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk", oracle=None, tags=("llm", "similarity"))
+# The LSH pipeline is fully deterministic (anchors are the first 24 corpus
+# vectors; buckets are dot-product sign patterns), so the oracle replays the
+# identical pipeline with DuckDB list lambdas: 8 tables × 3 hyperplane bits,
+# bucket = the 3-bit pattern as an integer, candidates = any shared
+# (table, bucket), then exact cosine rank — the same rows, approximation
+# included.
+ANN_LSH_SQL = f"""
+WITH alist AS (
+  SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS anchors
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 24)),
+ebits AS (
+  SELECT e.vec_id,
+    list_transform(al.anchors,
+      x -> CASE WHEN list_dot_product(x, CAST(e.embedding AS DOUBLE[])) > 0
+           THEN 1 ELSE 0 END) AS bits
+  FROM embeddings e, alist al),
+ebuckets AS (
+  SELECT vec_id, t.t AS tbl,
+    bits[t.t*3+1]*4 + bits[t.t*3+2]*2 + bits[t.t*3+3] AS bucket
+  FROM ebits, range(0, 8) t(t)),
+qbuckets AS (
+  SELECT vec_id AS query_id, tbl, bucket FROM ebuckets WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, e.vec_id
+  FROM ebuckets e JOIN qbuckets q USING (tbl, bucket)
+  WHERE e.vec_id <> q.query_id),
+scored AS (
+  SELECT c.query_id, c.vec_id, {COSINE_SQL} AS cosine_sim
+  FROM cand c
+  JOIN embeddings a ON c.vec_id = a.vec_id
+  JOIN embeddings b ON c.query_id = b.vec_id)
+SELECT query_id, rank, vec_id, cosine_sim FROM (
+  SELECT query_id, vec_id, cosine_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)
+      AS rank
+  FROM scored) t
+WHERE rank <= 10
+"""
+
+
+@register("ann_lsh_topk", oracle=ANN_LSH_SQL, tags=("llm", "similarity"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via anchor-hyperplane LSH buckets — the scale path
-    (recall < 1 by design → rows-only check; pytest asserts recall vs the
-    exact baseline)."""
+    """Approximate top-k via anchor-hyperplane LSH buckets — the scale path.
+    Deterministic anchors + sign-pattern buckets make the whole pipeline
+    (approximation included) replayable as SQL, so the oracle checks the
+    exact candidate/rank set, not just recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
