@@ -21,6 +21,33 @@ from pyspark.sql import functions as F
 
 from ssg_etl_spark.operators.text import normalize_text, word_shingles
 
+# Shingles present in more documents than this are dropped before any
+# shingle-equality self-join. A ubiquitous shingle (a stopword trigram on a
+# web-scale corpus) shared by 10^6 docs would otherwise create a 10^12-row
+# candidate hotspot in one join key. Dropping it from the shingle UNIVERSE
+# (sizes and intersections both) keeps Jaccard internally consistent: the
+# similarity is computed over the discriminative-shingle space. 1000 keeps
+# the worst per-shingle fanout at ~500k pairs per key — executor-sized.
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
+def _cap_shingle_df(shingles: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The hot-shingle list is corpus-size/max_df at worst, so AQE broadcasts
+    the anti-join side in practice; the df aggregation shuffles on the same
+    key the downstream self-join would, and removes its skew.
+    """
+    if max_df is None:
+        return shingles
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    return shingles.join(hot, "shingle", "left_anti")
+
 
 def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     """Exact duplicate grouping on normalized-content digest.
@@ -70,10 +97,18 @@ def _shingle_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
     return jacc.filter(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
     """Exact 3-word-shingle Jaccard near-duplicate pairs (the small-scale
-    baseline the approximate methods are verified against)."""
-    return _shingle_jaccard(word_shingles(documents), threshold)
+    baseline the approximate methods are verified against). Jaccard is over
+    the df-capped shingle space (see :data:`DEFAULT_MAX_SHINGLE_DF`)."""
+    # Persisted: the capped shingle set feeds the size aggregation and both
+    # sides of the intersection self-join.
+    capped = _cap_shingle_df(word_shingles(documents), max_shingle_df).persist()
+    return _shingle_jaccard(capped, threshold)
 
 
 def minhash_lsh_pairs(
@@ -81,6 +116,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 64,
     rows_per_band: int = 2,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs with exact verification.
 
@@ -95,7 +131,11 @@ def minhash_lsh_pairs(
     # Shingling (split+explode+distinct, one shuffle) feeds three plan
     # branches (signatures, candidate sizes, candidate self-join); persist
     # so it computes once. MEMORY_AND_DISK + LRU eviction keeps this safe.
-    shingles = word_shingles(documents).persist()
+    # The df cap is applied to the FULL corpus before anything else, so the
+    # signatures, the verification sizes, and the verification intersections
+    # all see the same capped shingle universe (candidate-subset df would
+    # drift from the exact operator's corpus-wide cap).
+    shingles = _cap_shingle_df(word_shingles(documents), max_shingle_df).persist()
 
     # One row per doc × 64 longs — |docs|-sized, not |shingles|-sized.
     # Persisted because the bucket SELF-join consumes it twice (x and y

@@ -22,12 +22,18 @@ shingles AS (
   FROM wordarrs, range(1, 1024) g(i) WHERE i <= len(ws) - 2)
 """
 
+# Mirrors dedup.DEFAULT_MAX_SHINGLE_DF: Jaccard is over the df-capped
+# shingle universe in both engines (hot-shingle skew guard for the
+# shingle-equality self-join).
 JACCARD_SQL = f"""
 WITH {SHINGLES_SQL},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+capped AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {dedup.DEFAULT_MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
   CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard

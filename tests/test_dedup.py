@@ -27,6 +27,33 @@ def test_simhash_no_false_positives_and_decent_recall(spark, sf_dir):
     assert not (sim - exact), "simhash found pairs the exact method rejects"
 
 
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """A ubiquitous stopword trigram must not create quadratic candidates:
+    with the df cap, pairs related ONLY through the hot shingle disappear,
+    while genuinely similar pairs (sharing many rare shingles) survive."""
+    hot = "of the and"
+    # 40 docs that all contain the hot trigram but are otherwise disjoint…
+    docs = [(i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(40)]
+    # …plus one planted near-dup pair sharing all its rare shingles.
+    docs += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = _pairs(dedup.ngram_jaccard_pairs(df, 0.0, max_shingle_df=None))
+    capped = _pairs(dedup.ngram_jaccard_pairs(df, 0.0, max_shingle_df=10))
+    # Uncapped: every pair of the 40 hot docs meets through "of the and"
+    # (plus its 2-shingle window) → ~780 junk pairs. Capped: all gone.
+    assert len(uncapped) >= 780
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped), "hot-only pairs must be pruned"
+
+    # MinHash path applies the same corpus-wide cap.
+    mh = _pairs(dedup.minhash_lsh_pairs(df, 0.5, max_shingle_df=10))
+    assert mh == {(100, 101)}
+
+
 def test_exact_dedup_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = dedup.exact_dedup_groups(docs)
