@@ -199,12 +199,15 @@ def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
     TF = term count within the document; IDF = ln(N / df_t) with document
     frequency over DISTINCT (doc, term). Classic corpus-analysis op for
     training-data inspection (what is this document about / near-dup
-    clustering features). One explode + two aggregations + a broadcast-sized
-    term-frequency join; ranking is a per-document window (rank-limit
-    pushdown). Ties break lexicographically for determinism.
+    clustering features). One explode + two aggregations + a term join
+    (idf is vocabulary-sized — AQE picks the strategy); ranking is a
+    per-document window (rank-limit pushdown). Ties break
+    lexicographically for determinism.
     """
     terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds two plan branches (the idf aggregation and the scored join);
+    # persist so the explode+groupBy runs once, not per branch.
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     # N stays a lazy one-row aggregate (crossJoin broadcasts it) — a
     # .first() here would run a real job at plan-CONSTRUCTION time.
     n_docs = df.agg(F.countDistinct("doc_id").cast("double").alias("_n"))

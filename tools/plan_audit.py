@@ -48,6 +48,7 @@ AUDIT_DEFAULT = [
     "valuation_recompute",
     "merge_upsert",
     "cdc_batch_apply",
+    "tfidf_top_terms",
 ]
 
 
@@ -149,7 +150,14 @@ def audit_one(name: str, df, plan: str) -> list[str]:
     notes.append(p)
 
     notes.append(
-        f"exchanges={counts.get('Exchange', 0)} reused={counts.get('ReusedExchange', 0)}"
+        "exchanges={} reused={} generates={}".format(
+            counts.get("Exchange", 0),
+            counts.get("ReusedExchange", 0),
+            # Generate = explode stages. A plan whose explode feeds multiple
+            # branches without a persist shows one Generate per branch —
+            # that duplication is the thing to catch here.
+            counts.get("Generate", 0),
+        )
     )
     return notes
 
