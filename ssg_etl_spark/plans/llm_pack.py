@@ -117,9 +117,7 @@ list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
 """
 
 
-@register(
-    "embedding_cosine_topk",
-    oracle=f"""
+COSINE_TOPK_SQL = f"""
 WITH scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS vec_id, {COSINE_SQL} AS cosine_sim
   FROM embeddings a, embeddings b
@@ -129,7 +127,12 @@ SELECT query_id, rank, vec_id, cosine_sim FROM (
     row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
   FROM scored) t
 WHERE rank <= 10
-""",
+"""
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=COSINE_TOPK_SQL,
     tags=("llm", "similarity"),
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,6 +211,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return similarity.lsh_bucketed_topk(emb, queries, k=10)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=COSINE_TOPK_SQL,
+    tags=("llm", "similarity"),
+    extra=True,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN exactness query: with n_probe == n_cells
+    every cell is probed, so the index must return exactly the brute-force
+    top-k — the strongest oracle an ANN structure admits (it exercises
+    training, assignment, probing, and re-ranking end to end; any drift in
+    cell assignment or tie-breaking flips the hash). Default-probe recall
+    is pinned separately by tests/test_similarity.py. Extra registry: the
+    public surface is at the 50-entry driver cap."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=16)
 
 
 _EN_STOPWORDS = ",".join(f"'{w}'" for w in text.LANG_LEXICONS["en"])
