@@ -427,3 +427,69 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (corpus characterization). Extra
     registry: locally oracle-verified, off the 50-entry driver surface."""
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+# Composition pipeline: chunk → per-chunk quality filter → exact dedup.
+# This is the canonical LLM training-data shape (context-window packing,
+# then quality gating, then dedup at the chunk grain); one oracle pins the
+# composed semantics, not just each stage in isolation.
+_CHUNK_PIPE_SQL = rf"""
+WITH wordarrs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+chunks AS (
+  SELECT doc_id * 1024 + i AS chunk_key,
+    array_to_string(ws[(i*{_STEP}+1):(i*{_STEP}+{_CHUNK})], ' ') AS text
+  FROM wordarrs, range(0, 1024) s(i)
+  WHERE i*{_STEP} <= greatest(len(ws) - {_OVERLAP} - 1, 0)),
+nonempty AS (SELECT chunk_key, text FROM chunks WHERE length(text) > 0),
+m AS (
+  SELECT chunk_key, text,
+    length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_words,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains([{{stopwords}}], w))) AS stop_hits,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM nonempty),
+keep AS (
+  SELECT chunk_key, text FROM m
+  WHERE round(
+      CAST(stop_hits AS DOUBLE) / n_words * 0.5
+      + CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+             BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
+      + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1
+             THEN 0.2 ELSE 0.0 END, 6) >= 0.3),
+norm AS (
+  SELECT chunk_key,
+    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+  FROM keep)
+SELECT content_hash, MIN(chunk_key) AS canonical_chunk,
+  COUNT(*) AS n_duplicates
+FROM norm GROUP BY 1
+"""
+
+
+@register(
+    "llm_chunk_quality_dedup",
+    oracle=_CHUNK_PIPE_SQL.format(stopwords=_EN_STOPWORDS),
+    tags=("llm", "text", "dedup", "pipeline"),
+    extra=True,
+)
+def llm_chunk_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end chunk-grain pipeline: overlapping 32/8 word chunks →
+    quality score per chunk → keep score ≥ 0.3 → exact dedup over the
+    surviving chunks. Chunk keys are doc_id*1024 + chunk_id (chunk counts
+    are bounded by the chunker's 1024-slot window in both engines). Extra
+    registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, chunk_words=_CHUNK, overlap_words=_OVERLAP)
+    keyed = chunks.filter(F.length("chunk_text") > 0).select(
+        (F.col("doc_id") * 1024 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    good = text.text_metrics(keyed).filter(F.col("quality_score") >= 0.3)
+    keep = keyed.join(good.select("doc_id"), "doc_id", "left_semi")
+    groups = dedup.exact_dedup_groups(keep)
+    return groups.select(
+        "content_hash",
+        F.col("canonical_doc_id").alias("canonical_chunk"),
+        "n_duplicates",
+    )
