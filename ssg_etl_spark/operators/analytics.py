@@ -41,7 +41,10 @@ def top_products(lineitem: DataFrame, part: DataFrame, k: int = 10) -> DataFrame
 
 
 def product_association(
-    orders_items: DataFrame, k: int = 20, max_basket_size: int | None = 1000
+    orders_items: DataFrame,
+    k: int = 20,
+    max_basket_size: int | None = 1000,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Market-basket pair frequencies (scripts/SQL/Product_Association.sql:4-23).
 
@@ -58,6 +61,13 @@ def product_association(
     pair count at N·(N−1)/2. Orders in this data model hold ≤7 items, so
     the default cap never fires here (oracle-identical); it exists for the
     heavy-tail corpora where it must. ``None`` disables it (exact mode).
+
+    ``n_salts`` switches the pair-count aggregation to the two-stage
+    salted form (operators/skew.py): when one PAIR dominates (two staple
+    items co-bought everywhere), map-side partials still converge on a
+    single hot reducer for the final count; salting on the basket id
+    spreads that key over ``n_salts`` reducers first. Exact — counts are
+    decomposable — so the output is identical to the unsalted plan.
     """
     items = orders_items.select("basket_id", "item_id").distinct()
     if max_basket_size is not None:
@@ -69,15 +79,25 @@ def product_association(
         )
     a = items.alias("a")
     b = items.alias("b")
-    pairs = (
+    pair_rows = (
         a.join(b, F.col("a.basket_id") == F.col("b.basket_id"))
         .filter(F.col("a.item_id") < F.col("b.item_id"))
-        .groupBy(
+        .select(
             F.col("a.item_id").alias("item_a"),
             F.col("b.item_id").alias("item_b"),
+            F.col("a.basket_id").alias("_spread"),
         )
-        .agg(F.count(F.lit(1)).alias("frequency"))
     )
+    if n_salts:
+        from ssg_etl_spark.operators.skew import salted_count
+
+        pairs = salted_count(
+            pair_rows, ["item_a", "item_b"], "_spread", n_salts, alias="frequency"
+        )
+    else:
+        pairs = pair_rows.groupBy("item_a", "item_b").agg(
+            F.count(F.lit(1)).alias("frequency")
+        )
     return pairs.orderBy(F.desc("frequency"), F.asc("item_a"), F.asc("item_b")).limit(k)
 
 

@@ -59,6 +59,25 @@ def salted_sum_count(
     )
 
 
+def salted_count(
+    df: DataFrame,
+    keys: list[str],
+    spread: str,
+    n_salts: int = 16,
+    alias: str = "n_rows",
+) -> DataFrame:
+    """Skew-safe ``groupBy(keys).count()`` (two-stage; exact — counts are
+    decomposable). Use when one key's row count dwarfs the rest and the
+    map-side partial still leaves a hot reducer (many partitions all
+    feeding the same final key)."""
+    stage1 = (
+        df.withColumn("_salt", salt_col(spread, n_salts))
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_pcnt"))
+    )
+    return stage1.groupBy(*keys).agg(F.sum("_pcnt").alias(alias))
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

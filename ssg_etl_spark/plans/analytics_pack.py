@@ -60,6 +60,32 @@ def product_association(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "product_association_salted",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem)
+SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS frequency
+FROM items a JOIN items b ON a.basket_id = b.basket_id AND a.item_id < b.item_id
+GROUP BY 1, 2
+ORDER BY frequency DESC, item_a ASC, item_b ASC
+LIMIT 20
+""",
+    tags=("J3", "A11", "skew"),
+    extra=True,
+)
+def product_association_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted twin of product_association: the pair-count aggregation runs
+    the two-stage form from operators/skew.py (salt on basket id). Counts
+    are decomposable, so it shares the unsalted oracle — hot-pair skew
+    evidence through a real query path, not just a unit test. Extra
+    registry: the public surface is at the 50-entry driver cap."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item_id")
+    )
+    return analytics.product_association(baskets, k=20, n_salts=16)
+
+
+@register(
     "retention_split",
     oracle="""
 WITH per_cust AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)

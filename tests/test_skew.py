@@ -78,6 +78,27 @@ def test_product_association_hot_basket_cap(spark):
     assert exact.count() == 200 * 199 // 2
 
 
+def test_product_association_salted_equals_unsalted(spark):
+    """Hot-pair corpus (two staple items co-bought in almost every basket)
+    through the QUERY path: the salted two-stage pair count must return
+    exactly the unsalted result — same pairs, same frequencies, same
+    top-k order."""
+    from ssg_etl_spark.operators.analytics import product_association
+
+    # 500 baskets all containing the staple pair (1, 2); every 5th basket
+    # adds a long-tail item, so frequencies span hot and cold keys.
+    rows = [(b, i) for b in range(500) for i in (1, 2)]
+    rows += [(b, 100 + b % 7) for b in range(0, 500, 5)]
+    df = spark.createDataFrame(rows, "basket_id int, item_id int")
+
+    unsalted = product_association(df, k=50)
+    salted = product_association(df, k=50, n_salts=16)
+    want = [(r.item_a, r.item_b, r.frequency) for r in unsalted.collect()]
+    got = [(r.item_a, r.item_b, r.frequency) for r in salted.collect()]
+    assert got == want
+    assert want[0] == (1, 2, 500)  # the hot pair really is hot
+
+
 def test_global_row_number_handles_null_prefix(spark):
     """NULL prefix values sort first (ascending NULLS FIRST) and keep their
     rows — the histogram join is null-safe."""
