@@ -5,13 +5,17 @@ factor and prints ONE JSON line with per-query and total wall times.
 
 Each query is forced with a `noop` write (full computation, no sink cost),
 after a small untimed JVM warm-up. Times are end-to-end per query, including
-Catalyst planning.
+Catalyst planning. Each query runs SPARK_GRAFT_TRIALS times (default 3) and
+reports the per-query MEDIAN — single-run walls on a shared box swing ±40%
+and have mislead round-over-round comparison before (a 0.4 s query read as
+a 55% regression with zero code change).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -62,13 +66,19 @@ def main() -> None:
     # Untimed warm-up: spin up executors, JIT the scan path.
     force(qs["kpi_totals"](spark, sf_dir))
 
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(trials):
+            t0 = time.time()
+            # Rebuild per trial: planning cost is part of the measurement,
+            # and a cached logical plan would make later trials free.
+            force(qs[name](spark, sf_dir))
+            walls.append(time.time() - t0)
+        timings[name] = round(statistics.median(walls), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -28,7 +28,15 @@ DEFAULT_CONF: dict[str, str] = {
     # Arrow transfer for applyInPandas / mapInPandas / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Dimension tables (region/nation/customer-sized) should broadcast.
+    # 64 MB is sized for this single-JVM local mode; on a cluster both
+    # thresholds should ride executor memory (64 MB × concurrent tasks is
+    # real heap).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The AQE twin of the knob above: planner-time estimates for a join
+    # side behind a shuffle are conservative (full-row-width scans), so a
+    # sort-merge join whose ACTUAL shuffled side is small only converts to
+    # broadcast if this runtime threshold is set; it defaults to unset.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # ANSI off: the reference's SQL dialects (T-SQL/PG) are non-ANSI w.r.t.
     # silent casts; we coerce explicitly instead.
     "spark.sql.ansi.enabled": "false",
