@@ -76,21 +76,25 @@ def expect_between(col: str, lo, hi, mostly: float = 1.0) -> Expectation:
     )
 
 
+# The scalar-bound expectations pass VACUOUSLY on an empty or all-NULL
+# column (nonnull == 0), matching the mostly-style expectations above and
+# Great Expectations semantics — a no-rows input asserts nothing. A strict
+# "must have data" check composes as expect_row_count_between(1, ...).
 def expect_max_between(col: str, lo, hi) -> Expectation:
-    a = {f"{col}__max": F.max(col)}
+    a = {f"{col}__max": F.max(col), f"{col}__nonnull": F.count(col)}
     return Expectation(
         f"max_between({col}, {lo}, {hi})",
         a,
-        lambda m: m[f"{col}__max"] is not None and lo <= m[f"{col}__max"] <= hi,
+        lambda m: m[f"{col}__nonnull"] == 0 or lo <= m[f"{col}__max"] <= hi,
     )
 
 
 def expect_mean_between(col: str, lo, hi) -> Expectation:
-    a = {f"{col}__mean": F.avg(col)}
+    a = {f"{col}__mean": F.avg(col), f"{col}__nonnull": F.count(col)}
     return Expectation(
         f"mean_between({col}, {lo}, {hi})",
         a,
-        lambda m: m[f"{col}__mean"] is not None and lo <= m[f"{col}__mean"] <= hi,
+        lambda m: m[f"{col}__nonnull"] == 0 or lo <= m[f"{col}__mean"] <= hi,
     )
 
 
@@ -107,11 +111,11 @@ def expect_regex(col: str, pattern: str, mostly: float = 1.0) -> Expectation:
 
 
 def expect_min_between(col: str, lo, hi) -> Expectation:
-    a = {f"{col}__min": F.min(col)}
+    a = {f"{col}__min": F.min(col), f"{col}__nonnull": F.count(col)}
     return Expectation(
         f"min_between({col}, {lo}, {hi})",
         a,
-        lambda m: m[f"{col}__min"] is not None and lo <= m[f"{col}__min"] <= hi,
+        lambda m: m[f"{col}__nonnull"] == 0 or lo <= m[f"{col}__min"] <= hi,
     )
 
 

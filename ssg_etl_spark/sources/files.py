@@ -114,10 +114,20 @@ def _xlsx_rows(path: str, sheet: str | None = None) -> list[list[str | None]]:
             if resolved is not None and resolved in zf.namelist():
                 target = resolved
             else:
-                # Minimal packages without rels: fall back to declared order
-                # over numerically-sorted sheet parts.
-                names = list(name_to_rid)
-                target = sheet_paths[names.index(sheet)]
+                # No workbook rels (or a dangling r:id): refuse rather than
+                # guess. Mapping declared sheet order positionally onto
+                # numerically-sorted sheetN.xml parts silently returns the
+                # WRONG sheet's rows whenever the two orders differ — the
+                # orders are independent in OOXML. Real xlsx writers always
+                # emit workbook rels, so this only fires on hand-rolled
+                # packages where being loud is the right behavior.
+                raise ValueError(
+                    f"cannot resolve sheet {sheet!r} in {path}: workbook "
+                    "relationships are missing or do not map its r:id to a "
+                    "worksheet part (declared sheet order is not reliably "
+                    "aligned with sheetN.xml numbering, so a positional "
+                    "fallback could read the wrong sheet)"
+                )
         root = ET.fromstring(zf.read(target))
         rows: list[list[str | None]] = []
         for row_el in root.iter(f"{{{ns['m']}}}row"):

@@ -83,10 +83,17 @@ def compact_parquet(
     on-disk bytes (driver-side os.walk — metadata, not row data); a
     Hive-partitioned layout (``key=value`` directories) is preserved, with
     partition-column type inference disabled so ``src=01`` doesn't come
-    back as bigint 1. The rewrite is staged-then-swapped with the same
-    crash recovery as foreach_batch_upsert: completed staging + missing
-    target → finish the swap; stale staging next to an intact target →
-    discard and recompute. Local-FS only — on an object store use a
+    back as bigint 1, and each partition is sized INDIVIDUALLY: a salt
+    column bounded by ceil(partition_bytes / target) spreads a huge
+    partition over many right-sized files while tiny partitions stay one
+    file each (repartitioning on the partition columns alone would hash
+    each value into exactly one task → one file per directory regardless
+    of size). Returns the number of data files actually written.
+
+    The swap is RENAME-ONLY (write staging → rename target aside → rename
+    staging in → remove the old copy), so the live dataset is never in a
+    half-deleted state and every crash leaves an unambiguous layout the
+    next run repairs. Local-FS only — on an object store use a
     transactional table format's OPTIMIZE/rewrite instead (this guard
     raises rather than funneling a remote dataset through one task).
     """
@@ -98,20 +105,49 @@ def compact_parquet(
             "compact_parquet sizes and swaps via the local filesystem; for "
             f"remote storage ({path!r}) use the table format's compaction"
         )
-    staging = path.rstrip("/") + "__compact"
-    # Crash recovery from a previous interrupted compaction.
+    base = path.rstrip("/")
+    staging = base + "__compact"
+    old = base + "__old"
+
+    # Crash recovery. Because the swap below only renames, each on-disk
+    # combination identifies where a previous run died:
+    #   old + target          → after the swap, before cleanup: drop old.
+    #   old + staging, no tgt → between the two renames: finish the swap.
+    #   old only              → target vanished externally after the swap
+    #                           machinery started; restore the original.
+    #   staging + target      → before the swap began: target is intact by
+    #                           construction (it is never partially
+    #                           deleted), so staging is safe to discard.
+    #   staging, no target    → legacy interrupted swap: promote staging.
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        elif os.path.exists(staging):
+            os.rename(staging, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
     if os.path.exists(staging):
         if os.path.exists(path):
             shutil.rmtree(staging)
         else:
             os.rename(staging, path)
 
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    def dir_bytes(d: str) -> int:
+        t = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    t += os.path.getsize(os.path.join(root, f))
+        return t
+
+    def data_file_count(d: str) -> int:
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(d)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
 
     # Detect Hive-style partition directories (one branch is enough — the
     # layout is uniform) so the rewrite keeps the pruning structure.
@@ -134,15 +170,57 @@ def compact_parquet(
         df = spark.read.parquet(path)  # file index resolves here
     finally:
         spark.conf.set(infer_key, old_infer)
-    writer = (
-        df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
-    ).write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
+
+    if not part_cols:
+        n_target = max(1, -(-dir_bytes(path) // target_file_bytes))  # ceil
+        arranged = df.repartition(n_target)
+        writer = arranged.write.mode("overwrite")
+    else:
+        # Per-leaf-partition sizes → per-partition salt bounds. The walk
+        # visits exactly len(part_cols) levels of key=value directories.
+        leaves: list[tuple[list[str], int]] = []
+
+        def walk_parts(d: str, vals: list[str]) -> None:
+            if len(vals) == len(part_cols):
+                leaves.append((vals, dir_bytes(d)))
+                return
+            for sub in os.listdir(d):
+                full = os.path.join(d, sub)
+                if "=" in sub and os.path.isdir(full):
+                    walk_parts(full, vals + [sub.split("=", 1)[1]])
+
+        walk_parts(path, [])
+        rows = [
+            (*vals, max(1, -(-size // target_file_bytes))) for vals, size in leaves
+        ]
+        schema = ", ".join(f"`{c}` string" for c in part_cols) + ", `_n_salts` int"
+        salt_map = spark.createDataFrame(rows, schema)
+        n_total = max(1, sum(r[-1] for r in rows))
+        non_part = [c for c in df.columns if c not in part_cols]
+        # Left join tolerates URL-escaped directory names that don't match
+        # the decoded partition value — those partitions fall back to one
+        # file. Salt = deterministic row hash bounded by the partition's
+        # own file budget.
+        arranged = (
+            df.join(F.broadcast(salt_map), part_cols, "left")
+            .withColumn(
+                "_salt",
+                F.pmod(
+                    F.hash(*[F.col(c) for c in non_part]),
+                    F.coalesce(F.col("_n_salts"), F.lit(1)),
+                ),
+            )
+            .repartition(n_total, *[F.col(c) for c in part_cols], F.col("_salt"))
+            .drop("_n_salts", "_salt")
+        )
+        writer = arranged.write.mode("overwrite").partitionBy(*part_cols)
+
     writer.parquet(staging)
-    shutil.rmtree(path)
+    n_written = data_file_count(staging)
+    os.rename(path, old)
     os.rename(staging, path)
-    return n_files
+    shutil.rmtree(old)
+    return n_written
 
 
 def write_bucketed(

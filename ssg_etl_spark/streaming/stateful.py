@@ -28,7 +28,12 @@ SESSION_OUT = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, total_value double"
 )
-_STATE = "start bigint, end bigint, n bigint, v double"  # ts in micros
+# ts in micros; the value accumulator is stored as a long count of 1e-6
+# units (the quantum the batch twin's decimal(28,6) uses), NOT a double —
+# a float64 round-trip would silently drop sub-ULP increments once a
+# session's running total passes ~2^53 micro-units and drift from the
+# decimal-summed batch result. Longs hold ±9.2e12 whole units exactly.
+_STATE = "start bigint, end bigint, n bigint, v_micros bigint"
 _US = 1_000_000
 
 
@@ -120,8 +125,12 @@ def sessionize_stream(
                 }
             )
 
+        def restore(s):
+            # Lossless: v_micros long → exact 6-dp Decimal.
+            return (s[0], s[1], s[2], Decimal(s[3]).scaleb(-6).quantize(q6))
+
         if state.hasTimedOut:
-            cur = state.get
+            cur = restore(state.get)
             state.remove()
             yield emit(cur)
             return
@@ -132,11 +141,7 @@ def sessionize_stream(
             ts_v.extend(zip((ns // 1000).tolist(), pdf["value"].astype(float).tolist()))
         ts_v.sort()
 
-        if state.exists:
-            s0, s1, s2, s3 = state.get
-            cur = (s0, s1, s2, Decimal(repr(s3)).quantize(q6, rounding=ROUND_HALF_UP))
-        else:
-            cur = None
+        cur = restore(state.get) if state.exists else None
         # Late-but-admitted events more than a gap BEFORE the open session
         # closed in event time already; they are sessionized among
         # THEMSELVES (two strays within one gap form ONE session, as the
@@ -162,7 +167,8 @@ def sessionize_stream(
         if stray is not None:
             yield emit(stray)
         if cur is not None:
-            state.update((cur[0], cur[1], cur[2], float(cur[3])))
+            # cur[3] is quantized to 6 dp, so scaleb(6) is exactly integral.
+            state.update((cur[0], cur[1], cur[2], int(cur[3].scaleb(6))))
             # Close via timeout once the watermark passes session_end + gap.
             state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
 

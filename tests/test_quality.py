@@ -36,6 +36,27 @@ def test_mostly_threshold(spark):
     assert Q.suite_passed(ok) and not Q.suite_passed(strict)
 
 
+def test_scalar_bounds_vacuously_pass_on_empty(spark):
+    """min/max/mean bounds assert nothing on an empty or all-NULL column
+    (GE semantics, consistent with the mostly-style expectations); pairing
+    with a row-count floor restores strictness."""
+    empty = spark.createDataFrame([], "x int")
+    nulls = spark.createDataFrame([(None,), (None,)], "x int")
+    suite = [
+        Q.expect_min_between("x", 0, 10),
+        Q.expect_max_between("x", 0, 10),
+        Q.expect_mean_between("x", 0, 10),
+    ]
+    assert Q.suite_passed(Q.run_suite(empty, suite))
+    assert Q.suite_passed(Q.run_suite(nulls, suite))
+    assert not Q.suite_passed(
+        Q.run_suite(empty, suite + [Q.expect_row_count_between(1, 10)])
+    )
+    # Non-empty out-of-bounds still fails.
+    bad = spark.createDataFrame([(99,)], "x int")
+    assert not Q.suite_passed(Q.run_suite(bad, [Q.expect_min_between("x", 0, 10)]))
+
+
 def test_same_column_same_type_expectations_do_not_collide(spark):
     from ssg_etl_spark.operators.quality import expect_between, run_suite
 

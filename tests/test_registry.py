@@ -1,7 +1,9 @@
 """Public-registry contract: the driver evaluates at most the first 50
 entries, so the public surface must stay at/below the cap, ordered with the
-flagship packs first, and rows-only checks must stay the two documented
-exceptions."""
+flagship packs first, and every public query must carry a DuckDB oracle
+(the two former hash-defined exceptions gained oracles in round 3 — the
+SimHash pipeline via an md5-derived signature hash, the LSH ANN pipeline
+via list-lambda replay)."""
 
 from __future__ import annotations
 
@@ -15,9 +17,9 @@ def test_public_registry_contract():
     names = list(public)
     assert names[0] == "gl_enrichment"
     assert names.index("seven_way_join") < 10
-    # Only the two documented hash-defined queries lack oracles.
+    # Every public query is hash-checkable against its oracle.
     no_oracle = {n for n, s in public.items() if not s.oracle}
-    assert no_oracle == {"dedup_simhash", "ann_lsh_topk"}
+    assert no_oracle == set()
 
 
 def test_extra_registry_is_disjoint_and_oracled():

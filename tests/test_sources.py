@@ -151,10 +151,21 @@ def _write_minimal_xlsx(path, header, rows, sheet_name="RefData"):
         + "".join(f"<si><t>{s}</t></si>" for s in strings)
         + "</sst>"
     )
+    # Real xlsx writers always emit workbook rels; the reader refuses to
+    # guess without them (positional fallback could read the wrong sheet).
     workbook = (
         '<?xml version="1.0"?><workbook xmlns='
-        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets>'
-        f'<sheet name="{sheet_name}" sheetId="1"/></sheets></workbook>'
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r='
+        '"http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{sheet_name}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns='
+        '"http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
     )
     types = (
         '<?xml version="1.0"?><Types xmlns='
@@ -164,6 +175,7 @@ def _write_minimal_xlsx(path, header, rows, sheet_name="RefData"):
     with zipfile.ZipFile(path, "w") as zf:
         zf.writestr("[Content_Types].xml", types)
         zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
         zf.writestr("xl/sharedStrings.xml", sst)
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
 
@@ -275,6 +287,21 @@ def test_read_excel_sheet_resolution_via_rels(spark, tmp_path):
     assert read_excel(spark, path, schema, sheet="First").collect()[0].v == 222
     assert read_excel(spark, path, schema, sheet="Second").collect()[0].v == 111
 
+    # Without workbook rels, resolving a sheet BY NAME must refuse loudly
+    # instead of positionally guessing (declared order and sheetN numbering
+    # are independent — a guess can silently read the wrong sheet).
+    import pytest as _pytest
+
+    norels = str(tmp_path / "norels.xlsx")
+    with zipfile.ZipFile(norels, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml(111))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml(222))
+    with _pytest.raises(ValueError, match="workbook relationships"):
+        read_excel(spark, norels, schema, sheet="First")
+    # The default (first worksheet part) still works rels-less.
+    assert read_excel(spark, norels, schema).collect()[0].v == 111
+
 
 def test_bucketed_tables_join_without_shuffle(spark):
     """Co-bucketed tables must join with NO Exchange on the join key — the
@@ -361,3 +388,78 @@ def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_parquet(spark, "s3a://bucket/ds")
+
+
+def test_compact_parquet_sizes_each_partition(spark, tmp_path):
+    """A huge hive partition is split into ~target-sized files while a tiny
+    sibling stays one file — sizing is per partition, not per dataset."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "skewed")
+    big = spark.range(0, 200_000).select(
+        F.col("id"), F.lit("big").alias("src"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+    small = spark.range(0, 10).select(
+        F.col("id"), F.lit("small").alias("src"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+    big.unionAll(small).write.partitionBy("src").mode("overwrite").parquet(path)
+    before = spark.read.parquet(path).count()
+
+    # Target well below the big partition's bytes → it must split.
+    n = compact_parquet(spark, path, target_file_bytes=1 * 1024 * 1024)
+    files_by_dir = {
+        d: [
+            f for f in os.listdir(os.path.join(path, d)) if not f.startswith(("_", "."))
+        ]
+        for d in os.listdir(path)
+        if d.startswith("src=")
+    }
+    assert len(files_by_dir["src=small"]) == 1
+    assert len(files_by_dir["src=big"]) >= 2, files_by_dir
+    assert n == sum(len(v) for v in files_by_dir.values())
+    assert spark.read.parquet(path).count() == before
+
+
+def test_compact_parquet_crash_recovery_states(spark, tmp_path):
+    """Every intermediate state of the rename-only swap repairs without
+    data loss — including the one the old flow lost rows in (complete
+    staging next to a target remnant mid-swap)."""
+    import os
+    import shutil
+
+    from ssg_etl_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 100).write.parquet(path)
+    want = set(range(100))
+
+    # State: old + staging, no target (died between the two renames).
+    os.rename(path, path + "__old")
+    spark.range(0, 100).repartition(1).write.parquet(path + "__compact")
+    compact_parquet(spark, path)
+    assert {r.id for r in spark.read.parquet(path).collect()} == want
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__compact")
+
+    # State: old + target (died before final cleanup) → old is dropped.
+    spark.range(0, 100).repartition(1).write.parquet(path + "__old")
+    compact_parquet(spark, path)
+    assert {r.id for r in spark.read.parquet(path).collect()} == want
+    assert not os.path.exists(path + "__old")
+
+    # State: stale staging + INTACT target → staging discarded, rows kept.
+    spark.range(500, 510).write.parquet(path + "__compact")
+    compact_parquet(spark, path)
+    assert {r.id for r in spark.read.parquet(path).collect()} == want
+
+    # State: old only (target vanished externally) → original restored.
+    shutil.rmtree(path)
+    spark.range(0, 100).repartition(1).write.parquet(path + "__old")
+    compact_parquet(spark, path)
+    assert {r.id for r in spark.read.parquet(path).collect()} == want
