@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny stopword lexicons for the language-ID heuristic. Deliberately small:
 # the point is the operator shape (per-language hit scoring + argmax), not
@@ -190,6 +191,57 @@ def chunk_documents(
                 "chunk_words"
             ),
         )
+    )
+
+
+# PII patterns kept to the Java-regex ∩ RE2 common subset so the DuckDB
+# oracle runs the IDENTICAL expressions (no lookbehind, no backrefs).
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails and phone numbers from a text column — the standard
+    pre-training privacy pass. Counts are taken BEFORE replacement; emails
+    are replaced first (an email never contains a phone match, so the two
+    passes commute on counts). Pure regexp columns — JVM-side, no UDF.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_REGEX), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(text_col, F.lit(PHONE_REGEX), 0)).cast("long")
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_REGEX, "[EMAIL]"), PHONE_REGEX, "[PHONE]"
+    )
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def pack_chunks_into_windows(chunks: DataFrame, window_tokens: int = 128) -> DataFrame:
+    """Assign chunks to fixed-size training windows by cumulative word
+    offset within each document: ``window_id = floor(offset / budget)``
+    where offset is the word count of all preceding chunks of the doc.
+
+    This is the declarative form of context-window packing — sequential
+    within a document (one window per ``window_tokens`` words of running
+    text), embarrassingly parallel across documents. The window function
+    shuffles once on doc_id; nothing is driver-side.
+    """
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("chunk_words").over(w), F.lit(0)).cast("long")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_words",
+        offset.alias("word_offset"),
+        F.floor(offset / window_tokens).cast("int").alias("window_id"),
     )
 
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ssg_etl_spark.operators import dedup, multimodal, similarity, text
+from ssg_etl_spark.operators import dedup, multimodal, sampling, similarity, text
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table
 
@@ -493,3 +493,135 @@ def llm_chunk_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_doc_id").alias("canonical_chunk"),
         "n_duplicates",
     )
+
+
+@register(
+    "train_val_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+       WHEN bucket < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+""",
+    tags=("llm", "sampling"),
+    extra=True,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment by doc-id hash —
+    stable under repartition, re-run, and incremental appends (no RNG;
+    Spark's randomSplit is partitioning-dependent and un-oracle-able).
+    Extra registry: locally oracle-verified."""
+    return sampling.hash_split(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "stratified_sample_lang",
+    oracle="""
+SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents) t
+WHERE sample_rank <= 20
+""",
+    tags=("llm", "sampling"),
+    extra=True,
+)
+def stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-docs-per-language sample: hash order is a
+    reproducible shuffle, identical across engines and cluster layouts.
+    Extra registry: locally oracle-verified."""
+    return sampling.stratified_sample(
+        load_table(spark, sf_dir, "documents"), ["lang"], k=20
+    )
+
+
+# DuckDB regular single-quoted strings pass backslashes through verbatim,
+# so the Java-side patterns drop in unchanged.
+_EMAIL_SQL = text.EMAIL_REGEX
+_PHONE_SQL = text.PHONE_REGEX
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH contactful AS (
+  SELECT doc_id,
+    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text, '{_EMAIL_SQL}', '[EMAIL]', 'g'),
+    '{_PHONE_SQL}', '[PHONE]', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PHONE_SQL}')) AS BIGINT)
+    AS n_phones
+FROM contactful
+""",
+    tags=("llm", "text", "privacy"),
+    extra=True,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training privacy pass: email/phone scrubbing with match counts.
+    The corpus is synthetic and PII-free, so the query plants one email and
+    one phone per document (derived from doc_id — deterministic in both
+    engines) to prove the redaction actually fires. Extra registry:
+    locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    contactful = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text.redact_pii(contactful)
+
+
+@register(
+    "chunk_window_packing",
+    oracle=f"""
+WITH wordarrs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+    CAST(len(ws[(i*{_STEP}+1):(i*{_STEP}+{_CHUNK})]) AS INT) AS chunk_words
+  FROM wordarrs, range(0, 1024) s(i)
+  WHERE i*{_STEP} <= greatest(len(ws) - {_OVERLAP} - 1, 0))
+SELECT doc_id, chunk_id, chunk_words,
+  CAST(COALESCE(SUM(chunk_words) OVER (
+    PARTITION BY doc_id ORDER BY chunk_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS word_offset,
+  CAST(FLOOR(COALESCE(SUM(chunk_words) OVER (
+    PARTITION BY doc_id ORDER BY chunk_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 128.0) AS INT)
+    AS window_id
+FROM chunks
+""",
+    tags=("llm", "text", "chunking"),
+    extra=True,
+)
+def chunk_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: chunks assigned to fixed 128-word training
+    windows by cumulative offset within each document — the declarative,
+    per-doc-parallel packing form. Extra registry: locally
+    oracle-verified."""
+    chunks = text.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_words=_CHUNK,
+        overlap_words=_OVERLAP,
+    )
+    return text.pack_chunks_into_windows(chunks, window_tokens=128)

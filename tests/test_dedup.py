@@ -118,3 +118,84 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     assert out[(2, 1)][0] == "yak"
     assert out[(3, 1)][0] == "xylophone"
     assert all(v[1] == 0.0 for k, v in out.items() if v[0] == "common")
+
+
+def test_hash_split_stability_and_fractions(spark):
+    """Split assignment is a pure function of the id (stable under
+    repartition and subsetting) and roughly honors the fractions."""
+    from ssg_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    full = {r.doc_id: r.split for r in hash_split(df).collect()}
+    # Subset + repartition → identical assignments for surviving ids.
+    sub = df.filter("doc_id % 3 = 0").repartition(7)
+    for r in hash_split(sub).collect():
+        assert full[r.doc_id] == r.split
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert 0.75 <= c["train"] / 2000 <= 0.85
+    assert 0.06 <= c["val"] / 2000 <= 0.14
+    assert 0.06 <= c["test"] / 2000 <= 0.14
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, train=0.95, val=0.2)
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    from ssg_etl_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, ["lang"], k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.lang, []).append(r.sample_rank)
+    assert sorted(got["en"]) == list(range(1, 11))
+    assert sorted(got["de"]) == list(range(1, 11))
+    # Determinism: same sample on re-run over a repartitioned frame.
+    again = stratified_sample(df.repartition(13), ["lang"], k=10)
+    assert {(r.lang, r.doc_id) for r in again.collect()} == {
+        (r.lang, r.doc_id) for r in out.collect()
+    }
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from ssg_etl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and b@x.io, call +44-123-4567"),
+            (2, "no pii here"),
+            (3, "half@match@ only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].clean_text == "mail [EMAIL] and [EMAIL], call [PHONE]"
+    assert (out[1].n_emails, out[1].n_phones) == (2, 1)
+    assert out[2].clean_text == "no pii here"
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+
+
+def test_pack_chunks_into_windows_offsets(spark):
+    from ssg_etl_spark.operators.text import (
+        chunk_documents,
+        pack_chunks_into_windows,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, long_text)], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_words=32, overlap_words=8)
+    packed = sorted(
+        (r.chunk_id, r.word_offset, r.window_id)
+        for r in pack_chunks_into_windows(chunks, window_tokens=50).collect()
+    )
+    # Offsets are the running sum of PRIOR chunk sizes; windows advance
+    # every 50 words of packed text.
+    offsets = [o for _, o, _ in packed]
+    assert offsets[0] == 0
+    assert all(b > a for a, b in zip(offsets, offsets[1:]))
+    assert [w for _, _, w in packed] == [o // 50 for o in offsets]
