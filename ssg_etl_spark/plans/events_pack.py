@@ -149,3 +149,29 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap), batch twin of the
     applyInPandasWithState streaming operator (streaming/stateful.py)."""
     return sessionize_batch(load_table(spark, sf_dir, "events"), 30)
+
+
+@register(
+    "event_burst_pairs",
+    oracle="""
+SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (epoch_us(b.ts) > epoch_us(a.ts)
+      OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+""",
+    tags=("rangejoin", "events"),
+    extra=True,
+)
+def event_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, scale-safe: same-user event pairs within 10 minutes via
+    time-bucketed equi-join (operators/rangejoin.py) — the oracle states
+    the plain non-equi theta join; the engine computes it without a
+    BroadcastNestedLoopJoin. Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators.rangejoin import same_key_burst_pairs
+
+    return same_key_burst_pairs(
+        load_table(spark, sf_dir, "events"), tolerance_s=600
+    )
