@@ -124,6 +124,32 @@ def retention_split(orders: DataFrame) -> DataFrame:
     )
 
 
+def percentile_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group value-distribution profile: interpolated percentiles.
+
+    ``exact=True`` uses SQL ``percentile`` (linear interpolation —
+    bit-identical to DuckDB's ``quantile_cont`` on doubles, so the oracle
+    hash-matches). Exact percentiles buffer each group's values in the
+    aggregation state, so memory rides the largest group; at 100 TB flip
+    ``exact=False`` for ``approx_percentile`` (t-digest, bounded state,
+    rank error ≤ 1/accuracy) — same output shape, no oracle.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    aggs = [
+        F.expr(f"{fn}(cast({value_col} as double), {q})").alias(
+            f"p{int(q * 100):02d}"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(*aggs)
+
+
 def avg_daily_orders_sales(orders: DataFrame) -> DataFrame:
     """Two-level aggregate: per-day totals, then averages over days
     (scripts/SQL/avg_daily_orders_sales.sql:2-13, A5+A6).
