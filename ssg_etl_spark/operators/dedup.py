@@ -105,9 +105,13 @@ def ngram_jaccard_pairs(
     """Exact 3-word-shingle Jaccard near-duplicate pairs (the small-scale
     baseline the approximate methods are verified against). Jaccard is over
     the df-capped shingle space (see :data:`DEFAULT_MAX_SHINGLE_DF`)."""
-    # Persisted: the capped shingle set feeds the size aggregation and both
-    # sides of the intersection self-join.
-    capped = _cap_shingle_df(word_shingles(documents), max_shingle_df).persist()
+    # Persist the RAW shingles first: the df-cap plan consumes them twice
+    # (hot-list aggregation + anti-join probe side), and the shingling
+    # explode+distinct is the expensive part. The capped result is
+    # persisted too — it feeds the size aggregation and both sides of the
+    # intersection self-join.
+    raw = word_shingles(documents).persist()
+    capped = _cap_shingle_df(raw, max_shingle_df).persist()
     return _shingle_jaccard(capped, threshold)
 
 
@@ -134,8 +138,11 @@ def minhash_lsh_pairs(
     # The df cap is applied to the FULL corpus before anything else, so the
     # signatures, the verification sizes, and the verification intersections
     # all see the same capped shingle universe (candidate-subset df would
-    # drift from the exact operator's corpus-wide cap).
-    shingles = _cap_shingle_df(word_shingles(documents), max_shingle_df).persist()
+    # drift from the exact operator's corpus-wide cap). Raw shingles are
+    # persisted separately: the cap plan reads them twice (hot-list agg +
+    # anti-join probe), and shingling is the expensive branch.
+    raw = word_shingles(documents).persist()
+    shingles = _cap_shingle_df(raw, max_shingle_df).persist()
 
     # One row per doc × 64 longs — |docs|-sized, not |shingles|-sized.
     # Persisted because the bucket SELF-join consumes it twice (x and y
@@ -209,22 +216,26 @@ def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    bit_votes = hashed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bits - 1}), "
-                f"b -> struct(b as bit, CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END as vote))"
-            )
-        ).alias("bv"),
-    ).select("doc_id", F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
-    per_bit = bit_votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    bit_value = F.expr("shiftleft(cast(1 as bigint), bit)")
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, bit_value).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    # One aggregation with `bits` one-bit counters instead of exploding
+    # `bits` rows per shingle: the ±1 vote sum for bit b is
+    # 2·ones_b − n_shingles, so sign(v_b) > 0 ⟺ 2·ones_b > n. Map-side
+    # partial aggregation collapses each partition to one row per doc —
+    # the explode form shuffled 60× the shingle count (measured 17 s → 3 s
+    # at sf0.1).
+    counts = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+            for b in range(bits)
+        ],
     )
+    packed = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"_o{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return counts.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_pairs(
