@@ -44,19 +44,23 @@ def same_key_burst_pairs(
     """
     tol_us = tolerance_s * _US
     us = F.unix_micros(F.col(ts_col))
+    # Exact floor division in integer arithmetic (pmod is non-negative, so
+    # this is floor — not truncate — for pre-epoch timestamps too). The
+    # float form floor(us/tol) risks an off-by-one bucket near exact
+    # multiples once |us| approaches double's 2^53 mantissa.
+    bucket = (us - F.pmod(us, F.lit(tol_us))) / F.lit(tol_us)
+    bucket = bucket.cast("long")
     left = events.select(
         F.col(key_col).alias("_k"),
         F.col(id_col).alias("event_a"),
         us.alias("_ua"),
-        F.floor(us / tol_us).alias("_bucket"),
+        bucket.alias("_bucket"),
     )
     right = events.select(
         F.col(key_col).alias("_k"),
         F.col(id_col).alias("event_b"),
         us.alias("_ub"),
-        F.explode(
-            F.array(F.floor(us / tol_us) - 1, F.floor(us / tol_us))
-        ).alias("_bucket"),
+        F.explode(F.array(bucket - 1, bucket)).alias("_bucket"),
     )
     pred = (
         (F.col("_ub") > F.col("_ua"))

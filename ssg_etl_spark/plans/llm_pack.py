@@ -495,17 +495,25 @@ def llm_chunk_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Split boundaries are computed in Python (int() truncates) and inlined as
+# exact literals: DuckDB's float→BIGINT cast ROUNDS, so `CAST(0.8 * 2^32
+# AS BIGINT)` lands one above Spark's boundary and flips the split of any
+# bucket exactly on it.
+_TRAIN_HI = int(0.8 * (1 << 32))
+_VAL_HI = int(0.9 * (1 << 32))
+
+
 @register(
     "train_val_split",
-    oracle="""
+    oracle=f"""
 WITH b AS (
   SELECT doc_id,
     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       AS bucket
   FROM documents)
 SELECT doc_id, bucket,
-  CASE WHEN bucket < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
-       WHEN bucket < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+  CASE WHEN bucket < {_TRAIN_HI} THEN 'train'
+       WHEN bucket < {_VAL_HI} THEN 'val'
        ELSE 'test' END AS split
 FROM b
 """,

@@ -197,6 +197,8 @@ def compact_parquet(
         salt_map = spark.createDataFrame(rows, schema)
         n_total = max(1, sum(r[-1] for r in rows))
         non_part = [c for c in df.columns if c not in part_cols]
+        if not non_part:  # degenerate: partition cols only → nothing to salt on
+            non_part = part_cols
         # Left join tolerates URL-escaped directory names that don't match
         # the decoded partition value — those partitions fall back to one
         # file. Salt = deterministic row hash bounded by the partition's
