@@ -194,6 +194,44 @@ def chunk_documents(
     )
 
 
+def repetition_metrics(df: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word ratio,
+    top-word mass, and duplicate-3-gram fraction — the filters that catch
+    boilerplate, keyword stuffing, and generation loops.
+
+    Computed with explode + two aggregations (the TF shape), NOT per-row
+    array lambdas — ``transform(distinct, w -> count(filter(...)))`` is
+    O(n·distinct) per document and melts on long documents; the explode
+    plan is linear and map-side combinable. Documents shorter than 3 words
+    have no 3-grams → NULL dup_3gram_frac (both engines).
+    """
+    terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tf"),
+    )
+    sh3 = word_shingles(df).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n3")
+    )
+    joined = per_doc.join(sh3, "doc_id", "left")
+    nw = F.col("n_words").cast("double")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(F.col("n_distinct") / nw, 6).alias("distinct_ratio"),
+        F.round(F.col("top_tf") / nw, 6).alias("top_word_frac"),
+        F.when(
+            F.col("n_words") >= 3,
+            F.round(
+                1 - F.col("_n3").cast("double") / (nw - 2), 6
+            ),
+        ).alias("dup_3gram_frac"),
+    )
+
+
 # PII patterns kept to the Java-regex ∩ RE2 common subset so the DuckDB
 # oracle runs the IDENTICAL expressions (no lookbehind, no backrefs).
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -633,3 +633,31 @@ def chunk_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap_words=_OVERLAP,
     )
     return text.pack_chunks_into_windows(chunks, window_tokens=128)
+
+
+@register(
+    "repetition_metrics",
+    oracle=f"""
+WITH {SHINGLES_SQL},
+terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2),
+pd AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_tf
+  FROM tf GROUP BY 1),
+sh3 AS (SELECT doc_id, COUNT(*) AS n3 FROM shingles GROUP BY 1)
+SELECT pd.doc_id AS doc_id, n_words, n_distinct,
+  round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+  round(CAST(top_tf AS DOUBLE) / n_words, 6) AS top_word_frac,
+  CASE WHEN n_words >= 3
+       THEN round(1 - CAST(n3 AS DOUBLE) / (n_words - 2), 6) END
+    AS dup_3gram_frac
+FROM pd LEFT JOIN sh3 ON pd.doc_id = sh3.doc_id
+""",
+    tags=("llm", "text", "quality"),
+    extra=True,
+)
+def repetition_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: distinct-word ratio, top-word mass,
+    duplicate-3-gram fraction. Extra registry: locally oracle-verified."""
+    return text.repetition_metrics(load_table(spark, sf_dir, "documents"))
