@@ -71,7 +71,9 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 
 def _shingle_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over DISTINCT shingle sets: |∩| via self-join on
-    shingle, |∪| = |A|+|B|-|∩|."""
+    shingle, |∪| = |A|+|B|-|∩|. Callers pass a df-capped shingle set
+    (see :func:`_cap_shingle_df`) so the equality self-join has no hot
+    keys; sizes and intersections both use the same capped universe."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
