@@ -113,6 +113,68 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resample: a digest-seeded byte
+    stream sized ~3 bytes/pixel (RGB), so downstream size accounting and
+    batch-memory behavior match a real resize."""
+    out_len = max(1, width * height * 3)
+    seed = hashlib.md5(payload).digest()
+    reps = -(-out_len // len(seed))
+    return (seed * reps)[:out_len]
+
+
+def resize_images(
+    assets: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Arrow-batched image resize stage (image assets only).
+
+    Same plumbing contract as :func:`extract_features`: mapInPandas over
+    (asset_id, payload) record batches, binary in → binary out, executor
+    memory bounded by batch size × payload size. The pixel work is stubbed
+    (no codecs in this environment — substitute PIL/Pillow-SIMD at
+    deployment); NULL payloads pass through as NULL rows.
+    """
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "use fake=True for the deterministic stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                None if p is None else _fake_resize(p, width, height)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                    "payload_bytes": [
+                        None if p is None else len(p) for p in resized
+                    ],
+                }
+            )
+
+    images = assets.filter(F.col("media_type") == "image")
+    return images.select("asset_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video assets: one row per planned sample
     timestamp (the decode itself happens in extract_features). Pure

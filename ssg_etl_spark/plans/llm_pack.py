@@ -661,3 +661,43 @@ def repetition_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: distinct-word ratio, top-word mass,
     duplicate-3-gram fraction. Extra registry: locally oracle-verified."""
     return text.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+# Resize-stub math the oracle can replay in hex-string space: the fake
+# resample is md5(payload) digest bytes repeated to width*height*3, so the
+# hex of the resized payload is repeat(md5_hex, ceil(len/16)) truncated to
+# 2*len chars — md5 over THAT STRING is computable in both engines
+# (DuckDB 1.0 has no blob md5/substring; hex strings sidestep it).
+_RW, _RH = 8, 8
+_ROUT = _RW * _RH * 3
+_RREPS = -(-_ROUT // 16)
+
+
+@register(
+    "media_resize",
+    oracle=f"""
+SELECT doc_id AS asset_id, {_RW} AS width, {_RH} AS height,
+  CASE WHEN text IS NULL THEN NULL ELSE CAST({_ROUT} AS BIGINT) END
+    AS payload_bytes,
+  CASE WHEN text IS NULL THEN NULL
+       ELSE md5(substr(repeat(md5(text), {_RREPS}), 1, {2 * _ROUT})) END
+    AS payload_digest
+FROM documents WHERE doc_id % 3 = 0
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage end-to-end: image assets through the
+    Arrow-batched mapInPandas resize stub, verified by recomputing the
+    digest-seeded output bytes in SQL. Extra registry: locally
+    oracle-verified."""
+    assets = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    resized = multimodal.resize_images(assets, _RW, _RH)
+    return resized.select(
+        "asset_id",
+        "width",
+        "height",
+        "payload_bytes",
+        F.md5(F.lower(F.hex("payload")).cast("binary")).alias("payload_digest"),
+    )

@@ -55,3 +55,26 @@ def test_extract_features_null_payload_yields_null_row(spark):
     got = {r.asset_id for r in plan.collect()}
     assert got == {1, 2}
     assert plan.filter(F.col("asset_id") == 2).first().sample_ms is None
+
+
+def test_resize_images_stub_shapes(spark):
+    import pytest as _pytest
+
+    from ssg_etl_spark.operators.multimodal import resize_images
+
+    assets = spark.createDataFrame(
+        [(1, "image", b"abc"), (2, "video", b"zz"), (3, "image", None)],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = {r.asset_id: r for r in resize_images(assets, 4, 2).collect()}
+    # Only images are resized; payload is 3 bytes/pixel; deterministic.
+    assert set(rows) == {1, 3}
+    assert rows[1].payload_bytes == 4 * 2 * 3 == len(rows[1].payload)
+    assert rows[3].payload is None and rows[3].payload_bytes is None
+    again = {r.asset_id: r for r in resize_images(assets, 4, 2).collect()}
+    assert again[1].payload == rows[1].payload
+
+    with _pytest.raises(ValueError):
+        resize_images(assets, 0, 2)
+    with _pytest.raises(NotImplementedError):
+        resize_images(assets, 4, 2, fake=False)
