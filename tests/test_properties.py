@@ -142,3 +142,71 @@ def test_scd2_apply_matches_model(spark, live, hist_keys, updates):
         (r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out.collect()
     ]
     assert sorted(got, key=repr) == sorted(expected, key=repr)
+
+
+# --- round-3 operators: chunking/packing and split algebra ---------------
+
+
+@given(
+    n_words=st.integers(min_value=0, max_value=120),
+    chunk=st.integers(min_value=2, max_value=40),
+    overlap=st.integers(min_value=0, max_value=39),
+)
+@_SETTINGS
+def test_chunking_covers_document_and_packing_is_monotone(
+    spark, n_words, chunk, overlap
+):
+    """Every word of a document lands in at least one chunk, chunk ids are
+    dense from 0, and window ids from packing are monotone non-decreasing
+    starting at 0."""
+    from hypothesis import assume
+
+    from ssg_etl_spark.operators.text import (
+        chunk_documents,
+        pack_chunks_into_windows,
+    )
+
+    assume(overlap < chunk)
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_words=chunk, overlap_words=overlap)
+    rows = sorted((r.chunk_id, r.chunk_words) for r in chunks.collect())
+    assert [c for c, _ in rows] == list(range(len(rows)))
+    step = chunk - overlap
+    covered = []
+    for c, n in rows:
+        # chunk_words counts slice tokens (the empty doc's one '' token
+        # included — str.split(' ') semantics in both engines).
+        assert n <= chunk
+        covered.extend(range(c * step, c * step + n))
+    # Empty doc splits to [''] — one 1-token chunk — mirroring split(';','')
+    expect = max(n_words, 1)
+    assert set(covered) == set(range(expect))
+
+    packed = sorted(
+        (r.chunk_id, r.window_id)
+        for r in pack_chunks_into_windows(chunks, window_tokens=chunk).collect()
+    )
+    wids = [w for _, w in packed]
+    assert wids[0] == 0
+    assert all(b >= a for a, b in zip(wids, wids[1:]))
+
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=10**9), max_size=40))
+@_SETTINGS
+def test_hash_split_partitions_input(spark, ids):
+    """Every id gets exactly one split; assignment is independent of the
+    rest of the dataset (pure function of the id)."""
+    from ssg_etl_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in sorted(ids)] or [], "doc_id long")
+    rows = hash_split(df).collect()
+    assert {r.doc_id for r in rows} == ids
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    if ids:
+        one = min(ids)
+        solo = hash_split(
+            spark.createDataFrame([(one,)], "doc_id long")
+        ).first()
+        full = {r.doc_id: r.split for r in rows}
+        assert solo.split == full[one]
