@@ -152,6 +152,21 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_sessions_native",
+    oracle=sessionize_batch_oracle(30),
+    tags=("streaming", "sessionization"),
+    extra=True,
+)
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the built-in session_window aggregation —
+    shares the lag-form oracle (boundary semantics verified identical:
+    delta == gap merges in both). Extra registry: locally verified."""
+    from ssg_etl_spark.streaming.stateful import sessionize_native
+
+    return sessionize_native(load_table(spark, sf_dir, "events"), 30)
+
+
+@register(
     "event_burst_pairs",
     oracle="""
 SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,

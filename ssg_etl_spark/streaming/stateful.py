@@ -62,6 +62,35 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     ).drop("_session_no")
 
 
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Third twin: Spark's built-in ``session_window`` aggregation.
+
+    Catalyst-native gap sessionization — no window-function sort chain,
+    just one aggregation whose grouping key merges overlapping
+    [ts, ts+gap) intervals. Boundary semantics verified empirically:
+    events exactly ``gap`` apart MERGE (delta ≤ gap ⇒ same session),
+    identical to :func:`sessionize_batch`'s ``lag > gap`` rule, so all
+    three forms (window-function batch, built-in batch, stateful stream)
+    share one oracle. Prefer this form when the output needs no
+    per-event session ids: the aggregation is map-side combinable, where
+    the lag/cumsum form needs a full per-user sort first.
+    """
+    from ssg_etl_spark.operators.rollups import dec_sum
+
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "total_value"),
+        )
+        .drop("session_window")
+    )
+
+
 def sessionize_batch_oracle(gap_minutes: int = 30) -> str:
     """DuckDB twin of :func:`sessionize_batch` over the events table."""
     return f"""
