@@ -301,3 +301,71 @@ def simhash_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets
+    the MINIMUM doc id reachable through the pair graph as its cluster id
+    (the canonical representative) — the standard final step of corpus
+    dedup, turning pairwise evidence into keep/drop groups.
+
+    Iterative min-label propagation: labels start as self, each round
+    takes min(own, neighbors') — converges in O(graph diameter) rounds,
+    and near-dup graphs are shallow (clusters are cliques or short
+    chains). Per round: one join + one aggregation, both on the node key;
+    labels persist across rounds and the fixpoint check is a count —
+    the only driver-side values are per-round change counts. At larger
+    diameters swap in the large-star/small-star contraction (fewer
+    rounds, same per-round shape).
+
+    Only documents that appear in at least one pair are returned
+    (singletons are their own cluster by definition — joining them in
+    would just echo the corpus).
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # localCheckpoint (eager) rather than persist: iterative plans grow a
+    # new join layer per round, and without lineage TRUNCATION Catalyst
+    # re-analyzes an exponentially deepening tree — the classic iterative-
+    # algorithm failure mode. Checkpointed labels restart the lineage each
+    # round at the materialized blocks.
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                labels.node,
+                F.least(
+                    labels.label, F.coalesce(nbr.nbr_label, labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -701,3 +701,49 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_bytes",
         F.md5(F.lower(F.hex("payload")).cast("binary")).alias("payload_digest"),
     )
+
+
+# Clusters over the exact-Jaccard pair graph. The recursive CTE computes,
+# for every node, the set of labels reachable through the (symmetrized)
+# edge list; MIN over that set is the component's canonical id — exactly
+# the fixpoint the iterative min-label propagation converges to.
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {SHINGLES_SQL},
+capped AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {dedup.DEFAULT_MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT s AS node, s AS lbl FROM edges
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_SQL,
+    tags=("llm", "dedup", "graph"),
+    extra=True,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact-Jaccard
+    pair graph by iterative min-label propagation — the keep/drop grouping
+    step that turns pairwise dedup evidence into one canonical document
+    per component. Oracle is the transitive-closure recursive CTE. Extra
+    registry: locally oracle-verified."""
+    pairs = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    return dedup.duplicate_clusters(pairs)

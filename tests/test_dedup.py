@@ -199,3 +199,25 @@ def test_pack_chunks_into_windows_offsets(spark):
     assert offsets[0] == 0
     assert all(b > a for a, b in zip(offsets, offsets[1:]))
     assert [w for _, _, w in packed] == [o // 50 for o in offsets]
+
+
+def test_duplicate_clusters_components(spark):
+    """Chains merge into one component with the min id as canonical;
+    disjoint pairs stay separate; docs without pairs don't appear."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40),   # one chain → cluster 10
+         (100, 200),                      # separate pair → cluster 100
+         (7, 300)],                       # min-id propagates over the pair
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 10,
+                   100: 100, 200: 100, 7: 7, 300: 7}
+
+    # A longer chain than max_iters would leave labels unconverged; the
+    # default budget covers any realistic near-dup diameter.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    got = {r.cluster_id for r in dedup.duplicate_clusters(chain).collect()}
+    assert got == {0}
