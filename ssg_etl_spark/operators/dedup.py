@@ -303,20 +303,32 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     """Connected components over near-duplicate pairs: every document gets
     the MINIMUM doc id reachable through the pair graph as its cluster id
     (the canonical representative) — the standard final step of corpus
     dedup, turning pairwise evidence into keep/drop groups.
 
-    Iterative min-label propagation: labels start as self, each round
-    takes min(own, neighbors') — converges in O(graph diameter) rounds,
-    and near-dup graphs are shallow (clusters are cliques or short
-    chains). Per round: one join + one aggregation, both on the node key;
-    labels persist across rounds and the fixpoint check is a count —
-    the only driver-side values are per-round change counts. At larger
-    diameters swap in the large-star/small-star contraction (fewer
-    rounds, same per-round shape).
+    Min-label propagation WITH pointer jumping: each round a node takes
+    (1) the minimum label among its neighbors (propagate one hop), then
+    (2) the label of its own label-node (shortcut: label ← label(label),
+    the pointer-doubling step). Step 2 roughly doubles the distance a
+    minimum has traveled per round, so convergence is O(log diameter)
+    rounds instead of O(diameter) — a million-hop near-dup chain
+    (templated spam, versioned boilerplate) converges in ~20 rounds. The
+    fixpoint is the same either way: at fixpoint every edge carries equal
+    labels, so each component is uniformly labeled with its minimum id.
+    Labels only ever move to ids of nodes inside the same component
+    (initial labels are self; both steps read labels of same-component
+    nodes), so the shortcut cannot leak labels across components.
+
+    Per round: two joins + one aggregation, all on the node key; the only
+    driver-side value is the per-round change count. If the fixpoint is
+    NOT reached within ``max_iters`` rounds this raises rather than
+    returning partial labels — silently splitting one component into two
+    clusters is a wrong answer, not a degraded one. The default (30)
+    covers graphs of diameter ~2^30 under doubling; hitting it means
+    something is structurally wrong with the input.
 
     Only documents that appear in at least one pair are returned
     (singletons are their own cluster by definition — joining them in
@@ -341,19 +353,37 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        hop = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
                 labels.node,
                 F.least(
                     labels.label, F.coalesce(nbr.nbr_label, labels.label)
                 ).alias("label"),
+            )
+        )
+        # Pointer jump: label ← min(label, hop-label of the label node).
+        # Self-join of the hop labels on label == node; a label always IS a
+        # node of the graph (labels start as self and only copy other
+        # nodes' labels), so the left join misses only when... never — but
+        # coalesce keeps the expression total anyway.
+        parent = hop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            hop.join(parent, hop.label == F.col("p_node"), "left")
+            .select(
+                hop.node,
+                F.least(hop.label, F.coalesce(F.col("p_label"), hop.label)).alias(
+                    "label"
+                ),
             )
             .localCheckpoint()
         )
@@ -365,7 +395,15 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iters} rounds; "
+            "returning partial labels would split components into distinct "
+            "cluster ids. With pointer jumping this bound covers diameters "
+            "~2^max_iters — inspect the pair graph before raising max_iters."
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

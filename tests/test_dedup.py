@@ -221,3 +221,31 @@ def test_duplicate_clusters_components(spark):
     )
     got = {r.cluster_id for r in dedup.duplicate_clusters(chain).collect()}
     assert got == {0}
+
+
+def test_duplicate_clusters_deep_path_graph(spark):
+    """A 60-hop path (diameter ≫ the old 20-round budget) must still
+    resolve to ONE component — pointer jumping makes rounds O(log d), and
+    a tight 10-round budget proves the shortcut is actually doing the
+    work (pure one-hop propagation would need 60 rounds)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(chain, max_iters=10).collect()
+    }
+    assert out == {i: 0 for i in range(61)}
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """Exhausting the round budget must raise, never silently return
+    partial labels (two docs of one component with different cluster
+    ids is a wrong answer)."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(chain, max_iters=2)
