@@ -51,6 +51,7 @@ def main() -> None:
     except ValueError:
         sf = sf_dir  # non-sfN dir name: report the path rather than crash
 
+    from ssg_etl_spark.cache import release_tracked
     from ssg_etl_spark.plans.registry import load_all
     from ssg_etl_spark.session import get_spark
 
@@ -78,6 +79,9 @@ def main() -> None:
             # and a cached logical plan would make later trials free.
             force(qs[name](spark, sf_dir))
             walls.append(time.time() - t0)
+            # Release the persist handles the query's operators registered —
+            # keeps trials independent and the session's storage flat.
+            release_tracked()
         timings[name] = round(statistics.median(walls), 3)
 
     total = round(sum(timings.values()), 3)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ssg_etl_spark.cache import persist_tracked
 from ssg_etl_spark.operators.text import normalize_text, word_shingles
 
 # Shingles present in more documents than this are dropped before any
@@ -111,9 +112,10 @@ def ngram_jaccard_pairs(
     # (hot-list aggregation + anti-join probe side), and the shingling
     # explode+distinct is the expensive part. The capped result is
     # persisted too — it feeds the size aggregation and both sides of the
-    # intersection self-join.
-    raw = word_shingles(documents).persist()
-    capped = _cap_shingle_df(raw, max_shingle_df).persist()
+    # intersection self-join. Tracked (ssg_etl_spark.cache): consumers call
+    # release_tracked() after the query is consumed.
+    raw = persist_tracked(word_shingles(documents))
+    capped = persist_tracked(_cap_shingle_df(raw, max_shingle_df))
     return _shingle_jaccard(capped, threshold)
 
 
@@ -143,19 +145,21 @@ def minhash_lsh_pairs(
     # drift from the exact operator's corpus-wide cap). Raw shingles are
     # persisted separately: the cap plan reads them twice (hot-list agg +
     # anti-join probe), and shingling is the expensive branch.
-    raw = word_shingles(documents).persist()
-    shingles = _cap_shingle_df(raw, max_shingle_df).persist()
+    raw = persist_tracked(word_shingles(documents))
+    shingles = persist_tracked(_cap_shingle_df(raw, max_shingle_df))
 
     # One row per doc × 64 longs — |docs|-sized, not |shingles|-sized.
     # Persisted because the bucket SELF-join consumes it twice (x and y
     # sides), and without it the 64-way min-hash aggregation recomputes per
     # branch (measured 4×+ at sf0.1: 39 s → 13 s with the persists here).
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    ).persist()
+    sig = persist_tracked(
+        shingles.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -173,7 +177,7 @@ def minhash_lsh_pairs(
     y = buckets.alias("y")
     # Candidate pairs are near-dup-sized (small); persisted because both the
     # verification filter and the final semi-join consume them.
-    candidates = (
+    candidates = persist_tracked(
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -182,7 +186,6 @@ def minhash_lsh_pairs(
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
-        .persist()
     )
 
     # Exact verification restricted to candidate docs only.
@@ -256,7 +259,7 @@ def simhash_pairs(
     """
     # Persisted: the banded candidate generation SELF-joins the signature
     # table; without caching the two-aggregation signature plan runs twice.
-    sig = simhash_signatures(documents, bits).persist()
+    sig = persist_tracked(simhash_signatures(documents, bits))
     n_bands = 8
     # Pigeonhole: k differing bits can ruin at most k bands, so a shared
     # band is guaranteed only while max_hamming < n_bands.

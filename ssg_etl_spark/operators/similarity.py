@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ssg_etl_spark.cache import persist_tracked
+
 
 def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -178,7 +180,7 @@ def ivf_topk(
     # Persisted: the unit-normalized corpus is re-scanned every Lloyd round
     # and again for the final cell assignment (the standard k-means cache;
     # MEMORY_AND_DISK spills rather than OOMs at scale).
-    corpus = _unit_corpus(embeddings, "vec_id", "embedding").persist()
+    corpus = persist_tracked(_unit_corpus(embeddings, "vec_id", "embedding"))
     train = corpus.filter(F.col("vec_id") % train_mod == 0) if train_mod > 1 else corpus
 
     # Seed centroid list: first n_cells unit vectors, shaped like the LSH
@@ -225,16 +227,18 @@ def ivf_topk(
         # round's assignment and the two final consumers (corpus cells,
         # query probes) would otherwise re-run every earlier round's
         # aggregation recursively.
-        cents = raw.select(
-            "cell",
-            F.transform(
-                "_raw",
-                lambda x: x
-                / F.sqrt(
-                    F.aggregate("_raw", F.lit(0.0), lambda acc, y: acc + y * y)
-                ),
-            ).alias("vec"),
-        ).persist()
+        cents = persist_tracked(
+            raw.select(
+                "cell",
+                F.transform(
+                    "_raw",
+                    lambda x: x
+                    / F.sqrt(
+                        F.aggregate("_raw", F.lit(0.0), lambda acc, y: acc + y * y)
+                    ),
+                ).alias("vec"),
+            )
+        )
 
     final_cents = cent_list(cents)
     corpus_cells = corpus.crossJoin(final_cents).select(

@@ -294,10 +294,15 @@ def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
     per-document window (rank-limit pushdown). Ties break
     lexicographically for determinism.
     """
+    from ssg_etl_spark.cache import persist_tracked
+
     terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     # tf feeds two plan branches (the idf aggregation and the scored join);
-    # persist so the explode+groupBy runs once, not per branch.
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # persist so the explode+groupBy runs once, not per branch. Tracked:
+    # consumers release via ssg_etl_spark.cache.release_tracked().
+    tf = persist_tracked(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     # N stays a lazy one-row aggregate (crossJoin broadcasts it) — a
     # .first() here would run a real job at plan-CONSTRUCTION time.
     n_docs = df.agg(F.countDistinct("doc_id").cast("double").alias("_n"))

@@ -133,6 +133,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # Deterministic cache lifecycle across the 79-query sweep.
+            from ssg_etl_spark.cache import release_tracked
+
+            release_tracked()
         if spec.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1

@@ -44,6 +44,11 @@ def main() -> int:
                     "noop"
                 ).save()
                 t.append(time.time() - t0)
+                # Deterministic cache lifecycle: drop the persist handles the
+                # query's operators registered, then clear anything else.
+                from ssg_etl_spark.cache import release_tracked
+
+                release_tracked()
                 spark.catalog.clearCache()
             walls[name] = round(statistics.median(t), 2)
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
