@@ -141,9 +141,12 @@ def percentile_profile(
     rank error ≤ 1/accuracy) — same output shape, no oracle.
     """
     fn = "percentile" if exact else "approx_percentile"
+    # round(), not int(): int() truncates binary-float artifacts (0.58*100
+    # = 57.999… → 'p57'), mislabeling the column and desyncing hand-written
+    # oracles.
     aggs = [
         F.expr(f"{fn}(cast({value_col} as double), {q})").alias(
-            f"p{int(q * 100):02d}"
+            f"p{round(q * 100):02d}"
         )
         for q in quantiles
     ]

@@ -240,16 +240,17 @@ PHONE_REGEX = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub emails and phone numbers from a text column — the standard
-    pre-training privacy pass. Counts are taken BEFORE replacement; emails
-    are replaced first (an email never contains a phone match, so the two
-    passes commute on counts). Pure regexp columns — JVM-side, no UDF.
+    pre-training privacy pass. Emails are replaced first; phones are then
+    counted AND replaced on the email-redacted text, so ``n_phones`` is
+    exactly the number of ``[PHONE]`` substitutions (a phone-shaped run
+    inside an email local part — ``user+1-555-1234@x.com`` — is the
+    email's, not a phone). Pure regexp columns — JVM-side, no UDF.
     """
     t = F.col(text_col)
+    emails_gone = F.regexp_replace(t, EMAIL_REGEX, "[EMAIL]")
     n_emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_REGEX), 0)).cast("long")
-    n_phones = F.size(F.regexp_extract_all(text_col, F.lit(PHONE_REGEX), 0)).cast("long")
-    clean = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_REGEX, "[EMAIL]"), PHONE_REGEX, "[PHONE]"
-    )
+    n_phones = F.size(F.regexp_extract_all(emails_gone, F.lit(PHONE_REGEX), 0)).cast("long")
+    clean = F.regexp_replace(emails_gone, PHONE_REGEX, "[PHONE]")
     return df.select(
         "doc_id",
         clean.alias("clean_text"),

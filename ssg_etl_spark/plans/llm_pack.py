@@ -572,7 +572,9 @@ SELECT doc_id,
     '{_PHONE_SQL}', '[PHONE]', 'g') AS clean_text,
   CAST(len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT)
     AS n_emails,
-  CAST(len(regexp_extract_all(text, '{_PHONE_SQL}')) AS BIGINT)
+  CAST(len(regexp_extract_all(
+    regexp_replace(text, '{_EMAIL_SQL}', '[EMAIL]', 'g'),
+    '{_PHONE_SQL}')) AS BIGINT)
     AS n_phones
 FROM contactful
 """,

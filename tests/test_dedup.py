@@ -170,6 +170,10 @@ def test_redact_pii_scrubs_and_counts(spark):
             (1, "mail a.b+c@ex-ample.org and b@x.io, call +44-123-4567"),
             (2, "no pii here"),
             (3, "half@match@ only"),
+            # Phone-shaped run inside an email local part: the email pass
+            # consumes it, so n_phones must be 0, not 1 — counts equal the
+            # number of [PHONE] substitutions.
+            (4, "reach user+1-555-1234@x.com today"),
         ],
         "doc_id long, text string",
     )
@@ -178,6 +182,8 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert (out[1].n_emails, out[1].n_phones) == (2, 1)
     assert out[2].clean_text == "no pii here"
     assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+    assert out[4].clean_text == "reach [EMAIL] today"
+    assert (out[4].n_emails, out[4].n_phones) == (1, 0)
 
 
 def test_pack_chunks_into_windows_offsets(spark):
