@@ -170,3 +170,55 @@ def gl_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "orders", "customer", "nation", "region", "lineitem"
     )
     return validate_gl(enrich_gl(orders, customer, nation, region, lineitem))
+
+
+@register(
+    "xlsx_reference_roundtrip",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+  n_name AS nation_name,
+  CAST(n_regionkey AS BIGINT) AS region_key,
+  CAST(n_nationkey AS DOUBLE) + CAST(n_regionkey AS DOUBLE) / 10.0 AS ref_rate
+FROM nation
+""",
+    tags=("sources", "S7"),
+    extra=True,
+)
+def xlsx_reference_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 end-to-end: Excel reference data through the real reader
+    (etl_load_reference_data.py:22-34 reads *.xlsx reference workbooks).
+
+    The corpus ships no xlsx (parquet testdata), so the query materializes
+    one at query time from the nation dim — write a workbook with
+    write_xlsx (strings through sharedStrings, numerics as raw cells),
+    read it back typed through read_excel, and oracle the typed rows
+    against the dim itself. Driver-side collect is 25 dimension rows
+    (control-plane sized, same contract as the REST source). Extra
+    registry: locally oracle-verified."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ssg_etl_spark.sources.files import read_excel, write_xlsx
+
+    dim = sorted(
+        (int(r.n_nationkey), str(r.n_name), int(r.n_regionkey))
+        for r in load_table(spark, sf_dir, "nation").collect()
+    )
+    data = [[k, n, g, k + g / 10.0] for k, n, g in dim]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ssg_etl_refdata_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}.xlsx",
+    )
+    write_xlsx(
+        path, ["nation_key", "nation_name", "region_key", "ref_rate"], data
+    )
+    schema = T.StructType(
+        [
+            T.StructField("nation_key", T.LongType()),
+            T.StructField("nation_name", T.StringType()),
+            T.StructField("region_key", T.LongType()),
+            T.StructField("ref_rate", T.DoubleType()),
+        ]
+    )
+    return read_excel(spark, path, schema)

@@ -163,6 +163,93 @@ def _xlsx_rows(path: str, sheet: str | None = None) -> list[list[str | None]]:
     return rows
 
 
+def write_xlsx(
+    path: str,
+    header: list[str],
+    rows: list[list[object]],
+    sheet_name: str = "Sheet1",
+) -> None:
+    """S7 companion: write a minimal well-formed xlsx (stdlib zip+XML).
+
+    The inverse of :func:`read_excel` for dimension-sized reference data —
+    strings go through ``xl/sharedStrings.xml``, numerics as plain ``<v>``
+    cells, ``None`` cells are omitted (read back as NULL). Workbook rels
+    are always emitted (real writers do; the reader refuses to resolve
+    sheet names without them). Driver-side by design, like the reader:
+    reference workbooks are control-plane inputs, not the bulk path.
+    """
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    strings: list[str] = []
+    index: dict[str, int] = {}
+
+    def col_letters(idx: int) -> str:
+        s = ""
+        idx += 1
+        while idx:
+            idx, r = divmod(idx - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    def cell(ref: str, val: object) -> str:
+        if isinstance(val, str):
+            if val not in index:
+                index[val] = len(strings)
+                strings.append(val)
+            return f'<c r="{ref}" t="s"><v>{index[val]}</v></c>'
+        if isinstance(val, bool):
+            return f'<c r="{ref}" t="b"><v>{int(val)}</v></c>'
+        return f'<c r="{ref}"><v>{val}</v></c>'
+
+    def row_xml(i: int, vals: list[object]) -> str:
+        cells = "".join(
+            cell(f"{col_letters(j)}{i}", v)
+            for j, v in enumerate(vals)
+            if v is not None
+        )
+        return f'<row r="{i}">{cells}</row>'
+
+    all_rows = [list(header)] + [list(r) for r in rows]
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        + "".join(row_xml(i + 1, r) for i, r in enumerate(all_rows))
+        + "</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0"?><sst xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{escape(s)}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    workbook = (
+        '<?xml version="1.0"?><workbook xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r='
+        '"http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns='
+        '"http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    types = (
+        '<?xml version="1.0"?><Types xmlns='
+        '"http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", types)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
 def read_excel(
     spark: SparkSession,
     path: str,

@@ -119,77 +119,24 @@ def test_jdbc_write_options_plumbing():
     assert opts["isolationLevel"] == "READ_COMMITTED"
 
 
-def _write_minimal_xlsx(path, header, rows, sheet_name="RefData"):
-    """Minimal well-formed xlsx (stdlib zip+XML) for the S7 reader test:
-    shared strings for text cells, plain <v> for numerics."""
-    import zipfile
-
-    strings = []
-
-    def cell(ref, val):
-        if isinstance(val, str):
-            if val not in strings:
-                strings.append(val)
-            return f'<c r="{ref}" t="s"><v>{strings.index(val)}</v></c>'
-        return f'<c r="{ref}"><v>{val}</v></c>'
-
-    def row_xml(i, vals):
-        cols = "ABCDEFGH"
-        cells = "".join(cell(f"{cols[j]}{i}", v) for j, v in enumerate(vals) if v is not None)
-        return f'<row r="{i}">{cells}</row>'
-
-    all_rows = [header] + rows
-    sheet = (
-        '<?xml version="1.0"?><worksheet xmlns='
-        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
-        + "".join(row_xml(i + 1, r) for i, r in enumerate(all_rows))
-        + "</sheetData></worksheet>"
-    )
-    sst = (
-        '<?xml version="1.0"?><sst xmlns='
-        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        + "".join(f"<si><t>{s}</t></si>" for s in strings)
-        + "</sst>"
-    )
-    # Real xlsx writers always emit workbook rels; the reader refuses to
-    # guess without them (positional fallback could read the wrong sheet).
-    workbook = (
-        '<?xml version="1.0"?><workbook xmlns='
-        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r='
-        '"http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{sheet_name}" sheetId="1" r:id="rId1"/>'
-        "</sheets></workbook>"
-    )
-    rels = (
-        '<?xml version="1.0"?><Relationships xmlns='
-        '"http://schemas.openxmlformats.org/package/2006/relationships">'
-        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
-        'officeDocument/2006/relationships/worksheet" '
-        'Target="worksheets/sheet1.xml"/></Relationships>'
-    )
-    types = (
-        '<?xml version="1.0"?><Types xmlns='
-        '"http://schemas.openxmlformats.org/package/2006/content-types">'
-        '<Default Extension="xml" ContentType="application/xml"/></Types>'
-    )
-    with zipfile.ZipFile(path, "w") as zf:
-        zf.writestr("[Content_Types].xml", types)
-        zf.writestr("xl/workbook.xml", workbook)
-        zf.writestr("xl/_rels/workbook.xml.rels", rels)
-        zf.writestr("xl/sharedStrings.xml", sst)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet)
-
-
 def test_read_excel_stdlib(spark, tmp_path):
+    """Round trip through the promoted writer/reader pair (sources.files):
+    shared strings, numerics, None cells, XML-escapable text."""
     from pyspark.sql import types as T
 
-    from ssg_etl_spark.sources.files import read_excel
+    from ssg_etl_spark.sources.files import read_excel, write_xlsx
 
     path = str(tmp_path / "ref.xlsx")
-    _write_minimal_xlsx(
+    write_xlsx(
         path,
         header=["code", "label", "rate"],
-        rows=[["A1", "Alpha", 1.5], ["B2", "Beta, comma", 2.25], ["C3", None, 3]],
+        rows=[
+            ["A1", "Alpha", 1.5],
+            ["B2", "Beta, comma", 2.25],
+            ["C3", None, 3],
+            ["D4", "a<b> & \"q\"", 4.5],  # XML-escaped on write, restored on read
+        ],
+        sheet_name="RefData",
     )
     schema = T.StructType(
         [
@@ -203,9 +150,10 @@ def test_read_excel_stdlib(spark, tmp_path):
         "A1": ("Alpha", 1.5),
         "B2": ("Beta, comma", 2.25),
         "C3": (None, 3.0),
+        "D4": ('a<b> & "q"', 4.5),
     }
     named = read_excel(spark, path, schema, sheet="RefData")
-    assert named.count() == 3
+    assert named.count() == 4
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
