@@ -222,3 +222,63 @@ def xlsx_reference_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_excel(spark, path, schema)
+
+
+@register(
+    "dpp_partitioned_rollup",
+    oracle="""
+WITH dated AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type, value FROM events),
+dim AS (SELECT DISTINCT event_date FROM dated WHERE day(event_date) <= 7)
+SELECT event_date, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+FROM dated JOIN dim USING (event_date)
+GROUP BY 1, 2
+""",
+    tags=("storage", "dpp"),
+    extra=True,
+)
+def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end (SURVEY §4 date partitioning):
+    land events as a date-partitioned parquet dataset (write_partitioned),
+    then roll it up joined to a filtered date dim — the dim filter reaches
+    the fact scan as a runtime PartitionFilter (dynamicpruningexpression),
+    so only the dim's dates are read. tools/plan_audit.py reports the
+    dpp_scans count and tests/test_plan_audit.py gates on it. At 100 TB
+    this is THE mechanism that turns a 3-year event store + one-week dim
+    filter into a one-week scan. Extra registry: locally oracle-verified.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from ssg_etl_spark.sources import sinks
+
+    events = load_table(spark, sf_dir, "events")
+    dated = events.select(
+        F.col("ts").cast("date").alias("event_date"), "event_type", "value"
+    )
+    # Stable scratch path per sf_dir, overwritten each run (same contract
+    # as write_roundtrip).
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"ssg_etl_dpp_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    sinks.write_partitioned(
+        dated, target, partition_by=["event_date"], max_files_per_partition=2
+    )
+    # Partition-type inference reads event_date back as DATE (ISO dir names).
+    fact = spark.read.parquet(target)
+    dim = (
+        events.select(F.col("ts").cast("date").alias("event_date"))
+        .distinct()
+        .filter(F.dayofmonth("event_date") <= 7)
+    )
+    joined = fact.join(F.broadcast(dim), "event_date")
+    return joined.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias(
+            "total_value"
+        ),
+    )

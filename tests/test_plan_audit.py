@@ -26,6 +26,19 @@ def test_headline_plans_have_no_scale_flags(spark, sf_dir):
     assert not flagged, flagged
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The date-partitioned rollup must scan with a runtime
+    dynamicpruningexpression PartitionFilter — proof the dim filter
+    prunes fact partitions at the source, not post-scan (SURVEY §4)."""
+    import re
+
+    specs = load_all(include_extra=True)
+    df = specs["dpp_partitioned_rollup"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("dynamicpruning" in p for p in part_filters), plan
+
+
 def test_detector_catches_single_partition_window(spark, sf_dir):
     """The JVM-tree detector must actually fire on a bare ordered window —
     the text form is ungreppable (formatted explain drops empty arg lists),

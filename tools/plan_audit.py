@@ -114,10 +114,17 @@ def audit_one(name: str, df, plan: str) -> list[str]:
     read_schemas = re.findall(r"ReadSchema: struct<(.*)>\s*$", plan, re.MULTILINE)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     n_pushed = sum(1 for p in pushed if p.strip())
+    # Partition pruning on Hive-layout scans: static (literal predicates on
+    # the partition column) and dynamic (runtime dynamicpruningexpression
+    # injected from a joined dim's filter — the 100 TB date-partition path).
+    part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    n_part = sum(1 for p in part_filters if p.strip())
+    n_dpp = sum(1 for p in part_filters if "dynamicpruning" in p)
     col_counts = [_top_level_cols(rs) for rs in read_schemas]
     n_scans = sum(v for k, v in counts.items() if k.startswith("Scan"))
     notes.append(
         f"scans={n_scans} read_cols={col_counts} pushed_filter_scans={n_pushed}"
+        f" partition_filter_scans={n_part} dpp_scans={n_dpp}"
     )
 
     notes.append(
