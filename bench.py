@@ -38,6 +38,20 @@ HEADLINE = [
     "avg_daily_orders_sales",
 ]
 
+# LLM training-data family: the expensive operators (dedup, ANN, clustering)
+# tracked as a SECOND group so a regression here shows up in BENCH_r{N}.json
+# round over round, not just in ad-hoc sweeps. Kept separate from HEADLINE
+# so "value" stays comparable with earlier rounds' artifacts.
+LLM_FAMILY = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+]
+
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -68,21 +82,28 @@ def main() -> None:
     force(qs["kpi_totals"](spark, sf_dir))
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        walls = []
-        for _ in range(trials):
-            t0 = time.time()
-            # Rebuild per trial: planning cost is part of the measurement,
-            # and a cached logical plan would make later trials free.
-            force(qs[name](spark, sf_dir))
-            walls.append(time.time() - t0)
-            # Release the persist handles the query's operators registered —
-            # keeps trials independent and the session's storage flat.
-            release_tracked()
-        timings[name] = round(statistics.median(walls), 3)
+
+    def run_group(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            if name not in qs:
+                continue
+            walls = []
+            for _ in range(trials):
+                t0 = time.time()
+                # Rebuild per trial: planning cost is part of the
+                # measurement, and a cached logical plan would make later
+                # trials free.
+                force(qs[name](spark, sf_dir))
+                walls.append(time.time() - t0)
+                # Release the persist handles the query's operators
+                # registered — keeps trials independent and storage flat.
+                release_tracked()
+            timings[name] = round(statistics.median(walls), 3)
+        return timings
+
+    timings = run_group(HEADLINE)
+    llm_timings = run_group(LLM_FAMILY)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +113,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "llm_queries": llm_timings,
+                "llm_total": round(sum(llm_timings.values()), 3),
                 "sf": sf,
             }
         )
