@@ -43,7 +43,10 @@ def same_key_burst_pairs(
     post-join dedup.
     """
     tol_us = tolerance_s * _US
-    us = F.unix_micros(F.col(ts_col))
+    # cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ (how parquet
+    # naive timestamps infer); with the session pinned to UTC the NTZ→LTZ
+    # cast is exact, and it is a no-op on an already-zoned column.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     # Exact floor division in integer arithmetic (pmod is non-negative, so
     # this is floor — not truncate — for pre-epoch timestamps too). The
     # float form floor(us/tol) risks an off-by-one bucket near exact

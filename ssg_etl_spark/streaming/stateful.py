@@ -41,7 +41,11 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap sessionization, batch form: a new session starts where the gap
     from the previous event of the same user exceeds ``gap_minutes``."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ (how parquet
+    # naive timestamps infer); with the session pinned to UTC the NTZ→LTZ
+    # cast is exact, and it is a no-op on an already-zoned column.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     flagged = events.withColumn(
         "_new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60 * _US), 1).otherwise(0),

@@ -16,7 +16,10 @@ def test_burst_pairs_equal_naive_theta_join(spark, sf_dir):
         for r in same_key_burst_pairs(ev, tolerance_s=600).collect()
     }
     a, b = ev.alias("a"), ev.alias("b")
-    ua, ub = F.unix_micros(F.col("a.ts")), F.unix_micros(F.col("b.ts"))
+    # cast: parquet naive timestamps infer as TIMESTAMP_NTZ, which
+    # unix_micros rejects (UTC session → the cast is exact).
+    ua = F.unix_micros(F.col("a.ts").cast("timestamp"))
+    ub = F.unix_micros(F.col("b.ts").cast("timestamp"))
     naive = a.join(
         b,
         (F.col("a.user_id") == F.col("b.user_id"))
