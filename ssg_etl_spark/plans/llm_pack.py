@@ -749,3 +749,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry: locally oracle-verified."""
     pairs = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
     return dedup.duplicate_clusters(pairs)
+
+
+# Semantic clusters: the same transitive-closure oracle as dedup_clusters,
+# but over the embedding-cosine pair graph — proving duplicate_clusters
+# composes with BOTH similarity families (lexical shingles and embeddings).
+_EMB_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {COSINE_SQL} >= 0.45),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT s AS node, s AS lbl FROM edges
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node)
+SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register(
+    "embedding_dup_clusters",
+    oracle=_EMB_CLUSTERS_SQL,
+    tags=("llm", "dedup", "similarity", "graph"),
+    extra=True,
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate CLUSTERS: connected components over the
+    embedding-cosine pair graph (cosine ≥ 0.45) — the embedding-family
+    twin of dedup_clusters, one canonical vector per semantic group.
+    Uses the same pointer-jumping min-label propagation; the O(N²) pair
+    generation is the labeled exactness baseline (LSH/IVF are the scale
+    paths for candidate generation). Extra registry: locally
+    oracle-verified."""
+    pairs = similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.45
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return dedup.duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
