@@ -269,6 +269,68 @@ def ivf_topk(
     )
 
 
+def _hyperplane_anchor_list(embeddings: DataFrame, n_anchors: int):
+    """Deterministic projection directions: the first ``n_anchors`` corpus
+    vectors by id, collected into a single-row broadcast array (no RNG, no
+    driver collect)."""
+    anchors = (
+        embeddings.orderBy("vec_id")
+        .limit(n_anchors)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec"))
+    )
+    return F.broadcast(
+        anchors.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("anchor_id", "anchor_vec"))
+            ).alias("anchors")
+        )
+    )
+
+
+def _table_buckets(vec: Column, n_tables: int, bits_per_table: int) -> Column:
+    """array<struct<table,bucket>>: per-table sign-pattern bucket ids
+    against the broadcast ``anchors`` column."""
+    bits = F.transform(
+        F.col("anchors"),
+        lambda a: F.when(
+            dot(_to_double(a["anchor_vec"]), _to_double(vec)) > 0, 1
+        ).otherwise(0),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.alias("table"),
+            F.aggregate(
+                F.slice(bits, t * bits_per_table + 1, bits_per_table),
+                F.lit(0).cast("long"),
+                lambda acc, bit: acc * 2 + bit,
+            ).alias("bucket"),
+        ),
+    )
+
+
+def _bucketize(
+    df: DataFrame,
+    anchor_list,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    bits_per_table: int,
+) -> DataFrame:
+    """One row per (id, table, bucket), vector carried along for scoring."""
+    return (
+        df.crossJoin(anchor_list)
+        .select(
+            id_col,
+            vec_col,
+            F.explode(
+                _table_buckets(F.col(vec_col), n_tables, bits_per_table)
+            ).alias("tb"),
+        )
+        .select(id_col, vec_col, "tb.table", "tb.bucket")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -290,49 +352,12 @@ def lsh_bucketed_topk(
     broadcast, so each executor scores only its bucket-mates — work scales
     with bucket occupancy, not corpus size.
     """
-    n_anchors = n_tables * bits_per_table
-    anchors = (
-        embeddings.orderBy("vec_id")
-        .limit(n_anchors)
-        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec"))
+    anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
+    emb_b = _bucketize(
+        embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
     )
-    anchor_list = F.broadcast(
-        anchors.groupBy().agg(
-            F.array_sort(
-                F.collect_list(F.struct("anchor_id", "anchor_vec"))
-            ).alias("anchors")
-        )
-    )
-
-    def table_buckets(vec: Column) -> Column:
-        """array<struct<table,bucket>>: per-table sign-pattern bucket ids."""
-        bits = F.transform(
-            F.col("anchors"),
-            lambda a: F.when(
-                dot(_to_double(a["anchor_vec"]), _to_double(vec)) > 0, 1
-            ).otherwise(0),
-        )
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_tables - 1)),
-            lambda t: F.struct(
-                t.alias("table"),
-                F.aggregate(
-                    F.slice(bits, t * bits_per_table + 1, bits_per_table),
-                    F.lit(0).cast("long"),
-                    lambda acc, bit: acc * 2 + bit,
-                ).alias("bucket"),
-            ),
-        )
-
-    emb_b = (
-        embeddings.crossJoin(anchor_list)
-        .select("vec_id", "embedding", F.explode(table_buckets(F.col("embedding"))).alias("tb"))
-        .select("vec_id", "embedding", "tb.table", "tb.bucket")
-    )
-    q_b = (
-        queries.crossJoin(anchor_list)
-        .select("query_id", "query_vec", F.explode(table_buckets(F.col("query_vec"))).alias("tb"))
-        .select("query_id", "query_vec", "tb.table", "tb.bucket")
+    q_b = _bucketize(
+        queries, anchor_list, "query_id", "query_vec", n_tables, bits_per_table
     )
 
     candidates = (
@@ -344,3 +369,48 @@ def lsh_bucketed_topk(
     return _rank_topk(
         candidates.select("query_id", "vec_id", sim.alias("cosine_sim")), k
     )
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_tables: int = 8,
+    bits_per_table: int = 3,
+) -> DataFrame:
+    """Scale-path near-duplicate pairs: LSH bucket SELF-join for candidate
+    generation + exact cosine verification — the corpus-sized twin of
+    :func:`embedding_near_dup_pairs` (which is O(N²) by contract).
+
+    A pair is a candidate iff it shares a (table, bucket) in ANY of the
+    ``n_tables`` sign-pattern tables; only candidates are exactly scored,
+    so cost ~ O(corpus + Σ bucket_occupancy²) instead of N². Misses only
+    pairs that collide in NO table (P(miss) = (1-p^b)^L, p = 1-θ/π);
+    every emitted pair is exactly verified, so there are no false
+    positives. The whole pipeline is deterministic (anchor hyperplanes =
+    first corpus vectors), hence SQL-replayable for the oracle,
+    approximation included.
+    """
+    anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
+    b = _bucketize(
+        embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
+    )
+    x, y = b.alias("x"), b.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("x.embedding").alias("_ea"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("y.embedding").alias("_eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = cosine(F.col("_ea"), F.col("_eb"))
+    return candidates.select(
+        "vec_a", "vec_b", sim.alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)

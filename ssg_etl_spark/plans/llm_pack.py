@@ -790,3 +790,85 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+# Shared replay of the deterministic LSH near-dup pipeline: same anchor
+# hyperplanes, same sign-pattern buckets, bucket SELF-join candidates,
+# exact cosine verification — the approximation is part of the contract,
+# so the oracle reproduces it exactly.
+_LSH_PAIRS_CORE = f"""
+alist AS (
+  SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS anchors
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 24)),
+ebits AS (
+  SELECT e.vec_id,
+    list_transform(al.anchors,
+      x -> CASE WHEN list_dot_product(x, CAST(e.embedding AS DOUBLE[])) > 0
+           THEN 1 ELSE 0 END) AS bits
+  FROM embeddings e, alist al),
+ebuckets AS (
+  SELECT vec_id, t.t AS tbl,
+    bits[t.t*3+1]*4 + bits[t.t*3+2]*2 + bits[t.t*3+3] AS bucket
+  FROM ebits, range(0, 8) t(t)),
+lshcand AS (
+  SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+  FROM ebuckets x JOIN ebuckets y USING (tbl, bucket)
+  WHERE x.vec_id < y.vec_id),
+lshpairs AS (
+  SELECT doc_a, doc_b, {COSINE_SQL} AS cosine_sim
+  FROM lshcand
+  JOIN embeddings a ON doc_a = a.vec_id
+  JOIN embeddings b ON doc_b = b.vec_id
+  WHERE {COSINE_SQL} >= 0.45)
+"""
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+WITH {_LSH_PAIRS_CORE}
+SELECT doc_a AS vec_a, doc_b AS vec_b, cosine_sim FROM lshpairs
+""",
+    tags=("llm", "dedup", "similarity"),
+    extra=True,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path semantic near-dup pairs: LSH bucket self-join candidates
+    + exact cosine verification (cosine ≥ 0.45) — the corpus-sized twin of
+    the O(N²) embedding_near_dup baseline. Deterministic pipeline → the
+    oracle replays candidates AND verification, approximation included.
+    Extra registry: locally oracle-verified."""
+    return similarity.lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.45
+    )
+
+
+@register(
+    "embedding_dup_clusters_lsh",
+    oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_CORE},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lshpairs
+  UNION SELECT doc_b, doc_a FROM lshpairs),
+reach AS (
+  SELECT s AS node, s AS lbl FROM edges
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node)
+SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+""",
+    tags=("llm", "dedup", "similarity", "graph"),
+    extra=True,
+)
+def embedding_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully scale-shaped semantic dedup pipeline: LSH-bucketed
+    candidate pairs (exact-verified) → pointer-jumping connected
+    components. Every stage is corpus-linear-ish (bucket self-join +
+    O(log d) label rounds) — this is the plan you'd run at 100 TB, with
+    embedding_dup_clusters as its O(N²) exactness baseline. Extra
+    registry: locally oracle-verified."""
+    pairs = similarity.lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.45
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return dedup.duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

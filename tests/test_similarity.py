@@ -71,3 +71,29 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         ).collect()
     }
     assert full == exact
+
+
+def test_lsh_near_dup_pairs_subset_of_exact(spark, sf_dir):
+    """LSH-bucketed near-dup pairs: every emitted pair is exactly verified
+    (subset of the O(N²) baseline, identical similarities) and recall on
+    the fixture's planted near-dups stays high."""
+    from ssg_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+    from ssg_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in embedding_near_dup_pairs(emb, 0.45).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in lsh_near_dup_pairs(emb, 0.45).collect()
+    }
+    assert set(approx) <= set(exact), "verification must kill false positives"
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 1e-12  # same exact cosine, not an estimate
+    if exact:
+        assert len(approx) / len(exact) >= 0.7  # OR-construction recall
