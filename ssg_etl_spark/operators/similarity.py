@@ -391,9 +391,14 @@ def lsh_near_dup_pairs(
     approximation included.
     """
     anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
+    # The self-join shuffles the 8×-exploded corpus on (table, bucket) —
+    # ids only: carrying dim-sized vectors through that shuffle would
+    # multiply its bytes by the embedding width. Vectors re-join on the
+    # candidate ids afterwards (candidates are near-dup-sized, and the
+    # id-equi-joins shuffle corpus-sized rows once each).
     b = _bucketize(
         embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
-    )
+    ).select("vec_id", "table", "bucket")
     x, y = b.alias("x"), b.alias("y")
     candidates = (
         x.join(
@@ -404,13 +409,20 @@ def lsh_near_dup_pairs(
         )
         .select(
             F.col("x.vec_id").alias("vec_a"),
-            F.col("x.embedding").alias("_ea"),
             F.col("y.vec_id").alias("vec_b"),
-            F.col("y.embedding").alias("_eb"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
     )
     sim = cosine(F.col("_ea"), F.col("_eb"))
-    return candidates.select(
-        "vec_a", "vec_b", sim.alias("cosine_sim")
-    ).filter(F.col("cosine_sim") >= threshold)
+    return (
+        candidates.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
