@@ -17,6 +17,13 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Dimension tables (region/nation/customer-sized) should broadcast. The
+# 64 MB default is sized for this single-JVM local mode; on a cluster the
+# thresholds must ride executor memory (threshold × concurrent tasks is
+# real heap), so deployments size them via SPARK_GRAFT_BROADCAST_MB
+# without a code edit.
+_BROADCAST_BYTES = int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "64")) * 1024 * 1024
+
 DEFAULT_CONF: dict[str, str] = {
     # Adaptive execution: runtime re-plan, partition coalescing, skew-join
     # splitting. This is the single most important knob at 100 TB scale.
@@ -27,16 +34,12 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for applyInPandas / mapInPandas / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Dimension tables (region/nation/customer-sized) should broadcast.
-    # 64 MB is sized for this single-JVM local mode; on a cluster both
-    # thresholds should ride executor memory (64 MB × concurrent tasks is
-    # real heap).
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.autoBroadcastJoinThreshold": str(_BROADCAST_BYTES),
     # The AQE twin of the knob above: planner-time estimates for a join
     # side behind a shuffle are conservative (full-row-width scans), so a
     # sort-merge join whose ACTUAL shuffled side is small only converts to
     # broadcast if this runtime threshold is set; it defaults to unset.
-    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(_BROADCAST_BYTES),
     # ANSI off: the reference's SQL dialects (T-SQL/PG) are non-ANSI w.r.t.
     # silent casts; we coerce explicitly instead.
     "spark.sql.ansi.enabled": "false",
