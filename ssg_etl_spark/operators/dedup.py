@@ -199,6 +199,100 @@ def minhash_lsh_pairs(
     return verified.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
 
+def minhash_lsh_pairs_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Dedup NEW documents against an EXISTING corpus — the operational
+    shape of corpus growth: a daily crawl lands, and only new-vs-corpus
+    near-dups matter. Returns (doc_new, doc_base, jaccard) with
+    ``doc_new`` from ``delta`` and ``doc_base`` from ``base``.
+
+    Same pipeline as :func:`minhash_lsh_pairs` (df-capped shingles over
+    base ∪ delta → signatures → banded buckets → candidates → exact
+    verification), with ONE structural change: the bucket join is
+    delta×base instead of a full self-join, so the quadratic base×base
+    term never exists. Cost ~ O(|base| + |delta| × bucket occupancy).
+    At 100 TB the base signatures/buckets are a precomputed table keyed
+    by (band, bucket); each batch computes delta signatures only and
+    probes — this function expresses that plan shape over the raw
+    inputs. The shingle df cap is computed over the UNION, matching the
+    full operator's corpus-wide cap semantics.
+    """
+    union = base.select("doc_id", "text").unionByName(
+        delta.select("doc_id", "text")
+    )
+    raw = persist_tracked(word_shingles(union))
+    shingles = persist_tracked(_cap_shingle_df(raw, max_shingle_df))
+
+    num_bands = num_hashes // rows_per_band
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(num_bands)
+    ]
+    buckets = persist_tracked(
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+    )
+    delta_ids = delta.select("doc_id").distinct()
+    new_side = buckets.join(delta_ids, "doc_id", "left_semi").alias("x")
+    base_side = buckets.join(delta_ids, "doc_id", "left_anti").alias("y")
+    # Normalized (lo, hi) so verification (which emits doc_a < doc_b) can
+    # semi-join back; orientation is restored at the end.
+    candidates = persist_tracked(
+        new_side.join(
+            base_side,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    cand_shingles = shingles.join(cand_docs, "doc_id", "left_semi")
+    # _shingle_jaccard pairs ALL candidate docs sharing a shingle (it
+    # cannot see delta/base membership); the semi-join keeps only true
+    # delta×base candidate pairs.
+    verified = _shingle_jaccard(cand_shingles, threshold).join(
+        candidates, ["doc_a", "doc_b"], "left_semi"
+    )
+    oriented = verified.join(
+        delta_ids.select(F.col("doc_id").alias("doc_a")).withColumn(
+            "_a_new", F.lit(True)
+        ),
+        "doc_a",
+        "left",
+    )
+    return oriented.select(
+        F.when(F.col("_a_new"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_new"),
+        F.when(F.col("_a_new"), F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_base"),
+        "jaccard",
+    )
+
+
 def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
     """Per-document SimHash: sign of the per-bit sum of shingle-hash bits.
 

@@ -872,3 +872,47 @@ def embedding_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+# Incremental (delta-vs-corpus) near-dup: base = doc_id % 10 != 0,
+# delta = doc_id % 10 = 0. base ∪ delta = documents, so the capped
+# shingle universe equals the full operator's — the oracle is the full
+# pairwise Jaccard restricted to mixed pairs, oriented delta-first.
+@register(
+    "dedup_incremental_vs_corpus",
+    oracle=f"""
+WITH {SHINGLES_SQL},
+capped AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {dedup.DEFAULT_MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+    CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5)
+SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
+       CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_base,
+       jaccard
+FROM pairs
+WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+""",
+    tags=("llm", "dedup", "incremental"),
+    extra=True,
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dups of a NEW batch (doc_id % 10 = 0)
+    against the EXISTING corpus (the rest) — bucket join is delta×base,
+    so the quadratic base×base term never exists. This is how a daily
+    crawl batch dedups against a 100 TB corpus whose signatures are a
+    precomputed table. Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.minhash_lsh_pairs_incremental(base, delta, 0.5)

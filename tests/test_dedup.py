@@ -255,3 +255,30 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_clusters(chain, max_iters=2)
+
+
+def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
+    """Delta-vs-corpus dedup must equal the FULL pair set restricted to
+    mixed (delta, base) pairs — the delta×base bucket join loses nothing
+    the full self-join would have found between the two sides."""
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+
+    full = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()
+        if (r.doc_a % 10 == 0) != (r.doc_b % 10 == 0)
+    }
+    inc = {
+        (min(r.doc_new, r.doc_base), max(r.doc_new, r.doc_base)): r.jaccard
+        for r in dedup.minhash_lsh_pairs_incremental(base, delta, 0.5).collect()
+    }
+    assert set(inc) == set(full)
+    for k in inc:
+        assert abs(inc[k] - full[k]) < 1e-12
+    # Orientation contract: doc_new is always from the delta batch.
+    for r in dedup.minhash_lsh_pairs_incremental(base, delta, 0.5).collect():
+        assert r.doc_new % 10 == 0 and r.doc_base % 10 != 0
