@@ -320,6 +320,7 @@ def global_row_number(
     prefix_col: str,
     tiebreak_cols: list[str],
     out_col: str = "entry_no",
+    coarse_fn=None,
 ) -> DataFrame:
     """Distributed global ROW_NUMBER over (prefix, tiebreaks) — W2 at scale.
 
@@ -329,6 +330,12 @@ def global_row_number(
     earlier prefixes, computed from a prefix histogram. The histogram is
     prefix-cardinality-sized (dates, not rows), so its cumulative window is
     dimension-scale work; no row data ever converges on one task.
+
+    ``coarse_fn`` maps the prefix column to a coarse integer bucket whose
+    ORDER AGREES with the prefix order (bucket(a) < bucket(b) whenever
+    a < b) — it shards the histogram cumsum so even the histogram window
+    is partitioned. Default: calendar year (date/timestamp prefixes).
+    For numeric prefixes pass e.g. ``lambda c: F.floor(F.col(c) * 10)``.
     """
     order_cols = [prefix_col, *tiebreak_cols]
     hist = df.groupBy(prefix_col).agg(F.count(F.lit(1)).alias("_cnt"))
@@ -338,8 +345,12 @@ def global_row_number(
     # bucket that sorts first, matching NULLS FIRST ascending order), plus
     # bucket-level offsets from a driver-collected bucket histogram — a
     # handful of AGGREGATE rows (years), never row data.
+    if coarse_fn is None:
+        coarse_fn = lambda c: F.year(c)  # noqa: E731
     null_bucket = -(2**31)
-    coarse = F.coalesce(F.year(prefix_col), F.lit(null_bucket)).alias("_coarse")
+    coarse = F.coalesce(
+        coarse_fn(prefix_col).cast("int"), F.lit(null_bucket)
+    ).alias("_coarse")
     hist = hist.select("*", coarse)
     bucket_rows = sorted(
         (r["_coarse"], r["_n"])

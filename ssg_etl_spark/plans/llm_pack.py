@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ssg_etl_spark.operators import dedup, multimodal, sampling, similarity, text
+from ssg_etl_spark.operators import analytics, dedup, multimodal, sampling, similarity, text
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table
 
@@ -916,3 +916,62 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     return dedup.minhash_lsh_pairs_incremental(base, delta, 0.5)
+
+
+# Quality-decile stratification via the DISTRIBUTED global rank (W2's
+# histogram-offset operator, coarse-bucketed on floor(score*10)) — the
+# corpus-curation step "keep the top-N% by quality" without a
+# single-partition window anywhere in the plan.
+_QUALITY_EXPR = f"""round(
+      CAST(len(list_filter(string_split(text, ' '),
+           w -> list_contains([{_EN_STOPWORDS}], w))) AS DOUBLE)
+        / len(string_split(text, ' ')) * 0.5
+      + CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                  / len(string_split(text, ' ')) BETWEEN 3 AND 10
+             THEN 0.3 ELSE 0.0 END
+      + CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                  / length(text) <= 0.1 THEN 0.2 ELSE 0.0 END, 6)"""
+
+
+@register(
+    "quality_deciles",
+    oracle=f"""
+WITH m AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM documents),
+r AS (
+  SELECT doc_id, quality_score,
+    row_number() OVER (ORDER BY quality_score, doc_id) AS quality_rank
+  FROM m),
+n AS (SELECT COUNT(*) AS n FROM m)
+SELECT doc_id, quality_score, quality_rank,
+  CAST(FLOOR((quality_rank - 1) * 10.0 / (SELECT n FROM n)) + 1 AS BIGINT)
+    AS decile
+FROM r
+""",
+    tags=("llm", "text", "quality", "sampling"),
+    extra=True,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide quality stratification: every document gets its global
+    quality rank and decile (1 = worst, 10 = best) — the curation step
+    behind "train on the top 30% by quality". The global rank is the
+    distributed histogram-offset form (no single-partition window; the
+    coarse shard is floor(score*10)), and the total count broadcasts as
+    a one-row aggregate. Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.text_metrics(docs).select("doc_id", "quality_score")
+    ranked = analytics.global_row_number(
+        m,
+        "quality_score",
+        ["doc_id"],
+        out_col="quality_rank",
+        coarse_fn=lambda c: F.floor(F.col(c) * 10),
+    )
+    n = m.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "quality_score",
+        "quality_rank",
+        (F.floor((F.col("quality_rank") - 1) * 10 / F.col("_n")) + 1)
+        .cast("long")
+        .alias("decile"),
+    )
