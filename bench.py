@@ -47,7 +47,9 @@ LLM_FAMILY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_incremental_vs_corpus",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",
 ]
