@@ -293,6 +293,35 @@ def minhash_lsh_pairs_incremental(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame, benchmark: DataFrame, min_shared: int = 3
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing at least
+    ``min_shared`` DISTINCT 3-word shingles with a benchmark document —
+    the decontamination pass run before training so eval data does not
+    leak into the corpus. Returns (doc_id, bench_id, n_shared) per
+    contaminated (corpus doc, benchmark doc) pair.
+
+    Unlike near-dup Jaccard this is an ABSOLUTE overlap count with no df
+    cap: a single leaked benchmark sentence inside a long document is
+    exactly what must be caught, and ubiquitous shingles are the
+    benchmark's own problem (raise ``min_shared`` rather than silently
+    dropping shingles). Benchmark suites are dimension-sized next to a
+    training corpus, so the shingle join broadcasts the benchmark side;
+    corpus-side work is one linear shingle pass.
+    """
+    c = word_shingles(corpus)
+    b = word_shingles(benchmark).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
     """Per-document SimHash: sign of the per-bit sum of shingle-hash bits.
 

@@ -975,3 +975,32 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decile"),
     )
+
+
+# Decontamination: corpus docs (doc_id % 50 != 0) sharing >= 3 distinct
+# 3-gram shingles with a benchmark doc (doc_id % 50 = 0). Absolute overlap
+# count, no df cap — a leaked benchmark sentence is exactly the signal.
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+WITH {SHINGLES_SQL},
+c AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 50 != 0),
+b AS (SELECT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % 50 = 0)
+SELECT c.doc_id AS doc_id, b.bench_id AS bench_id, COUNT(*) AS n_shared
+FROM c JOIN b USING (shingle)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""",
+    tags=("llm", "dedup", "contamination"),
+    extra=True,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: training-corpus documents that share ≥ 3
+    distinct 3-gram shingles with an eval/benchmark document (benchmark =
+    doc_id % 50 = 0 slice). The benchmark side broadcasts (suites are
+    dimension-sized next to a corpus); corpus work is one linear shingle
+    pass. Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.ngram_contamination(corpus, bench, min_shared=3)

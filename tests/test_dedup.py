@@ -282,3 +282,30 @@ def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
     # Orientation contract: doc_new is always from the delta batch.
     for r in dedup.minhash_lsh_pairs_incremental(base, delta, 0.5).collect():
         assert r.doc_new % 10 == 0 and r.doc_base % 10 != 0
+
+
+def test_ngram_contamination_catches_planted_leak(spark):
+    """A corpus doc embedding a benchmark sentence is flagged against THAT
+    benchmark doc; clean docs and sub-threshold overlaps are not."""
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # Leak: the benchmark sentence verbatim inside a longer doc.
+            (1, "intro words here the quick brown fox jumps over the lazy dog and more"),
+            # Clean: no shared trigrams.
+            (2, "completely unrelated content about distributed query engines"),
+            # Sub-threshold: shares exactly two trigrams ("the quick brown",
+            # "quick brown fox") — below min_shared=3.
+            (3, "he saw the quick brown fox sleeping"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in dedup.ngram_contamination(corpus, bench, min_shared=3).collect()
+    }
+    assert set(out) == {(1, 1000)}
+    assert out[(1, 1000)] >= 6  # the full 8-word sentence: 6 shared trigrams
