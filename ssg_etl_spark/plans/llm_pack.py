@@ -1004,3 +1004,60 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return dedup.ngram_contamination(corpus, bench, min_shared=3)
+
+
+# Per-source corpus report card: the curation summary (volume, token
+# mass, quality, exact-dup rate) every corpus pipeline publishes. Means
+# go through DECIMAL sums (order-independent) and round(6) in both
+# engines; dup_ratio = 1 - distinct-content/docs.
+@register(
+    "corpus_source_report",
+    oracle=rf"""
+WITH m AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_words,
+    {_QUALITY_EXPR} AS quality_score,
+    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+  FROM documents)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_words) AS BIGINT) AS total_words,
+  round(CAST(SUM(CAST(quality_score AS DECIMAL(28,10))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_quality,
+  COUNT(DISTINCT content_hash) AS n_unique_contents,
+  round(1.0 - CAST(COUNT(DISTINCT content_hash) AS DOUBLE) / COUNT(*), 6)
+    AS dup_ratio
+FROM m GROUP BY source
+""",
+    tags=("llm", "text", "quality", "profile"),
+    extra=True,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: document count, token mass, mean
+    quality (decimal-summed → order-independent), distinct-content count
+    and exact-dup ratio — the summary table a curation pipeline publishes
+    per crawl source. One scan + one groupBy; COUNT(DISTINCT md5) is the
+    only extra aggregation. Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.text_metrics(docs).select("doc_id", "n_words", "quality_score")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(text.normalize_text(F.col("text")).cast("binary")).alias(
+            "content_hash"
+        ),
+    )
+    joined = fp.join(m, "doc_id")
+    n_docs = F.count(F.lit(1))
+    n_unique = F.countDistinct("content_hash")
+    return joined.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(28,10)")).cast("double")
+            / n_docs,
+            6,
+        ).alias("avg_quality"),
+        n_unique.alias("n_unique_contents"),
+        F.round(1.0 - n_unique.cast("double") / n_docs, 6).alias("dup_ratio"),
+    )
