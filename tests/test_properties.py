@@ -210,3 +210,46 @@ def test_hash_split_partitions_input(spark, ids):
         ).first()
         full = {r.doc_id: r.split for r in rows}
         assert solo.split == full[one]
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ).filter(lambda e: e[0] != e[1]),
+    max_size=12,
+)
+
+
+@given(edges=EDGES)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicate_clusters_equals_union_find(spark, edges):
+    """Pointer-jumping min-label propagation == plain union-find on random
+    small graphs: every node labeled with its component's minimum id."""
+    from ssg_etl_spark.operators.dedup import duplicate_clusters
+
+    if not edges:
+        return
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
