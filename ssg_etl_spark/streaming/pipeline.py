@@ -243,3 +243,65 @@ def run_events_pipeline_once(
         .start()
     )
     q.awaitTermination()
+
+
+def foreach_batch_incremental_dedup(
+    base: DataFrame, out_path: str, threshold: float = 0.5
+):
+    """Streaming ingest dedup: every micro-batch of NEW documents is
+    near-dup-checked against the STATIC base corpus (delta×base MinHash,
+    operators/dedup.minhash_lsh_pairs_incremental) and the flagged pairs
+    append to ``out_path`` tagged with the batch id.
+
+    Batches pair only with the base, never with each other, so the union
+    of per-batch outputs equals one batch-mode delta-vs-corpus run over
+    all streamed documents — pinned by tests/test_streaming.py. At scale
+    the base signatures/buckets are a precomputed table and the hot-shingle
+    cap list should be pinned from the base corpus (here it is recomputed
+    over base ∪ batch, which only drifts if a batch itself pushes a
+    shingle over the cap).
+    """
+    from ssg_etl_spark.cache import release_tracked
+    from ssg_etl_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pairs = minhash_lsh_pairs_incremental(base, batch, threshold)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        release_tracked()
+
+    return apply
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    base: DataFrame,
+    source_path: str,
+    checkpoint: str,
+    out_path: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive the streaming delta-vs-corpus dedup over all available files
+    once (Trigger.AvailableNow), one micro-batch per source file."""
+    from ssg_etl_spark.schemas import DOCUMENTS
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_incremental_dedup(base, out_path, threshold)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

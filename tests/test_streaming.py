@@ -252,3 +252,42 @@ def test_dedupe_stream_drops_redelivered_events(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Union of per-micro-batch delta-vs-corpus pairs == one batch-mode
+    incremental run over all streamed documents (batches pair only with
+    the static base, so batch boundaries cannot change the result)."""
+    from ssg_etl_spark.operators.dedup import minhash_lsh_pairs_incremental
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.streaming.pipeline import run_incremental_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+
+    # Two source files → two micro-batches (maxFilesPerTrigger=1).
+    src = str(tmp_path / "incoming")
+    delta.filter("doc_id % 20 = 0").coalesce(1).write.mode("append").parquet(src)
+    delta.filter("doc_id % 20 != 0").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "pairs")
+    run_incremental_dedup_stream(
+        spark, base, src, str(tmp_path / "ckpt"), out
+    )
+
+    got = {
+        (r.doc_new, r.doc_base): r.jaccard
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_new, r.doc_base): r.jaccard
+        for r in minhash_lsh_pairs_incremental(base, delta, 0.5).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
+    n_batches = {
+        r.batch_id for r in spark.read.parquet(out).collect()
+    }
+    assert len(n_batches) >= 1  # at least one non-empty micro-batch ran
