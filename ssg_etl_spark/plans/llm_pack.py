@@ -1061,3 +1061,103 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_unique.alias("n_unique_contents"),
         F.round(1.0 - n_unique.cast("double") / n_docs, 6).alias("dup_ratio"),
     )
+
+
+# The end deliverable of corpus dedup: one keep/drop decision per document.
+# Exact dups drop to their content-hash canonical first; the surviving
+# canonicals then run near-dup clustering, and each cluster keeps only its
+# minimum member. The oracle replays both stages (shingles restricted to
+# exact-dedup survivors) plus the recursive closure.
+_KEEP_LIST_SQL = rf"""
+WITH RECURSIVE
+norm AS (
+  SELECT doc_id,
+    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+  FROM documents),
+canon AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS exact_canon FROM norm),
+survivors AS (SELECT doc_id FROM canon WHERE doc_id = exact_canon),
+wordarrs AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS ws
+  FROM documents d JOIN survivors s ON d.doc_id = s.doc_id),
+shingles AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM wordarrs, range(1, 1024) g(i) WHERE i <= len(ws) - 2),
+capped AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {dedup.DEFAULT_MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT s AS node, s AS lbl FROM edges
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node),
+clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT c.doc_id AS doc_id,
+  CASE WHEN c.doc_id <> c.exact_canon THEN 'exact_dup'
+       WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> c.doc_id
+         THEN 'near_dup'
+       ELSE 'kept' END AS reason,
+  CASE WHEN c.doc_id <> c.exact_canon THEN c.exact_canon
+       ELSE COALESCE(cl.cluster_id, c.doc_id) END AS canonical_doc_id
+FROM canon c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+"""
+
+
+@register(
+    "dedup_keep_list",
+    oracle=_KEEP_LIST_SQL,
+    tags=("llm", "dedup", "pipeline"),
+    extra=True,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end deliverable of corpus dedup: per-document keep/drop with a
+    reason ('kept' / 'exact_dup' / 'near_dup') and the canonical document
+    it defers to. Stage 1 drops exact duplicates to their content-hash
+    canonical; stage 2 clusters the SURVIVORS by shingle Jaccard
+    (pointer-jumping components) and keeps each cluster's minimum member.
+    Training corpus = rows with reason = 'kept'. Extra registry: locally
+    oracle-verified."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.md5(text.normalize_text(F.col("text")).cast("binary")).alias("h"),
+    )
+    canon = norm.withColumn(
+        "exact_canon", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    survivors = docs.join(
+        canon.filter(F.col("doc_id") == F.col("exact_canon")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    clusters = dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(survivors, 0.5)
+    )
+    return canon.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("exact_canon"), F.lit("exact_dup"))
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("doc_id")),
+            F.lit("near_dup"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+        F.when(F.col("doc_id") != F.col("exact_canon"), F.col("exact_canon"))
+        .otherwise(F.coalesce("cluster_id", "doc_id"))
+        .alias("canonical_doc_id"),
+    )
