@@ -79,6 +79,52 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    filter_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Metadata-filtered similarity search: each query ranks only corpus
+    vectors sharing its ``filter_col`` value — "nearest neighbors within
+    my category/language/shard", the other half of production vector
+    search next to unfiltered ANN.
+
+    ``queries`` carries (query_id, query_vec, ``filter_col``). The corpus
+    joins the broadcast queries on the filter column, so only matching
+    rows are ever scored; at 100 TB, partition (or cluster) the corpus
+    by the filter column and this equi-join becomes a pruned scan — the
+    selectivity of the filter is the speedup, with exact results (no
+    recall loss, unlike post-filtering an ANN candidate list, which
+    starves k when the filter is selective).
+    """
+    corpus = embeddings.select(
+        filter_col,
+        "vec_id",
+        _to_double(F.col("embedding")).alias("_emb_d"),
+        norm(F.col("embedding")).alias("_norm"),
+    )
+    qn = queries.select(
+        F.col(filter_col),
+        "query_id",
+        _to_double(F.col("query_vec")).alias("_q_d"),
+        norm(F.col("query_vec")).alias("_q_norm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qn), filter_col)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("_emb_d"), F.col("_q_d"))
+                / (F.col("_norm") * F.col("_q_norm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     """All embedding pairs with cosine ≥ threshold (exact, self-join form).
 

@@ -1161,3 +1161,35 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.coalesce("cluster_id", "doc_id"))
         .alias("canonical_doc_id"),
     )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+WITH scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS vec_id, {COSINE_SQL} AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.label = b.label
+  WHERE b.vec_id % 100 = 0 AND a.vec_id <> b.vec_id)
+SELECT query_id, rank, vec_id, cosine_sim FROM (
+  SELECT query_id, vec_id, cosine_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)
+      AS rank
+  FROM scored) t
+WHERE rank <= 10
+""",
+    tags=("llm", "similarity"),
+    extra=True,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered similarity search: top-10 within the query's own
+    label — exact results through an equi-join on the filter column (a
+    pruned scan when the corpus is partitioned by it), not post-filtering
+    an ANN candidate list (which starves k under selective filters).
+    Extra registry: locally oracle-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        "label",
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.filtered_topk(emb, queries, filter_col="label", k=10)
