@@ -125,6 +125,71 @@ def filtered_topk(
     return _rank_topk(scored, k)
 
 
+def knn_label_agreement(
+    embeddings: DataFrame, k: int = 5, label_col: str = "label"
+) -> DataFrame:
+    """Noisy-label detection: for every vector, the label vote of its k
+    nearest neighbors. A labeled example whose neighbors disagree with its
+    own label is a mislabeling candidate (confident-learning's core
+    signal) — the standard quality gate on labeled/synthetic training
+    embeddings.
+
+    Returns (vec_id, label, majority_label, n_agree, agree_ratio) with
+    majority ties broken toward the smallest label. This exact form ranks
+    all pairs (the O(N²) baseline, like :func:`embedding_near_dup_pairs`);
+    at scale feed the SAME vote aggregation from LSH/IVF candidate lists —
+    only the neighbor-generation stage changes.
+    """
+    with_norm = embeddings.select(
+        "vec_id",
+        F.col(label_col).alias("_lbl"),
+        _to_double(F.col("embedding")).alias("_emb_d"),
+        norm(F.col("embedding")).alias("_norm"),
+    )
+    a = with_norm.alias("a")
+    b = with_norm.alias("b")
+    sim = dot(F.col("a._emb_d"), F.col("b._emb_d")) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
+    scored = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a._lbl").alias("label"),
+        F.col("b._lbl").alias("nbr_label"),
+        sim.alias("cosine_sim"),
+        F.col("b.vec_id").alias("nbr_id"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("nbr_id")
+    )
+    knn = scored.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
+    votes = knn.groupBy("vec_id", "label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("_votes")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.desc("_votes"), F.asc("nbr_label")
+    )
+    majority = (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") == 1)
+        .select("vec_id", "label", F.col("nbr_label").alias("majority_label"))
+    )
+    agree = knn.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("nbr_label") == F.col("label"), 1).otherwise(0)
+        ).cast("long").alias("n_agree"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return majority.join(agree, "vec_id").select(
+        "vec_id",
+        "label",
+        "majority_label",
+        "n_agree",
+        F.round(F.col("n_agree") / F.col("_n"), 6).alias("agree_ratio"),
+    )
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     """All embedding pairs with cosine ≥ threshold (exact, self-join form).
 

@@ -1193,3 +1193,49 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return similarity.filtered_topk(emb, queries, filter_col="label", k=10)
+
+
+@register(
+    "knn_label_agreement",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS vec_id, a.label AS label, b.label AS nbr_label,
+    {COSINE_SQL} AS cosine_sim, b.vec_id AS nbr_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+knn AS (
+  SELECT * FROM (
+    SELECT vec_id, label, nbr_label,
+      row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cosine_sim DESC, nbr_id) AS rnk
+    FROM scored) t
+  WHERE rnk <= 5),
+votes AS (
+  SELECT vec_id, label, nbr_label, COUNT(*) AS v
+  FROM knn GROUP BY 1, 2, 3),
+majority AS (
+  SELECT vec_id, label, nbr_label AS majority_label FROM (
+    SELECT vec_id, label, nbr_label,
+      row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, nbr_label) AS vr
+    FROM votes) t
+  WHERE vr = 1),
+agree AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_agree,
+    COUNT(*) AS n
+  FROM knn GROUP BY 1)
+SELECT m.vec_id AS vec_id, m.label AS label, m.majority_label,
+  a.n_agree, round(CAST(a.n_agree AS DOUBLE) / a.n, 6) AS agree_ratio
+FROM majority m JOIN agree a ON m.vec_id = a.vec_id
+""",
+    tags=("llm", "similarity", "quality"),
+    extra=True,
+)
+def knn_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-label detection: each vector's 5 nearest neighbors vote on
+    its label; low agreement flags mislabeling candidates. All-pairs
+    exact baseline — at scale the identical vote aggregation consumes
+    LSH/IVF candidate lists. Extra registry: locally oracle-verified."""
+    return similarity.knn_label_agreement(
+        load_table(spark, sf_dir, "embeddings"), k=5
+    )
