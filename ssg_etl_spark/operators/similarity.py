@@ -190,6 +190,44 @@ def knn_label_agreement(
     )
 
 
+def label_centroid_outliers(
+    embeddings: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Embedding outlier scoring: cosine of every vector to its label's
+    centroid — the tail of low scores flags corrupt embeddings, wrong
+    labels, and off-distribution samples per class.
+
+    Cosine is scale-invariant in the second argument, so the "centroid"
+    is the per-label decimal SUM vector, never divided by the count:
+    decimal sums are order-independent and cast to double exactly in
+    both engines, which keeps the whole operator oracle-replayable with
+    no float-mean drift. One posexplode + one (label, dim) aggregation
+    (map-side combinable) + a broadcast join of label-count-sized
+    centroid rows.
+    """
+    ed = embeddings.select(
+        "vec_id",
+        F.col(label_col).alias("label"),
+        _to_double(F.col("embedding")).alias("_e"),
+    )
+    dims = ed.select("label", F.posexplode("_e").alias("_pos", "_v"))
+    sums = dims.groupBy("label", "_pos").agg(
+        F.sum(F.col("_v").cast("decimal(28,12)")).cast("double").alias("_s")
+    )
+    cent = (
+        sums.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_s"))).alias("_ps"))
+        .select("label", F.transform("_ps", lambda p: p["_s"]).alias("_c"))
+    )
+    cos = dot(F.col("_e"), F.col("_c")) / (
+        F.sqrt(dot(F.col("_e"), F.col("_e")))
+        * F.sqrt(dot(F.col("_c"), F.col("_c")))
+    )
+    return ed.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", F.round(cos, 6).alias("centroid_cosine")
+    )
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     """All embedding pairs with cosine ≥ threshold (exact, self-join form).
 

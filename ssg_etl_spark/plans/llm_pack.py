@@ -1239,3 +1239,37 @@ def knn_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_agreement(
         load_table(spark, sf_dir, "embeddings"), k=5
     )
+
+
+# Centroid = per-label decimal SUM vector (cosine is scale-invariant, so
+# dividing by the count is unnecessary — and skipping it removes the one
+# step where engine decimal-division rules could drift).
+@register(
+    "label_centroid_outliers",
+    oracle="""
+WITH ed AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dims AS (
+  SELECT label, i AS pos, e[i] AS v
+  FROM ed, range(1, 4096) g(i) WHERE i <= len(e)),
+sums AS (
+  SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM dims GROUP BY 1, 2),
+cent AS (SELECT label, list(s ORDER BY pos) AS c FROM sums GROUP BY label)
+SELECT vec_id, label,
+  round(list_dot_product(e, c)
+        / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c))), 6)
+    AS centroid_cosine
+FROM ed JOIN cent USING (label)
+""",
+    tags=("llm", "similarity", "quality"),
+    extra=True,
+)
+def label_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outlier scores: cosine to the label centroid
+    (decimal-sum vector — exact in both engines). The low tail flags
+    corrupt/mislabeled/off-distribution samples. Extra registry: locally
+    oracle-verified."""
+    return similarity.label_centroid_outliers(
+        load_table(spark, sf_dir, "embeddings")
+    )
