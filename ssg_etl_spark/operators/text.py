@@ -232,6 +232,36 @@ def repetition_metrics(df: DataFrame) -> DataFrame:
     )
 
 
+def token_entropy(df: DataFrame) -> DataFrame:
+    """Shannon entropy of each document's word distribution (nats) — the
+    quality signal that separates natural prose (high entropy) from
+    keyword stuffing and templated spam (low entropy at the same length),
+    complementing :func:`repetition_metrics`' ratio-based filters.
+
+    Computed as ln(n) − (Σ c·ln c)/n from the TF counts, so it shares the
+    explode+aggregate shape (linear, map-side combinable). Also emits the
+    normalized form entropy/ln(n_distinct) ∈ [0,1] (NULL when the doc has
+    fewer than 2 distinct words — normalization is undefined there).
+    """
+    terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("_n"),
+        F.count(F.lit(1)).alias("_distinct"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+    )
+    n = F.col("_n").cast("double")
+    entropy = F.log(n) - F.col("_clnc") / n
+    return agg.select(
+        "doc_id",
+        F.round(entropy, 6).alias("entropy"),
+        F.when(
+            F.col("_distinct") >= 2,
+            F.round(entropy / F.log(F.col("_distinct").cast("double")), 6),
+        ).alias("norm_entropy"),
+    )
+
+
 # PII patterns kept to the Java-regex ∩ RE2 common subset so the DuckDB
 # oracle runs the IDENTICAL expressions (no lookbehind, no backrefs).
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -1273,3 +1273,30 @@ def label_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_outliers(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+@register(
+    "token_entropy",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
+    SUM(c * ln(c)) AS clnc
+  FROM tf GROUP BY 1)
+SELECT doc_id,
+  round(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6) AS entropy,
+  CASE WHEN n_distinct >= 2
+       THEN round((ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE))
+                  / ln(CAST(n_distinct AS DOUBLE)), 6) END AS norm_entropy
+FROM agg
+""",
+    tags=("llm", "text", "quality"),
+    extra=True,
+)
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-distribution Shannon entropy per document (+ normalized form)
+    — low entropy at a given length flags keyword stuffing and templated
+    spam. Extra registry: locally oracle-verified."""
+    return text.token_entropy(load_table(spark, sf_dir, "documents"))

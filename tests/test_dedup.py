@@ -309,3 +309,27 @@ def test_ngram_contamination_catches_planted_leak(spark):
     }
     assert set(out) == {(1, 1000)}
     assert out[(1, 1000)] >= 6  # the full 8-word sentence: 6 shared trigrams
+
+
+def test_token_entropy_orders_prose_above_stuffing(spark):
+    """Entropy separates natural-ish prose from repetition at equal
+    length; degenerate docs get the documented edge values."""
+    import math
+
+    from ssg_etl_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # 8 distinct → ln(8), norm 1.0
+            (2, "buy buy buy buy buy buy buy buy"),  # 1 word → 0, norm NULL
+            (3, "a a a a b b c d"),          # mixed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.entropy, r.norm_entropy) for r in token_entropy(df).collect()}
+    assert out[1] == (round(math.log(8), 6), 1.0)
+    assert out[2] == (0.0, None)
+    assert 0 < out[3][0] < math.log(8)
+    ent = math.log(8) - (4 * math.log(4) + 2 * math.log(2)) / 8
+    assert out[3][0] == round(ent, 6)
+    assert out[3][1] == round(ent / math.log(4), 6)
