@@ -242,13 +242,21 @@ def token_entropy(df: DataFrame) -> DataFrame:
     explode+aggregate shape (linear, map-side combinable). Also emits the
     normalized form entropy/ln(n_distinct) ∈ [0,1] (NULL when the doc has
     fewer than 2 distinct words — normalization is undefined there).
+
+    The Σ c·ln c partial sum runs on DECIMAL(28,12) intermediates, not
+    doubles: double addition is order-dependent and Spark's partial-agg
+    order is nondeterministic, so a double sum is not bit-stable run-to-run
+    and can flip a round(6) boundary vs the oracle. Ties at scale 12 are
+    unrepresentable in binary floats, so both engines round identically.
     """
     terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     agg = tf.groupBy("doc_id").agg(
         F.sum("c").alias("_n"),
         F.count(F.lit(1)).alias("_distinct"),
-        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+        F.sum(
+            (F.col("c") * F.log(F.col("c"))).cast("decimal(28,12)")
+        ).cast("double").alias("_clnc"),
     )
     n = F.col("_n").cast("double")
     entropy = F.log(n) - F.col("_clnc") / n

@@ -911,7 +911,16 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the EXISTING corpus (the rest) — bucket join is delta×base,
     so the quadratic base×base term never exists. This is how a daily
     crawl batch dedups against a 100 TB corpus whose signatures are a
-    precomputed table. Extra registry: locally oracle-verified."""
+    precomputed table. Extra registry: locally oracle-verified.
+
+    Oracle soundness: the oracle is the exact pairwise Jaccard restricted
+    to mixed pairs, while the operator emits only LSH-colliding candidates
+    — so the check is sound only if no true pair escapes the banding. As
+    with ``dedup_minhash_lsh``, the fixture's injected near-dups sit at
+    s ≈ 0.98, where P(miss) = (1−s²)^32 ≈ 1e-45 with the default banding
+    (32 bands × 2 rows); a pair hovering AT the 0.5 threshold would have
+    ~1e-4 miss probability, but the fixture has no such pairs —
+    mixed-pair similarities are either ≥0.9 (injected dups) or ≪0.5."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
@@ -1283,7 +1292,7 @@ WITH terms AS (
 tf AS (SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2),
 agg AS (
   SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
-    SUM(c * ln(c)) AS clnc
+    CAST(SUM(CAST(c * ln(c) AS DECIMAL(28,12))) AS DOUBLE) AS clnc
   FROM tf GROUP BY 1)
 SELECT doc_id,
   round(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6) AS entropy,

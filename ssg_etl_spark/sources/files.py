@@ -178,8 +178,9 @@ def write_xlsx(
     sheet names without them). Driver-side by design, like the reader:
     reference workbooks are control-plane inputs, not the bulk path.
     """
+    import math
     import zipfile
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape, quoteattr
 
     strings: list[str] = []
     index: dict[str, int] = {}
@@ -200,6 +201,10 @@ def write_xlsx(
             return f'<c r="{ref}" t="s"><v>{index[val]}</v></c>'
         if isinstance(val, bool):
             return f'<c r="{ref}" t="b"><v>{int(val)}</v></c>'
+        if isinstance(val, float) and not math.isfinite(val):
+            raise ValueError(
+                f"xlsx numeric cells cannot hold non-finite {val!r} at {ref}"
+            )
         return f'<c r="{ref}"><v>{val}</v></c>'
 
     def row_xml(i: int, vals: list[object]) -> str:
@@ -227,7 +232,7 @@ def write_xlsx(
         '<?xml version="1.0"?><workbook xmlns='
         '"http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r='
         '"http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        f'<sheets><sheet name={quoteattr(sheet_name)} sheetId="1" r:id="rId1"/>'
         "</sheets></workbook>"
     )
     rels = (

@@ -261,19 +261,23 @@ def foreach_batch_incremental_dedup(
     over base ∪ batch, which only drifts if a batch itself pushes a
     shingle over the cap).
     """
-    from ssg_etl_spark.cache import release_tracked
+    from ssg_etl_spark.cache import release_tracked, scope_token
     from ssg_etl_spark.operators.dedup import minhash_lsh_pairs_incremental
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # Scoped release: this runs on the micro-batch thread while other
+        # consumers of the same session may hold their own tracked persists
+        # — drop only the handles THIS batch registered.
+        tok = scope_token()
         pairs = minhash_lsh_pairs_incremental(base, batch, threshold)
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(out_path)
         )
-        release_tracked()
+        release_tracked(since=tok)
 
     return apply
 

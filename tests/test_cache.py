@@ -51,3 +51,42 @@ def test_release_tracked_is_idempotent_and_safe(spark):
     assert cache.release_tracked() == 0
     # The released DataFrame is still usable (recompute, not failure).
     assert df.count() == 10
+
+
+def test_scoped_release_leaves_other_consumers_handles(spark):
+    """ADVICE r4: a consumer releasing with its scope token must not drop
+    handles another consumer of the same session registered earlier —
+    the streaming micro-batch thread vs notebook scenario."""
+    cache.release_tracked(blocking=True)
+    other = cache.persist_tracked(spark.range(5))
+    other.count()
+    tok = cache.scope_token()
+    mine = cache.persist_tracked(spark.range(7))
+    mine.count()
+    assert cache.tracked_count() == 2
+    # Scoped release drops only the post-token handle.
+    assert cache.release_tracked(blocking=True, since=tok) == 1
+    assert cache.tracked_count() == 1
+    assert other.storageLevel.useMemory  # the neighbor's persist survived
+    cache.release_tracked(blocking=True)
+    assert cache.tracked_count() == 0
+
+
+def test_persist_tracked_is_thread_safe(spark):
+    """Concurrent registration from many threads (the foreachBatch case):
+    no lost registrations, no racy list corruption."""
+    import threading
+
+    cache.release_tracked(blocking=True)
+    dfs = [spark.range(i + 1) for i in range(16)]
+
+    def reg(d):
+        cache.persist_tracked(d)
+
+    threads = [threading.Thread(target=reg, args=(d,)) for d in dfs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert cache.tracked_count() == 16
+    assert cache.release_tracked(blocking=True) == 16

@@ -160,6 +160,35 @@ def test_read_excel_stdlib(spark, tmp_path):
         read_excel(spark, path, schema, sheet="Nope")
 
 
+def test_write_xlsx_quoted_sheet_name_and_nonfinite(spark, tmp_path):
+    """ADVICE r4: a sheet name containing a double quote must produce a
+    well-formed workbook.xml (quoteattr, not bare escape), and non-finite
+    floats must be rejected rather than emitted as invalid <v> cells."""
+    import math
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from ssg_etl_spark.sources.files import read_excel, write_xlsx
+
+    path = str(tmp_path / "quoted.xlsx")
+    write_xlsx(
+        path,
+        header=["k", "v"],
+        rows=[["a", 1.0]],
+        sheet_name='My "Quoted" Sheet',
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    got = read_excel(spark, path, schema, sheet='My "Quoted" Sheet').collect()
+    assert [(r.k, r.v) for r in got] == [("a", 1.0)]
+
+    for bad in (math.nan, math.inf, -math.inf):
+        with pytest.raises(ValueError, match="non-finite"):
+            write_xlsx(str(tmp_path / "bad.xlsx"), ["x"], [[bad]])
+
+
 def test_bigquery_write_options_plumbing():
     from ssg_etl_spark.sources.sinks import bigquery_write_options
 
