@@ -48,8 +48,12 @@ LLM_FAMILY = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_incremental_vs_corpus",
+    # Round 5: embedding_near_dup is now the LSH-bucketed scale path (was
+    # embedding_near_dup_lsh); the O(N²) form moved to the untimed extra
+    # baseline embedding_near_dup_exact. r4's 25.5 s "embedding_near_dup"
+    # line corresponds to the r5 baseline, r4's "embedding_near_dup_lsh"
+    # 11.1 s line to this key.
     "embedding_near_dup",
-    "embedding_near_dup_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",
 ]

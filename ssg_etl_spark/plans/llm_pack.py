@@ -144,17 +144,25 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
+# Round 5: the PUBLIC embedding_near_dup slot is the LSH-bucketed scale
+# path (registered below, next to its shared oracle CTE); the exact O(N²)
+# self-join survives here as the *(extra)* verification baseline — at
+# 100 TB nobody runs all-pairs, but the baseline is what recall is
+# measured against (tests/test_similarity.py).
 @register(
-    "embedding_near_dup",
+    "embedding_near_dup_exact",
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {COSINE_SQL} AS cosine_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {COSINE_SQL} >= 0.45
 """,
     tags=("llm", "dedup", "similarity"),
+    extra=True,
 )
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.45)."""
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding-cosine near-duplicate pairs (cosine ≥
+    0.45) — the O(N²) exactness baseline for the public LSH-bucketed
+    ``embedding_near_dup``. Extra registry: locally oracle-verified."""
     return similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.45
     )
@@ -771,19 +779,17 @@ SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 
 
 @register(
-    "embedding_dup_clusters",
+    "embedding_dup_clusters_exact",
     oracle=_EMB_CLUSTERS_SQL,
     tags=("llm", "dedup", "similarity", "graph"),
     extra=True,
 )
-def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-duplicate CLUSTERS: connected components over the
-    embedding-cosine pair graph (cosine ≥ 0.45) — the embedding-family
-    twin of dedup_clusters, one canonical vector per semantic group.
-    Uses the same pointer-jumping min-label propagation; the O(N²) pair
-    generation is the labeled exactness baseline (LSH/IVF are the scale
-    paths for candidate generation). Extra registry: locally
-    oracle-verified."""
+def embedding_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate CLUSTERS over the EXACT all-pairs cosine
+    graph (cosine ≥ 0.45) — since round 5 the O(N²) exactness baseline
+    for the canonical ``embedding_dup_clusters`` (whose pair stage is
+    LSH-bucketed). Uses the same pointer-jumping min-label propagation.
+    Extra registry: locally oracle-verified."""
     pairs = similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.45
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
@@ -824,27 +830,28 @@ lshpairs AS (
 
 
 @register(
-    "embedding_near_dup_lsh",
+    "embedding_near_dup",
     oracle=f"""
 WITH {_LSH_PAIRS_CORE}
 SELECT doc_a AS vec_a, doc_b AS vec_b, cosine_sim FROM lshpairs
 """,
     tags=("llm", "dedup", "similarity"),
-    extra=True,
 )
-def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path semantic near-dup pairs: LSH bucket self-join candidates
-    + exact cosine verification (cosine ≥ 0.45) — the corpus-sized twin of
-    the O(N²) embedding_near_dup baseline. Deterministic pipeline → the
-    oracle replays candidates AND verification, approximation included.
-    Extra registry: locally oracle-verified."""
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs, scale path (PUBLIC since round 5 — was
+    ``embedding_near_dup_lsh``): LSH bucket self-join candidates + exact
+    cosine verification (cosine ≥ 0.45). Cost is O(corpus + candidates),
+    not all-pairs; the O(N²) form is the *(extra)*
+    ``embedding_near_dup_exact`` baseline (measured recall vs it lives in
+    tests/test_similarity.py). Deterministic pipeline → the oracle replays
+    candidates AND verification, approximation included."""
     return similarity.lsh_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.45
     )
 
 
 @register(
-    "embedding_dup_clusters_lsh",
+    "embedding_dup_clusters",
     oracle=f"""
 WITH RECURSIVE {_LSH_PAIRS_CORE},
 edges AS (
@@ -859,13 +866,14 @@ SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
     tags=("llm", "dedup", "similarity", "graph"),
     extra=True,
 )
-def embedding_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fully scale-shaped semantic dedup pipeline: LSH-bucketed
-    candidate pairs (exact-verified) → pointer-jumping connected
-    components. Every stage is corpus-linear-ish (bucket self-join +
-    O(log d) label rounds) — this is the plan you'd run at 100 TB, with
-    embedding_dup_clusters as its O(N²) exactness baseline. Extra
-    registry: locally oracle-verified."""
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical semantic dedup pipeline (LSH-routed since round 5 —
+    was ``embedding_dup_clusters_lsh``): LSH-bucketed candidate pairs
+    (exact-verified) → pointer-jumping connected components. Every stage
+    is corpus-linear-ish (bucket self-join + O(log d) label rounds) —
+    this is the plan you'd run at 100 TB, with
+    ``embedding_dup_clusters_exact`` as its O(N²) exactness baseline.
+    Extra registry: locally oracle-verified."""
     pairs = similarity.lsh_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.45
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))

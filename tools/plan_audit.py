@@ -45,7 +45,7 @@ AUDIT_DEFAULT = [
     "events_10min_window",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
-    "embedding_near_dup_lsh",
+    "embedding_near_dup",
     "valuation_recompute",
     "merge_upsert",
     "cdc_batch_apply",
