@@ -125,43 +125,24 @@ def filtered_topk(
     return _rank_topk(scored, k)
 
 
-def knn_label_agreement(
-    embeddings: DataFrame, k: int = 5, label_col: str = "label"
-) -> DataFrame:
-    """Noisy-label detection: for every vector, the label vote of its k
-    nearest neighbors. A labeled example whose neighbors disagree with its
-    own label is a mislabeling candidate (confident-learning's core
-    signal) — the standard quality gate on labeled/synthetic training
-    embeddings.
+def label_votes_from_candidates(candidates: DataFrame, k: int = 5) -> DataFrame:
+    """The vote/majority stage of k-NN noisy-label detection, decoupled
+    from neighbor generation: consumes ANY scored candidate set with
+    columns (vec_id, label, nbr_id, nbr_label, cosine_sim) — all pairs,
+    LSH bucket-mates, IVF cell-mates — ranks each vector's candidates,
+    keeps the top ``k``, and votes.
 
     Returns (vec_id, label, majority_label, n_agree, agree_ratio) with
-    majority ties broken toward the smallest label. This exact form ranks
-    all pairs (the O(N²) baseline, like :func:`embedding_near_dup_pairs`);
-    at scale feed the SAME vote aggregation from LSH/IVF candidate lists —
-    only the neighbor-generation stage changes.
+    majority ties broken toward the smallest label; ranking ties break on
+    ascending nbr_id (deterministic, oracle-replayable). A vector with
+    fewer than ``k`` candidates votes among what it has; a vector with
+    none is absent from the output (the candidate generator's recall
+    contract, not this stage's).
     """
-    with_norm = embeddings.select(
-        "vec_id",
-        F.col(label_col).alias("_lbl"),
-        _to_double(F.col("embedding")).alias("_emb_d"),
-        norm(F.col("embedding")).alias("_norm"),
-    )
-    a = with_norm.alias("a")
-    b = with_norm.alias("b")
-    sim = dot(F.col("a._emb_d"), F.col("b._emb_d")) / (
-        F.col("a._norm") * F.col("b._norm")
-    )
-    scored = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("a._lbl").alias("label"),
-        F.col("b._lbl").alias("nbr_label"),
-        sim.alias("cosine_sim"),
-        F.col("b.vec_id").alias("nbr_id"),
-    )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine_sim"), F.asc("nbr_id")
     )
-    knn = scored.withColumn("_rank", F.row_number().over(w)).filter(
+    knn = candidates.withColumn("_rank", F.row_number().over(w)).filter(
         F.col("_rank") <= k
     )
     votes = knn.groupBy("vec_id", "label", "nbr_label").agg(
@@ -188,6 +169,112 @@ def knn_label_agreement(
         "n_agree",
         F.round(F.col("n_agree") / F.col("_n"), 6).alias("agree_ratio"),
     )
+
+
+def knn_label_agreement(
+    embeddings: DataFrame, k: int = 5, label_col: str = "label"
+) -> DataFrame:
+    """Noisy-label detection: for every vector, the label vote of its k
+    nearest neighbors. A labeled example whose neighbors disagree with its
+    own label is a mislabeling candidate (confident-learning's core
+    signal) — the standard quality gate on labeled/synthetic training
+    embeddings.
+
+    This exact form scores all pairs (the O(N²) exactness baseline, like
+    :func:`embedding_near_dup_pairs`); the vote stage is the shared
+    :func:`label_votes_from_candidates`, which at scale consumes the
+    LSH candidate set instead (:func:`knn_label_agreement_lsh`).
+    """
+    with_norm = embeddings.select(
+        "vec_id",
+        F.col(label_col).alias("_lbl"),
+        _to_double(F.col("embedding")).alias("_emb_d"),
+        norm(F.col("embedding")).alias("_norm"),
+    )
+    a = with_norm.alias("a")
+    b = with_norm.alias("b")
+    sim = dot(F.col("a._emb_d"), F.col("b._emb_d")) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
+    scored = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a._lbl").alias("label"),
+        F.col("b._lbl").alias("nbr_label"),
+        sim.alias("cosine_sim"),
+        F.col("b.vec_id").alias("nbr_id"),
+    )
+    return label_votes_from_candidates(scored, k)
+
+
+def knn_label_agreement_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    n_tables: int = 8,
+    bits_per_table: int = 3,
+) -> DataFrame:
+    """Scale-path noisy-label detection: the SAME vote stage as
+    :func:`knn_label_agreement`, fed from LSH bucket-mate candidates
+    instead of all pairs — each vector votes over its k most-similar
+    bucket-mates, so cost ~ O(corpus + Σ bucket_occupancy²), not N².
+
+    Candidate generation mirrors :func:`lsh_near_dup_pairs` (undirected
+    ``<`` self-join + distinct, then both orientations via union — half
+    the dedup work of a directed join) and carries ids only through the
+    bucket shuffle; labels and vectors re-join on the candidate ids.
+    A vector sharing no bucket with anyone is absent from the output —
+    at real corpus sizes buckets are never singleton; the pytest pins
+    coverage + agreement against the exact baseline on the fixture.
+    Deterministic anchors → SQL-replayable, approximation included.
+    """
+    anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
+    b = _bucketize(
+        embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
+    ).select("vec_id", "table", "bucket")
+    x, y = b.alias("x"), b.alias("y")
+    undirected = (
+        x.join(
+            y,
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("_u"), F.col("y.vec_id").alias("_v"))
+        .distinct()
+    )
+    directed = undirected.select(
+        F.col("_u").alias("vec_id"), F.col("_v").alias("nbr_id")
+    ).unionAll(
+        undirected.select(
+            F.col("_v").alias("vec_id"), F.col("_u").alias("nbr_id")
+        )
+    )
+    ea = embeddings.select(
+        F.col("vec_id"),
+        F.col(label_col).alias("label"),
+        _to_double(F.col("embedding")).alias("_ea"),
+        norm(F.col("embedding")).alias("_na"),
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col(label_col).alias("nbr_label"),
+        _to_double(F.col("embedding")).alias("_eb"),
+        norm(F.col("embedding")).alias("_nb"),
+    )
+    scored = (
+        directed.join(ea, "vec_id")
+        .join(eb, "nbr_id")
+        .select(
+            "vec_id",
+            "label",
+            "nbr_id",
+            "nbr_label",
+            (
+                dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine_sim"),
+        )
+    )
+    return label_votes_from_candidates(scored, k)
 
 
 def label_centroid_outliers(

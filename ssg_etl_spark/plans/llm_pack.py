@@ -798,11 +798,12 @@ def embedding_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared replay of the deterministic LSH near-dup pipeline: same anchor
-# hyperplanes, same sign-pattern buckets, bucket SELF-join candidates,
-# exact cosine verification — the approximation is part of the contract,
-# so the oracle reproduces it exactly.
-_LSH_PAIRS_CORE = f"""
+# Shared replay of the deterministic LSH bucket pipeline: same anchor
+# hyperplanes, same sign-pattern buckets. Consumed by the near-dup pair
+# oracle (undirected candidates + threshold verify) AND the k-NN label
+# vote oracle (directed candidates + rank/vote tail) — the approximation
+# is part of each contract, so the oracles reproduce it exactly.
+_LSH_BUCKETS_SQL = """
 alist AS (
   SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS anchors
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 24)),
@@ -815,7 +816,10 @@ ebits AS (
 ebuckets AS (
   SELECT vec_id, t.t AS tbl,
     bits[t.t*3+1]*4 + bits[t.t*3+2]*2 + bits[t.t*3+3] AS bucket
-  FROM ebits, range(0, 8) t(t)),
+  FROM ebits, range(0, 8) t(t))"""
+
+_LSH_PAIRS_CORE = f"""
+{_LSH_BUCKETS_SQL},
 lshcand AS (
   SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
   FROM ebuckets x JOIN ebuckets y USING (tbl, bucket)
@@ -1251,9 +1255,68 @@ FROM majority m JOIN agree a ON m.vec_id = a.vec_id
 def knn_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Noisy-label detection: each vector's 5 nearest neighbors vote on
     its label; low agreement flags mislabeling candidates. All-pairs
-    exact baseline — at scale the identical vote aggregation consumes
-    LSH/IVF candidate lists. Extra registry: locally oracle-verified."""
+    exact baseline — the identical vote stage
+    (similarity.label_votes_from_candidates) consumes LSH candidates in
+    knn_label_agreement_lsh. Extra registry: locally oracle-verified."""
     return similarity.knn_label_agreement(
+        load_table(spark, sf_dir, "embeddings"), k=5
+    )
+
+
+@register(
+    "knn_label_agreement_lsh",
+    oracle=f"""
+WITH {_LSH_BUCKETS_SQL},
+und AS (
+  SELECT DISTINCT x.vec_id AS u, y.vec_id AS v
+  FROM ebuckets x JOIN ebuckets y USING (tbl, bucket)
+  WHERE x.vec_id < y.vec_id),
+cand AS (
+  SELECT u AS vec_id, v AS nbr_id FROM und
+  UNION ALL
+  SELECT v AS vec_id, u AS nbr_id FROM und),
+scored AS (
+  SELECT c.vec_id AS vec_id, a.label AS label, b.label AS nbr_label,
+    {COSINE_SQL} AS cosine_sim, c.nbr_id AS nbr_id
+  FROM cand c
+  JOIN embeddings a ON c.vec_id = a.vec_id
+  JOIN embeddings b ON c.nbr_id = b.vec_id),
+knn AS (
+  SELECT * FROM (
+    SELECT vec_id, label, nbr_label,
+      row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cosine_sim DESC, nbr_id) AS rnk
+    FROM scored) t
+  WHERE rnk <= 5),
+votes AS (
+  SELECT vec_id, label, nbr_label, COUNT(*) AS v
+  FROM knn GROUP BY 1, 2, 3),
+majority AS (
+  SELECT vec_id, label, nbr_label AS majority_label FROM (
+    SELECT vec_id, label, nbr_label,
+      row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, nbr_label) AS vr
+    FROM votes) t
+  WHERE vr = 1),
+agree AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_agree,
+    COUNT(*) AS n
+  FROM knn GROUP BY 1)
+SELECT m.vec_id AS vec_id, m.label AS label, m.majority_label,
+  a.n_agree, round(CAST(a.n_agree AS DOUBLE) / a.n, 6) AS agree_ratio
+FROM majority m JOIN agree a ON m.vec_id = a.vec_id
+""",
+    tags=("llm", "similarity", "quality"),
+    extra=True,
+)
+def knn_label_agreement_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path noisy-label detection (r4 verdict item 2): the SAME vote
+    stage as knn_label_agreement, fed from LSH bucket-mate candidates —
+    cost O(corpus + Σ occupancy²), no all-pairs term. Deterministic
+    pipeline → the oracle replays candidates AND the vote tail,
+    approximation included. Extra registry: locally oracle-verified."""
+    return similarity.knn_label_agreement_lsh(
         load_table(spark, sf_dir, "embeddings"), k=5
     )
 

@@ -97,3 +97,30 @@ def test_lsh_near_dup_pairs_subset_of_exact(spark, sf_dir):
         assert abs(v - exact[k]) < 1e-12  # same exact cosine, not an estimate
     if exact:
         assert len(approx) / len(exact) >= 0.7  # OR-construction recall
+
+
+def test_knn_label_agreement_lsh_vs_exact(spark, sf_dir):
+    """Candidate-fed noisy-label detection (r4 verdict item 2): the LSH
+    variant shares the vote stage with the all-pairs form, so on the
+    fixture it must (a) cover ~every vector (buckets are not singleton at
+    corpus sizes), (b) agree with the exact majority label for most
+    vectors (recall-style bound — LSH may rank farther bucket-mates into
+    the top-k, shifting some votes), and (c) emit valid vote counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        r.vec_id: r for r in similarity.knn_label_agreement(emb, k=5).collect()
+    }
+    approx = {
+        r.vec_id: r
+        for r in similarity.knn_label_agreement_lsh(emb, k=5).collect()
+    }
+    assert len(approx) >= 0.95 * len(exact), "LSH candidate coverage collapsed"
+    common = set(exact) & set(approx)
+    same_majority = sum(
+        1 for v in common
+        if exact[v].majority_label == approx[v].majority_label
+    )
+    assert same_majority / len(common) >= 0.6
+    for r in approx.values():
+        assert 0 <= r.n_agree <= 5
+        assert 0.0 <= r.agree_ratio <= 1.0
