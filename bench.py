@@ -117,6 +117,43 @@ def main() -> None:
     timings = run_group(HEADLINE, trials, statistics.median)
     llm_timings = run_group(LLM_FAMILY, llm_trials, min)
 
+    # Precomputed-index incremental dedup: the index build is the amortized
+    # once-per-corpus cost (untimed — at scale it's a persisted table, like
+    # any warehouse artifact); the timed region is what a daily batch pays:
+    # read index from parquet, shingle+sign the delta only, probe, verify.
+    # Reported beside dedup_minhash_lsh (the full-corpus run) so BENCH
+    # shows the delta path beating the full path round-over-round.
+    import shutil
+    import tempfile
+
+    from ssg_etl_spark.operators import dedup as _dedup
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+    idx_dir = tempfile.mkdtemp(prefix="mhidx_")
+    try:
+        idx = _dedup.build_minhash_index(base)
+        for name, df in idx.items():
+            df.write.mode("overwrite").parquet(f"{idx_dir}/{name}")
+        release_tracked()
+        loaded = {name: spark.read.parquet(f"{idx_dir}/{name}") for name in idx}
+        walls = []
+        for _ in range(llm_trials):
+            t0 = time.time()
+            force(
+                _dedup.minhash_lsh_pairs_vs_index(
+                    loaded["shingles"], loaded["buckets"], loaded["hot"],
+                    delta, 0.5,
+                )
+            )
+            walls.append(time.time() - t0)
+            release_tracked()
+        llm_timings["dedup_incremental_precomputed"] = round(min(walls), 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -293,6 +293,165 @@ def minhash_lsh_pairs_incremental(
     )
 
 
+def build_minhash_index(
+    documents: DataFrame,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> dict[str, DataFrame]:
+    """The PRECOMPUTED side of delta-vs-corpus dedup: builds the three
+    base-corpus tables a repeat run needs, so each batch pays only for its
+    own documents (r4 verdict item 3 — without this, every incremental run
+    re-shingled and re-signed the whole base and was slower than a full
+    self-join run).
+
+    Returns ``{"shingles", "buckets", "hot"}``:
+
+    * ``shingles`` — df-capped (doc_id, shingle) postings, the verification
+      side. At 100 TB this is the big table: write it partitioned/bucketed
+      by shingle so the candidate semi-join co-locates.
+    * ``buckets`` — (doc_id, band, bucket) LSH postings, the probe target;
+      bucket by (band, bucket) on write and the delta probe join is
+      shuffle-free on the base side.
+    * ``hot`` — the capped-out shingle list (tiny), pinned so delta batches
+      apply the SAME cap the index was built with.
+
+    The df cap is pinned at build time (base-only), the operational
+    semantics of an incremental index: a shingle whose document frequency
+    crosses the cap only via base+delta SUM is not retro-capped until the
+    next index rebuild (bounded drift; rebuilds are the compaction story).
+    """
+    raw = persist_tracked(word_shingles(documents))
+    if max_shingle_df is None:
+        hot = raw.select("shingle").limit(0)
+    else:
+        hot = (
+            raw.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+    shingles = raw.join(hot, "shingle", "left_anti")
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    num_bands = num_hashes // rows_per_band
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(num_bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return {"shingles": shingles, "buckets": buckets, "hot": hot}
+
+
+def minhash_lsh_pairs_vs_index(
+    base_shingles: DataFrame,
+    base_buckets: DataFrame,
+    base_hot: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup pairs against a PRECOMPUTED base index
+    (:func:`build_minhash_index`): the base corpus is never re-shingled or
+    re-signed — per-batch cost is O(|delta| + candidates), which is what
+    makes daily dedup against a 100 TB corpus affordable.
+
+    Semantics match :func:`minhash_lsh_pairs_incremental` under the
+    index's pinned cap: delta shingles drop if they are in the base hot
+    list OR exceed the cap within the delta alone; the only divergence
+    from the recompute form is a shingle whose df crosses the cap solely
+    via the base+delta sum (retro-capped at the next index rebuild).
+    ``tests/test_dedup.py`` pins output equality at fixture scale, where
+    no shingle sits at the cap boundary. Returns (doc_new, doc_base,
+    jaccard), delta-first like the recompute form.
+
+    The index hash parameters (``num_hashes``, ``rows_per_band``) must
+    match the build call — bucket ids are xxhash64 over them.
+    """
+    raw_delta = persist_tracked(word_shingles(delta))
+    capped_delta = persist_tracked(
+        _cap_shingle_df(raw_delta, max_shingle_df).join(
+            base_hot, "shingle", "left_anti"
+        )
+    )
+    sig = capped_delta.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    num_bands = num_hashes // rows_per_band
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(num_bands)
+    ]
+    delta_buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    x = delta_buckets.alias("x")
+    y = base_buckets.alias("y")
+    candidates = persist_tracked(
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_new"),
+            F.col("y.doc_id").alias("doc_base"),
+        )
+        .distinct()
+    )
+    # Verification shingle sets: base side from the index (semi-joined to
+    # candidate base docs), delta side from this batch. Sizes/intersections
+    # run on the union, exactly like the recompute form's capped universe.
+    base_cand = base_shingles.join(
+        candidates.select(F.col("doc_base").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    delta_cand = capped_delta.join(
+        candidates.select(F.col("doc_new").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    cand_shingles = base_cand.unionByName(delta_cand)
+    verified = _shingle_jaccard(cand_shingles, threshold)
+    # _shingle_jaccard emits doc_a < doc_b; restore delta-first orientation
+    # and keep only true delta×base pairs.
+    normalized = candidates.select(
+        F.least("doc_new", "doc_base").alias("doc_a"),
+        F.greatest("doc_new", "doc_base").alias("doc_b"),
+        "doc_new",
+        "doc_base",
+    )
+    return verified.join(normalized, ["doc_a", "doc_b"]).select(
+        "doc_new", "doc_base", "jaccard"
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame, benchmark: DataFrame, min_shared: int = 3
 ) -> DataFrame:

@@ -284,6 +284,62 @@ def test_incremental_minhash_equals_full_restricted(spark, sf_dir):
         assert r.doc_new % 10 == 0 and r.doc_base % 10 != 0
 
 
+def test_precomputed_index_equals_recompute_form(spark, sf_dir, tmp_path):
+    """The precomputed-index delta path (r4 verdict item 3) must return
+    exactly what the recompute form returns — through a PARQUET ROUND-TRIP
+    of the index, the operational shape (build once, persist, probe per
+    batch). Fixture scale has no shingle at the cap boundary, so the
+    pinned-cap semantics coincide with the union cap."""
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+
+    idx = dedup.build_minhash_index(base)
+    for name, df in idx.items():
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    loaded = {
+        name: spark.read.parquet(str(tmp_path / name)) for name in idx
+    }
+
+    via_index = {
+        (r.doc_new, r.doc_base): r.jaccard
+        for r in dedup.minhash_lsh_pairs_vs_index(
+            loaded["shingles"], loaded["buckets"], loaded["hot"], delta, 0.5
+        ).collect()
+    }
+    recompute = {
+        (r.doc_new, r.doc_base): r.jaccard
+        for r in dedup.minhash_lsh_pairs_incremental(base, delta, 0.5).collect()
+    }
+    assert set(via_index) == set(recompute)
+    for k in via_index:
+        assert abs(via_index[k] - recompute[k]) < 1e-12
+
+
+def test_precomputed_index_pinned_cap_semantics(spark):
+    """The index pins the df cap at build time: a shingle hot in the BASE
+    is dropped from delta probing too (no candidates through it), while a
+    delta-only-hot shingle is capped on the delta side."""
+    base_rows = [(i, f"w{i} common trigram words") for i in range(1, 5)]
+    # Every base doc shares the shingle "common trigram words" → df 4 > cap 3.
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(10, "common trigram words only here")],
+        "doc_id long, text string",
+    )
+    idx = dedup.build_minhash_index(base, max_shingle_df=3)
+    hot = {r.shingle for r in idx["hot"].collect()}
+    assert "common trigram words" in hot
+    out = dedup.minhash_lsh_pairs_vs_index(
+        idx["shingles"], idx["buckets"], idx["hot"], delta,
+        threshold=0.01, max_shingle_df=3,
+    ).collect()
+    # The only shared shingle is capped out of the universe → no pairs.
+    assert out == []
+
+
 def test_ngram_contamination_catches_planted_leak(spark):
     """A corpus doc embedding a benchmark sentence is flagged against THAT
     benchmark doc; clean docs and sub-threshold overlaps are not."""
