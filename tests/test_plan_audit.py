@@ -10,7 +10,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from plan_audit import AUDIT_DEFAULT, audit_one, formatted_plan  # noqa: E402
+from plan_audit import (  # noqa: E402
+    AUDIT_DEFAULT,
+    FINGERPRINT_PATH,
+    audit_one,
+    compute_fingerprints,
+    formatted_plan,
+)
 
 from ssg_etl_spark.plans.registry import load_all
 
@@ -24,6 +30,38 @@ def test_headline_plans_have_no_scale_flags(spark, sf_dir):
         if notes:
             flagged[name] = notes
     assert not flagged, flagged
+
+
+def test_plan_fingerprints_unchanged(spark, sf_dir):
+    """Plan-regression gate (r4 verdict item 8): the audited queries'
+    structural fingerprints (join strategies, exchanges, pandas stages,
+    scan pruning) must match the committed tools/plan_fingerprints.json.
+    A deliberate plan change regenerates the file in the same commit:
+
+        python tools/plan_audit.py --update-fingerprints
+
+    An UNintentional mismatch is the silent kind of regression that cost
+    gl_enrichment +31% wall in r4 with zero audit flags."""
+    import json
+
+    with open(FINGERPRINT_PATH) as f:
+        committed = json.load(f)
+    # conftest's session (sf0.001, local[4], 8 shuffle partitions) is the
+    # environment the file is pinned at — see plan_audit.FINGERPRINT_*.
+    current = compute_fingerprints(spark, sf_dir, AUDIT_DEFAULT)
+    drift = {
+        name: {
+            k: (committed.get(name, {}).get(k), v)
+            for k, v in fp.items()
+            if committed.get(name, {}).get(k) != v
+        }
+        for name, fp in current.items()
+        if committed.get(name) != fp
+    }
+    assert not drift, (
+        "plan fingerprints drifted (committed vs current) — if intentional, "
+        f"run: python tools/plan_audit.py --update-fingerprints\n{drift}"
+    )
 
 
 def test_dynamic_partition_pruning_fires(spark, sf_dir):

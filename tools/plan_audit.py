@@ -19,6 +19,16 @@ Node counts come from the numbered details section ("(N) NodeName") only —
 the tree overview repeats every node, which would double-count.
 
 Usage:  python tools/plan_audit.py [sf_dir] [query ...]
+       python tools/plan_audit.py --update-fingerprints
+
+The second form regenerates tools/plan_fingerprints.json — per-query plan
+fingerprints (join-strategy counts, exchange count, pandas stages, scan
+pruning) pinned at the TEST environment (sf0.001, local[4], 8 shuffle
+partitions, the exact config tests/conftest.py uses, so the pytest gate
+recomputes identical plans). tests/test_plan_audit.py fails on drift from
+the committed file: an intentional plan change must regenerate it in the
+same commit, which is exactly the review surface a silent join-strategy
+regression (r4: gl_enrichment +31% with no flag) was missing.
 """
 
 from __future__ import annotations
@@ -170,7 +180,80 @@ def audit_one(name: str, df, plan: str) -> list[str]:
     return notes
 
 
+FINGERPRINT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "plan_fingerprints.json"
+)
+# The environment fingerprints are pinned at — MUST match tests/conftest.py,
+# or the pytest gate would diff plans computed under different configs
+# (shuffle partitions and input sizes both steer join strategy choice).
+FINGERPRINT_SF_DIR = "/root/testdata/sf0.001"
+FINGERPRINT_MASTER = "local[4]"
+FINGERPRINT_SHUFFLE = 8
+
+
+def plan_fingerprint(df, plan: str) -> dict:
+    """Stable structural summary of a physical plan: the properties whose
+    silent drift costs wall-clock at scale. Counters only — no node ids,
+    no expression text — so refactors that keep the plan shape don't churn
+    the committed file."""
+    counts = node_counts(plan)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    part_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    return {
+        "broadcast_joins": counts.get("BroadcastHashJoin", 0),
+        "sortmerge_joins": counts.get("SortMergeJoin", 0),
+        "shuffledhash_joins": counts.get("ShuffledHashJoin", 0),
+        "nestedloop_joins": counts.get("BroadcastNestedLoopJoin", 0),
+        "exchanges": counts.get("Exchange", 0),
+        "reused_exchanges": counts.get("ReusedExchange", 0),
+        "generates": counts.get("Generate", 0),
+        "windows": counts.get("Window", 0) + counts.get("WindowInPandas", 0),
+        "window_group_limits": counts.get("WindowGroupLimit", 0),
+        "single_partition_windows": max(0, single_partition_windows(df)),
+        "pandas_stages": sum(
+            counts.get(k, 0)
+            for k in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython")
+        ),
+        "row_udf_stages": counts.get("BatchEvalPython", 0),
+        "scans": sum(v for k, v in counts.items() if k.startswith("Scan")),
+        "pushed_filter_scans": sum(1 for p in pushed if p.strip()),
+        "partition_filter_scans": sum(1 for p in part_filters if p.strip()),
+        "dpp_scans": sum(1 for p in part_filters if "dynamicpruning" in p),
+    }
+
+
+def compute_fingerprints(spark, sf_dir: str, names: list[str]) -> dict:
+    from ssg_etl_spark.plans.registry import load_all
+
+    specs = load_all(include_extra=True)
+    out = {}
+    for name in names:
+        df = specs[name].builder(spark, sf_dir)
+        out[name] = plan_fingerprint(df, formatted_plan(df))
+    return out
+
+
+def update_fingerprints() -> int:
+    import json
+
+    from ssg_etl_spark.session import get_spark
+
+    spark = get_spark(
+        "plan_fingerprints",
+        master=FINGERPRINT_MASTER,
+        shuffle_partitions=FINGERPRINT_SHUFFLE,
+    )
+    fps = compute_fingerprints(spark, FINGERPRINT_SF_DIR, AUDIT_DEFAULT)
+    with open(FINGERPRINT_PATH, "w") as f:
+        json.dump(fps, f, indent=2, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {len(fps)} fingerprints to {FINGERPRINT_PATH}")
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--update-fingerprints":
+        return update_fingerprints()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
