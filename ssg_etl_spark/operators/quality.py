@@ -24,11 +24,17 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Expectation:
-    """One declarative check: aggregate expressions + a verdict function."""
+    """One declarative check: aggregate expressions + a verdict function.
+
+    ``needs_schema`` marks structural checks (column-exists, dtype): their
+    verdicts receive ``__columns`` / ``__dtypes`` keys from the DataFrame
+    schema instead of (or beside) aggregate metrics — no scan needed.
+    """
 
     name: str
     aggs: dict[str, Column]  # alias -> aggregate expression
     verdict: Any  # callable: dict[str, value] -> bool
+    needs_schema: bool = False
 
 
 def expect_not_null(col: str, mostly: float = 1.0) -> Expectation:
@@ -154,10 +160,20 @@ def run_suite(df: DataFrame, expectations: list[Expectation]) -> list[dict]:
             merged[uk] = c
             m[k] = uk
         remap.append(m)
-    row = df.agg(*[c.alias(k) for k, c in merged.items()]).first().asDict()
+    row = (
+        df.agg(*[c.alias(k) for k, c in merged.items()]).first().asDict()
+        if merged
+        else {}
+    )
+    schema_metrics = {
+        "__columns": list(df.columns),
+        "__dtypes": dict(df.dtypes),
+    }
     results = []
     for e, m in zip(expectations, remap):
         metrics = {k: row[uk] for k, uk in m.items()}
+        if e.needs_schema:
+            metrics = {**metrics, **schema_metrics}
         results.append(
             {"name": e.name, "passed": bool(e.verdict(metrics)), "metrics": metrics}
         )
@@ -166,3 +182,125 @@ def run_suite(df: DataFrame, expectations: list[Expectation]) -> list[dict]:
 
 def suite_passed(results: list[dict]) -> bool:
     return all(r["passed"] for r in results)
+
+
+def expect_column_exists(col: str) -> Expectation:
+    """Structural check: ``col`` is in the DataFrame schema (no scan)."""
+    return Expectation(
+        f"column_exists({col})",
+        {},
+        lambda m: col in m["__columns"],
+        needs_schema=True,
+    )
+
+
+# GE type_list entries seen in the wild mix pandas dtypes, SQL names, and
+# Python names; Spark's df.dtypes speaks Spark SQL. Normalize both sides to
+# a canonical Spark name before comparing.
+_TYPE_ALIASES = {
+    "int": "int", "int32": "int", "integer": "int",
+    "int64": "bigint", "bigint": "bigint", "long": "bigint",
+    "int16": "smallint", "smallint": "smallint",
+    "int8": "tinyint", "tinyint": "tinyint",
+    "float": "float", "float32": "float",
+    "float64": "double", "double": "double",
+    "str": "string", "string": "string", "varchar": "string",
+    "text": "string", "object": "string",
+    "bool": "boolean", "boolean": "boolean",
+    "date": "date",
+    "datetime": "timestamp", "datetime64[ns]": "timestamp",
+    "timestamp": "timestamp",
+}
+
+
+def _canon_type(name: str) -> str:
+    n = name.strip().lower()
+    if n.startswith("decimal"):
+        return "decimal"
+    return _TYPE_ALIASES.get(n, n)
+
+
+def expect_type_in(col: str, type_list: list[str]) -> Expectation:
+    """Structural check: ``col``'s Spark SQL type is in ``type_list``
+    (GE's expect_column_values_to_be_in_type_list; alias-normalized)."""
+    wanted = {_canon_type(t) for t in type_list}
+    return Expectation(
+        f"type_in({col}, {sorted(wanted)})",
+        {},
+        lambda m: col in m["__dtypes"]
+        and _canon_type(m["__dtypes"][col]) in wanted,
+        needs_schema=True,
+    )
+
+
+# expectation_type -> builder over the GE kwargs dict. Covers every type
+# the reference's committed suites use (adv_suite.json,
+# dimproducts_suite.json) plus the between/regex/ndv family the code-level
+# constructors already expose.
+_GE_BUILDERS = {
+    "expect_column_to_exist": lambda k: expect_column_exists(k["column"]),
+    "expect_column_values_to_be_unique": lambda k: expect_unique(k["column"]),
+    "expect_column_values_to_not_be_null": lambda k: expect_not_null(
+        k["column"], k.get("mostly", 1.0)
+    ),
+    "expect_column_values_to_be_in_set": lambda k: expect_in_set(
+        k["column"], k["value_set"], k.get("mostly", 1.0)
+    ),
+    "expect_column_values_to_be_between": lambda k: expect_between(
+        k["column"], k["min_value"], k["max_value"], k.get("mostly", 1.0)
+    ),
+    "expect_column_values_to_match_regex": lambda k: expect_regex(
+        k["column"], k["regex"], k.get("mostly", 1.0)
+    ),
+    "expect_column_values_to_be_in_type_list": lambda k: expect_type_in(
+        k["column"], k["type_list"]
+    ),
+    "expect_column_max_to_be_between": lambda k: expect_max_between(
+        k["column"], k["min_value"], k["max_value"]
+    ),
+    "expect_column_min_to_be_between": lambda k: expect_min_between(
+        k["column"], k["min_value"], k["max_value"]
+    ),
+    "expect_column_mean_to_be_between": lambda k: expect_mean_between(
+        k["column"], k["min_value"], k["max_value"]
+    ),
+    "expect_column_unique_value_count_to_be_between": lambda k:
+        expect_distinct_count_between(k["column"], k["min_value"], k["max_value"]),
+    "expect_table_row_count_to_equal": lambda k: expect_row_count_between(
+        k["value"], k["value"]
+    ),
+    "expect_table_row_count_to_be_between": lambda k: expect_row_count_between(
+        k["min_value"], k["max_value"]
+    ),
+}
+
+
+def load_ge_suite(suite: dict) -> list[Expectation]:
+    """Compile a Great-Expectations suite DICT (the reference stores these
+    as data: …/GreatExpectations/great_expectations/expectations/
+    adv_suite.json, dimproducts_suite.json) into this module's
+    ``Expectation`` list — suites authored for the reference's GE
+    checkpoints run unchanged through :func:`run_suite`'s single-scan
+    evaluation.
+
+    Unknown expectation types raise (a silently skipped check is a
+    validation hole, the one failure mode a quality gate must not have).
+    """
+    exps = []
+    for item in suite.get("expectations", []):
+        etype = item["expectation_type"]
+        if etype not in _GE_BUILDERS:
+            raise ValueError(
+                f"unsupported expectation_type {etype!r}; supported: "
+                f"{sorted(_GE_BUILDERS)}"
+            )
+        exps.append(_GE_BUILDERS[etype](item.get("kwargs", {})))
+    return exps
+
+
+def load_ge_suite_file(path: str) -> list[Expectation]:
+    """:func:`load_ge_suite` over a suite JSON file on disk."""
+    import json
+
+    with open(path) as f:
+        return load_ge_suite(json.load(f))

@@ -94,3 +94,79 @@ def test_regex_min_distinct_expectations(spark):
         "distinct_count_between(code, 3, 3)": True,
         "distinct_count_between(code, 4, 9)": False,
     }
+
+
+def test_ge_suite_json_loads_and_runs(spark, tmp_path):
+    """A Great-Expectations suite stored AS DATA (the reference's
+    adv_suite.json / dimproducts_suite.json shape) compiles into the
+    expectation list and evaluates in one pass — including the structural
+    checks (column exists, dtype) that never scan."""
+    import json
+
+    suite = {
+        "data_asset_type": None,
+        "expectation_suite_name": "adv_suite_shape",
+        "expectations": [
+            {"expectation_type": "expect_table_row_count_to_equal",
+             "kwargs": {"value": 4}, "meta": {}},
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "qty"}, "meta": {}},
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "missing_col"}, "meta": {}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "code"}, "meta": {}},
+            {"expectation_type": "expect_column_values_to_be_unique",
+             "kwargs": {"column": "code"}, "meta": {}},
+            {"expectation_type": "expect_column_values_to_be_in_type_list",
+             "kwargs": {"column": "qty", "type_list": ["int", "int64"]},
+             "meta": {}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "code", "value_set": ["A", "B", "C", "D"]},
+             "meta": {}},
+            {"expectation_type": "expect_column_max_to_be_between",
+             "kwargs": {"column": "qty", "min_value": 1, "max_value": 50},
+             "meta": {}},
+            {"expectation_type": "expect_column_mean_to_be_between",
+             "kwargs": {"column": "qty", "min_value": 100, "max_value": 500},
+             "meta": {}},
+        ],
+        "meta": {"great_expectations_version": "0.15.41"},
+    }
+    path = tmp_path / "adv_suite.json"
+    path.write_text(json.dumps(suite))
+
+    df = spark.createDataFrame(
+        [("A", 5), ("B", 9), ("C", 3), ("D", 7)], "code string, qty int"
+    )
+    exps = Q.load_ge_suite_file(str(path))
+    assert len(exps) == 9
+    results = {r["name"]: r["passed"] for r in Q.run_suite(df, exps)}
+    assert results["row_count_between(4, 4)"] is True
+    assert results["column_exists(qty)"] is True
+    assert results["column_exists(missing_col)"] is False
+    assert results["not_null(code, mostly=1.0)"] is True
+    assert results["unique(code)"] is True
+    assert results["type_in(qty, ['bigint', 'int'])"] is True
+    assert results["in_set(code)"] is True
+    assert results["max_between(qty, 1, 50)"] is True
+    assert results["mean_between(qty, 100, 500)"] is False  # mean is 6
+    assert not Q.suite_passed(Q.run_suite(df, exps))
+
+    # Unknown expectation types are a hard error, not a silent skip.
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported expectation_type"):
+        Q.load_ge_suite(
+            {"expectations": [
+                {"expectation_type": "expect_column_kl_divergence_to_be_less_than",
+                 "kwargs": {}}]}
+        )
+
+
+def test_ge_structural_only_suite_needs_no_scan(spark):
+    """A suite of only structural checks runs without any aggregation
+    (merged agg dict empty — run_suite must not call df.agg())."""
+    df = spark.createDataFrame([("x", 1)], "a string, b int")
+    exps = [Q.expect_column_exists("a"), Q.expect_type_in("b", ["INT"])]
+    results = Q.run_suite(df, exps)
+    assert all(r["passed"] for r in results)
