@@ -220,7 +220,12 @@ def minhash_lsh_pairs_incremental(
     At 100 TB the base signatures/buckets are a precomputed table keyed
     by (band, bucket); each batch computes delta signatures only and
     probes — this function expresses that plan shape over the raw
-    inputs. The shingle df cap is computed over the UNION, matching the
+    inputs (it re-shingles the base every run), which makes it the
+    SEMANTIC reference: the union-df cap is exact. The operational form
+    is :func:`build_minhash_index` + :func:`minhash_lsh_pairs_vs_index`,
+    which actually skips the base work (measured at sf0.1: probe 6.0 s
+    vs 12.8 s for this form and 10.7 s for the full self-join run).
+    The shingle df cap here is computed over the UNION, matching the
     full operator's corpus-wide cap semantics.
     """
     union = base.select("doc_id", "text").unionByName(

@@ -1,0 +1,241 @@
+"""One-scale-step-up sweep of the LLM operator family (r4 verdict item 6).
+
+sf0.1 is small enough to hide shuffle cliffs (bucket-occupancy blowups,
+cluster-propagation round growth). This tool materializes a corpus N× the
+size of sf0.1 (default 10× ≈ sf1.0: 50k documents / 100k embeddings) and
+times each family operator at BOTH scales with identical parameters,
+reporting the wall ratio — ~N means the operator scales linearly with the
+corpus, >>N flags a superlinear term that would melt at 100 TB.
+
+Scaled data (written under a temp dir, deleted on exit):
+* documents — sf0.1 replicated N× with a per-replica suffix fused onto
+  every word: WITHIN-replica near-dup structure (including the injected
+  near-dups the fixtures carry) is preserved exactly, while cross-replica
+  pairs share zero shingles — corpus size grows N× without manufacturing
+  artificial corpus-wide duplicate clusters. doc_ids shift by r·10⁷
+  (divisible by 10, so the delta/base % 10 split keeps its 1/10 fraction).
+* embeddings — sf0.1 replicated N× with replica>0 vectors regenerated from
+  xxhash64(vec_id, replica, dim) uniforms in [-1, 1): independent of the
+  originals (no fake cosine-1.0 twins), same dimensionality and label
+  distribution.
+
+LSH parameters are occupancy-tuned PER SCALE and printed with each row:
+sign-pattern buckets must keep per-bucket occupancy roughly constant
+(bits ≈ log2(N / target_occupancy)), or the bucket self-join's
+Σ occupancy² term — not the corpus scan — dominates. The registered
+queries pin 8 tables × 3 bits for oracle replay at test SF; this sweep is
+exactly the place where that pin must NOT be carried up a scale step.
+
+Usage:  python tools/scale_sweep.py [scale_multiple] [trials]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = "/root/testdata/sf0.1"
+
+
+def build_scaled(spark, out_dir: str, n_replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    doc_parts = []
+    for r in range(n_replicas):
+        if r == 0:
+            doc_parts.append(docs)
+        else:
+            doc_parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w: F.concat(w, F.lit(f"_r{r}")),
+                        ),
+                        " ",
+                    ).alias("text"),
+                    *[c for c in docs.columns if c not in ("doc_id", "text")],
+                )
+            )
+    scaled_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    emb_parts = []
+    for r in range(n_replicas):
+        if r == 0:
+            emb_parts.append(emb)
+        else:
+            emb_parts.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+                    "label",
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            (
+                                F.pmod(
+                                    F.xxhash64(F.col("vec_id"), F.lit(r), i),
+                                    F.lit(2000),
+                                )
+                                - 1000
+                            )
+                            / 1000.0
+                        ).cast("float"),
+                    ).alias("embedding"),
+                )
+            )
+    scaled_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        scaled_emb = scaled_emb.unionByName(p)
+    scaled_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def family(sf_dir: str, n_vectors: int):
+    """(name, thunk, params-note) per operator; LSH bits occupancy-tuned to
+    the corpus size so per-bucket occupancy stays ~constant across scales."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators import dedup, similarity
+    from ssg_etl_spark.sources.tables import load_table
+
+    # Keep expected sign-bucket occupancy near ~150 vectors: bits =
+    # log2(N/150) (uniform-bucket approximation; real buckets skew, which
+    # is fine — the point is scaling bits WITH the corpus).
+    bits = max(3, int(math.ceil(math.log2(max(2, n_vectors / 150)))))
+    n_tables = 8
+
+    def docs(spark):
+        return load_table(spark, sf_dir, "documents")
+
+    def emb(spark):
+        return load_table(spark, sf_dir, "embeddings")
+
+    def queries(spark):
+        e = emb(spark)
+        return e.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+
+    return [
+        ("dedup_exact", lambda s: dedup.exact_dedup_groups(docs(s)), ""),
+        ("dedup_minhash_lsh", lambda s: dedup.minhash_lsh_pairs(docs(s), 0.5), ""),
+        ("dedup_simhash", lambda s: dedup.simhash_pairs(docs(s)), ""),
+        (
+            "dedup_clusters",
+            lambda s: dedup.duplicate_clusters(
+                dedup.minhash_lsh_pairs(docs(s), 0.5).select("doc_a", "doc_b")
+            ),
+            "pairs via minhash",
+        ),
+        (
+            "dedup_incremental_vs_corpus",
+            lambda s: dedup.minhash_lsh_pairs_incremental(
+                docs(s).filter("doc_id % 10 != 0"),
+                docs(s).filter("doc_id % 10 = 0"),
+                0.5,
+            ),
+            "",
+        ),
+        (
+            "embedding_near_dup_lsh",
+            lambda s: similarity.lsh_near_dup_pairs(
+                emb(s), 0.45, n_tables=n_tables, bits_per_table=bits
+            ),
+            f"L={n_tables} b={bits}",
+        ),
+        (
+            "knn_label_agreement_lsh",
+            lambda s: similarity.knn_label_agreement_lsh(
+                emb(s), k=5, n_tables=n_tables, bits_per_table=bits
+            ),
+            f"L={n_tables} b={bits}",
+        ),
+        (
+            "ann_lsh_topk",
+            lambda s: similarity.lsh_bucketed_topk(
+                emb(s), queries(s), k=10, n_tables=n_tables, bits_per_table=bits
+            ),
+            f"L={n_tables} b={bits}",
+        ),
+        (
+            "ann_ivf_topk",
+            lambda s: similarity.ivf_topk(
+                emb(s),
+                queries(s),
+                k=10,
+                n_cells=max(16, int(round(math.sqrt(n_vectors)))),
+                n_probe=4,
+                train_mod=max(1, n_vectors // 10_000),
+            ),
+            f"cells≈sqrt(N) train_mod={max(1, n_vectors // 10_000)}",
+        ),
+    ]
+
+
+def main() -> int:
+    n_replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    from ssg_etl_spark.cache import release_tracked
+    from ssg_etl_spark.session import get_spark
+
+    spark = get_spark("scale_sweep", shuffle_partitions=None)
+    scaled_dir = tempfile.mkdtemp(prefix="sfscale_")
+    try:
+        t0 = time.time()
+        build_scaled(spark, scaled_dir, n_replicas)
+        print(f"# scaled corpus ({n_replicas}x sf0.1) built in "
+              f"{time.time() - t0:.1f}s at {scaled_dir}")
+
+        def run(thunk) -> float:
+            walls = []
+            for _ in range(trials):
+                t = time.time()
+                thunk(spark).write.mode("overwrite").format("noop").save()
+                walls.append(time.time() - t)
+                release_tracked()
+                spark.catalog.clearCache()
+            return statistics.median(walls)
+
+        n_small = spark.read.parquet(f"{BASE_SF}/embeddings.parquet").count()
+        n_big = n_small * n_replicas
+        small = {n: (run(f), note) for n, f, note in family(BASE_SF, n_small)}
+        big = {n: (run(f), note) for n, f, note in family(scaled_dir, n_big)}
+
+        print(f"\n{'operator':32s} {'sf0.1':>8s} {'x' + str(n_replicas):>9s} "
+              f"{'ratio':>6s}  params@big")
+        worst = 0.0
+        for name in small:
+            s, _ = small[name]
+            b, note = big[name]
+            ratio = b / s if s > 0 else float('inf')
+            worst = max(worst, ratio)
+            flag = "  <-- SUPERLINEAR" if ratio > 2.5 * n_replicas else ""
+            print(f"{name:32s} {s:8.2f} {b:9.2f} {ratio:6.1f}  {note}{flag}")
+        print(f"\nlinear-ish bound = {n_replicas}x data; "
+              f"worst ratio {worst:.1f}")
+        return 0
+    finally:
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
