@@ -8,6 +8,8 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from plan_audit import (  # noqa: E402
@@ -19,6 +21,18 @@ from plan_audit import (  # noqa: E402
 )
 
 from ssg_etl_spark.plans.registry import load_all
+
+
+@pytest.fixture(autouse=True)
+def _cold_plans(spark):
+    """Plan assertions are about the COLD plan: persisted frames left by
+    other test modules make CacheManager swap InMemoryTableScan into
+    matching sub-plans, churning fingerprints and hiding scan pruning."""
+    from ssg_etl_spark.cache import release_tracked
+
+    release_tracked()
+    spark.catalog.clearCache()
+    yield
 
 
 def test_headline_plans_have_no_scale_flags(spark, sf_dir):

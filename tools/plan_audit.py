@@ -223,7 +223,15 @@ def plan_fingerprint(df, plan: str) -> dict:
 
 
 def compute_fingerprints(spark, sf_dir: str, names: list[str]) -> dict:
+    from ssg_etl_spark.cache import release_tracked
     from ssg_etl_spark.plans.registry import load_all
+
+    # Fingerprints must reflect the cold plan. A persisted frame left over
+    # from an earlier caller (e.g. a prior pytest module exercising the
+    # dedup operators) makes CacheManager substitute InMemoryTableScan into
+    # matching sub-plans, silently churning every counter below.
+    release_tracked()
+    spark.catalog.clearCache()
 
     specs = load_all(include_extra=True)
     out = {}
