@@ -697,3 +697,86 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def chunk_dedup_stats(documents: DataFrame, chunk_words: int = 16) -> DataFrame:
+    """Sub-document (span-level) duplication profile: per document, the
+    fraction of fixed-width word chunks whose exact content also appears in
+    at least one OTHER document. Whole-document dedup misses boilerplate —
+    headers, license blocks, navigation text — welded onto otherwise-unique
+    pages; span-level exact dedup is the standard curation answer
+    (cf. "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, which dedups at substring granularity).
+
+    Scale shape: chunk explode is linear in corpus words; one shuffle on
+    the chunk digest for the occurrence count (map-side combinable); the
+    digest→count join back is AQE-decided; one per-doc aggregation. No
+    pairwise term anywhere — cost O(total chunks), independent of how many
+    documents share a chunk.
+    """
+    from ssg_etl_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(documents, chunk_words=chunk_words, overlap_words=0)
+    hashed = chunks.select(
+        "doc_id", F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash")
+    )
+    occ = hashed.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("_n_docs")
+    )
+    return (
+        hashed.join(occ, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("_n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_shared_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.round(
+                F.col("n_shared_chunks") / F.col("n_chunks").cast("double"), 6
+            ).alias("shared_chunk_frac"),
+        )
+    )
+
+
+def boilerplate_chunks(
+    documents: DataFrame,
+    chunk_words: int = 16,
+    min_docs: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """The C4-style boilerplate list: the top-k exact chunks that recur
+    across the most documents (then by total occurrences, then by digest
+    for a total order). Feeding this list back as a removal filter is the
+    classic "drop any line occurring ≥N times in the corpus" curation rule.
+
+    One digest aggregation + TakeOrderedAndProject — the top-k never
+    materializes a global sort.
+    """
+    from ssg_etl_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(documents, chunk_words=chunk_words, overlap_words=0)
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_text",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            # same digest ⇒ same text (md5 over the exact bytes), so min()
+            # is just "the" text — it exists only to satisfy the aggregation
+            F.min("chunk_text").alias("chunk_text"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("chunk_hash")
+        )
+        .limit(k)
+    )

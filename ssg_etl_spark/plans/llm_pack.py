@@ -1444,3 +1444,72 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     — low entropy at a given length flags keyword stuffing and templated
     spam. Extra registry: locally oracle-verified."""
     return text.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+# Sub-document span dedup: fixed 16-word chunks, md5 digests, occurrence
+# counting. The oracle replays the chunking with range(0,2048)+WHERE (the
+# lateral-free form — fixture docs are <600 words; a corpus with longer
+# documents raises the bound, it does not change the plan).
+@register(
+    "chunk_dedup_stats",
+    oracle="""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(w, s + 1, s + 16), ' ')) AS chunk_hash
+  FROM ws, range(0, 2048) g(s) WHERE s < len(w) AND s % 16 = 0),
+occ AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY 1)
+SELECT doc_id,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared_chunks,
+  round(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS shared_chunk_frac
+FROM chunks JOIN occ USING (chunk_hash)
+GROUP BY doc_id
+""",
+    tags=("llm", "dedup", "text"),
+    extra=True,
+)
+def chunk_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication profile: per document, the fraction of
+    16-word chunks whose exact content recurs in other documents — the
+    signal whole-document dedup misses (boilerplate welded onto unique
+    pages). Linear chunk explode + one digest shuffle, no pairwise term.
+    Extra registry: locally oracle-verified."""
+    return dedup.chunk_dedup_stats(
+        load_table(spark, sf_dir, "documents"), chunk_words=16
+    )
+
+
+@register(
+    "boilerplate_chunks",
+    oracle="""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, array_to_string(list_slice(w, s + 1, s + 16), ' ') AS chunk_text
+  FROM ws, range(0, 2048) g(s) WHERE s < len(w) AND s % 16 = 0)
+SELECT md5(chunk_text) AS chunk_hash,
+       MIN(chunk_text) AS chunk_text,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM chunks
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash ASC
+LIMIT 20
+""",
+    tags=("llm", "dedup", "text"),
+    extra=True,
+)
+def boilerplate_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate list: top-20 exact 16-word chunks recurring
+    across the most documents — the removal list for "drop any span
+    occurring >= N times" curation. One digest aggregation +
+    TakeOrderedAndProject (no global sort). Extra registry: locally
+    oracle-verified."""
+    return dedup.boilerplate_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_words=16, min_docs=2, k=20
+    )

@@ -389,3 +389,40 @@ def test_token_entropy_orders_prose_above_stuffing(spark):
     ent = math.log(8) - (4 * math.log(4) + 2 * math.log(2)) / 8
     assert out[3][0] == round(ent, 6)
     assert out[3][1] == round(ent / math.log(4), 6)
+
+
+def test_chunk_dedup_stats_identical_docs_fully_shared(spark):
+    """Two identical docs share every chunk; a unique doc shares none;
+    a doc with one boilerplate chunk welded on is partially shared."""
+    boiler = " ".join(f"b{i}" for i in range(16))
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(32))),
+        (2, " ".join(f"w{i}" for i in range(32))),
+        (3, " ".join(f"u{i}" for i in range(32))),
+        (4, boiler + " " + " ".join(f"x{i}" for i in range(16))),
+        (5, boiler + " " + " ".join(f"y{i}" for i in range(16))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {
+        r.doc_id: r for r in dedup.chunk_dedup_stats(df, chunk_words=16).collect()
+    }
+    assert stats[1].n_chunks == 2 and stats[1].shared_chunk_frac == 1.0
+    assert stats[2].shared_chunk_frac == 1.0
+    assert stats[3].n_shared_chunks == 0
+    # docs 4/5: first chunk is the shared boilerplate, second is unique
+    assert stats[4].n_shared_chunks == 1 and stats[4].shared_chunk_frac == 0.5
+    assert stats[5].n_shared_chunks == 1
+
+
+def test_boilerplate_chunks_finds_planted_span(spark):
+    boiler = " ".join(f"b{i}" for i in range(16))
+    docs = [(i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(16)))
+            for i in range(5)]
+    docs.append((99, " ".join(f"z{j}" for j in range(32))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = dedup.boilerplate_chunks(df, chunk_words=16, min_docs=2, k=5).collect()
+    assert top, "planted boilerplate not found"
+    assert top[0].chunk_text == boiler
+    assert top[0].n_docs == 5 and top[0].n_occurrences == 5
+    # the unique tails must not appear
+    assert all(r.n_docs >= 2 for r in top)
