@@ -780,3 +780,73 @@ def boilerplate_chunks(
         )
         .limit(k)
     )
+
+
+def chunk_keep_list(documents: DataFrame, chunk_words: int = 16) -> DataFrame:
+    """Span-level keep/drop: every chunk occurrence except the canonical
+    first one (min (doc_id, chunk_id) per digest) is marked for removal —
+    exact-substring dedup semantics (keep one copy of every repeated span,
+    wherever it appears).
+
+    Canonicals come from a min-struct aggregation + digest join, NOT a
+    row_number window over the digest: a mega-boilerplate chunk present in
+    10^6 documents would put 10^6 rows in one window partition, while the
+    aggregation form stays skew-immune via map-side partial min.
+    """
+    from ssg_etl_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(documents, chunk_words=chunk_words, overlap_words=0)
+    hashed = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+    )
+    canon = hashed.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("_canon"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return hashed.join(canon, "chunk_hash").select(
+        "doc_id",
+        "chunk_id",
+        "chunk_hash",
+        "n_occurrences",
+        (
+            (F.col("doc_id") == F.col("_canon.doc_id"))
+            & (F.col("chunk_id") == F.col("_canon.chunk_id"))
+        ).alias("keep"),
+        "chunk_text",
+    )
+
+
+def span_deduped_corpus(documents: DataFrame, chunk_words: int = 16) -> DataFrame:
+    """The span-dedup end deliverable: per-document text reassembled from
+    only the KEPT chunks of ``chunk_keep_list`` — repeated spans survive
+    exactly once corpus-wide, in their first occurrence. Documents made of
+    nothing but repeats come back with empty text (n_kept = 0), the signal
+    to drop them outright.
+
+    Reassembly is a per-doc aggregation over sort_array(collect_list(
+    struct(chunk_id, text))) — chunk counts per document are bounded by
+    document length, so the collected list is row-sized, never corpus-sized.
+    """
+    kept = chunk_keep_list(documents, chunk_words=chunk_words)
+    per_doc = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct("chunk_id", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+    )
+    return per_doc.select("doc_id", "clean_text", "n_kept", "n_dropped")

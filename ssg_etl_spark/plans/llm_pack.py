@@ -1513,3 +1513,69 @@ def boilerplate_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.boilerplate_chunks(
         load_table(spark, sf_dir, "documents"), chunk_words=16, min_docs=2, k=20
     )
+
+
+@register(
+    "chunk_keep_list",
+    oracle="""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, s // 16 AS chunk_id,
+         array_to_string(list_slice(w, s + 1, s + 16), ' ') AS chunk_text
+  FROM ws, range(0, 2048) g(s) WHERE s < len(w) AND s % 16 = 0),
+h AS (
+  SELECT *, md5(chunk_text) AS chunk_hash,
+         COUNT(*) OVER (PARTITION BY md5(chunk_text)) AS n_occurrences,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks)
+SELECT doc_id, chunk_id, chunk_hash, n_occurrences, rn = 1 AS keep,
+       chunk_text
+FROM h
+""",
+    tags=("llm", "dedup", "text"),
+    extra=True,
+)
+def chunk_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup keep/drop list at 16-word-chunk granularity:
+    the canonical first occurrence of every repeated span keeps, every
+    other occurrence drops. Skew-immune min-struct aggregation (no window
+    over the digest). The oracle replays it with a window — fine at oracle
+    scale, wrong shape at corpus scale. Extra registry: locally
+    oracle-verified."""
+    return dedup.chunk_keep_list(
+        load_table(spark, sf_dir, "documents"), chunk_words=16
+    )
+
+
+@register(
+    "span_deduped_corpus",
+    oracle="""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, s // 16 AS chunk_id,
+         array_to_string(list_slice(w, s + 1, s + 16), ' ') AS chunk_text
+  FROM ws, range(0, 2048) g(s) WHERE s < len(w) AND s % 16 = 0),
+h AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                               ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                      ORDER BY chunk_id), '') AS clean_text,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM h GROUP BY doc_id
+""",
+    tags=("llm", "dedup", "text"),
+    extra=True,
+)
+def span_deduped_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup end deliverable: per-document text rebuilt from only the
+    kept chunks — every repeated 16-word span survives exactly once
+    corpus-wide (its first occurrence). Empty clean_text flags documents
+    that were nothing but repeats. Extra registry: locally
+    oracle-verified."""
+    return dedup.span_deduped_corpus(
+        load_table(spark, sf_dir, "documents"), chunk_words=16
+    )

@@ -426,3 +426,39 @@ def test_boilerplate_chunks_finds_planted_span(spark):
     assert top[0].n_docs == 5 and top[0].n_occurrences == 5
     # the unique tails must not appear
     assert all(r.n_docs >= 2 for r in top)
+
+
+def test_span_dedup_keeps_first_occurrence_only(spark):
+    boiler = " ".join(f"b{i}" for i in range(16))
+    uniq1 = " ".join(f"x{i}" for i in range(16))
+    uniq2 = " ".join(f"y{i}" for i in range(16))
+    docs = [
+        (1, boiler + " " + uniq1),
+        (2, boiler + " " + uniq2),
+        (3, boiler),  # nothing but the repeat
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    keep = dedup.chunk_keep_list(df, chunk_words=16).collect()
+    kept = {(r.doc_id, r.chunk_id) for r in keep if r.keep}
+    # boiler survives once (doc 1 chunk 0); unique chunks always keep
+    assert kept == {(1, 0), (1, 1), (2, 1)}
+    assert all(r.n_occurrences == 3 for r in keep if r.chunk_text == boiler)
+
+    out = {r.doc_id: r for r in dedup.span_deduped_corpus(df, 16).collect()}
+    assert out[1].clean_text == boiler + " " + uniq1
+    assert out[2].clean_text == uniq2 and out[2].n_dropped == 1
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+
+
+def test_span_dedup_total_kept_equals_distinct_chunks(spark, sf_dir):
+    """Corpus-wide invariant: exactly one occurrence per distinct chunk
+    digest survives."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup.chunk_keep_list(docs, chunk_words=16)
+    agg = keep.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        F.countDistinct("chunk_hash").alias("distinct_hashes"),
+    ).collect()[0]
+    assert agg.kept == agg.distinct_hashes
