@@ -79,3 +79,65 @@ def stratified_sample(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-source mixture sampling with epoch weights — the data-mixing op
+    behind every training corpus recipe ("web at 0.5 epochs, books at 2.3").
+
+    ``rates[source] = 2.25`` emits every row of that source twice
+    (epochs 0,1) plus a deterministic 25% third copy (epoch 2); ``0.5``
+    keeps a deterministic half at epoch 0; sources absent from ``rates``
+    are dropped. The fractional keep is a hash-threshold Bernoulli on
+    md5(id:epoch:seed) — a pure row function: stable under repartition and
+    cluster resize, unlike ``DataFrame.sample``, and replayable by the
+    DuckDB oracle. Replication is a sequence+explode (JVM-side, output
+    rows ~ Σ rate·|source|); the rates map is a literal expression, so the
+    whole plan is scan → project → explode → filter with zero joins and
+    zero shuffles.
+    """
+    if not rates:
+        raise ValueError("rates must name at least one source")
+    if any(r < 0 for r in rates.values()):
+        raise ValueError("rates must be >= 0")
+    rate_map = F.create_map(
+        *[x for s, r in rates.items() for x in (F.lit(s), F.lit(float(r)))]
+    )
+    rate = rate_map[F.col(source_col)]
+    n_full = F.floor(rate).cast("int")
+    frac = rate - F.floor(rate)
+    with_epoch = (
+        df.withColumn("_rate", rate)
+        .filter(F.col("_rate").isNotNull() & (F.col("_rate") > 0))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), n_full)))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        F.col("epoch").cast("string"),
+                        F.lit(str(seed)),
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 48))
+    )
+    kept = with_epoch.filter(
+        (F.col("epoch") < F.floor(F.col("_rate")).cast("int"))
+        | (u < (F.col("_rate") - F.floor(F.col("_rate"))))
+    )
+    return kept.drop("_rate")

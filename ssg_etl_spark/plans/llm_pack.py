@@ -1579,3 +1579,36 @@ def span_deduped_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_deduped_corpus(
         load_table(spark, sf_dir, "documents"), chunk_words=16
     )
+
+
+@register(
+    "mixture_sample",
+    oracle="""
+WITH r AS (SELECT * FROM (VALUES ('src0', 2.25), ('src1', 1.5),
+                                 ('src2', 1.0), ('src3', 0.5),
+                                 ('src4', 0.25)) t(source, rate)),
+d AS (SELECT doc_id, source, rate FROM documents JOIN r USING (source)),
+e AS (SELECT doc_id, source, rate, CAST(s AS INT) AS epoch
+      FROM d, range(0, 8) g(s) WHERE s <= CAST(FLOOR(rate) AS INT)),
+u AS (SELECT *,
+  CAST(('0x' || substr(md5(doc_id || ':' || epoch || ':42'), 1, 12))
+       AS BIGINT) / 281474976710656.0 AS uu
+  FROM e)
+SELECT doc_id, source, epoch
+FROM u WHERE epoch < CAST(FLOOR(rate) AS INT) OR uu < rate - FLOOR(rate)
+""",
+    tags=("llm", "sampling"),
+    extra=True,
+)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-source epoch rates (2.25 epochs of
+    src0, …, 0.25 of src4; other sources dropped). Replication by
+    sequence+explode, fractional epochs by md5(id:epoch:seed) hash
+    threshold — zero joins, zero shuffles, repartition-stable, oracle-
+    replayable. Extra registry: locally oracle-verified."""
+    rates = {"src0": 2.25, "src1": 1.5, "src2": 1.0, "src3": 0.5,
+             "src4": 0.25}
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mixture_sample(docs, rates).select(
+        "doc_id", "source", "epoch"
+    )

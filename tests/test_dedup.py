@@ -462,3 +462,37 @@ def test_span_dedup_total_kept_equals_distinct_chunks(spark, sf_dir):
         F.countDistinct("chunk_hash").alias("distinct_hashes"),
     ).collect()[0]
     assert agg.kept == agg.distinct_hashes
+
+
+def test_mixture_sample_epochs_and_stability(spark):
+    from ssg_etl_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 200 else "b", f"t{i}") for i in range(400)],
+        "doc_id long, source string, text string",
+    )
+    out = mixture_sample(docs, {"a": 2.5, "b": 0.25})
+    rows = out.select("doc_id", "source", "epoch").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # source a: every doc at epochs 0 and 1, ~half get a third copy
+    a_epochs = {}
+    for r in by_src["a"]:
+        a_epochs.setdefault(r.doc_id, set()).add(r.epoch)
+    assert len(a_epochs) == 200
+    assert all({0, 1} <= e for e in a_epochs.values())
+    n_a2 = sum(1 for e in a_epochs.values() if 2 in e)
+    assert 60 <= n_a2 <= 140  # ~100 of 200 at p=0.5
+    # source b: all at epoch 0, ~25% of docs
+    assert all(r.epoch == 0 for r in by_src["b"])
+    assert 25 <= len(by_src["b"]) <= 80  # ~50 of 200 at p=0.25
+    assert set(by_src) == {"a", "b"}  # unlisted sources dropped
+    # pure row function: identical selection after a repartition
+    again = {
+        (r.doc_id, r.epoch)
+        for r in mixture_sample(docs.repartition(7), {"a": 2.5, "b": 0.25})
+        .select("doc_id", "epoch")
+        .collect()
+    }
+    assert again == {(r.doc_id, r.epoch) for r in rows}
