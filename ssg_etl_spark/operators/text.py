@@ -364,3 +364,43 @@ def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("term_rank") <= k)
         .select("doc_id", "term_rank", "term", "tfidf")
     )
+
+
+def vocab_oov_rate(df: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Vocabulary coverage: build the corpus top-``vocab_size`` word list
+    (by total frequency, ties broken by term for determinism) and score
+    each document's out-of-vocabulary token fraction — the pre-tokenizer
+    diagnostic for how well a fixed vocab (or a tokenizer's merges) will
+    cover a corpus slice.
+
+    The vocab is model-sized (bounded by the parameter, not the corpus),
+    so the top-V is a TakeOrderedAndProject and the membership join is a
+    broadcast — per-doc scoring never shuffles the corpus a second time;
+    the only corpus-wide shuffle is the term-frequency aggregation.
+    """
+    terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .orderBy(F.desc("_tf"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    scored = terms.join(F.broadcast(vocab), "term", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )

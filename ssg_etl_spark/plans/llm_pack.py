@@ -1612,3 +1612,35 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_sample(docs, rates).select(
         "doc_id", "source", "epoch"
     )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+vocab AS (
+  SELECT term FROM terms GROUP BY term
+  ORDER BY COUNT(*) DESC, term ASC LIMIT 20),
+scored AS (
+  SELECT doc_id, t.term, v.term IS NOT NULL AS iv
+  FROM terms t LEFT JOIN vocab v USING (term))
+SELECT doc_id,
+  COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+  round(SUM(CASE WHEN iv THEN 0 ELSE 1 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS oov_rate
+FROM scored GROUP BY doc_id
+""",
+    tags=("llm", "text", "quality"),
+    extra=True,
+)
+def vocab_oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-20 word
+    list (the fixture vocabulary is 31 synthetic words, so 20 exercises a
+    real in/out split; ties broken by term for a deterministic boundary).
+    One corpus TF shuffle + a broadcast membership join. Extra registry:
+    locally oracle-verified."""
+    return text.vocab_oov_rate(
+        load_table(spark, sf_dir, "documents"), vocab_size=20
+    )

@@ -496,3 +496,20 @@ def test_mixture_sample_epochs_and_stability(spark):
         .collect()
     }
     assert again == {(r.doc_id, r.epoch) for r in rows}
+
+
+def test_vocab_oov_rate_known_split(spark):
+    from ssg_etl_spark.operators.text import vocab_oov_rate
+
+    # "common" appears in every doc (top of vocab); rare words are OOV at
+    # vocab_size=1.
+    docs = [
+        (1, "common common rare1"),
+        (2, "common rare2 rare3 rare4"),
+        (3, "common common common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in vocab_oov_rate(df, vocab_size=1).collect()}
+    assert out[1].n_tokens == 3 and out[1].n_oov == 1
+    assert out[2].n_oov == 3 and abs(out[2].oov_rate - 0.75) < 1e-9
+    assert out[3].n_oov == 0 and out[3].oov_rate == 0.0
