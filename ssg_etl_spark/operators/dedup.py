@@ -717,8 +717,13 @@ def chunk_dedup_stats(documents: DataFrame, chunk_words: int = 16) -> DataFrame:
     from ssg_etl_spark.operators.text import chunk_documents
 
     chunks = chunk_documents(documents, chunk_words=chunk_words, overlap_words=0)
-    hashed = chunks.select(
-        "doc_id", F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash")
+    # Persisted: both the occurrence count and the join-back consume the
+    # hashed chunks — without it each branch re-scans and re-explodes the
+    # corpus (2 scans at 100 TB for one logical pass).
+    hashed = persist_tracked(
+        chunks.select(
+            "doc_id", F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash")
+        )
     )
     occ = hashed.groupBy("chunk_hash").agg(
         F.countDistinct("doc_id").alias("_n_docs")
@@ -796,11 +801,15 @@ def chunk_keep_list(documents: DataFrame, chunk_words: int = 16) -> DataFrame:
     from ssg_etl_spark.operators.text import chunk_documents
 
     chunks = chunk_documents(documents, chunk_words=chunk_words, overlap_words=0)
-    hashed = chunks.select(
-        "doc_id",
-        "chunk_id",
-        "chunk_text",
-        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+    # Persisted: the canonical-min aggregation and the join-back both read
+    # the hashed chunks; without it the corpus is scanned+exploded twice.
+    hashed = persist_tracked(
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            "chunk_text",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+        )
     )
     canon = hashed.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "chunk_id")).alias("_canon"),

@@ -60,6 +60,10 @@ AUDIT_DEFAULT = [
     "merge_upsert",
     "cdc_batch_apply",
     "tfidf_top_terms",
+    "chunk_dedup_stats",
+    "span_deduped_corpus",
+    "mixture_sample",
+    "vocab_oov_rate",
 ]
 
 
