@@ -859,3 +859,125 @@ def span_deduped_corpus(documents: DataFrame, chunk_words: int = 16) -> DataFram
         F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
     )
     return per_doc.select("doc_id", "clean_text", "n_kept", "n_dropped")
+
+
+def build_chunk_index(documents: DataFrame, chunk_words: int = 16) -> DataFrame:
+    """Chunk-digest index of a base corpus: one row per distinct 16-word
+    span digest with its canonical first occurrence and occurrence count —
+    the persisted table an incremental span-dedup probes (and the span
+    twin of ``build_minhash_index``). Write it bucketed on ``chunk_hash``
+    and the per-batch probe join is shuffle-free on the index side.
+    """
+    from ssg_etl_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(documents, chunk_words=chunk_words, overlap_words=0)
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.min(F.struct("doc_id", "chunk_id")).alias("_c"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "chunk_hash",
+            F.col("_c.doc_id").alias("canon_doc_id"),
+            F.col("_c.chunk_id").alias("canon_chunk_id"),
+            "n_occurrences",
+        )
+    )
+
+
+def chunk_keep_list_vs_index(
+    delta_documents: DataFrame, chunk_index: DataFrame, chunk_words: int = 16
+) -> DataFrame:
+    """Span-dedup a delta batch against a precomputed base chunk index
+    WITHOUT re-chunking the base: a delta occurrence keeps only if its
+    digest is absent from the base (the base already holds the canonical
+    copy) and it is the first occurrence within the delta. Per-batch cost
+    O(|delta chunks| + probe join); the base corpus is never re-read.
+
+    First-seen-wins canonical semantics (the operational contract of an
+    incremental index): a digest already in the base keeps its base
+    canonical even if a delta doc_id sorts lower — a from-scratch
+    ``chunk_keep_list`` over base ∪ delta would pick the global min
+    instead. Batch-order dependence is inherent to every incremental
+    dedup; rebuild the index to re-canonicalize.
+    """
+    from ssg_etl_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        delta_documents, chunk_words=chunk_words, overlap_words=0
+    )
+    hashed = persist_tracked(
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+        )
+    )
+    canon = hashed.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("_c")
+    )
+    idx = chunk_index.select("chunk_hash", F.lit(True).alias("_in_base"))
+    return (
+        hashed.join(canon, "chunk_hash")
+        .join(idx, "chunk_hash", "left")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_hash",
+            F.coalesce(F.col("_in_base"), F.lit(False)).alias("in_base"),
+            (
+                F.col("_in_base").isNull()
+                & (F.col("doc_id") == F.col("_c.doc_id"))
+                & (F.col("chunk_id") == F.col("_c.chunk_id"))
+            ).alias("keep"),
+        )
+    )
+
+
+def merge_chunk_index(
+    chunk_index: DataFrame, delta_documents: DataFrame, chunk_words: int = 16
+) -> DataFrame:
+    """Fold a delta batch into the chunk index: existing digests keep
+    their base canonical and add the delta occurrences to the count; new
+    digests enter with their within-delta canonical. The index stays one
+    row per digest, so repeated merges are idempotent in shape and the
+    probe path never degrades.
+    """
+    delta_idx = build_chunk_index(delta_documents, chunk_words=chunk_words)
+    merged = chunk_index.select(
+        "chunk_hash",
+        "canon_doc_id",
+        "canon_chunk_id",
+        "n_occurrences",
+        F.lit(0).alias("_src"),
+    ).unionByName(
+        delta_idx.select(
+            "chunk_hash",
+            "canon_doc_id",
+            "canon_chunk_id",
+            "n_occurrences",
+            F.lit(1).alias("_src"),
+        )
+    )
+    # min struct(_src, canon…) — base (src 0) wins over delta (src 1)
+    return (
+        merged.groupBy("chunk_hash")
+        .agg(
+            F.min(
+                F.struct("_src", "canon_doc_id", "canon_chunk_id")
+            ).alias("_c"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+        )
+        .select(
+            "chunk_hash",
+            F.col("_c.canon_doc_id").alias("canon_doc_id"),
+            F.col("_c.canon_chunk_id").alias("canon_chunk_id"),
+            "n_occurrences",
+        )
+    )

@@ -1644,3 +1644,37 @@ def vocab_oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_oov_rate(
         load_table(spark, sf_dir, "documents"), vocab_size=20
     )
+
+
+@register(
+    "span_dedup_incremental",
+    oracle="""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, s // 16 AS chunk_id,
+         md5(array_to_string(list_slice(w, s + 1, s + 16), ' ')) AS chunk_hash
+  FROM ws, range(0, 2048) g(s) WHERE s < len(w) AND s % 16 = 0),
+base AS (SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 10 != 0),
+delta AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                               ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks WHERE doc_id % 10 = 0)
+SELECT d.doc_id, d.chunk_id, d.chunk_hash,
+       b.chunk_hash IS NOT NULL AS in_base,
+       (b.chunk_hash IS NULL AND rn = 1) AS keep
+FROM delta d LEFT JOIN base b USING (chunk_hash)
+""",
+    tags=("llm", "dedup", "incremental"),
+    extra=True,
+)
+def span_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup of a delta batch (doc_id % 10 = 0) against the base
+    corpus's precomputed chunk-digest index — the base is never re-chunked
+    (the probe reads only the index table; first-seen-wins canonical
+    semantics, see chunk_keep_list_vs_index). Extra registry: locally
+    oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    index = dedup.build_chunk_index(base, chunk_words=16)
+    return dedup.chunk_keep_list_vs_index(delta, index, chunk_words=16)

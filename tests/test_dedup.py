@@ -513,3 +513,41 @@ def test_vocab_oov_rate_known_split(spark):
     assert out[1].n_tokens == 3 and out[1].n_oov == 1
     assert out[2].n_oov == 3 and abs(out[2].oov_rate - 0.75) < 1e-9
     assert out[3].n_oov == 0 and out[3].oov_rate == 0.0
+
+
+def test_chunk_index_probe_and_merge(spark):
+    """Probe keeps only digests absent from the base; merging the delta
+    into the index matches a from-scratch rebuild on digests and counts
+    (canonicals are first-seen-wins by contract)."""
+    boiler = " ".join(f"b{i}" for i in range(16))
+    base = spark.createDataFrame(
+        [(10, boiler + " " + " ".join(f"p{i}" for i in range(16)))],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (2, boiler),  # base dup (lower doc_id — base still wins)
+            (3, " ".join(f"q{i}" for i in range(16))),  # new
+            (4, " ".join(f"q{i}" for i in range(16))),  # delta-internal dup
+        ],
+        "doc_id long, text string",
+    )
+    index = dedup.build_chunk_index(base, chunk_words=16)
+    probe = {
+        (r.doc_id, r.chunk_id): r
+        for r in dedup.chunk_keep_list_vs_index(delta, index, 16).collect()
+    }
+    assert probe[(2, 0)].in_base and not probe[(2, 0)].keep
+    assert probe[(3, 0)].keep and not probe[(3, 0)].in_base
+    assert not probe[(4, 0)].keep  # doc 3 is the within-delta canonical
+
+    merged = dedup.merge_chunk_index(index, delta, 16)
+    rebuilt = dedup.build_chunk_index(base.unionByName(delta), 16)
+    m = {r.chunk_hash: r for r in merged.collect()}
+    rb = {r.chunk_hash: r for r in rebuilt.collect()}
+    assert set(m) == set(rb)
+    assert all(m[h].n_occurrences == rb[h].n_occurrences for h in m)
+    # first-seen-wins: boiler's canonical stays the base doc 10, even
+    # though the rebuild would pick delta doc 2
+    bh = [h for h in m if m[h].n_occurrences == 2 and m[h].canon_doc_id == 10]
+    assert len(bh) == 1 and rb[bh[0]].canon_doc_id == 2
