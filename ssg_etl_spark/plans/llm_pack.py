@@ -1678,3 +1678,131 @@ def span_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     index = dedup.build_chunk_index(base, chunk_words=16)
     return dedup.chunk_keep_list_vs_index(delta, index, chunk_words=16)
+
+
+# Keep-longest variant of the dedup keep list: curation pipelines usually
+# keep the RICHEST copy of duplicated content (longest text), not the
+# lowest id — boilerplate-stripped rescrapes and truncated mirrors should
+# lose to the full page. Canonical per exact group / near-dup cluster =
+# max n_chars, tie-broken by min doc_id (min-struct aggregation, skew-
+# immune; the oracle replays it with ordered windows).
+_KEEP_LIST_LONGEST_SQL = rf"""
+WITH RECURSIVE
+norm AS (
+  SELECT doc_id, n_chars,
+    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+    FIRST_VALUE(doc_id) OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id)
+      AS exact_canon
+  FROM norm),
+survivors AS (SELECT doc_id FROM canon WHERE doc_id = exact_canon),
+wordarrs AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS ws
+  FROM documents d JOIN survivors s ON d.doc_id = s.doc_id),
+shingles AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM wordarrs, range(1, 1024) g(i) WHERE i <= len(ws) - 2),
+capped AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {dedup.DEFAULT_MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT s AS node, s AS lbl FROM edges
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node),
+clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+ranked AS (
+  SELECT cl.cluster_id, cl.doc_id,
+    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY n.n_chars DESC, cl.doc_id) AS rn
+  FROM clusters cl JOIN norm n ON cl.doc_id = n.doc_id),
+bestc AS (SELECT cluster_id, doc_id AS best_doc FROM ranked WHERE rn = 1)
+SELECT c.doc_id AS doc_id,
+  CASE WHEN c.doc_id <> c.exact_canon THEN 'exact_dup'
+       WHEN bc.best_doc IS NOT NULL AND bc.best_doc <> c.doc_id
+         THEN 'near_dup'
+       ELSE 'kept' END AS reason,
+  CASE WHEN c.doc_id <> c.exact_canon THEN c.exact_canon
+       ELSE COALESCE(bc.best_doc, c.doc_id) END AS canonical_doc_id
+FROM canon c
+LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+LEFT JOIN bestc bc ON cl.cluster_id = bc.cluster_id
+"""
+
+
+@register(
+    "dedup_keep_list_longest",
+    oracle=_KEEP_LIST_LONGEST_SQL,
+    tags=("llm", "dedup", "pipeline"),
+    extra=True,
+)
+def dedup_keep_list_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_keep_list with keep-longest canonicals: each exact group and
+    near-dup cluster keeps its longest member (tie: min doc_id) instead of
+    its minimum id — truncated mirrors lose to the full page. Canonicals
+    via min(struct(-n_chars, doc_id)) aggregations. Extra registry:
+    locally oracle-verified."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(text.normalize_text(F.col("text")).cast("binary")).alias("h"),
+    )
+    pick = F.struct(
+        (-F.col("n_chars")).alias("nn"), F.col("doc_id").alias("d")
+    )
+    canon = norm.withColumn(
+        "exact_canon", F.min(pick).over(Window.partitionBy("h")).getField("d")
+    )
+    survivors = docs.join(
+        canon.filter(F.col("doc_id") == F.col("exact_canon")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    clusters = dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(survivors, 0.5)
+    )
+    best = (
+        clusters.join(norm.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.min(pick).getField("d").alias("best_doc"))
+    )
+    return (
+        canon.join(clusters, "doc_id", "left")
+        .join(best, "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") != F.col("exact_canon"), F.lit("exact_dup")
+            )
+            .when(
+                F.col("best_doc").isNotNull()
+                & (F.col("best_doc") != F.col("doc_id")),
+                F.lit("near_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+            F.when(
+                F.col("doc_id") != F.col("exact_canon"), F.col("exact_canon")
+            )
+            .otherwise(F.coalesce("best_doc", "doc_id"))
+            .alias("canonical_doc_id"),
+        )
+    )

@@ -551,3 +551,23 @@ def test_chunk_index_probe_and_merge(spark):
     # though the rebuild would pick delta doc 2
     bh = [h for h in m if m[h].n_occurrences == 2 and m[h].canon_doc_id == 10]
     assert len(bh) == 1 and rb[bh[0]].canon_doc_id == 2
+
+
+def test_keep_list_longest_prefers_richest_copy(spark, sf_dir):
+    """Registry variant: within each near-dup cluster the canonical is the
+    longest member, not the minimum id."""
+    from ssg_etl_spark.plans.registry import load_all
+
+    spec = load_all(include_extra=True)["dedup_keep_list_longest"]
+    rows = {r.doc_id: r for r in spec.builder(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows.values():
+        if r.reason == "near_dup":
+            assert docs[r.canonical_doc_id] >= docs[r.doc_id], (
+                r.doc_id,
+                r.canonical_doc_id,
+            )
+    assert any(r.reason == "near_dup" for r in rows.values())
