@@ -309,3 +309,98 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def foreach_batch_span_dedup(index_path: str, out_path: str, chunk_words: int = 16):
+    """Streaming span dedup with an EVOLVING chunk-digest index: each
+    micro-batch is probed against the index-so-far (first-seen-wins across
+    batches), its per-chunk keep/drop decisions append to ``out_path``,
+    and the index folds forward via ``merge_chunk_index`` with the same
+    stage-then-swap parquet rewrite as ``foreach_batch_upsert``. Unlike
+    ``foreach_batch_incremental_dedup`` (static base), the reference set
+    here GROWS: a span first seen in batch 3 dedups batch 7.
+
+    If batches arrive in ascending doc_id order, the union of batch
+    outputs equals the batch-mode ``chunk_keep_list`` keep decisions over
+    the full stream (first-seen == global min) — pinned by
+    tests/test_streaming.py.
+    """
+    from ssg_etl_spark.cache import release_tracked, scope_token
+    from ssg_etl_spark.operators.dedup import (
+        build_chunk_index,
+        chunk_keep_list_vs_index,
+        merge_chunk_index,
+    )
+
+    staging_path = index_path.rstrip("/") + "__staging"
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        if batch.isEmpty():
+            return
+        tok = scope_token()
+        spark = batch.sparkSession
+        if os.path.exists(staging_path):
+            if os.path.exists(index_path):
+                shutil.rmtree(staging_path)
+            else:
+                os.rename(staging_path, index_path)
+        if os.path.exists(index_path):
+            index = spark.read.parquet(index_path)
+        else:
+            index = spark.createDataFrame(
+                [],
+                "chunk_hash string, canon_doc_id long, "
+                "canon_chunk_id int, n_occurrences bigint",
+            )
+        keep = chunk_keep_list_vs_index(batch, index, chunk_words=chunk_words)
+        # Materialize decisions BEFORE the index swap — both plans read the
+        # pre-batch index from index_path.
+        (
+            keep.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        merged = (
+            build_chunk_index(batch, chunk_words=chunk_words)
+            if index.isEmpty()
+            else merge_chunk_index(index, batch, chunk_words=chunk_words)
+        )
+        merged.write.mode("overwrite").parquet(staging_path)
+        if os.path.exists(index_path):
+            shutil.rmtree(index_path)
+        os.rename(staging_path, index_path)
+        release_tracked(since=tok)
+
+    return apply
+
+
+def run_span_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint: str,
+    index_path: str,
+    out_path: str,
+    chunk_words: int = 16,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive the evolving-index span dedup over all available files once
+    (Trigger.AvailableNow), one micro-batch per source file."""
+    from ssg_etl_spark.schemas import DOCUMENTS
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_span_dedup(index_path, out_path, chunk_words)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -291,3 +291,36 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
         r.batch_id for r in spark.read.parquet(out).collect()
     }
     assert len(n_batches) >= 1  # at least one non-empty micro-batch ran
+
+
+def test_streaming_span_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Evolving-index streaming span dedup: with batches in ascending
+    doc_id order, first-seen-wins across batches equals the global-min
+    canonical of the batch-mode chunk_keep_list — the union of per-batch
+    keep decisions must match it exactly."""
+    from ssg_etl_spark.operators.dedup import chunk_keep_list
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.streaming.pipeline import run_span_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 120")
+
+    src = str(tmp_path / "incoming")
+    docs.filter("doc_id < 60").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 60").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "keeps")
+    run_span_dedup_stream(
+        spark, src, str(tmp_path / "ckpt"), str(tmp_path / "chunk_index"), out
+    )
+
+    got = {
+        (r.doc_id, r.chunk_id): r.keep
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id): r.keep
+        for r in chunk_keep_list(docs, 16).collect()
+    }
+    assert got == want
+    batches = {r.batch_id for r in spark.read.parquet(out).collect()}
+    assert len(batches) == 2  # one micro-batch per file, both non-empty
