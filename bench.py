@@ -58,6 +58,19 @@ LLM_FAMILY = [
     "ann_ivf_topk",
 ]
 
+# Round-5 curation additions, tracked as a THIRD group so llm_total stays
+# comparable with r4: span-level dedup, mixture sampling, vocab coverage,
+# and the keep-longest keep list.
+CURATION_FAMILY = [
+    "chunk_dedup_stats",
+    "boilerplate_chunks",
+    "span_deduped_corpus",
+    "span_dedup_incremental",
+    "dedup_keep_list_longest",
+    "mixture_sample",
+    "vocab_oov_rate",
+]
+
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -116,6 +129,7 @@ def main() -> None:
 
     timings = run_group(HEADLINE, trials, statistics.median)
     llm_timings = run_group(LLM_FAMILY, llm_trials, min)
+    curation_timings = run_group(CURATION_FAMILY, llm_trials, min)
 
     # Precomputed-index incremental dedup: the index build is the amortized
     # once-per-corpus cost (untimed — at scale it's a persisted table, like
@@ -164,6 +178,8 @@ def main() -> None:
                 "queries": timings,
                 "llm_queries": llm_timings,
                 "llm_total": round(sum(llm_timings.values()), 3),
+                "curation_queries": curation_timings,
+                "curation_total": round(sum(curation_timings.values()), 3),
                 "sf": sf,
             }
         )

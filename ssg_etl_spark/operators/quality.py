@@ -304,3 +304,74 @@ def load_ge_suite_file(path: str) -> list[Expectation]:
 
     with open(path) as f:
         return load_ge_suite(json.load(f))
+
+
+def profile_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    numeric_cols: list[str],
+) -> DataFrame:
+    """Snapshot-over-snapshot data-drift report: for each numeric column,
+    compare row count, null rate, mean, min, and max between a baseline
+    load and the current one — the check that catches a silently broken
+    upstream feed (nulls spiking, a unit change shifting the mean) before
+    it lands in the warehouse. Complements the expectation suite: suites
+    assert absolute bounds, drift compares RELATIVE to the last known-good
+    load.
+
+    One single-pass aggregation per snapshot (every metric is a partial-
+    aggregable expression; means go through DECIMAL so the report is
+    order-independent), melted to one row per (column, metric) and joined
+    on the metric key — two scans total, output size O(columns), never
+    O(rows).
+    """
+    def profile(df: DataFrame, side: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("row_count")]
+        for c in numeric_cols:
+            aggs += [
+                F.round(
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias(f"{c}__null_rate"),
+                F.round(
+                    F.sum(F.col(c).cast("decimal(28,8)")).cast("double")
+                    / F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias(f"{c}__mean"),
+                F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+                F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+            ]
+        wide = df.agg(*aggs)
+        metrics = [f"{c}__{m}" for c in numeric_cols
+                   for m in ("null_rate", "mean", "min", "max")]
+        pairs = [
+            x
+            for m in ["row_count", *metrics]
+            for x in (F.lit(m), F.col(m).cast("double"))
+        ]
+        return wide.select(
+            F.explode(F.create_map(*pairs)).alias("metric", side)
+        )
+
+    cur = profile(current, "current_value")
+    base = profile(baseline, "baseline_value")
+    return cur.join(base, "metric", "full").select(
+        "metric",
+        "baseline_value",
+        "current_value",
+        F.round(F.col("current_value") - F.col("baseline_value"), 6).alias(
+            "delta"
+        ),
+        F.when(
+            F.col("baseline_value").isNotNull()
+            & (F.col("baseline_value") != 0),
+            F.round(
+                (F.col("current_value") - F.col("baseline_value"))
+                / F.abs(F.col("baseline_value")),
+                6,
+            ),
+        ).alias("rel_change"),
+    )

@@ -605,3 +605,65 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.percentile_profile(
         load_table(spark, sf_dir, "part"), "p_brand", "p_retailprice"
     )
+
+
+@register(
+    "profile_drift_orders",
+    oracle="""
+WITH cur AS (SELECT * FROM orders WHERE year(o_orderdate) = 1998),
+base AS (SELECT * FROM orders WHERE year(o_orderdate) = 1997),
+curm AS (
+  SELECT m.metric, m.v AS current_value FROM (
+    SELECT unnest(['row_count', 'o_totalprice__null_rate',
+                   'o_totalprice__mean', 'o_totalprice__min',
+                   'o_totalprice__max']) AS metric,
+           unnest([CAST(COUNT(*) AS DOUBLE),
+                   round(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6),
+                   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+                              AS DOUBLE)
+                         / CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                         THEN 1 ELSE 0 END) AS DOUBLE), 6),
+                   round(CAST(MIN(o_totalprice) AS DOUBLE), 6),
+                   round(CAST(MAX(o_totalprice) AS DOUBLE), 6)]) AS v
+    FROM cur) m),
+basem AS (
+  SELECT m.metric, m.v AS baseline_value FROM (
+    SELECT unnest(['row_count', 'o_totalprice__null_rate',
+                   'o_totalprice__mean', 'o_totalprice__min',
+                   'o_totalprice__max']) AS metric,
+           unnest([CAST(COUNT(*) AS DOUBLE),
+                   round(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6),
+                   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+                              AS DOUBLE)
+                         / CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                         THEN 1 ELSE 0 END) AS DOUBLE), 6),
+                   round(CAST(MIN(o_totalprice) AS DOUBLE), 6),
+                   round(CAST(MAX(o_totalprice) AS DOUBLE), 6)]) AS v
+    FROM base) m)
+SELECT c.metric, baseline_value, current_value,
+  round(current_value - baseline_value, 6) AS delta,
+  CASE WHEN baseline_value IS NOT NULL AND baseline_value <> 0
+       THEN round((current_value - baseline_value) / abs(baseline_value), 6)
+  END AS rel_change
+FROM curm c FULL JOIN basem b ON c.metric = b.metric
+""",
+    tags=("quality", "profile", "drift"),
+    extra=True,
+)
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report: 1998 orders vs the 1997 baseline on
+    o_totalprice (row count, null rate, decimal-exact mean, min, max, with
+    absolute and relative deltas) — the load-over-load validation that
+    catches a broken feed before the warehouse does. Two single-pass
+    aggregations, output O(columns). Extra registry: locally
+    oracle-verified."""
+    from ssg_etl_spark.operators.quality import profile_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_drift(
+        orders.filter(F.year("o_orderdate") == 1998),
+        orders.filter(F.year("o_orderdate") == 1997),
+        ["o_totalprice"],
+    )

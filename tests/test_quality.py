@@ -170,3 +170,24 @@ def test_ge_structural_only_suite_needs_no_scan(spark):
     exps = [Q.expect_column_exists("a"), Q.expect_type_in("b", ["INT"])]
     results = Q.run_suite(df, exps)
     assert all(r["passed"] for r in results)
+
+
+def test_profile_drift_detects_null_spike_and_mean_shift(spark):
+    from ssg_etl_spark.operators.quality import profile_drift
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    cur = spark.createDataFrame(
+        [(i, float(i) * 2 if i % 2 else None) for i in range(50)],
+        "id long, v double",
+    )
+    rows = {r.metric: r for r in profile_drift(cur, base, ["v"]).collect()}
+    assert rows["row_count"].baseline_value == 100.0
+    assert rows["row_count"].current_value == 50.0
+    assert abs(rows["row_count"].rel_change - (-0.5)) < 1e-9
+    assert rows["v__null_rate"].baseline_value == 0.0
+    assert abs(rows["v__null_rate"].current_value - 0.5) < 1e-9
+    # mean doubles on the surviving odd values: base 49.5 → 2*avg(odd 1..49)
+    assert abs(rows["v__mean"].current_value - 50.0) < 1e-9
+    assert rows["v__max"].current_value == 98.0
