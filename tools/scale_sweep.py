@@ -136,6 +136,20 @@ def family(sf_dir: str, n_vectors: int):
 
     return [
         ("dedup_exact", lambda s: dedup.exact_dedup_groups(docs(s)), ""),
+        ("chunk_dedup_stats", lambda s: dedup.chunk_dedup_stats(docs(s)), ""),
+        (
+            "span_deduped_corpus",
+            lambda s: dedup.span_deduped_corpus(docs(s)),
+            "",
+        ),
+        (
+            "span_dedup_incremental",
+            lambda s: dedup.chunk_keep_list_vs_index(
+                docs(s).filter("doc_id % 10 = 0"),
+                dedup.build_chunk_index(docs(s).filter("doc_id % 10 != 0")),
+            ),
+            "index built in-run",
+        ),
         ("dedup_minhash_lsh", lambda s: dedup.minhash_lsh_pairs(docs(s), 0.5), ""),
         ("dedup_simhash", lambda s: dedup.simhash_pairs(docs(s)), ""),
         (
