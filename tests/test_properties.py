@@ -253,3 +253,46 @@ def test_duplicate_clusters_equals_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=2, max_value=8),
+)
+@_SETTINGS
+def test_span_dedup_invariants(spark, docs, chunk):
+    """(1) Exactly one occurrence of every distinct chunk digest keeps;
+    (2) a document none of whose chunks appear anywhere else reassembles
+    to its original text; (3) kept+dropped == total chunks per doc."""
+    from ssg_etl_spark.operators.dedup import (
+        chunk_keep_list,
+        span_deduped_corpus,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = chunk_keep_list(df, chunk_words=chunk).collect()
+    per_hash = {}
+    for r in keep:
+        per_hash.setdefault(r.chunk_hash, []).append(r.keep)
+    assert all(sum(ks) == 1 for ks in per_hash.values())
+
+    out = {r.doc_id: r for r in span_deduped_corpus(df, chunk).collect()}
+    n_chunks = {}
+    for r in keep:
+        n_chunks[r.doc_id] = n_chunks.get(r.doc_id, 0) + 1
+    shared = {
+        r.doc_id
+        for r in keep
+        if len(per_hash[r.chunk_hash]) > 1
+    }
+    for doc_id, text in rows:
+        assert out[doc_id].n_kept + out[doc_id].n_dropped == n_chunks[doc_id]
+        if doc_id not in shared:
+            assert out[doc_id].clean_text == text
