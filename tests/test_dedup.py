@@ -571,3 +571,69 @@ def test_keep_list_longest_prefers_richest_copy(spark, sf_dir):
                 r.canonical_doc_id,
             )
     assert any(r.reason == "near_dup" for r in rows.values())
+
+
+def test_bucketed_chunk_index_probe_has_no_index_side_shuffle(spark, sf_dir):
+    """build_chunk_index's scale contract: written bucketed on chunk_hash,
+    the per-batch probe join reads the index without an Exchange on the
+    index side (the delta side still shuffles — it is batch-sized)."""
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.sources.sinks import write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+    spark.sql("DROP TABLE IF EXISTS chunk_idx_bkt")
+    write_bucketed(
+        dedup.build_chunk_index(base), "chunk_idx_bkt", ["chunk_hash"],
+        num_buckets=8,
+    )
+    try:
+        with_conf = [
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.adaptive.enabled", "false"),
+        ]
+        old = {k: spark.conf.get(k) for k, _ in with_conf}
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        try:
+            probe = dedup.chunk_keep_list_vs_index(
+                delta, spark.table("chunk_idx_bkt")
+            )
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+
+            # Walk the executed tree: no Exchange may sit on the path from
+            # the root down to the bucketed index scan.
+            def exchanges_above_bucketed_scan(node, found=False):
+                name = node.nodeName()
+                if "Exchange" in name:
+                    found = True
+                if "Scan" in name and "chunk_idx_bkt" in node.toString():
+                    return 1 if found else 0
+                total = 0
+                children = node.children()
+                for i in range(children.size()):
+                    total += exchanges_above_bucketed_scan(
+                        children.apply(i), found
+                    )
+                return total
+            root = probe._jdf.queryExecution().executedPlan()
+            assert exchanges_above_bucketed_scan(root) == 0, plan[:3000]
+            # and the probe result still matches the unbucketed index
+            want = sorted(
+                (r.doc_id, r.chunk_id, r.keep)
+                for r in dedup.chunk_keep_list_vs_index(
+                    delta, dedup.build_chunk_index(base)
+                ).collect()
+            )
+            got = sorted(
+                (r.doc_id, r.chunk_id, r.keep) for r in probe.collect()
+            )
+            assert got == want
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS chunk_idx_bkt")
