@@ -62,8 +62,10 @@ AUDIT_DEFAULT = [
     "tfidf_top_terms",
     "chunk_dedup_stats",
     "span_deduped_corpus",
+    "span_dedup_incremental",
     "mixture_sample",
     "vocab_oov_rate",
+    "profile_drift_orders",
 ]
 
 
