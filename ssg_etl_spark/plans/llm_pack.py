@@ -1153,7 +1153,9 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonicals then run near-dup clustering, and each cluster keeps only its
 # minimum member. The oracle replays both stages (shingles restricted to
 # exact-dedup survivors) plus the recursive closure.
-_KEEP_LIST_SQL = rf"""
+# CTE block shared by dedup_keep_list and training_manifest (the latter
+# composes the keep decision with quality + split).
+_KEEP_LIST_CTES = rf"""
 WITH RECURSIVE
 norm AS (
   SELECT doc_id,
@@ -1188,7 +1190,9 @@ reach AS (
   SELECT s AS node, s AS lbl FROM edges
   UNION
   SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node),
-clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
+_KEEP_LIST_SQL = _KEEP_LIST_CTES + """
 SELECT c.doc_id AS doc_id,
   CASE WHEN c.doc_id <> c.exact_canon THEN 'exact_dup'
        WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> c.doc_id
@@ -1805,4 +1809,63 @@ def dedup_keep_list_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.coalesce("best_doc", "doc_id"))
             .alias("canonical_doc_id"),
         )
+    )
+
+
+# The end-to-end curation deliverable: dedup keep decision × quality
+# threshold × reproducible split — one row per document that survives into
+# the training mix, with the split it trains in.
+_MANIFEST_SQL = _KEEP_LIST_CTES + f""",
+kept AS (
+  SELECT c.doc_id FROM canon c
+  LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+  WHERE c.doc_id = c.exact_canon
+    AND (cl.cluster_id IS NULL OR cl.cluster_id = c.doc_id)),
+m AS (SELECT doc_id, {{quality_expr}} AS quality_score FROM documents),
+b AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      AS bucket
+  FROM documents)
+SELECT d.doc_id, d.lang, d.source, m.quality_score,
+  CASE WHEN b.bucket < {_TRAIN_HI} THEN 'train'
+       WHEN b.bucket < {_VAL_HI} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents d
+JOIN kept k ON d.doc_id = k.doc_id
+JOIN m ON d.doc_id = m.doc_id
+JOIN b ON d.doc_id = b.doc_id
+WHERE m.quality_score >= 0.53
+"""
+
+
+@register(
+    "training_manifest",
+    oracle=_MANIFEST_SQL.format(quality_expr=_QUALITY_EXPR),
+    tags=("llm", "pipeline", "dedup", "quality", "sampling"),
+    extra=True,
+)
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's end deliverable in one plan: documents that
+    (1) survive two-stage dedup (exact groups + near-dup clusters, keep
+    minimum member), (2) clear the quality threshold (0.53 — the fixture
+    median), and (3) carry their reproducible hash-bucket train/val/test
+    split. One row per surviving document: (doc_id, lang, source,
+    quality_score, split). Every stage is an already-verified operator —
+    this query pins that they COMPOSE: semi-join against the keep list,
+    broadcast-friendly metric joins, no new shuffle beyond the stages'
+    own. Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_keep_list(spark, sf_dir).filter(
+        F.col("reason") == "kept"
+    ).select("doc_id")
+    metrics = text.text_metrics(docs).select("doc_id", "quality_score")
+    split = sampling.hash_split(docs).select("doc_id", "split")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(kept, "doc_id", "left_semi")
+        .join(metrics, "doc_id")
+        .join(split, "doc_id")
+        .filter(F.col("quality_score") >= 0.53)
+        .select("doc_id", "lang", "source", "quality_score", "split")
     )

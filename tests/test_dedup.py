@@ -637,3 +637,37 @@ def test_bucketed_chunk_index_probe_has_no_index_side_shuffle(spark, sf_dir):
                 spark.conf.set(k, v)
     finally:
         spark.sql("DROP TABLE IF EXISTS chunk_idx_bkt")
+
+
+def test_training_manifest_composition_invariants(spark, sf_dir):
+    """The manifest must be exactly: kept ∩ (quality ≥ 0.53), each with
+    its hash-split assignment."""
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.plans.registry import load_all
+
+    specs = load_all(include_extra=True)
+    manifest = {r.doc_id: r for r in specs["training_manifest"].builder(
+        spark, sf_dir).collect()}
+    keep = {r.doc_id: r.reason for r in specs["dedup_keep_list"].builder(
+        spark, sf_dir).collect()}
+    split = {r.doc_id: r.split for r in specs["train_val_split"].builder(
+        spark, sf_dir).collect()}
+    assert manifest, "empty manifest"
+    for doc_id, r in manifest.items():
+        assert keep[doc_id] == "kept"
+        assert r.quality_score >= 0.53
+        assert r.split == split[doc_id]
+    # nothing kept+high-quality is missing
+    from ssg_etl_spark.operators.text import text_metrics
+    from ssg_etl_spark.sources.tables import load_table
+
+    q = {
+        r.doc_id: r.quality_score
+        for r in text_metrics(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "quality_score")
+        .collect()
+    }
+    want = {d for d, reason in keep.items()
+            if reason == "kept" and q[d] >= 0.53}
+    assert set(manifest) == want
