@@ -69,6 +69,7 @@ CURATION_FAMILY = [
     "dedup_keep_list_longest",
     "mixture_sample",
     "vocab_oov_rate",
+    "training_manifest",
 ]
 
 
