@@ -191,3 +191,30 @@ def test_profile_drift_detects_null_spike_and_mean_shift(spark):
     # mean doubles on the surviving odd values: base 49.5 → 2*avg(odd 1..49)
     assert abs(rows["v__mean"].current_value - 50.0) < 1e-9
     assert rows["v__max"].current_value == 98.0
+
+
+def test_run_report_notification():
+    from ssg_etl_spark.functions.alerts import format_run_report, notify_run
+
+    fail = {
+        "source": "orders",
+        "row_count": 0,
+        "success": False,
+        "status": "F",
+        "error_message": "connection reset",
+        "attempt": 3,
+    }
+    subject, body = format_run_report(fail)
+    assert subject == "[ssg-etl] FAILURE: orders"
+    assert "connection reset" in body and "attempt" in body
+
+    sent = []
+    assert notify_run(fail, lambda s, b: sent.append((s, b)))
+    assert sent and sent[0][0] == subject
+    # only_failures suppresses success reports
+    ok = {"source": "orders", "success": True}
+    assert not notify_run(ok, lambda s, b: sent.append((s, b)),
+                          only_failures=True)
+    assert len(sent) == 1
+    assert notify_run(ok, lambda s, b: sent.append((s, b)))
+    assert sent[1][0] == "[ssg-etl] SUCCESS: orders"
