@@ -662,3 +662,46 @@ def lsh_near_dup_pairs(
         .select("vec_a", "vec_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i · 127 /
+    max|x|), stored with the per-vector scale — 4× smaller than float32 at
+    <1% cosine error for typical embedding distributions, which at 100 TB
+    is the difference between an index that fits executor memory and one
+    that spills. Pure Column expressions (transform + aggregate fold);
+    zero-vector rows get scale 0 and an all-zero code (dequantizes to the
+    zero vector rather than NaN).
+
+    Cosine over dequantized codes is scale-invariant in the stored scale,
+    so ANN over a quantized corpus needs q · 127/max|x| undone only when
+    mixing quantized and float sides.
+    """
+    d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(
+        d, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = amax / F.lit(127.0)
+    codes = F.when(amax == 0, F.transform(d, lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(d, lambda x: F.round(x / (amax / 127.0)).cast("int"))
+    )
+    return embeddings.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.round(scale, 9).alias("scale"),
+    )
+
+
+def dequantize(
+    quantized: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: x̂_i = q_i · scale."""
+    return quantized.select(
+        F.col(id_col),
+        F.transform(
+            F.col("codes"), lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )

@@ -124,3 +124,50 @@ def test_knn_label_agreement_lsh_vs_exact(spark, sf_dir):
     for r in approx.values():
         assert 0 <= r.n_agree <= 5
         assert 0.0 <= r.agree_ratio <= 1.0
+
+
+def test_quantize_int8_roundtrip_and_cosine_fidelity(spark, sf_dir):
+    """|x̂ − x| ≤ scale/2 element-wise, and cosine between dequantized
+    vectors tracks float cosine to <1e-2 on the fixture distribution."""
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators.similarity import (
+        cosine,
+        dequantize,
+        quantize_int8,
+    )
+    from ssg_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    q = quantize_int8(emb)
+    back = dequantize(q)
+    j = (
+        emb.select("vec_id", F.col("embedding").alias("orig"))
+        .join(back.withColumnRenamed("embedding", "deq"), "vec_id")
+        .join(q.select("vec_id", "scale"), "vec_id")
+    )
+    err = j.select(
+        F.aggregate(
+            F.zip_with(
+                F.transform("orig", lambda x: x.cast("double")),
+                F.col("deq"),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        (F.col("scale") / 2 + 1e-12).alias("bound"),
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+
+    # cosine fidelity on consecutive-id pairs
+    a = j.select(F.col("vec_id").alias("ida"), F.col("orig").alias("va"),
+                 F.col("deq").alias("da"))
+    b = j.select((F.col("vec_id") + 1).alias("ida"),
+                 F.col("orig").alias("vb"), F.col("deq").alias("db"))
+    pairs = a.join(b, "ida").select(
+        (cosine(F.col("va"), F.col("vb"))
+         - cosine(F.col("da"), F.col("db"))).alias("dc")
+    )
+    row = pairs.agg(F.max(F.abs(F.col("dc"))).alias("m")).collect()[0]
+    assert row.m < 1e-2, row.m
