@@ -1904,3 +1904,52 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("codes"), ",").alias("codes_csv"),
         "scale",
     )
+
+
+@register(
+    "ann_quantized_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+m AS (
+  SELECT vec_id, x,
+    list_aggregate(list_transform(x, v -> abs(v)), 'max') AS amax
+  FROM e),
+qz AS (
+  SELECT vec_id,
+    CASE WHEN amax = 0 THEN list_transform(x, v -> 0)
+         ELSE list_transform(x, v -> CAST(round(v / (amax / 127.0)) AS INT))
+    END AS codes,
+    round(amax / 127.0, 9) AS scale
+  FROM m),
+deq AS (SELECT vec_id, list_transform(codes, q -> q * scale) AS emb FROM qz),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+    list_dot_product(CAST(b.embedding AS DOUBLE[]), a.emb)
+    / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(a.emb, a.emb))) AS cosine_sim
+  FROM deq a, embeddings b
+  WHERE b.vec_id % 100 = 0 AND a.vec_id <> b.vec_id)
+SELECT query_id, rank, vec_id, cosine_sim FROM (
+  SELECT query_id, vec_id, cosine_sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored) t
+WHERE rank <= 10
+""",
+    tags=("llm", "similarity", "storage"),
+    extra=True,
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over the int8-quantized corpus: float queries against
+    dequantized codes — proof the 4×-smaller storage form is usable
+    end-to-end, with the oracle replaying quantize→dequantize→cosine→rank
+    bit-for-bit. Recall vs the float corpus is pinned in
+    tests/test_similarity.py. Extra registry: locally oracle-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    deq = similarity.dequantize(similarity.quantize_int8(emb))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.brute_force_topk(deq, queries, k=10)

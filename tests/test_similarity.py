@@ -171,3 +171,34 @@ def test_quantize_int8_roundtrip_and_cosine_fidelity(spark, sf_dir):
     )
     row = pairs.agg(F.max(F.abs(F.col("dc"))).alias("m")).collect()[0]
     assert row.m < 1e-2, row.m
+
+
+def test_quantized_topk_recall_vs_float(spark, sf_dir):
+    """Top-10 over the int8-dequantized corpus must recover ≥90% of the
+    float-corpus top-10 per query on the fixture."""
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize,
+        quantize_int8,
+    )
+    from ssg_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    quant = brute_force_topk(
+        dequantize(quantize_int8(emb)), queries, k=10
+    ).collect()
+    ex, qt = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in quant:
+        qt.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(ex) == set(qt)
+    recalls = [len(ex[q] & qt[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, sorted(recalls)[:5]
