@@ -1953,3 +1953,56 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return similarity.brute_force_topk(deq, queries, k=10)
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+WITH {SHINGLES_SQL},
+capped AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {dedup.DEFAULT_MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+nd AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(x.source, y.source) AS source_a,
+       GREATEST(x.source, y.source) AS source_b,
+       COUNT(*) AS n_dup_pairs
+FROM nd JOIN src x ON nd.doc_a = x.doc_id
+        JOIN src y ON nd.doc_b = y.doc_id
+GROUP BY 1, 2
+""",
+    tags=("llm", "dedup", "profile"),
+    extra=True,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources mirror which: NEAR-duplicate pairs (3-gram Jaccard
+    >= 0.5, the corpus's dup definition — the fixture has no byte-exact
+    dups) counted per unordered source pair; the diagonal is within-source
+    duplication. Pair generation is the df-capped shingle join, never
+    all-pairs. The curation view that finds crawls copying each other.
+    Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.5).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("source", "_sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("source", "_sb"), "doc_b")
+        .select(
+            F.least(F.col("_sa"), F.col("_sb")).alias("source_a"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("source_b"),
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )

@@ -671,3 +671,18 @@ def test_training_manifest_composition_invariants(spark, sf_dir):
     want = {d for d, reason in keep.items()
             if reason == "kept" and q[d] >= 0.53}
     assert set(manifest) == want
+
+
+def test_cross_source_dup_matrix_counts_pairs(spark, sf_dir):
+    """Matrix totals must equal the near-dup pair count, with unordered
+    source pairs."""
+    from ssg_etl_spark.plans.registry import load_all
+
+    spec = load_all(include_extra=True)["cross_source_dup_matrix"]
+    rows = spec.builder(spark, sf_dir).collect()
+    assert rows, "fixture has planted near-dups; matrix must be non-empty"
+    assert all(r.source_a <= r.source_b for r in rows)
+    total = sum(r.n_dup_pairs for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    n_pairs = dedup.ngram_jaccard_pairs(docs, 0.5).count()
+    assert total == n_pairs
