@@ -705,3 +705,46 @@ def dequantize(
             F.col("codes"), lambda q: q.cast("double") * F.col("scale")
         ).alias("embedding"),
     )
+
+
+def lsh_near_dup_pairs_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    threshold: float,
+    n_tables: int = 8,
+    bits_per_table: int = 3,
+) -> DataFrame:
+    """Semantic near-dup of NEW embeddings against an EXISTING corpus —
+    the embedding twin of ``dedup.minhash_lsh_pairs_incremental``: the
+    bucket join is delta×base, so the base×base term never exists; returns
+    (vec_new, vec_base, cosine_sim) mixed pairs only. Anchor hyperplanes
+    come from the BASE (the stable reference — at scale the anchors and
+    the base's (table, bucket) postings are a persisted index keyed by
+    bucket; each batch bucketizes the delta only and probes). Ids only
+    ride the bucket shuffle; vectors re-join on the candidate ids.
+    """
+    anchor_list = _hyperplane_anchor_list(base, n_tables * bits_per_table)
+    bb = _bucketize(
+        base, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
+    ).select(F.col("vec_id").alias("vec_base"), "table", "bucket")
+    db = _bucketize(
+        delta, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
+    ).select(F.col("vec_id").alias("vec_new"), "table", "bucket")
+    candidates = (
+        db.join(bb, ["table", "bucket"])
+        .select("vec_new", "vec_base")
+        .distinct()
+    )
+    en = delta.select(
+        F.col("vec_id").alias("vec_new"), F.col("embedding").alias("_en")
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_base"), F.col("embedding").alias("_eb")
+    )
+    sim = cosine(F.col("_en"), F.col("_eb"))
+    return (
+        candidates.join(en, "vec_new")
+        .join(eb, "vec_base")
+        .select("vec_new", "vec_base", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

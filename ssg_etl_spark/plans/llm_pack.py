@@ -2006,3 +2006,64 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_dup_pairs")
     )
+
+
+@register(
+    "embedding_near_dup_incremental",
+    oracle="""
+WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 != 0),
+delta AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+alist AS (
+  SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS anchors
+  FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 24)),
+bbits AS (
+  SELECT e.vec_id,
+    list_transform(al.anchors,
+      x -> CASE WHEN list_dot_product(x, CAST(e.embedding AS DOUBLE[])) > 0
+           THEN 1 ELSE 0 END) AS bits
+  FROM base e, alist al),
+bbuckets AS (
+  SELECT vec_id, t.t AS tbl,
+    bits[t.t*3+1]*4 + bits[t.t*3+2]*2 + bits[t.t*3+3] AS bucket
+  FROM bbits, range(0, 8) t(t)),
+dbits AS (
+  SELECT e.vec_id,
+    list_transform(al.anchors,
+      x -> CASE WHEN list_dot_product(x, CAST(e.embedding AS DOUBLE[])) > 0
+           THEN 1 ELSE 0 END) AS bits
+  FROM delta e, alist al),
+dbuckets AS (
+  SELECT vec_id, t.t AS tbl,
+    bits[t.t*3+1]*4 + bits[t.t*3+2]*2 + bits[t.t*3+3] AS bucket
+  FROM dbits, range(0, 8) t(t)),
+cand AS (
+  SELECT DISTINCT d.vec_id AS vec_new, b.vec_id AS vec_base
+  FROM dbuckets d JOIN bbuckets b USING (tbl, bucket)),
+scored AS (
+  SELECT vec_new, vec_base,
+    list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                             CAST(n.embedding AS DOUBLE[])))
+     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])))) AS cosine_sim
+  FROM cand JOIN delta n ON vec_new = n.vec_id
+            JOIN base b ON vec_base = b.vec_id)
+SELECT vec_new, vec_base, cosine_sim FROM scored WHERE cosine_sim >= 0.45
+""",
+    tags=("llm", "dedup", "similarity", "incremental"),
+    extra=True,
+)
+def embedding_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup of a delta batch (vec_id % 10 = 0) against the
+    base corpus: delta×base bucket join — the base×base term never exists,
+    mirroring the MinHash incremental contract. Anchors from the base (at
+    scale: part of a persisted index probed per batch). Deterministic →
+    the oracle replays buckets + verification. Extra registry: locally
+    oracle-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_dup_pairs_incremental(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        0.45,
+    )

@@ -202,3 +202,33 @@ def test_quantized_topk_recall_vs_float(spark, sf_dir):
     assert set(ex) == set(qt)
     recalls = [len(ex[q] & qt[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.9, sorted(recalls)[:5]
+
+
+def test_embedding_near_dup_incremental_mixed_only(spark, sf_dir):
+    """Delta-vs-base semantic near-dup: only mixed pairs, all exactly
+    verified (subset of the O(N²) baseline restricted to mixed pairs),
+    with decent recall on the fixture."""
+    from ssg_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_near_dup_pairs_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    got = {
+        (r.vec_new, r.vec_base): r.cosine_sim
+        for r in lsh_near_dup_pairs_incremental(base, delta, 0.45).collect()
+    }
+    exact_mixed = {}
+    for r in embedding_near_dup_pairs(emb, 0.45).collect():
+        a_d, b_d = r.vec_a % 10 == 0, r.vec_b % 10 == 0
+        if a_d != b_d:  # one side delta, one side base
+            new, old = (r.vec_a, r.vec_b) if a_d else (r.vec_b, r.vec_a)
+            exact_mixed[(new, old)] = r.cosine_sim
+    assert set(got) <= set(exact_mixed), "false positives must be impossible"
+    for k, v in got.items():
+        assert abs(v - exact_mixed[k]) < 1e-12
+    assert all(n % 10 == 0 and b % 10 != 0 for n, b in got)
+    if exact_mixed:
+        assert len(got) / len(exact_mixed) >= 0.5
