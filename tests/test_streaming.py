@@ -324,3 +324,45 @@ def test_streaming_span_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     batches = {r.batch_id for r in spark.read.parquet(out).collect()}
     assert len(batches) == 2  # one micro-batch per file, both non-empty
+
+
+def test_span_dedup_swap_crash_recovery(spark, tmp_path):
+    """The stage-then-swap index rewrite must recover from a crash between
+    the target delete and the staging rename (staging present, target
+    missing → finish the swap), and discard stale staging beside an intact
+    target."""
+    import os
+
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_span_dedup
+
+    index_path = str(tmp_path / "idx")
+    out = str(tmp_path / "keeps")
+    apply = foreach_batch_span_dedup(index_path, out)
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    b0 = spark.createDataFrame([(1, boiler)], "doc_id long, text string")
+    apply(b0, 0)
+    idx_rows = {r.chunk_hash for r in spark.read.parquet(index_path).collect()}
+
+    # Crash simulation: swap died after removing the target.
+    os.rename(index_path, index_path + "__staging")
+    b1 = spark.createDataFrame([(2, boiler)], "doc_id long, text string")
+    apply(b1, 1)  # must first finish the swap, then probe against it
+    keeps = {(r.doc_id, r.batch_id): r.keep
+             for r in spark.read.parquet(out).collect()}
+    assert keeps[(1, 0)] is True
+    assert keeps[(2, 1)] is False  # boiler already canonical in recovered index
+    assert {r.chunk_hash for r in spark.read.parquet(index_path).collect()} \
+        == idx_rows
+
+    # Stale staging beside an intact target: discarded, batch applies.
+    os.makedirs(index_path + "__staging", exist_ok=True)
+    b2 = spark.createDataFrame(
+        [(3, " ".join(f"z{i}" for i in range(16)))],
+        "doc_id long, text string",
+    )
+    apply(b2, 2)
+    assert not os.path.exists(index_path + "__staging")
+    keeps = {(r.doc_id, r.batch_id): r.keep
+             for r in spark.read.parquet(out).collect()}
+    assert keeps[(3, 2)] is True
