@@ -684,9 +684,13 @@ def quantize_int8(
         d, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
     scale = amax / F.lit(127.0)
-    codes = F.when(amax == 0, F.transform(d, lambda x: F.lit(0).cast("int"))
+    # tinyint, not int: the whole point is byte-per-dimension storage —
+    # Spark's columnar cache stores array<int> at 4 bytes/element, undoing
+    # the compression (measured in tests/test_similarity.py).
+    codes = F.when(
+        amax == 0, F.transform(d, lambda x: F.lit(0).cast("tinyint"))
     ).otherwise(
-        F.transform(d, lambda x: F.round(x / (amax / 127.0)).cast("int"))
+        F.transform(d, lambda x: F.round(x / (amax / 127.0)).cast("tinyint"))
     )
     return embeddings.select(
         F.col(id_col),

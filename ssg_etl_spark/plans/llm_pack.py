@@ -1881,8 +1881,8 @@ m AS (
   FROM e)
 SELECT vec_id,
   array_to_string(
-    CASE WHEN amax = 0 THEN list_transform(x, v -> 0)
-         ELSE list_transform(x, v -> CAST(round(v / (amax / 127.0)) AS INT))
+    CASE WHEN amax = 0 THEN list_transform(x, v -> CAST(0 AS TINYINT))
+         ELSE list_transform(x, v -> CAST(round(v / (amax / 127.0)) AS TINYINT))
     END, ',') AS codes_csv,
   round(amax / 127.0, 9) AS scale
 FROM m
@@ -1916,8 +1916,8 @@ m AS (
   FROM e),
 qz AS (
   SELECT vec_id,
-    CASE WHEN amax = 0 THEN list_transform(x, v -> 0)
-         ELSE list_transform(x, v -> CAST(round(v / (amax / 127.0)) AS INT))
+    CASE WHEN amax = 0 THEN list_transform(x, v -> CAST(0 AS TINYINT))
+         ELSE list_transform(x, v -> CAST(round(v / (amax / 127.0)) AS TINYINT))
     END AS codes,
     round(amax / 127.0, 9) AS scale
   FROM m),
