@@ -66,6 +66,11 @@ AUDIT_DEFAULT = [
     "mixture_sample",
     "vocab_oov_rate",
     "profile_drift_orders",
+    "training_manifest",
+    "embedding_quantize_int8",
+    "ann_quantized_topk",
+    "embedding_near_dup_incremental",
+    "cross_source_dup_matrix",
 ]
 
 
