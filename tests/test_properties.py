@@ -296,3 +296,32 @@ def test_span_dedup_invariants(spark, docs, chunk):
         assert out[doc_id].n_kept + out[doc_id].n_dropped == n_chunks[doc_id]
         if doc_id not in shared:
             assert out[doc_id].clean_text == text
+
+
+@given(
+    k=st.integers(min_value=1, max_value=4),
+    frac_kind=st.sampled_from([0.0, 0.25, 0.5, 0.75]),
+    n_docs=st.integers(min_value=1, max_value=30),
+)
+@_SETTINGS
+def test_mixture_sample_integer_part_is_exact(spark, k, frac_kind, n_docs):
+    """rate = k + f ⇒ every row appears at least k times (epochs 0..k-1
+    exactly), at most k+1; the fractional epoch count is binomial-bounded;
+    and with f = 0 the count is exactly k per document."""
+    from ssg_etl_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"t{i}") for i in range(n_docs)],
+        "doc_id long, source string, text string",
+    )
+    rate = k + frac_kind
+    rows = mixture_sample(docs, {"s": rate}).select("doc_id", "epoch").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.epoch)
+    assert set(per_doc) == set(range(n_docs))
+    for epochs in per_doc.values():
+        assert set(range(k)) <= epochs
+        assert epochs <= set(range(k + 1))
+        if frac_kind == 0.0:
+            assert epochs == set(range(k))
