@@ -239,16 +239,21 @@ def test_quantize_int8_shrinks_cached_storage(spark, sf_dir):
     under half the memory of caching the float embeddings (int8 array +
     scale vs float array; Spark row overhead keeps the ratio under the
     theoretical 4x)."""
+    from ssg_etl_spark.cache import release_tracked
     from ssg_etl_spark.operators.similarity import quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qz = quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
     def cached_bytes(df):
+        # Start from an empty cache so getRDDStorageInfo reports ONLY this
+        # persist — earlier tests may have left tracked persists behind.
+        release_tracked()
+        spark.catalog.clearCache()
         df = df.persist()
         df.count()
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        size = max(i.memSize() for i in infos)
+        size = sum(i.memSize() for i in infos)
         df.unpersist(blocking=True)
         return size
 
