@@ -354,3 +354,30 @@ def replicate_table(
     scripts/test/replicate_table.py:49-74; an overwrite write is the
     transactional equivalent with none of the partial-failure window)."""
     spark.read.parquet(source_path).write.mode("overwrite").parquet(target_path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_partitions: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-ordered parquet export WITHOUT a single-partition sort:
+    ``repartitionByRange`` samples the sort keys and range-partitions the
+    data (file i holds keys strictly below file i+1), then each partition
+    sorts locally — the distributed form of ORDER BY for exports consumed
+    by binary search / merge readers / downstream range pruning. The
+    anti-pattern this replaces (``orderBy().coalesce(1)``) funnels the
+    whole dataset through one task; here every task sorts ~1/N of the
+    rows, and min/max parquet stats on the sort key make readers skip
+    files. Per-file order is pinned by test; cross-file order follows from
+    the range exchange.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -440,3 +440,41 @@ def test_compact_parquet_crash_recovery_states(spark, tmp_path):
     spark.range(0, 100).repartition(1).write.parquet(path + "__old")
     compact_parquet(spark, path)
     assert {r.id for r in spark.read.parquet(path).collect()} == want
+
+
+def test_write_range_sorted_is_globally_ordered_without_single_task(
+    spark, tmp_path
+):
+    """Files are internally sorted AND ranges don't overlap across files —
+    global order with no single-partition funnel."""
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.sources.sinks import write_range_sorted
+
+    df = spark.range(0, 50_000).select(
+        (F.xxhash64("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "sorted")
+    write_range_sorted(df, out, ["k"], num_partitions=8)
+
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) > 1, "range export must not funnel into one file"
+    import duckdb
+
+    ranges = []
+    for f in files:
+        rows = duckdb.sql(
+            f"SELECT list(k) FROM read_parquet('{f}')"
+        ).fetchall()[0][0]
+        assert rows == sorted(rows), f"{f} not internally sorted"
+        if rows:
+            ranges.append((min(rows), max(rows)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file key ranges overlap — global order broken"
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/part-*.parquet')"
+    ).fetchall()[0][0]
+    assert total == 50_000
