@@ -2067,3 +2067,51 @@ def embedding_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         emb.filter(F.col("vec_id") % 10 == 0),
         0.45,
     )
+
+
+@register(
+    "semantic_keep_list",
+    oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_CORE},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lshpairs
+  UNION SELECT doc_b, doc_a FROM lshpairs),
+reach AS (
+  SELECT s AS node, s AS lbl FROM edges
+  UNION
+  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node),
+clusters AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id,
+  CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> e.vec_id
+       THEN 'semantic_dup' ELSE 'kept' END AS reason,
+  COALESCE(c.cluster_id, e.vec_id) AS canonical_vec_id
+FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
+""",
+    tags=("llm", "dedup", "similarity", "pipeline"),
+    extra=True,
+)
+def semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-space keep list: every vector keeps unless it sits in
+    an LSH-verified near-dup cluster with a lower-id canonical — the
+    semantic twin of ``dedup_keep_list``'s text pipeline, one decision row
+    per corpus vector (training set = reason 'kept'). Same corpus-linear
+    stages as ``embedding_dup_clusters`` plus one left join back to the
+    full corpus. Extra registry: locally oracle-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_near_dup_pairs(emb, 0.45).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    clusters = dedup.duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    return emb.select("vec_id").join(clusters, "vec_id", "left").select(
+        "vec_id",
+        F.when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("vec_id")),
+            F.lit("semantic_dup"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+        F.coalesce("cluster_id", "vec_id").alias("canonical_vec_id"),
+    )

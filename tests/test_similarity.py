@@ -260,3 +260,22 @@ def test_quantize_int8_shrinks_cached_storage(spark, sf_dir):
     float_b = cached_bytes(emb)
     int8_b = cached_bytes(qz)
     assert int8_b < float_b / 2, (float_b, int8_b)
+
+
+def test_semantic_keep_list_covers_corpus_and_keeps_canonicals(spark, sf_dir):
+    from ssg_etl_spark.plans.registry import load_all
+
+    spec = load_all(include_extra=True)["semantic_keep_list"]
+    rows = {r.vec_id: r for r in spec.builder(spark, sf_dir).collect()}
+    emb_ids = {r.vec_id for r in load_table(spark, sf_dir, "embeddings")
+               .select("vec_id").collect()}
+    assert set(rows) == emb_ids  # one decision per corpus vector
+    dropped = [r for r in rows.values() if r.reason == "semantic_dup"]
+    assert dropped, "fixture plants semantic near-dups"
+    for r in dropped:
+        canon = rows[r.canonical_vec_id]
+        assert canon.reason == "kept"  # canonical of a cluster stays
+        assert r.canonical_vec_id < r.vec_id
+    for r in rows.values():
+        if r.reason == "kept":
+            assert r.canonical_vec_id == r.vec_id
