@@ -404,3 +404,63 @@ def max_line_per_order(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.col("o_totalprice").alias("total_price"),
         F.col("max_line_price"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Percentile capping (winsorization) for defensive cleaning: values
+    below the p_lo quantile clamp up to it, above p_hi clamp down — the
+    standard tame-the-fat-tail step before means/ratios feed reports.
+    Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` bit-for-bit) computed in ONE aggregation and
+    broadcast back as a 1-row cross join; at corpus scale swap
+    ``percentile`` for ``approx_percentile`` — the plan shape (aggregate +
+    broadcast + map) is unchanged.
+    """
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, {p_lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {p_hi})").alias("_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            value_col + "_winsorized",
+            F.least(F.greatest(v, F.col("_lo")), F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )
+
+
+def impute_group_mean(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Null imputation with the per-group mean (decimal-exact — the
+    imputed values must not drift run-to-run or engine-to-engine). Groups
+    whose values are ALL null stay null — inventing a global fallback
+    silently hides a broken feed; ``profile_drift`` is the place that
+    catches it. One aggregation + an AQE-decided join back; flag column
+    records which rows were imputed.
+    """
+    means = df.groupBy(*group_cols).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(28,8)")).cast("double")
+            / F.sum(F.when(F.col(value_col).isNotNull(), 1).otherwise(0))
+        ).alias("_grp_mean")
+    )
+    return (
+        df.join(means, group_cols, "left")
+        .withColumn(
+            value_col + "_imputed",
+            F.coalesce(F.col(value_col).cast("double"), F.col("_grp_mean")),
+        )
+        .withColumn(
+            value_col + "_was_null",
+            F.col(value_col).isNull(),
+        )
+        .drop("_grp_mean")
+    )

@@ -667,3 +667,70 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.year("o_orderdate") == 1997),
         ["o_totalprice"],
     )
+
+
+@register(
+    "winsorize_totalprice",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.01) AS lo,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS hi
+  FROM orders)
+SELECT o_orderkey, o_totalprice,
+  LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), lo), hi)
+    AS o_totalprice_winsorized
+FROM orders, b
+""",
+    tags=("quality", "cleaning"),
+    extra=True,
+)
+def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile capping of order totals at [p01, p99] — the defensive
+    fat-tail clamp before means/ratios feed reports. One exact-percentile
+    aggregation broadcast back (Spark percentile == DuckDB quantile_cont
+    bit-for-bit); approx_percentile is the drop-in at corpus scale.
+    Extra registry: locally oracle-verified."""
+    return analytics.winsorize(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ),
+        "o_totalprice",
+        0.01,
+        0.99,
+    )
+
+
+@register(
+    "impute_acctbal",
+    oracle="""
+WITH m AS (
+  SELECT c_custkey, c_mktsegment,
+    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS acct
+  FROM customer),
+g AS (
+  SELECT c_mktsegment,
+    CAST(SUM(CAST(acct AS DECIMAL(28,8))) AS DOUBLE)
+    / SUM(CASE WHEN acct IS NOT NULL THEN 1 ELSE 0 END) AS gm
+  FROM m GROUP BY 1)
+SELECT c_custkey, c_mktsegment, acct,
+  COALESCE(CAST(acct AS DOUBLE), gm) AS acct_imputed,
+  acct IS NULL AS acct_was_null
+FROM m JOIN g USING (c_mktsegment)
+""",
+    tags=("quality", "cleaning"),
+    extra=True,
+)
+def impute_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean null imputation (per market segment) over a
+    deterministically-masked feed (every 7th customer's balance nulled —
+    the fixture has no natural numeric nulls). Decimal-exact group means
+    so imputed values are order-independent; the _was_null flag keeps the
+    imputation auditable. Extra registry: locally oracle-verified."""
+    masked = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("acct"),
+    )
+    return analytics.impute_group_mean(masked, "acct", ["c_mktsegment"])

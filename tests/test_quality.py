@@ -218,3 +218,31 @@ def test_run_report_notification():
     assert len(sent) == 1
     assert notify_run(ok, lambda s, b: sent.append((s, b)))
     assert sent[1][0] == "[ssg-etl] SUCCESS: orders"
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators.analytics import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(101)], "id long, v double"
+    )
+    out = {r.id: r.v_winsorized for r in winsorize(df, "v", 0.05, 0.95).collect()}
+    assert out[0] == 5.0 and out[2] == 5.0  # low tail clamps up
+    assert out[100] == 95.0 and out[98] == 95.0  # high tail clamps down
+    assert out[50] == 50.0  # body untouched
+
+
+def test_impute_group_mean_fills_and_flags(spark):
+    from ssg_etl_spark.operators.analytics import impute_group_mean
+
+    rows = [
+        (1, "a", 10.0), (2, "a", None), (3, "a", 20.0),
+        (4, "b", None), (5, "b", None),  # all-null group stays null
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r for r in impute_group_mean(df, "v", ["g"]).collect()}
+    assert out[2].v_imputed == 15.0 and out[2].v_was_null
+    assert out[1].v_imputed == 10.0 and not out[1].v_was_null
+    assert out[4].v_imputed is None and out[4].v_was_null
