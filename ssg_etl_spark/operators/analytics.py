@@ -464,3 +464,45 @@ def impute_group_mean(
         )
         .drop("_grp_mean")
     )
+
+
+def numeric_histogram(
+    df: DataFrame, value_col: str, n_bins: int = 20
+) -> DataFrame:
+    """Equal-width histogram of a numeric column — the profiling view
+    behind every data-quality dashboard. One min/max aggregation broadcast
+    back, then a single map-side-combinable groupBy on the bin index: two
+    passes, no sort, output O(n_bins). The max value lands in the LAST bin
+    (index clamped to n_bins-1), all-equal columns produce one bin, and
+    nulls are excluded with their count reported separately by
+    ``profile_drift``/null profiles.
+    """
+    bounds = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
+    )
+    v = F.col(value_col).cast("double")
+    width = (F.col("_mx") - F.col("_mn")) / n_bins
+    bin_idx = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("_mn")) / width).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            bin_idx.alias("bin"),
+            (F.col("_mn") + bin_idx * width).alias("bin_lo"),
+            (F.col("_mn") + (bin_idx + 1) * width).alias("bin_hi"),
+        )
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round("bin_lo", 6).alias("bin_lo"),
+            F.round("bin_hi", 6).alias("bin_hi"),
+            "n",
+        )
+    )

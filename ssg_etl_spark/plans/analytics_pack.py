@@ -734,3 +734,35 @@ def impute_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acct"),
     )
     return analytics.impute_group_mean(masked, "acct", ["c_mktsegment"])
+
+
+@register(
+    "histogram_totalprice",
+    oracle="""
+WITH b AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+  FROM orders),
+binned AS (
+  SELECT
+    CASE WHEN mx = mn THEN 0
+         ELSE LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn)
+                               / ((mx - mn) / 20)) AS INT), 19) END AS bin,
+    mn, mx
+  FROM orders, b WHERE o_totalprice IS NOT NULL)
+SELECT bin,
+  round(mn + bin * ((mx - mn) / 20), 6) AS bin_lo,
+  round(mn + (bin + 1) * ((mx - mn) / 20), 6) AS bin_hi,
+  COUNT(*) AS n
+FROM binned GROUP BY 1, 2, 3
+""",
+    tags=("quality", "profile"),
+    extra=True,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equal-width histogram of order totals — two passes (min/max
+    broadcast + one combinable groupBy on the bin index), output O(bins).
+    Extra registry: locally oracle-verified."""
+    return analytics.numeric_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", 20
+    )

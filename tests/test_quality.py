@@ -246,3 +246,23 @@ def test_impute_group_mean_fills_and_flags(spark):
     assert out[2].v_imputed == 15.0 and out[2].v_was_null
     assert out[1].v_imputed == 10.0 and not out[1].v_was_null
     assert out[4].v_imputed is None and out[4].v_was_null
+
+
+def test_numeric_histogram_bins_and_totals(spark):
+    from ssg_etl_spark.operators.analytics import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(999, None)],
+        "id long, v double",
+    )
+    rows = sorted(numeric_histogram(df, "v", n_bins=10).collect())
+    assert sum(r.n for r in rows) == 100  # null excluded
+    assert rows[0].bin == 0 and rows[0].bin_lo == 0.0
+    assert rows[-1].bin == 9  # max value clamps into the last bin
+    assert all(r.n == 10 for r in rows)  # uniform data, equal widths
+
+    # all-equal column: one bin
+    const = spark.createDataFrame([(i, 5.0) for i in range(7)],
+                                  "id long, v double")
+    crows = numeric_histogram(const, "v", n_bins=10).collect()
+    assert len(crows) == 1 and crows[0].n == 7
