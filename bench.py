@@ -70,6 +70,14 @@ CURATION_FAMILY = [
     "mixture_sample",
     "vocab_oov_rate",
     "training_manifest",
+    "semantic_keep_list",
+    "embedding_quantize_int8",
+    "ann_quantized_topk",
+    "embedding_near_dup_incremental",
+    "cross_source_dup_matrix",
+    "winsorize_totalprice",
+    "impute_acctbal",
+    "histogram_totalprice",
 ]
 
 
