@@ -110,15 +110,21 @@ def main() -> None:
     force(qs["kpi_totals"](spark, sf_dir))
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
-    # The LLM family holds the 5-30 s queries; full-trial medians there
-    # would push one bench run toward ~10 minutes of wall. Two trials
-    # bound the total at ~5 min while still absorbing one outlier (the
-    # MIN of 2 is reported — on a quiet box both runs agree, on a noisy
-    # one the min is the truer cost).
-    llm_trials = max(1, int(os.environ.get("SPARK_GRAFT_LLM_TRIALS", "2")))
+    # Since r6 the LLM/curation groups run 3 trials and record BOTH the
+    # median (the headline, robust to one noisy trial) and the min (the
+    # quiet-box cost, comparable with the min-of-2 series of r4/r5).
+    # min-of-2 produced two false round-over-round alarms (r4
+    # gl_enrichment, r5 minhash) — the ±40% single-trial swing on a
+    # shared box needs a median to average out. Series note: r≤5
+    # "llm_queries"/"curation_queries" values were min-of-2; from r6 they
+    # are median-of-3, with "*_min" carrying the comparable min stat.
+    llm_trials = max(1, int(os.environ.get("SPARK_GRAFT_LLM_TRIALS", "3")))
 
-    def run_group(names: list[str], n_trials: int, agg) -> dict[str, float]:
-        timings: dict[str, float] = {}
+    def run_group(
+        names: list[str], n_trials: int
+    ) -> tuple[dict[str, float], dict[str, float]]:
+        medians: dict[str, float] = {}
+        mins: dict[str, float] = {}
         for name in names:
             if name not in qs:
                 continue
@@ -133,12 +139,13 @@ def main() -> None:
                 # Release the persist handles the query's operators
                 # registered — keeps trials independent and storage flat.
                 release_tracked()
-            timings[name] = round(agg(walls), 3)
-        return timings
+            medians[name] = round(statistics.median(walls), 3)
+            mins[name] = round(min(walls), 3)
+        return medians, mins
 
-    timings = run_group(HEADLINE, trials, statistics.median)
-    llm_timings = run_group(LLM_FAMILY, llm_trials, min)
-    curation_timings = run_group(CURATION_FAMILY, llm_trials, min)
+    timings, _ = run_group(HEADLINE, trials)
+    llm_timings, llm_mins = run_group(LLM_FAMILY, llm_trials)
+    curation_timings, curation_mins = run_group(CURATION_FAMILY, llm_trials)
 
     # Precomputed-index incremental dedup: the index build is the amortized
     # once-per-corpus cost (untimed — at scale it's a persisted table, like
@@ -173,7 +180,10 @@ def main() -> None:
             )
             walls.append(time.time() - t0)
             release_tracked()
-        llm_timings["dedup_incremental_precomputed"] = round(min(walls), 3)
+        llm_timings["dedup_incremental_precomputed"] = round(
+            statistics.median(walls), 3
+        )
+        llm_mins["dedup_incremental_precomputed"] = round(min(walls), 3)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -187,8 +197,12 @@ def main() -> None:
                 "queries": timings,
                 "llm_queries": llm_timings,
                 "llm_total": round(sum(llm_timings.values()), 3),
+                "llm_queries_min": llm_mins,
+                "llm_total_min": round(sum(llm_mins.values()), 3),
                 "curation_queries": curation_timings,
                 "curation_total": round(sum(curation_timings.values()), 3),
+                "curation_queries_min": curation_mins,
+                "curation_total_min": round(sum(curation_mins.values()), 3),
                 "sf": sf,
             }
         )

@@ -411,26 +411,38 @@ def winsorize(
     value_col: str,
     p_lo: float = 0.01,
     p_hi: float = 0.99,
+    exact: bool = True,
 ) -> DataFrame:
     """Percentile capping (winsorization) for defensive cleaning: values
     below the p_lo quantile clamp up to it, above p_hi clamp down — the
     standard tame-the-fat-tail step before means/ratios feed reports.
-    Exact interpolated percentiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont`` bit-for-bit) computed in ONE aggregation and
-    broadcast back as a 1-row cross join; at corpus scale swap
-    ``percentile`` for ``approx_percentile`` — the plan shape (aggregate +
-    broadcast + map) is unchanged.
+
+    ``exact=True``: interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` bit-for-bit) — but exact percentile buffers
+    every value in one aggregation state. ``exact=False``: t-digest
+    ``approx_percentile`` (bounded state, the 100 TB mode — same
+    aggregate + broadcast + map plan shape, bounds drift by the digest's
+    rank error; tests pin the drift at fixture scale). Same switch as
+    :func:`percentile_profile`.
+
+    NULL values stay NULL: ``least``/``greatest`` skip NULLs, so an
+    unguarded clamp would silently impute missing data to the lower
+    bound — imputation is :func:`impute_group_mean`'s explicitly-flagged
+    job, not a side effect of tail capping.
     """
+    fn = "percentile" if exact else "approx_percentile"
     bounds = df.agg(
-        F.expr(f"percentile({value_col}, {p_lo})").alias("_lo"),
-        F.expr(f"percentile({value_col}, {p_hi})").alias("_hi"),
+        F.expr(f"{fn}(cast({value_col} as double), {p_lo})").alias("_lo"),
+        F.expr(f"{fn}(cast({value_col} as double), {p_hi})").alias("_hi"),
     )
     v = F.col(value_col).cast("double")
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
             value_col + "_winsorized",
-            F.least(F.greatest(v, F.col("_lo")), F.col("_hi")),
+            F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
+                F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+            ),
         )
         .drop("_lo", "_hi")
     )

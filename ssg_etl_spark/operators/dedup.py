@@ -20,6 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ssg_etl_spark.cache import persist_tracked
+from ssg_etl_spark.operators.lsh import (
+    DEFAULT_MAX_BUCKET_OCCUPANCY,
+    band_buckets,
+    capped_self_join_pairs,
+    minhash_signature,
+)
 from ssg_etl_spark.operators.text import normalize_text, word_shingles
 
 # Shingles present in more documents than this are dropped before any
@@ -125,17 +131,21 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_bucket_occupancy: int | None = DEFAULT_MAX_BUCKET_OCCUPANCY,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs with exact verification.
 
-    Pipeline: shingle → k×xxhash64 → per-doc min-signature → band buckets →
-    bucket-join candidates → exact Jaccard on candidates → threshold filter.
-    With 64 hashes in 32 bands of 2 rows, P(miss) at s≥0.5 is (1-s²)^32
-    ≤ 1e-4 and ~1e-40 at the s≈0.98 of true near-dups, so the verified
-    output equals the exact operator on all but adversarial inputs (and
-    false positives are eliminated by verification).
+    Pipeline: shingle → one xxhash64 + k affine mixes (classic one-hash
+    minwise construction, ``lsh.minhash_signature``) → per-doc
+    min-signature → band buckets → occupancy-guarded bucket join
+    (``lsh.capped_self_join_pairs``: oversized buckets emit star
+    candidates, so a degenerate template family cannot go quadratic) →
+    exact Jaccard on candidates → threshold filter. With 64 hashes in 32
+    bands of 2 rows, P(miss) at s≥0.5 is (1-s²)^32 ≤ 1e-4 and ~1e-40 at
+    the s≈0.98 of true near-dups, so the verified output equals the exact
+    operator on all but adversarial inputs (and false positives are
+    eliminated by verification).
     """
-    num_bands = num_hashes // rows_per_band
     # Shingling (split+explode+distinct, one shuffle) feeds three plan
     # branches (signatures, candidate sizes, candidate self-join); persist
     # so it computes once. MEMORY_AND_DISK + LRU eviction keeps this safe.
@@ -149,43 +159,20 @@ def minhash_lsh_pairs(
     shingles = persist_tracked(_cap_shingle_df(raw, max_shingle_df))
 
     # One row per doc × 64 longs — |docs|-sized, not |shingles|-sized.
-    # Persisted because the bucket SELF-join consumes it twice (x and y
-    # sides), and without it the 64-way min-hash aggregation recomputes per
-    # branch (measured 4×+ at sf0.1: 39 s → 13 s with the persists here).
-    sig = persist_tracked(
-        shingles.groupBy("doc_id").agg(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(num_bands)
-    ]
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # Persisted because the occupancy-guarded SELF-join consumes the bucket
+    # explode several times, and without it the 64-way min-hash aggregation
+    # recomputes per branch (measured 4×+ at sf0.1: 39 s → 13 s with the
+    # persists here).
+    sig = persist_tracked(minhash_signature(shingles, "doc_id", "shingle", num_hashes))
+    buckets = band_buckets(sig, "doc_id", num_hashes, rows_per_band)
 
-    x = buckets.alias("x")
-    y = buckets.alias("y")
     # Candidate pairs are near-dup-sized (small); persisted because both the
     # verification filter and the final semi-join consume them.
     candidates = persist_tracked(
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        capped_self_join_pairs(
+            buckets, ["band", "bucket"], "doc_id", "doc_a", "doc_b",
+            max_bucket_occupancy,
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
 
     # Exact verification restricted to candidate docs only.
@@ -234,26 +221,9 @@ def minhash_lsh_pairs_incremental(
     raw = persist_tracked(word_shingles(union))
     shingles = persist_tracked(_cap_shingle_df(raw, max_shingle_df))
 
-    num_bands = num_hashes // rows_per_band
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(num_bands)
-    ]
+    sig = minhash_signature(shingles, "doc_id", "shingle", num_hashes)
     buckets = persist_tracked(
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
-            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
+        band_buckets(sig, "doc_id", num_hashes, rows_per_band)
     )
     delta_ids = delta.select("doc_id").distinct()
     new_side = buckets.join(delta_ids, "doc_id", "left_semi").alias("x")
@@ -337,27 +307,8 @@ def build_minhash_index(
             .select("shingle")
         )
     shingles = raw.join(hot, "shingle", "left_anti")
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    num_bands = num_hashes // rows_per_band
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(num_bands)
-    ]
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    sig = minhash_signature(shingles, "doc_id", "shingle", num_hashes)
+    buckets = band_buckets(sig, "doc_id", num_hashes, rows_per_band)
     return {"shingles": shingles, "buckets": buckets, "hot": hot}
 
 
@@ -394,27 +345,8 @@ def minhash_lsh_pairs_vs_index(
             base_hot, "shingle", "left_anti"
         )
     )
-    sig = capped_delta.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    num_bands = num_hashes // rows_per_band
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(num_bands)
-    ]
-    delta_buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    sig = minhash_signature(capped_delta, "doc_id", "shingle", num_hashes)
+    delta_buckets = band_buckets(sig, "doc_id", num_hashes, rows_per_band)
     x = delta_buckets.alias("x")
     y = base_buckets.alias("y")
     candidates = persist_tracked(
@@ -531,7 +463,10 @@ def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
 
 
 def simhash_pairs(
-    documents: DataFrame, bits: int = 60, max_hamming: int = 7
+    documents: DataFrame,
+    bits: int = 60,
+    max_hamming: int = 7,
+    max_bucket_occupancy: int | None = DEFAULT_MAX_BUCKET_OCCUPANCY,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) ≤ k.
 
@@ -542,7 +477,10 @@ def simhash_pairs(
     0..55; the uncovered top bits can only ADD candidates (two docs
     differing solely there still share all 8 bands), and membership is
     decided by the exact Hamming filter over the full signature, so the
-    guarantee is intact.
+    guarantee is intact. The band self-join is occupancy-guarded
+    (``lsh.capped_self_join_pairs``): an oversized (band, chunk) bucket —
+    a mega-family of near-identical docs — emits star candidates around
+    its min doc instead of all pairs, bounding the one quadratic term.
     """
     # Persisted: the banded candidate generation SELF-joins the signature
     # table; without caching the two-aggregation signature plan runs twice.
@@ -554,7 +492,6 @@ def simhash_pairs(
     band_bits = bits // n_bands
     bands = sig.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -568,29 +505,23 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
 
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sig_a"),
-            F.col("y.simhash").alias("sig_b"),
-        )
-        .distinct()
+    cand = capped_self_join_pairs(
+        bands, ["band", "chunk"], "doc_id", "doc_a", "doc_b", max_bucket_occupancy
     )
+    # Signatures re-join on the candidate ids (docs-sized persisted table;
+    # candidates are near-dup-sized) rather than riding the 8×-exploded
+    # band shuffle.
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select(
-        "doc_a", "doc_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:

@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ssg_etl_spark.cache import persist_tracked
+from ssg_etl_spark.operators.lsh import (
+    DEFAULT_MAX_BUCKET_OCCUPANCY,
+    capped_self_join_pairs,
+)
+from ssg_etl_spark.partitioning import fan_out
 
 
 def _to_double(col: Column) -> Column:
@@ -58,8 +63,9 @@ def brute_force_topk(
     """
     # Norms precomputed per row (N + Q folds instead of 3·N·Q): the final
     # dot/(norm_a·norm_b) is the identical expression the oracle evaluates
-    # per pair, so results are bit-equal.
-    corpus = embeddings.select(
+    # per pair, so results are bit-equal. fan_out: the N×Q scoring stage is
+    # the whole cost — never leave it on a few-split scan.
+    corpus = fan_out(embeddings).select(
         "vec_id",
         _to_double(F.col("embedding")).alias("_emb_d"),
         norm(F.col("embedding")).alias("_norm"),
@@ -98,7 +104,7 @@ def filtered_topk(
     recall loss, unlike post-filtering an ANN candidate list, which
     starves k when the filter is selective).
     """
-    corpus = embeddings.select(
+    corpus = fan_out(embeddings).select(
         filter_col,
         "vec_id",
         _to_double(F.col("embedding")).alias("_emb_d"),
@@ -362,7 +368,7 @@ def _unit_corpus(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     Zero-norm vectors are dropped: cosine is undefined for them, and an
     all-NULL unit vector would otherwise poison centroid seeding and make
     cell assignment NULL-ordering-driven."""
-    d = df.select(
+    d = fan_out(df).select(
         id_col,
         F.col(vec_col),
         _to_double(F.col(vec_col)).alias("_d"),
@@ -553,9 +559,10 @@ def _bucketize(
     n_tables: int,
     bits_per_table: int,
 ) -> DataFrame:
-    """One row per (id, table, bucket), vector carried along for scoring."""
+    """One row per (id, table, bucket), vector carried along for scoring.
+    fan_out: the per-row × per-anchor dot products are the CPU stage."""
     return (
-        df.crossJoin(anchor_list)
+        fan_out(df).crossJoin(anchor_list)
         .select(
             id_col,
             vec_col,
@@ -612,6 +619,7 @@ def lsh_near_dup_pairs(
     threshold: float,
     n_tables: int = 8,
     bits_per_table: int = 3,
+    max_bucket_occupancy: int | None = DEFAULT_MAX_BUCKET_OCCUPANCY,
 ) -> DataFrame:
     """Scale-path near-duplicate pairs: LSH bucket SELF-join for candidate
     generation + exact cosine verification — the corpus-sized twin of
@@ -631,23 +639,22 @@ def lsh_near_dup_pairs(
     # ids only: carrying dim-sized vectors through that shuffle would
     # multiply its bytes by the embedding width. Vectors re-join on the
     # candidate ids afterwards (candidates are near-dup-sized, and the
-    # id-equi-joins shuffle corpus-sized rows once each).
-    b = _bucketize(
-        embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
-    ).select("vec_id", "table", "bucket")
-    x, y = b.alias("x"), b.alias("y")
-    candidates = (
-        x.join(
-            y,
-            (F.col("x.table") == F.col("y.table"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-        )
-        .distinct()
+    # id-equi-joins shuffle corpus-sized rows once each). Persisted: the
+    # occupancy-guarded join (lsh.capped_self_join_pairs) consumes the
+    # postings several times, and each recompute would redo the
+    # 24-hyperplane dot products over the corpus.
+    b = persist_tracked(
+        _bucketize(
+            embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
+        ).select("vec_id", "table", "bucket")
+    )
+    # Occupancy guard: a dense embedding cluster sharing a sign pattern
+    # would make the bucket self-join quadratic in that bucket; oversized
+    # (table, bucket) groups emit star candidates around their min vec_id
+    # instead (connectivity preserved, count bounded — see operators/lsh.py).
+    candidates = capped_self_join_pairs(
+        b, ["table", "bucket"], "vec_id", "vec_a", "vec_b",
+        max_bucket_occupancy,
     )
     ea = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")

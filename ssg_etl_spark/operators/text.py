@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ssg_etl_spark.partitioning import fan_out
+
 # Tiny stopword lexicons for the language-ID heuristic. Deliberately small:
 # the point is the operator shape (per-language hit scoring + argmax), not
 # linguistic accuracy.
@@ -40,6 +42,9 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     JVM-side; documents shorter than n words contribute no shingles.
     """
     assert n == 3, "SQL-oracle parity is written for n=3"
+    # Few-splits sources (single-file fixture parquet) would run the whole
+    # explode on one core; no-op at real scale (see partitioning.fan_out).
+    df = fan_out(df)
     ws = F.split(F.col(text_col), " ")
     shingles = F.when(
         F.size(ws) >= n,
@@ -174,6 +179,7 @@ def chunk_documents(
             "silently skip words between chunks)"
         )
     step = chunk_words - overlap_words
+    df = fan_out(df)  # chunk slicing is CPU-heavy; rescue few-split scans
     ws = words(F.col("text"))
     n = F.size(ws)
     starts = F.sequence(

@@ -1,0 +1,32 @@
+"""Scan-parallelism guard for CPU-heavy per-row expansion.
+
+Parquet splits are bounded by row-group layout: a small single-file table
+(the sf0.001-0.1 fixtures — one file, one row group) scans as ONE
+partition, so any expensive narrow stage downstream (shingle explode,
+chunk hashing, per-row × per-anchor dot products) runs on one core no
+matter how many the session has. Measured at sf0.1: the 3-word shingle
+explode over `documents` took 6.8 s single-partition vs 1.5 s after a
+32-way repartition — that serialization, not hash math, dominated the
+committed dedup_minhash_lsh bench line.
+
+``fan_out`` repartitions ONLY when the source parallelism is below the
+session default. At production scale inputs arrive in many splits, the
+condition is false, and the operator plan is unchanged — crucially this
+never adds a full-corpus shuffle of raw text/vector bytes to a 100 TB
+plan; it only rescues the degenerate few-splits layout where the shuffled
+bytes are by definition small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the plan's current partitioning is narrower — a no-op otherwise."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -324,6 +324,18 @@ def foreach_batch_span_dedup(index_path: str, out_path: str, chunk_words: int = 
     outputs equals the batch-mode ``chunk_keep_list`` keep decisions over
     the full stream (first-seen == global min) — pinned by
     tests/test_streaming.py.
+
+    Replay safety (micro-batches replay after any crash before the
+    checkpoint commit): the keep output is written with DYNAMIC PARTITION
+    OVERWRITE on ``batch_id``, so a replayed batch replaces its own
+    partition instead of appending duplicate/contradictory rows. The
+    remaining hazard — replaying AFTER the index swap, where the batch's
+    own chunks are already in the index and every keep decision would
+    flip to drop — is closed by an atomic batch marker: a ``_batch_<id>``
+    file written into the staged index BEFORE the rename. Marker present
+    ⟹ the swap (and the output write, which precedes it) completed ⟹
+    the replay is a no-op. Marker absent ⟹ the index is pre-swap and
+    recomputation is bit-identical, overwriting the partition in place.
     """
     from ssg_etl_spark.cache import release_tracked, scope_token
     from ssg_etl_spark.operators.dedup import (
@@ -347,6 +359,11 @@ def foreach_batch_span_dedup(index_path: str, out_path: str, chunk_words: int = 
                 shutil.rmtree(staging_path)
             else:
                 os.rename(staging_path, index_path)
+        if os.path.exists(os.path.join(index_path, f"_batch_{batch_id}")):
+            # Replay after a completed swap: output + index already hold
+            # this batch; recomputing against the post-swap index would
+            # mark every chunk as a duplicate of itself.
+            return
         if os.path.exists(index_path):
             index = spark.read.parquet(index_path)
         else:
@@ -357,10 +374,13 @@ def foreach_batch_span_dedup(index_path: str, out_path: str, chunk_words: int = 
             )
         keep = chunk_keep_list_vs_index(batch, index, chunk_words=chunk_words)
         # Materialize decisions BEFORE the index swap — both plans read the
-        # pre-batch index from index_path.
+        # pre-batch index from index_path. Dynamic overwrite of this
+        # batch's partition only: idempotent under replay.
         (
             keep.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_path)
         )
         merged = (
@@ -369,6 +389,9 @@ def foreach_batch_span_dedup(index_path: str, out_path: str, chunk_words: int = 
             else merge_chunk_index(index, batch, chunk_words=chunk_words)
         )
         merged.write.mode("overwrite").parquet(staging_path)
+        # Underscore-prefixed: parquet readers ignore it as metadata. Lands
+        # atomically with the rename below.
+        open(os.path.join(staging_path, f"_batch_{batch_id}"), "w").close()
         if os.path.exists(index_path):
             shutil.rmtree(index_path)
         os.rename(staging_path, index_path)

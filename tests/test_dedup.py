@@ -686,3 +686,65 @@ def test_cross_source_dup_matrix_counts_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_pairs = dedup.ngram_jaccard_pairs(docs, 0.5).count()
     assert total == n_pairs
+
+
+def test_capped_self_join_star_pairs(spark):
+    """Occupancy guard unit: an oversized bucket emits star pairs around
+    its min id (count n-1, not n·(n-1)/2); small buckets are untouched."""
+    from ssg_etl_spark.operators.lsh import capped_self_join_pairs
+
+    rows = [(i, 0, 99) for i in range(100)]  # one 100-doc bucket
+    rows += [(200, 1, 7), (201, 1, 7), (202, 1, 7)]  # one small bucket
+    postings = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    pairs = capped_self_join_pairs(
+        postings, ["band", "bucket"], "doc_id", "doc_a", "doc_b", 10
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    star = {(0, i) for i in range(1, 100)}
+    small = {(200, 201), (200, 202), (201, 202)}
+    assert got == star | small
+
+
+def test_minhash_bucket_occupancy_guard_bounds_candidates(spark):
+    """Planted mega-bucket: a template family of near-identical docs (one
+    distinct word each) must produce O(n) candidates through the star
+    guard, not O(n²) — and every member still reaches the representative,
+    so duplicate clustering is unchanged."""
+    base = " ".join(f"w{j}" for j in range(30))
+    docs = [(i, f"{base} tail{i}") for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # df-cap off: every shared shingle has df=300 (a template family is
+    # exactly the content the shingle cap would otherwise erase); the
+    # occupancy guard is the layer under test.
+    guarded = _pairs(
+        dedup.minhash_lsh_pairs(
+            df, 0.5, max_shingle_df=None, max_bucket_occupancy=20
+        )
+    )
+    # Near-identical docs: 28 shared shingles of 31 → jaccard ≈ 0.82, so
+    # every star candidate (0, i) verifies. All n-1 star pairs present;
+    # non-oversized buckets (docs whose distinct tail shifted a band) may
+    # add verified pairs, but the total stays far below the 44 850-pair
+    # quadratic blowup the guard exists to prevent.
+    star = {(0, i) for i in range(1, 300)}
+    assert star <= guarded
+    assert len(guarded) < 5000
+
+    clusters = dedup.duplicate_clusters(
+        spark.createDataFrame(
+            [(a, b) for a, b in guarded], "doc_a long, doc_b long"
+        )
+    )
+    assert {r.cluster_id for r in clusters.collect()} == {0}
+
+
+def test_simhash_bucket_occupancy_guard(spark):
+    base = " ".join(f"w{j}" for j in range(30))
+    docs = [(i, f"{base} tail{i}") for i in range(150)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _pairs(dedup.simhash_pairs(df, max_bucket_occupancy=15))
+    assert any(a == 0 for a, _ in got), "star pairs to the rep must exist"
+    # Quadratic all-pairs would be 11 175; the guard keeps it to stars
+    # plus small-bucket remainders.
+    assert len(got) < 2500

@@ -266,3 +266,35 @@ def test_numeric_histogram_bins_and_totals(spark):
                                   "id long, v double")
     crows = numeric_histogram(const, "v", n_bins=10).collect()
     assert len(crows) == 1 and crows[0].n == 7
+
+
+def test_winsorize_preserves_nulls(spark):
+    """NULL must stay NULL: least/greatest skip NULLs, so an unguarded
+    clamp silently imputes missing values to the p_lo bound (advisor
+    finding: NULL input returned the lower bound)."""
+    from ssg_etl_spark.operators.analytics import winsorize
+
+    rows = [(i, float(i)) for i in range(101)] + [(999, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r.id: r.v_winsorized for r in winsorize(df, "v", 0.05, 0.95).collect()}
+    assert out[999] is None
+    assert out[0] == 5.0 and out[100] == 95.0  # clamping still works
+
+
+def test_winsorize_approx_mode_bounds_drift(spark):
+    """exact=False (t-digest) clamp bounds must sit within one rank-error
+    step of the exact ones on a smooth distribution."""
+    from ssg_etl_spark.operators.analytics import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1001)], "id long, v double"
+    )
+    exact = {r.id: r.v_winsorized for r in winsorize(df, "v", 0.05, 0.95).collect()}
+    approx = {r.id: r.v_winsorized for r in
+              winsorize(df, "v", 0.05, 0.95, exact=False).collect()}
+    # Default approx_percentile accuracy 10000 -> rank error <= 1e-4;
+    # on 1001 uniform values that is < 1 value step. Allow 2 for safety.
+    lo_e, hi_e = min(exact.values()), max(exact.values())
+    lo_a, hi_a = min(approx.values()), max(approx.values())
+    assert abs(lo_a - lo_e) <= 2.0 and abs(hi_a - hi_e) <= 2.0
+    assert approx[500] == 500.0  # body untouched in both modes

@@ -279,3 +279,19 @@ def test_semantic_keep_list_covers_corpus_and_keeps_canonicals(spark, sf_dir):
     for r in rows.values():
         if r.reason == "kept":
             assert r.canonical_vec_id == r.vec_id
+
+
+def test_lsh_near_dup_occupancy_guard_bounds_candidates(spark):
+    """A dense cluster sharing one sign pattern (identical embeddings) must
+    emit star candidates, not the quadratic all-pairs set."""
+    from ssg_etl_spark.operators.similarity import lsh_near_dup_pairs
+
+    vec = [1.0, 0.5, -0.25, 0.75]
+    rows = [(i, [v + (i % 3) * 1e-6 for v in vec]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = lsh_near_dup_pairs(emb, 0.99, max_bucket_occupancy=10)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    star = {(0, i) for i in range(1, 120)}
+    # Every bucket holds all 120 vectors (identical sign patterns), so the
+    # guard leaves ONLY the star set — all-pairs would be 7 140.
+    assert got == star

@@ -366,3 +366,51 @@ def test_span_dedup_swap_crash_recovery(spark, tmp_path):
     keeps = {(r.doc_id, r.batch_id): r.keep
              for r in spark.read.parquet(out).collect()}
     assert keeps[(3, 2)] is True
+
+
+def test_span_dedup_replay_idempotent(spark, tmp_path):
+    """Micro-batch replay must not append contradictory keep rows: after a
+    completed swap the batch marker makes the replay a no-op; after a
+    crash BEFORE the swap the recomputed decisions overwrite the batch's
+    own output partition (dynamic partition overwrite) bit-identically."""
+    import shutil
+
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_span_dedup
+
+    index_path = str(tmp_path / "idx")
+    out = str(tmp_path / "keeps")
+    apply = foreach_batch_span_dedup(index_path, out)
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    fresh = " ".join(f"f{i}" for i in range(16))
+    apply(spark.createDataFrame([(1, boiler)], "doc_id long, text string"), 0)
+
+    pre_swap = str(tmp_path / "idx_preswap")
+    shutil.copytree(index_path, pre_swap)
+    b1 = spark.createDataFrame(
+        [(2, boiler + " " + fresh)], "doc_id long, text string"
+    )
+    apply(b1, 1)
+
+    def snapshot():
+        return sorted(
+            (r.doc_id, r.chunk_id, r.keep, r.batch_id)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    want = snapshot()
+    assert (2, 0, False, 1) in want  # boiler chunk deduped against batch 0
+    assert (2, 1, True, 1) in want  # fresh chunk kept
+
+    # Replay AFTER the swap: marker short-circuits — decisions unchanged
+    # (recomputing here would flip every keep to False).
+    apply(b1, 1)
+    assert snapshot() == want
+
+    # Replay BEFORE the swap (crash after the output write): restore the
+    # pre-swap index; recomputation must overwrite partition batch_id=1
+    # with identical rows, not append a second copy.
+    shutil.rmtree(index_path)
+    shutil.copytree(pre_swap, index_path)
+    apply(b1, 1)
+    assert snapshot() == want
