@@ -36,17 +36,25 @@ _REPORT_FIELDS = (
 
 def format_run_report(run: Mapping[str, Any]) -> tuple[str, str]:
     """(subject, html body) for one audit row — the reference's email
-    content, minus its hardcoded SMTP coupling."""
+    content, minus its hardcoded SMTP coupling.
+
+    Every interpolated value is HTML-escaped: ``error_message`` carries
+    upstream exception text verbatim, and unescaped markup there would
+    corrupt (or inject into) the rendered report."""
+    import html
+
     ok = bool(run.get("success", False))
     source = run.get("source", "unknown-source")
     subject = f"[ssg-etl] {'SUCCESS' if ok else 'FAILURE'}: {source}"
     keys = [k for k in _REPORT_FIELDS if k in run]
     keys += [k for k in run if k not in _REPORT_FIELDS]
     rows = "".join(
-        f"<tr><td>{k}</td><td>{run[k]}</td></tr>" for k in keys
+        f"<tr><td>{html.escape(str(k))}</td>"
+        f"<td>{html.escape(str(run[k]))}</td></tr>"
+        for k in keys
     )
     body = (
-        f"<h3>{subject}</h3>"
+        f"<h3>{html.escape(subject)}</h3>"
         f"<table border='1' cellpadding='4'>{rows}</table>"
     )
     return subject, body

@@ -375,3 +375,83 @@ def profile_drift(
             ),
         ).alias("rel_change"),
     )
+
+
+def load_ge_checkpoint_file(path: str) -> dict:
+    """Parse a Great-Expectations CHECKPOINT YAML (the wrapper binding a
+    datasource asset to a suite plus an action list — reference:
+    …/great_expectations/checkpoints/adv_checkpoint.yml) into the parts
+    this engine executes: ``{"name", "validations": [{"suite_name",
+    "data_asset_name"}]}``.
+
+    GE's action list (store results, rebuild data docs) is its own
+    warehouse plumbing; the engine's equivalents are the audit sink and
+    alerts modules, so actions are intentionally not interpreted here.
+    A checkpoint whose validations name no suite (nor a top-level
+    ``expectation_suite_name`` fallback) raises — a checkpoint that
+    validates nothing is a configuration error, not a pass.
+    """
+    import yaml
+
+    with open(path) as f:
+        cp = yaml.safe_load(f)
+    fallback_suite = cp.get("expectation_suite_name")
+    validations = []
+    for v in cp.get("validations") or []:
+        suite = v.get("expectation_suite_name") or fallback_suite
+        if not suite:
+            raise ValueError(
+                f"checkpoint {cp.get('name')!r}: validation without an "
+                "expectation_suite_name"
+            )
+        br = v.get("batch_request") or {}
+        validations.append(
+            {"suite_name": suite, "data_asset_name": br.get("data_asset_name")}
+        )
+    if not validations:
+        raise ValueError(
+            f"checkpoint {cp.get('name')!r} has no validations to run"
+        )
+    return {"name": cp.get("name"), "validations": validations}
+
+
+def run_checkpoint(
+    checkpoint_path: str,
+    suites_dir: str,
+    frames: dict[str, DataFrame],
+) -> list[dict]:
+    """Execute a GE checkpoint end-to-end: for each validation, load
+    ``<suites_dir>/<suite_name>.json`` (:func:`load_ge_suite_file`) and
+    evaluate it against the DataFrame bound to its data asset name
+    (``frames[data_asset_name]`` — the engine's stand-in for GE's
+    datasource/data-connector resolution, which binds to live
+    warehouses). One aggregation scan per validated frame
+    (:func:`run_suite`); returns the flat result rows with
+    checkpoint/suite/asset attached. An asset with no bound frame raises
+    — silently skipping a validation is the one failure mode a quality
+    gate must not have.
+    """
+    import os
+
+    cp = load_ge_checkpoint_file(checkpoint_path)
+    results = []
+    for v in cp["validations"]:
+        asset = v["data_asset_name"]
+        if asset not in frames:
+            raise KeyError(
+                f"checkpoint {cp['name']!r}: no DataFrame bound for data "
+                f"asset {asset!r} (bound: {sorted(frames)})"
+            )
+        exps = load_ge_suite_file(
+            os.path.join(suites_dir, v["suite_name"] + ".json")
+        )
+        for res in run_suite(frames[asset], exps):
+            results.append(
+                {
+                    "checkpoint": cp["name"],
+                    "suite": v["suite_name"],
+                    "data_asset": asset,
+                    **res,
+                }
+            )
+    return results

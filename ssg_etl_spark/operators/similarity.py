@@ -393,31 +393,44 @@ def _cells_by_distance(unit: Column) -> Column:
     return F.array_sort(scored)
 
 
-def ivf_topk(
+def _cent_list(cdf: DataFrame):
+    """Single-row broadcast array<struct<cell,vec>> of centroids (no
+    driver collect; array_sort makes the fold order deterministic)."""
+    return F.broadcast(
+        cdf.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cell", "vec"))).alias("_cents")
+        )
+    )
+
+
+def build_ivf_index(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
     train_iters: int = 2,
     train_mod: int = 1,
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index — the clustered
-    alternative to :func:`lsh_bucketed_topk`.
+) -> dict[str, DataFrame]:
+    """The PRECOMPUTED side of IVF ANN — train centroids and assign the
+    corpus once, persist both as tables, and every subsequent query batch
+    pays only its own probe cost (the ANN twin of
+    ``dedup.build_minhash_index``; at 100 TB the index build is the
+    expensive amortizable step, and re-training spherical k-means per
+    query call — the pre-r6 shape — repeats Lloyd rounds over the full
+    corpus every time).
 
     Spherical k-means, fully declarative and deterministic (no RNG, no
-    driver-side model state): seeds are the first ``n_cells`` corpus vectors
-    by id; each Lloyd round is assign (argmax dot against the broadcast
-    centroid list) + per-dimension mean (decimal-summed → order-independent)
-    + renormalize. Corpus vectors land in their nearest cell (the inverted
-    file); each query exactly re-ranks only its ``n_probe`` nearest cells'
-    members. Recall misses only neighbors assigned to unprobed cells —
-    raise ``n_probe`` to trade work for recall.
+    driver-side model state): seeds are the first ``n_cells`` corpus
+    vectors by id; each Lloyd round is assign (argmax dot against the
+    broadcast centroid list) + per-dimension mean (decimal-summed →
+    order-independent) + renormalize. Train on a modular sample
+    (``train_mod``: vec_id % mod == 0 — deterministic, no ``sample()``).
 
-    At 100 TB: train on a modular sample (``train_mod``: vec_id % mod == 0 —
-    deterministic, no ``sample()``), assign the full corpus in one scan
-    partitioned by cell, and broadcast the probe lists; per-query work is
-    bucket occupancy × n_probe, not corpus size.
+    Returns ``{"centroids", "cells"}``:
+
+    * ``centroids`` — (cell, vec array<double>), model-sized; parquet
+      round-trips exactly (doubles, no driver state).
+    * ``cells`` — (vec_id, embedding, cell): the inverted file. At 100 TB
+      write it partitioned by ``cell`` so a probe reads only the
+      ``n_probe`` cells it needs (partition pruning on the probe join).
     """
     # Persisted: the unit-normalized corpus is re-scanned every Lloyd round
     # and again for the final cell assignment (the standard k-means cache;
@@ -435,16 +448,9 @@ def ivf_topk(
         .select(F.col("vec_id").alias("cell"), F.col("_unit").alias("vec"))
     )
 
-    def cent_list(cdf: DataFrame):
-        return F.broadcast(
-            cdf.groupBy().agg(
-                F.array_sort(F.collect_list(F.struct("cell", "vec"))).alias("_cents")
-            )
-        )
-
     dec = "decimal(28,12)"  # unit components are ≤1 in magnitude
     for _ in range(train_iters):
-        assigned = train.crossJoin(cent_list(cents)).select(
+        assigned = train.crossJoin(_cent_list(cents)).select(
             "_unit",
             F.element_at(_cells_by_distance(F.col("_unit")), 1)["cell"].alias("_cell"),
         )
@@ -482,15 +488,29 @@ def ivf_topk(
             )
         )
 
-    final_cents = cent_list(cents)
-    corpus_cells = corpus.crossJoin(final_cents).select(
+    corpus_cells = corpus.crossJoin(_cent_list(cents)).select(
         "vec_id",
         "embedding",
         F.element_at(_cells_by_distance(F.col("_unit")), 1)["cell"].alias("cell"),
     )
+    return {"centroids": cents, "cells": corpus_cells}
+
+
+def ivf_topk_vs_index(
+    centroids: DataFrame,
+    cells: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a prebuilt IVF index (:func:`build_ivf_index`): each query
+    exactly re-ranks only its ``n_probe`` nearest cells' members. Recall
+    misses only neighbors assigned to unprobed cells — raise ``n_probe``
+    to trade work for recall. Per-query work is cell occupancy × n_probe,
+    not corpus size; the corpus is never re-trained or re-assigned."""
     q = _unit_corpus(queries, "query_id", "query_vec")
     query_probes = (
-        q.crossJoin(final_cents)
+        q.crossJoin(_cent_list(centroids))
         .select(
             "query_id",
             "query_vec",
@@ -502,13 +522,30 @@ def ivf_topk(
             ).alias("cell"),
         )
     )
-    candidates = corpus_cells.join(F.broadcast(query_probes), "cell").filter(
+    candidates = cells.join(F.broadcast(query_probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = cosine(F.col("query_vec"), F.col("embedding"))
     return _rank_topk(
         candidates.select("query_id", "vec_id", sim.alias("cosine_sim")), k
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_iters: int = 2,
+    train_mod: int = 1,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the clustered
+    alternative to :func:`lsh_bucketed_topk`. One-shot composition of
+    :func:`build_ivf_index` + :func:`ivf_topk_vs_index`; repeated query
+    batches should build once, write the index tables, and probe."""
+    idx = build_ivf_index(embeddings, n_cells, train_iters, train_mod)
+    return ivf_topk_vs_index(idx["centroids"], idx["cells"], queries, k, n_probe)
 
 
 def _hyperplane_anchor_list(embeddings: DataFrame, n_anchors: int):

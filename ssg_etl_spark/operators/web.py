@@ -1,0 +1,79 @@
+"""URL/domain-level curation: host extraction, per-domain stats, domain
+blocklists, and per-domain document caps — the C4/RefinedWeb-style web-
+corpus steps that bound any single site's weight in a training mix
+(BASELINE.json north-star extension; no reference counterpart).
+
+Scale design: host/domain extraction is a pure per-row projection (no
+UDF); blocklists are list-sized → broadcast anti-join; the per-domain cap
+rides :func:`ssg_etl_spark.operators.sampling.stratified_sample`, whose
+rank-limit window pushes the k-per-stratum limit map-side
+(WindowGroupLimit), so a mega-domain sheds rows before the stratum
+shuffle instead of funneling through one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.operators.sampling import stratified_sample
+
+# Generic registrable-domain heuristic: the last two host labels. Real
+# deployments substitute the public-suffix list (e.g. "co.uk" needs three
+# labels); the operator contract (group by registrable domain) and the
+# plan shape are unchanged by the lookup's sophistication.
+_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def with_url_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``host`` (parse_url HOST — scheme/port/path-safe) and
+    ``domain`` (registrable-domain heuristic) columns. Pure Column
+    expressions; NULL/relative URLs yield NULL host and domain."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    return df.withColumn("host", host).withColumn(
+        "domain",
+        F.when(
+            F.col("host").isNotNull() & (F.col("host") != ""),
+            F.regexp_extract(F.col("host"), _DOMAIN_RE, 1),
+        ),
+    )
+
+
+def domain_stats(df: DataFrame, chars_col: str = "n_chars") -> DataFrame:
+    """Per-domain corpus profile: document count, distinct hosts, and
+    total characters — the triage view behind cap/blocklist decisions.
+    One map-side-combinable aggregation on the domain key."""
+    return df.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum(F.col(chars_col).cast("long")).alias("total_chars"),
+    )
+
+
+def domain_blocklist_filter(df: DataFrame, blocked: DataFrame) -> DataFrame:
+    """Drop documents whose ``domain`` appears in ``blocked`` (a one-column
+    ``domain`` frame — list-sized by contract, so the anti-join
+    broadcasts; the corpus is never shuffled)."""
+    return df.join(
+        F.broadcast(blocked.select("domain").distinct()), "domain", "left_anti"
+    )
+
+
+def domain_cap(
+    df: DataFrame, max_per_domain: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per registrable domain,
+    selected by id-hash rank (a deterministic, repartition-stable
+    "random" subset — the C4-style guard against any one site dominating
+    the mix). Returns (domain, id, cap_rank) for the kept rows; semi-join
+    back on ``id_col`` for the surviving corpus.
+
+    The rank window inherits stratified_sample's WindowGroupLimit
+    pushdown: each input partition forwards at most ``max_per_domain``
+    rows per domain, so a 10⁶-document template domain sheds its excess
+    map-side rather than sorting in one reducer partition.
+    """
+    kept = stratified_sample(df, ["domain"], max_per_domain, id_col=id_col)
+    return kept.select(
+        "domain", id_col, F.col("sample_rank").alias("cap_rank")
+    )

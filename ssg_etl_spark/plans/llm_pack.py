@@ -8,7 +8,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ssg_etl_spark.operators import analytics, dedup, multimodal, sampling, similarity, text
+from ssg_etl_spark.operators import (
+    analytics,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+    web,
+)
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table
 
@@ -240,6 +248,46 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return similarity.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=16)
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=COSINE_TOPK_SQL,
+    tags=("llm", "similarity"),
+    extra=True,
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATIONAL IVF shape: build the index once, round-trip it
+    through parquet (centroids + inverted file — exactly what a 100 TB
+    deployment persists), and answer the query batch by probing the
+    loaded tables only. Full probe (n_probe == n_cells) ⟹ results equal
+    brute force, so the parquet round-trip is inside the exactness oracle:
+    any serialization drift in centroids or cell assignment flips the
+    hash. The probe-≪-build wall split is measured in bench.py; recall at
+    default n_probe is pinned by tests/test_similarity.py. Extra
+    registry: public surface at the 50-entry driver cap."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = similarity.build_ivf_index(emb, n_cells=16)
+    idx_dir = tempfile.mkdtemp(prefix="ivfidx_")
+    idx["centroids"].write.mode("overwrite").parquet(f"{idx_dir}/centroids")
+    # Partitioned by cell: a default-n_probe probe prunes to the cells it
+    # reads (at fixture scale the pruning is cosmetic; the layout is the
+    # point).
+    idx["cells"].write.mode("overwrite").partitionBy("cell").parquet(
+        f"{idx_dir}/cells"
+    )
+    return similarity.ivf_topk_vs_index(
+        spark.read.parquet(f"{idx_dir}/centroids"),
+        spark.read.parquet(f"{idx_dir}/cells"),
+        queries,
+        k=10,
+        n_probe=16,
+    )
 
 
 _EN_STOPWORDS = ",".join(f"'{w}'" for w in text.LANG_LEXICONS["en"])
@@ -1759,10 +1807,12 @@ def dedup_keep_list_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_keep_list with keep-longest canonicals: each exact group and
     near-dup cluster keeps its longest member (tie: min doc_id) instead of
     its minimum id — truncated mirrors lose to the full page. Canonicals
-    via min(struct(-n_chars, doc_id)) aggregations. Extra registry:
-    locally oracle-verified."""
-    from pyspark.sql.window import Window
-
+    via min(struct(-n_chars, doc_id)) AGGREGATIONS + join-back, not a
+    window over the digest partition: groupBy partial-aggregates map-side,
+    so a mega-duplicated page (10⁶ identical copies, one digest) reduces
+    to one row per input partition instead of materializing the whole
+    group in a single window partition — the same skew contract as
+    chunk_keep_list. Extra registry: locally oracle-verified."""
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id",
@@ -1772,9 +1822,10 @@ def dedup_keep_list_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick = F.struct(
         (-F.col("n_chars")).alias("nn"), F.col("doc_id").alias("d")
     )
-    canon = norm.withColumn(
-        "exact_canon", F.min(pick).over(Window.partitionBy("h")).getField("d")
+    exact_canon = norm.groupBy("h").agg(
+        F.min(pick).getField("d").alias("exact_canon")
     )
+    canon = norm.join(exact_canon, "h")
     survivors = docs.join(
         canon.filter(F.col("doc_id") == F.col("exact_canon")).select("doc_id"),
         "doc_id",
@@ -2114,4 +2165,91 @@ def semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("reason"),
         F.coalesce("cluster_id", "vec_id").alias("canonical_vec_id"),
+    )
+
+
+# Fixture documents carry no URL; a deterministic one is synthesized from
+# (source, doc_id) with rotating subdomains so host extraction, the
+# registrable-domain collapse (www/cdn/apex → one domain), and the
+# per-domain cap are all exercised and SQL-replayable.
+_URL_SQL = """
+docs_url AS (
+  SELECT doc_id, source, n_chars,
+    'https://' ||
+    CASE WHEN doc_id % 3 = 0 THEN 'www.'
+         WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END ||
+    source || '.org/doc/' || doc_id AS url
+  FROM documents),
+hosted AS (
+  SELECT doc_id, source, n_chars,
+    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+    regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                   '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM docs_url)
+"""
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(
+            F.lit("https://"), sub, F.col("source"), F.lit(".org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+@register(
+    "domain_caps",
+    oracle=f"""
+WITH {_URL_SQL},
+ranked AS (
+  SELECT domain, doc_id,
+    row_number() OVER (
+      PARTITION BY domain
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
+  FROM hosted)
+SELECT domain, doc_id, cap_rank FROM ranked WHERE cap_rank <= 20
+""",
+    tags=("llm", "curation", "web"),
+    extra=True,
+)
+def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4/RefinedWeb-style): parse_url host
+    extraction → registrable-domain collapse (www./cdn./apex subdomains
+    fold into one domain) → keep the 20 hash-rank-first documents per
+    domain. The rank window rides WindowGroupLimit (map-side k-per-
+    stratum shedding), so a mega-domain never funnels one reducer.
+    Extra registry: locally oracle-verified."""
+    return web.domain_cap(
+        web.with_url_host(_docs_with_urls(spark, sf_dir)), 20
+    )
+
+
+@register(
+    "domain_profile",
+    oracle=f"""
+WITH {_URL_SQL}
+SELECT domain, COUNT(*) AS n_docs,
+  COUNT(DISTINCT host) AS n_hosts,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM hosted GROUP BY domain
+""",
+    tags=("llm", "curation", "web"),
+    extra=True,
+)
+def domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus triage: doc count, distinct hosts, total chars —
+    the view that decides caps and blocklists. One aggregation on the
+    domain key. Extra registry: locally oracle-verified."""
+    return web.domain_stats(
+        web.with_url_host(_docs_with_urls(spark, sf_dir))
     )

@@ -748,3 +748,55 @@ def test_simhash_bucket_occupancy_guard(spark):
     # Quadratic all-pairs would be 11 175; the guard keeps it to stars
     # plus small-bucket remainders.
     assert len(got) < 2500
+
+
+def test_url_host_domain_and_blocklist(spark):
+    """Host/domain extraction handles subdomains, ports, paths, and
+    NULL/relative URLs; the blocklist anti-join drops exactly the listed
+    domains."""
+    from ssg_etl_spark.operators import web
+
+    rows = [
+        (1, "https://www.example.org/a/b?q=1"),
+        (2, "http://cdn.assets.example.org:8080/x"),
+        (3, "https://other.net/"),
+        (4, "not-a-url"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: (r.host, r.domain) for r in web.with_url_host(df).collect()}
+    assert got[1] == ("www.example.org", "example.org")
+    assert got[2] == ("cdn.assets.example.org", "example.org")
+    assert got[3] == ("other.net", "other.net")
+    assert got[4][0] in (None, "") and got[4][1] is None
+    assert got[5] == (None, None)
+
+    blocked = spark.createDataFrame([("example.org",)], "domain string")
+    kept = {
+        r.doc_id
+        for r in web.domain_blocklist_filter(
+            web.with_url_host(df), blocked
+        ).collect()
+    }
+    assert 1 not in kept and 2 not in kept and 3 in kept
+
+
+def test_domain_cap_bounds_and_determinism(spark):
+    """The cap keeps exactly min(n, k) docs per domain, and the kept set
+    is a pure function of ids (stable under repartition)."""
+    from ssg_etl_spark.operators import web
+
+    rows = [(i, f"https://{'big' if i < 80 else 'small'}.site.org/d/{i}")
+            for i in range(90)]
+    df = web.with_url_host(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    )
+    capped = web.domain_cap(df, 10)
+    per_domain = {
+        r.domain: r.n for r in
+        capped.groupBy("domain").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_domain == {"site.org": 10}
+
+    again = {r.doc_id for r in web.domain_cap(df.repartition(7), 10).collect()}
+    assert again == {r.doc_id for r in capped.collect()}

@@ -298,3 +298,57 @@ def test_winsorize_approx_mode_bounds_drift(spark):
     lo_a, hi_a = min(approx.values()), max(approx.values())
     assert abs(lo_a - lo_e) <= 2.0 and abs(hi_a - hi_e) <= 2.0
     assert approx[500] == 500.0  # body untouched in both modes
+
+
+def test_run_checkpoint_literal_reference_file(spark):
+    """End-to-end over the LITERAL reference checkpoint YAML + suite JSON
+    (adv_checkpoint.yml → adv_suite.json): the wrapper resolves the suite
+    and asset binding, runs one aggregation scan, and reports per-
+    expectation verdicts."""
+    import os
+
+    import pytest as _pytest
+
+    from ssg_etl_spark.operators.quality import run_checkpoint, suite_passed
+
+    ge_root = (
+        "/root/reference/scripts/ETL Pipeline/GreatExpectations/"
+        "great_expectations"
+    )
+    cp_path = os.path.join(ge_root, "checkpoints", "adv_checkpoint.yml")
+    suites = os.path.join(ge_root, "expectations")
+    if not os.path.exists(cp_path):
+        _pytest.skip("reference checkpoint not present")
+
+    df = spark.createDataFrame(
+        [("bikes", 10.0, "EMEA", 5, 250.0)] * 7,
+        "productcategory string, Sales double, saleterritory string, "
+        "OrderQuantity int, StandardCost double",
+    )
+    results = run_checkpoint(cp_path, suites, {"data.xlsx": df})
+    by_name = {r["name"]: r for r in results}
+    assert all(r["checkpoint"] == "adv_checkpoint" for r in results)
+    assert all(r["suite"] == "adv_suite" for r in results)
+    # Structural + bounded checks hold on the crafted frame…
+    assert by_name["column_exists(productcategory)"]["passed"]
+    assert by_name["column_exists(Sales)"]["passed"]
+    # …the reference's production row count of course does not.
+    assert not by_name["row_count_between(38809, 38809)"]["passed"]
+    assert not suite_passed(results)
+
+    # Unbound asset: refuse, never skip.
+    with _pytest.raises(KeyError):
+        run_checkpoint(cp_path, suites, {"other.xlsx": df})
+
+
+def test_run_report_escapes_html(spark):
+    from ssg_etl_spark.functions.alerts import format_run_report
+
+    run = {
+        "source": "orders",
+        "success": False,
+        "error_message": "<script>alert('x')</script> & broken <td>",
+    }
+    _, body = format_run_report(run)
+    assert "<script>" not in body
+    assert "&lt;script&gt;" in body and "&amp; broken" in body

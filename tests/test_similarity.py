@@ -295,3 +295,40 @@ def test_lsh_near_dup_occupancy_guard_bounds_candidates(spark):
     # Every bucket holds all 120 vectors (identical sign patterns), so the
     # guard leaves ONLY the star set — all-pairs would be 7 140.
     assert got == star
+
+
+def test_ivf_index_roundtrip_equals_oneshot(spark, sf_dir, tmp_path):
+    """build_ivf_index → parquet → ivf_topk_vs_index must equal the
+    one-shot ivf_topk bit-for-bit (same centroids, same cells, same
+    ranking) at full probe AND at default probe."""
+    from ssg_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_vs_index,
+    )
+    from ssg_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 100 = 0").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    idx = build_ivf_index(emb, n_cells=8)
+    idx["centroids"].write.mode("overwrite").parquet(str(tmp_path / "c"))
+    idx["cells"].write.mode("overwrite").partitionBy("cell").parquet(
+        str(tmp_path / "v")
+    )
+    loaded_c = spark.read.parquet(str(tmp_path / "c"))
+    loaded_v = spark.read.parquet(str(tmp_path / "v"))
+
+    for n_probe in (8, 2):
+        oneshot = {
+            (r.query_id, r.rank): r.vec_id
+            for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=n_probe).collect()
+        }
+        probed = {
+            (r.query_id, r.rank): r.vec_id
+            for r in ivf_topk_vs_index(
+                loaded_c, loaded_v, queries, k=5, n_probe=n_probe
+            ).collect()
+        }
+        assert probed == oneshot
