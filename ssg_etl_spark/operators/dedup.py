@@ -27,6 +27,7 @@ from ssg_etl_spark.operators.lsh import (
     minhash_signature,
 )
 from ssg_etl_spark.operators.text import normalize_text, word_shingles
+from ssg_etl_spark.partitioning import fan_out
 
 # Shingles present in more documents than this are dropped before any
 # shingle-equality self-join. A ubiquitous shingle (a stopword trigram on a
@@ -65,7 +66,8 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     """
     norm = normalize_text(F.col("text"))
     return (
-        documents.select(
+        fan_out(documents)
+        .select(
             F.col("doc_id"), F.md5(norm.cast("binary")).alias("content_hash")
         )
         .groupBy("content_hash")

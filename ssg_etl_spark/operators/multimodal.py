@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ssg_etl_spark.partitioning import fan_out
+
 FEATURE_DIM = 8
 
 FEATURES_SCHEMA = T.StructType(
@@ -108,7 +110,9 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+    # fan_out: mapInPandas parallelism == input partitions; a single-file
+    # scan would run every Python batch on one core.
+    return fan_out(assets.select("asset_id", "media_type", "payload")).mapInPandas(
         run, FEATURES_SCHEMA
     )
 
@@ -172,7 +176,9 @@ def resize_images(
             )
 
     images = assets.filter(F.col("media_type") == "image")
-    return images.select("asset_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+    return fan_out(images.select("asset_id", "payload")).mapInPandas(
+        run, RESIZED_SCHEMA
+    )
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -73,6 +73,7 @@ def text_metrics(df: DataFrame) -> DataFrame:
     DuckDB oracle (consecutive spaces yield empty tokens in BOTH engines,
     and 0-length docs null the ratios in both) — run ``normalize_text``
     upstream when the corpus is not single-spaced."""
+    df = fan_out(df)  # per-row regex/filter work; rescue few-split scans
     ws = words(F.col("text"))
     n_chars = F.length("text").cast("long")
     n_words = F.size(ws).cast("long")
@@ -108,7 +109,7 @@ def text_metrics(df: DataFrame) -> DataFrame:
 
 def token_counts(df: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens (letters / digits / other)."""
-    return df.select(
+    return fan_out(df).select(
         "doc_id",
         F.size(words(F.col("text"))).cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0))
@@ -120,6 +121,7 @@ def token_counts(df: DataFrame) -> DataFrame:
 def lang_id(df: DataFrame) -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts, argmax with
     lexicographic tie-break, 'und' (undetermined) when nothing hits."""
+    df = fan_out(df)  # one array-filter pass per language per row
     scores = {
         lang: F.expr(
             "size(filter(split(text, ' '), w -> array_contains(array("
@@ -153,7 +155,7 @@ def fingerprints(df: DataFrame) -> DataFrame:
     bag_fp = F.when(F.col("text").isNull(), F.lit(None)).otherwise(
         F.md5(bag.cast("binary"))
     )
-    return df.select(
+    return fan_out(df).select(
         "doc_id",
         F.md5(norm.cast("binary")).alias("content_fp"),
         bag_fp.alias("bag_fp"),
@@ -211,6 +213,7 @@ def repetition_metrics(df: DataFrame) -> DataFrame:
     plan is linear and map-side combinable. Documents shorter than 3 words
     have no 3-grams → NULL dup_3gram_frac (both engines).
     """
+    df = fan_out(df)
     terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     per_doc = tf.groupBy("doc_id").agg(
@@ -255,7 +258,9 @@ def token_entropy(df: DataFrame) -> DataFrame:
     and can flip a round(6) boundary vs the oracle. Ties at scale 12 are
     unrepresentable in binary floats, so both engines round identically.
     """
-    terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    terms = fan_out(df).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     agg = tf.groupBy("doc_id").agg(
         F.sum("c").alias("_n"),
@@ -290,6 +295,7 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     inside an email local part — ``user+1-555-1234@x.com`` — is the
     email's, not a phone). Pure regexp columns — JVM-side, no UDF.
     """
+    df = fan_out(df)  # four regex passes per row
     t = F.col(text_col)
     emails_gone = F.regexp_replace(t, EMAIL_REGEX, "[EMAIL]")
     n_emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_REGEX), 0)).cast("long")
@@ -341,7 +347,9 @@ def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
     """
     from ssg_etl_spark.cache import persist_tracked
 
-    terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    terms = fan_out(df).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
     # tf feeds two plan branches (the idf aggregation and the scored join);
     # persist so the explode+groupBy runs once, not per branch. Tracked:
     # consumers release via ssg_etl_spark.cache.release_tracked().
@@ -384,6 +392,7 @@ def vocab_oov_rate(df: DataFrame, vocab_size: int = 1000) -> DataFrame:
     broadcast — per-doc scoring never shuffles the corpus a second time;
     the only corpus-wide shuffle is the term-frequency aggregation.
     """
+    df = fan_out(df)
     terms = df.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     vocab = (
         terms.groupBy("term")

@@ -13,8 +13,12 @@ committed dedup_minhash_lsh bench line.
 session default. At production scale inputs arrive in many splits, the
 condition is false, and the operator plan is unchanged — crucially this
 never adds a full-corpus shuffle of raw text/vector bytes to a 100 TB
-plan; it only rescues the degenerate few-splits layout where the shuffled
-bytes are by definition small.
+plan. The bytes bound holds structurally: the file scan packs splits to
+``spark.sql.files.maxPartitionBytes`` (default 128 MB), so "fewer
+partitions than cores" implies the scan reads at most
+cores × 128 MB — the triggered shuffle is executor-memory-sized by
+construction (the one exception, a single unsplittable multi-GB row
+group, is a broken writer's layout that needs rescuing anyway).
 """
 
 from __future__ import annotations

@@ -2253,3 +2253,26 @@ def domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.domain_stats(
         web.with_url_host(_docs_with_urls(spark, sf_dir))
     )
+
+
+@register(
+    "domain_blocklist",
+    oracle=f"""
+WITH {_URL_SQL}
+SELECT doc_id, domain FROM hosted
+WHERE domain NOT IN ('src0.org', 'src7.org', 'src13.org')
+""",
+    tags=("llm", "curation", "web"),
+    extra=True,
+)
+def domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering: the corpus minus documents whose
+    registrable domain is on a (broadcast, list-sized) blocklist — the
+    other half of the C4-style domain step next to the cap. Extra
+    registry: locally oracle-verified."""
+    blocked = spark.createDataFrame(
+        [("src0.org",), ("src7.org",), ("src13.org",)], "domain string"
+    )
+    return web.domain_blocklist_filter(
+        web.with_url_host(_docs_with_urls(spark, sf_dir)), blocked
+    ).select("doc_id", "domain")
