@@ -800,3 +800,104 @@ def test_domain_cap_bounds_and_determinism(spark):
 
     again = {r.doc_id for r in web.domain_cap(df.repartition(7), 10).collect()}
     assert again == {r.doc_id for r in capped.collect()}
+
+
+def test_bucketed_minhash_index_probe_has_no_index_side_shuffle(spark, sf_dir):
+    """build_minhash_index's scale contract (mirrors the chunk-index
+    pin): the LSH postings written bucketed on (band, bucket) join the
+    delta probe without an Exchange on the index side — the base corpus
+    postings are read in place; only the batch-sized delta shuffles."""
+    from ssg_etl_spark.sources.sinks import write_bucketed
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+    idx = dedup.build_minhash_index(base)
+    spark.sql("DROP TABLE IF EXISTS mh_buckets_bkt")
+    # A crashed earlier run can leave the managed-table location behind
+    # with no catalog entry; saveAsTable refuses to reuse it.
+    import shutil as _shutil
+
+    _shutil.rmtree(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        + "/mh_buckets_bkt",
+        ignore_errors=True,
+    )
+    write_bucketed(idx["buckets"], "mh_buckets_bkt", ["band", "bucket"],
+                   num_buckets=8)
+    # Shingles/hot stay plain frames: their joins are candidate-sized and
+    # broadcast/AQE-decided; the postings join is the corpus-sized one.
+    shingles = idx["shingles"]
+    hot = idx["hot"]
+    try:
+        with_conf = [
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.adaptive.enabled", "false"),
+        ]
+        old = {k: spark.conf.get(k) for k, _ in with_conf}
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        try:
+            probe = dedup.minhash_lsh_pairs_vs_index(
+                shingles, spark.table("mh_buckets_bkt"), hot, delta, 0.5
+            )
+
+            # The index-side contract: between the bucketed parquet scan
+            # and the candidate JOIN that consumes it there must be no
+            # Exchange (downstream exchanges — candidate distinct,
+            # verification joins — shuffle candidate-sized outputs and
+            # are expected). The candidate join lives inside the
+            # persisted candidates frame, so walk the CACHED plan of the
+            # InMemoryTableScan that wraps it.
+            def exchanges_between_scan_and_join(node, since_join=False):
+                name = node.nodeName()
+                if "Join" in name:
+                    since_join = False
+                elif "Exchange" in name:
+                    since_join = True
+                if (
+                    "Scan" in name
+                    and "InMemoryTableScan" not in name
+                    and "mh_buckets_bkt" in node.toString()
+                ):
+                    return 1 if since_join else 0
+                total = 0
+                children = node.children()
+                for i in range(children.size()):
+                    total += exchanges_between_scan_and_join(
+                        children.apply(i), since_join
+                    )
+                return total
+
+            def find_cached(node, out):
+                if (
+                    "InMemoryTableScan" in node.nodeName()
+                    and "mh_buckets_bkt" in node.toString()
+                ):
+                    out.append(node.relation().cachedPlan())
+                children = node.children()
+                for i in range(children.size()):
+                    find_cached(children.apply(i), out)
+                return out
+
+            root = probe._jdf.queryExecution().executedPlan()
+            cached = find_cached(root, [])
+            assert cached, "candidates cache with the bucketed scan not found"
+            plan = cached[0].toString()
+            assert "mh_buckets_bkt" in plan
+            assert exchanges_between_scan_and_join(cached[0]) == 0, plan[:3000]
+            # Same pairs as probing the in-memory index.
+            want = sorted(
+                (r.doc_new, r.doc_base)
+                for r in dedup.minhash_lsh_pairs_vs_index(
+                    shingles, idx["buckets"], hot, delta, 0.5
+                ).collect()
+            )
+            got = sorted((r.doc_new, r.doc_base) for r in probe.collect())
+            assert got == want
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_buckets_bkt")
