@@ -81,6 +81,7 @@ CURATION_FAMILY = [
     # Round 6: URL/domain curation.
     "domain_caps",
     "domain_profile",
+    "url_normalize",
 ]
 
 

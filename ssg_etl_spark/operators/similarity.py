@@ -234,19 +234,21 @@ def knn_label_agreement_lsh(
     Deterministic anchors → SQL-replayable, approximation included.
     """
     anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
-    b = _bucketize(
-        embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
-    ).select("vec_id", "table", "bucket")
-    x, y = b.alias("x"), b.alias("y")
-    undirected = (
-        x.join(
-            y,
-            (F.col("x.table") == F.col("y.table"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("_u"), F.col("y.vec_id").alias("_v"))
-        .distinct()
+    # Persisted: the occupancy-guarded join consumes the postings several
+    # times, and each recompute redoes the anchor dot products.
+    b = persist_tracked(
+        _bucketize(
+            embeddings, anchor_list, "vec_id", "embedding", n_tables,
+            bits_per_table,
+        ).select("vec_id", "table", "bucket")
+    )
+    # Same occupancy backstop as lsh_near_dup_pairs: in a degenerate
+    # bucket the member still votes (the star keeps rep↔member pairs in
+    # both directions below) with candidates from its other tables —
+    # bounded work instead of an occupancy² blowup.
+    undirected = capped_self_join_pairs(
+        b, ["table", "bucket"], "vec_id", "_u", "_v",
+        DEFAULT_MAX_BUCKET_OCCUPANCY,
     )
     directed = undirected.select(
         F.col("_u").alias("vec_id"), F.col("_v").alias("nbr_id")

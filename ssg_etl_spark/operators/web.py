@@ -77,3 +77,59 @@ def domain_cap(
     return kept.select(
         "domain", id_col, F.col("sample_rank").alias("cap_rank")
     )
+
+
+def normalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """Canonicalize URLs before URL-level dedup/caps — the standard web-
+    corpus step that collapses the dozen spellings of one page: lowercase
+    scheme+host, strip the fragment, drop default ports (http:80,
+    https:443), strip trailing slashes, drop tracking parameters
+    (utm_*, gclid, fbclid), and sort the surviving query params so
+    parameter order is not identity. Pure Column expressions (regex +
+    array lambdas), engine-portable for the oracle; a value with no
+    absolute scheme://host yields NULL (relative or junk input — not
+    silently passed through as if canonical).
+    """
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    hostname = F.regexp_replace(hostport, r":[0-9]+$", "")
+    drop_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1
+        ),
+        "/+$",
+        "",
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "")
+                & ~p.rlike("^(utm_[^=]*|gclid|fbclid)="),
+            )
+        ),
+        "&",
+    )
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        hostname,
+        F.when(~drop_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    return df.withColumn(
+        out_col, F.when((scheme != "") & (hostname != ""), norm)
+    )

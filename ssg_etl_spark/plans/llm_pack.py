@@ -2276,3 +2276,83 @@ def domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.domain_blocklist_filter(
         web.with_url_host(_docs_with_urls(spark, sf_dir)), blocked
     ).select("doc_id", "domain")
+
+
+@register(
+    "url_normalize",
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'HTTP://' || source || '.org:80/a/b/?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'https://' || source || '.org:443/a'
+      WHEN 2 THEN 'https://cdn.' || source || '.org:8443/x/?gclid=1'
+      WHEN 3 THEN 'not a url'
+      ELSE 'http://' || source || '.org/path//'
+    END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    regexp_replace(url, '#.*$', '') AS u
+  FROM raw),
+fields AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)', 1)) AS hostport,
+    regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)', 1),
+                   '/+$', '') AS path,
+    regexp_extract(u, '\?([^#]*)', 1) AS query
+  FROM parts),
+built AS (
+  SELECT doc_id, url, scheme,
+    regexp_replace(hostport, ':[0-9]+$', '') AS hostname,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    path,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))),
+      '&') AS kept
+  FROM fields)
+SELECT doc_id, url,
+  CASE WHEN scheme <> '' AND hostname <> '' THEN
+    scheme || '://' || hostname ||
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+           OR (scheme = 'https' AND port = '443')
+         THEN '' ELSE ':' || port END ||
+    path ||
+    CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+  END AS url_norm
+FROM built
+""",
+    tags=("llm", "curation", "web"),
+    extra=True,
+)
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization before URL-level dedup: lowercase scheme and
+    host, strip fragments/default ports/trailing slashes/tracking params
+    (utm_*, gclid, fbclid), sort surviving query params; junk or relative
+    inputs yield NULL. Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                F.concat(
+                    F.lit("HTTP://"), F.col("source"),
+                    F.lit(".org:80/a/b/?utm_source=x&b=2&a=1#frag"),
+                ),
+                F.concat(
+                    F.lit("https://"), F.col("source"), F.lit(".org:443/a")
+                ),
+                F.concat(
+                    F.lit("https://cdn."), F.col("source"),
+                    F.lit(".org:8443/x/?gclid=1"),
+                ),
+                F.lit("not a url"),
+                F.concat(
+                    F.lit("http://"), F.col("source"), F.lit(".org/path//")
+                ),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("url"),
+    )
+    return web.normalize_url(messy)

@@ -901,3 +901,26 @@ def test_bucketed_minhash_index_probe_has_no_index_side_shuffle(spark, sf_dir):
                 spark.conf.set(k, v)
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_buckets_bkt")
+
+
+def test_normalize_url_canonical_forms(spark):
+    from ssg_etl_spark.operators import web
+
+    rows = [
+        (1, "HTTP://WWW.Example.ORG:80/a/b/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.org:443/a"),
+        (3, "https://example.org:8443/x/?gclid=1&keep=1"),
+        (4, "relative/path"),
+        (5, "http://example.org/path//"),
+        (6, None),
+        (7, "http://example.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.url_norm for r in web.normalize_url(df).collect()}
+    assert got[1] == "http://www.example.org/a/b?a=1&b=2"
+    assert got[2] == "https://example.org/a"
+    assert got[3] == "https://example.org:8443/x?keep=1"
+    assert got[4] is None
+    assert got[5] == "http://example.org/path"
+    assert got[6] is None
+    assert got[7] == "http://example.org"
