@@ -180,6 +180,7 @@ def main() -> None:
                 _dedup.minhash_lsh_pairs_vs_index(
                     loaded["shingles"], loaded["buckets"], loaded["hot"],
                     delta, 0.5,
+                    base_hot_buckets=loaded["hot_buckets"],
                 )
             )
             walls.append(time.time() - t0)

@@ -23,7 +23,9 @@ from ssg_etl_spark.cache import persist_tracked
 from ssg_etl_spark.operators.lsh import (
     DEFAULT_MAX_BUCKET_OCCUPANCY,
     band_buckets,
+    capped_probe_join_pairs,
     capped_self_join_pairs,
+    hot_bucket_list,
     minhash_signature,
 )
 from ssg_etl_spark.operators.text import normalize_text, word_shingles
@@ -195,6 +197,7 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_bucket_occupancy: int | None = DEFAULT_MAX_BUCKET_OCCUPANCY,
 ) -> DataFrame:
     """Dedup NEW documents against an EXISTING corpus — the operational
     shape of corpus growth: a daily crawl lands, and only new-vs-corpus
@@ -228,21 +231,23 @@ def minhash_lsh_pairs_incremental(
         band_buckets(sig, "doc_id", num_hashes, rows_per_band)
     )
     delta_ids = delta.select("doc_id").distinct()
-    new_side = buckets.join(delta_ids, "doc_id", "left_semi").alias("x")
-    base_side = buckets.join(delta_ids, "doc_id", "left_anti").alias("y")
-    # Normalized (lo, hi) so verification (which emits doc_a < doc_b) can
-    # semi-join back; orientation is restored at the end.
+    new_side = buckets.join(delta_ids, "doc_id", "left_semi")
+    base_side = buckets.join(delta_ids, "doc_id", "left_anti")
+    # Base-side occupancy guard (lsh.capped_probe_join_pairs): a
+    # degenerate BASE bucket meets each delta posting through its
+    # representative only, bounding the occupancy_base × occupancy_delta
+    # term. Normalized (lo, hi) so verification (which emits
+    # doc_a < doc_b) can semi-join back; orientation is restored at the
+    # end.
+    probe = capped_probe_join_pairs(
+        new_side, base_side, ["band", "bucket"], "doc_id", "doc_id",
+        "doc_new", "doc_base", max_bucket_occupancy,
+    )
     candidates = persist_tracked(
-        new_side.join(
-            base_side,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket")),
-        )
-        .select(
-            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
-            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
-        )
-        .distinct()
+        probe.select(
+            F.least("doc_new", "doc_base").alias("doc_a"),
+            F.greatest("doc_new", "doc_base").alias("doc_b"),
+        ).distinct()
     )
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
@@ -275,14 +280,15 @@ def build_minhash_index(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_bucket_occupancy: int | None = DEFAULT_MAX_BUCKET_OCCUPANCY,
 ) -> dict[str, DataFrame]:
-    """The PRECOMPUTED side of delta-vs-corpus dedup: builds the three
+    """The PRECOMPUTED side of delta-vs-corpus dedup: builds the
     base-corpus tables a repeat run needs, so each batch pays only for its
     own documents (r4 verdict item 3 — without this, every incremental run
     re-shingled and re-signed the whole base and was slower than a full
     self-join run).
 
-    Returns ``{"shingles", "buckets", "hot"}``:
+    Returns ``{"shingles", "buckets", "hot", "hot_buckets"}``:
 
     * ``shingles`` — df-capped (doc_id, shingle) postings, the verification
       side. At 100 TB this is the big table: write it partitioned/bucketed
@@ -292,6 +298,10 @@ def build_minhash_index(
       shuffle-free on the base side.
     * ``hot`` — the capped-out shingle list (tiny), pinned so delta batches
       apply the SAME cap the index was built with.
+    * ``hot_buckets`` — oversized (band, bucket) groups with their
+      representative (``lsh.hot_bucket_list``): the probe's occupancy
+      guard consumes this tiny table instead of re-aggregating the
+      corpus postings per batch.
 
     The df cap is pinned at build time (base-only), the operational
     semantics of an incremental index: a shingle whose document frequency
@@ -310,8 +320,18 @@ def build_minhash_index(
         )
     shingles = raw.join(hot, "shingle", "left_anti")
     sig = minhash_signature(shingles, "doc_id", "shingle", num_hashes)
-    buckets = band_buckets(sig, "doc_id", num_hashes, rows_per_band)
-    return {"shingles": shingles, "buckets": buckets, "hot": hot}
+    buckets = persist_tracked(
+        band_buckets(sig, "doc_id", num_hashes, rows_per_band)
+    )
+    hot_buckets = hot_bucket_list(
+        buckets, ["band", "bucket"], "doc_id", max_bucket_occupancy
+    )
+    return {
+        "shingles": shingles,
+        "buckets": buckets,
+        "hot": hot,
+        "hot_buckets": hot_buckets,
+    }
 
 
 def minhash_lsh_pairs_vs_index(
@@ -323,6 +343,7 @@ def minhash_lsh_pairs_vs_index(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    base_hot_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus near-dup pairs against a PRECOMPUTED base index
     (:func:`build_minhash_index`): the base corpus is never re-shingled or
@@ -340,6 +361,10 @@ def minhash_lsh_pairs_vs_index(
 
     The index hash parameters (``num_hashes``, ``rows_per_band``) must
     match the build call — bucket ids are xxhash64 over them.
+    ``base_hot_buckets`` is the index's precomputed oversized-bucket list
+    (``build_minhash_index()["hot_buckets"]``): pass it so the occupancy
+    guard never re-aggregates the corpus postings per batch; with None
+    the probe runs unguarded (the pre-r6 behavior).
     """
     raw_delta = persist_tracked(word_shingles(delta))
     capped_delta = persist_tracked(
@@ -349,19 +374,12 @@ def minhash_lsh_pairs_vs_index(
     )
     sig = minhash_signature(capped_delta, "doc_id", "shingle", num_hashes)
     delta_buckets = band_buckets(sig, "doc_id", num_hashes, rows_per_band)
-    x = delta_buckets.alias("x")
-    y = base_buckets.alias("y")
     candidates = persist_tracked(
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket")),
+        capped_probe_join_pairs(
+            delta_buckets, base_buckets, ["band", "bucket"],
+            "doc_id", "doc_id", "doc_new", "doc_base",
+            max_occupancy=None, hot_buckets=base_hot_buckets,
         )
-        .select(
-            F.col("x.doc_id").alias("doc_new"),
-            F.col("y.doc_id").alias("doc_base"),
-        )
-        .distinct()
     )
     # Verification shingle sets: base side from the index (semi-joined to
     # candidate base docs), delta side from this batch. Sizes/intersections

@@ -165,3 +165,78 @@ def capped_self_join_pairs(
     if star is not None:
         pairs = pairs.unionByName(star)
     return pairs.distinct()
+
+
+def hot_bucket_list(
+    postings: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_occupancy: int | None = DEFAULT_MAX_BUCKET_OCCUPANCY,
+) -> DataFrame:
+    """(key_cols…, _occ, _rep) for buckets over the occupancy cap — the
+    tiny table both guard forms consume. For a persisted index this is
+    the artifact to precompute at build time so probes never re-aggregate
+    the corpus postings."""
+    if max_occupancy is None:
+        return postings.select(
+            *key_cols,
+            F.lit(0).cast("long").alias("_occ"),
+            F.col(id_col).alias("_rep"),
+        ).limit(0)
+    return (
+        postings.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.min(id_col).alias("_rep"),
+        )
+        .filter(F.col("_occ") > max_occupancy)
+    )
+
+
+def capped_probe_join_pairs(
+    delta_postings: DataFrame,
+    base_postings: DataFrame,
+    key_cols: list[str],
+    delta_id: str,
+    base_id: str,
+    out_delta: str,
+    out_base: str,
+    max_occupancy: int | None = DEFAULT_MAX_BUCKET_OCCUPANCY,
+    hot_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Delta×base candidate pairs with a BASE-side occupancy guard — the
+    probe-join twin of :func:`capped_self_join_pairs`.
+
+    The delta side is batch-sized by contract, so the unbounded term is
+    a degenerate BASE bucket: occupancy_base × occupancy_delta rows per
+    (band, bucket). Oversized base buckets are removed from the join and
+    each matching delta posting meets the bucket's REPRESENTATIVE (min
+    base id) instead — one candidate per delta member, connectivity to
+    the base family preserved through the rep, exact verification
+    unchanged. ``hot_buckets`` (from :func:`hot_bucket_list`) should be
+    the PRECOMPUTED index artifact when the base is a persisted index —
+    computing it in-probe costs one aggregation over the corpus-sized
+    postings, which defeats the per-batch cost contract at scale.
+    """
+    d = delta_postings.select(F.col(delta_id).alias("_did"), *key_cols)
+    b = base_postings.select(F.col(base_id).alias("_bid"), *key_cols)
+    star = None
+    if max_occupancy is not None or hot_buckets is not None:
+        if hot_buckets is None:
+            hot_buckets = hot_bucket_list(
+                base_postings, key_cols, base_id, max_occupancy
+            )
+        hot = persist_tracked(hot_buckets)
+        if not hot.isEmpty():
+            b = b.join(
+                F.broadcast(hot.select(*key_cols)), key_cols, "left_anti"
+            )
+            star = d.join(F.broadcast(hot), key_cols).select(
+                F.col("_did").alias(out_delta), F.col("_rep").alias(out_base)
+            )
+    pairs = d.join(b, key_cols).select(
+        F.col("_did").alias(out_delta), F.col("_bid").alias(out_base)
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from ssg_etl_spark.cache import persist_tracked
 from ssg_etl_spark.operators.lsh import (
     DEFAULT_MAX_BUCKET_OCCUPANCY,
+    capped_probe_join_pairs,
     capped_self_join_pairs,
 )
 from ssg_etl_spark.partitioning import fan_out
@@ -774,16 +775,23 @@ def lsh_near_dup_pairs_incremental(
     ride the bucket shuffle; vectors re-join on the candidate ids.
     """
     anchor_list = _hyperplane_anchor_list(base, n_tables * bits_per_table)
-    bb = _bucketize(
-        base, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
-    ).select(F.col("vec_id").alias("vec_base"), "table", "bucket")
+    # Persisted: the guarded probe join consumes the base postings twice
+    # (occupancy aggregation + join), and each recompute redoes the
+    # anchor dot products over the base corpus.
+    bb = persist_tracked(
+        _bucketize(
+            base, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
+        ).select(F.col("vec_id").alias("vec_base"), "table", "bucket")
+    )
     db = _bucketize(
         delta, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
     ).select(F.col("vec_id").alias("vec_new"), "table", "bucket")
-    candidates = (
-        db.join(bb, ["table", "bucket"])
-        .select("vec_new", "vec_base")
-        .distinct()
+    # Base-side occupancy guard: a dense base sign-pattern bucket meets
+    # each delta posting through its representative only (at scale the
+    # hot-bucket list is part of the persisted anchor/postings index).
+    candidates = capped_probe_join_pairs(
+        db, bb, ["table", "bucket"], "vec_new", "vec_base",
+        "vec_new", "vec_base", DEFAULT_MAX_BUCKET_OCCUPANCY,
     )
     en = delta.select(
         F.col("vec_id").alias("vec_new"), F.col("embedding").alias("_en")

@@ -1047,7 +1047,8 @@ def dedup_incremental_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     idx = dedup.build_minhash_index(base)
     return dedup.minhash_lsh_pairs_vs_index(
-        idx["shingles"], idx["buckets"], idx["hot"], delta, 0.5
+        idx["shingles"], idx["buckets"], idx["hot"], delta, 0.5,
+        base_hot_buckets=idx["hot_buckets"],
     )
 
 

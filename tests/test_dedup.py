@@ -306,7 +306,8 @@ def test_precomputed_index_equals_recompute_form(spark, sf_dir, tmp_path):
     via_index = {
         (r.doc_new, r.doc_base): r.jaccard
         for r in dedup.minhash_lsh_pairs_vs_index(
-            loaded["shingles"], loaded["buckets"], loaded["hot"], delta, 0.5
+            loaded["shingles"], loaded["buckets"], loaded["hot"], delta, 0.5,
+            base_hot_buckets=loaded["hot_buckets"],
         ).collect()
     }
     recompute = {
@@ -924,3 +925,41 @@ def test_normalize_url_canonical_forms(spark):
     assert got[5] == "http://example.org/path"
     assert got[6] is None
     assert got[7] == "http://example.org"
+
+
+def test_incremental_probe_base_occupancy_guard(spark):
+    """A degenerate BASE bucket (template family) must meet each delta
+    posting through its representative only: candidates stay O(delta),
+    and the delta doc still finds its near-dup family via the rep."""
+    base_text = " ".join(f"w{j}" for j in range(30))
+    base = spark.createDataFrame(
+        [(i, f"{base_text} tail{i}") for i in range(1, 201)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(1000, f"{base_text} delta0")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_new, r.doc_base)
+        for r in dedup.minhash_lsh_pairs_incremental(
+            base, delta, 0.5, max_shingle_df=None, max_bucket_occupancy=20
+        ).collect()
+    }
+    # Guarded: the delta doc pairs with the representative (min base id)
+    # plus at most the members of non-oversized buckets — never the full
+    # 200-pair fanout per band.
+    assert (1000, 1) in got
+    assert len(got) < 100
+
+    idx = dedup.build_minhash_index(
+        base, max_shingle_df=None, max_bucket_occupancy=20
+    )
+    via_index = {
+        (r.doc_new, r.doc_base)
+        for r in dedup.minhash_lsh_pairs_vs_index(
+            idx["shingles"], idx["buckets"], idx["hot"], delta, 0.5,
+            max_shingle_df=None, base_hot_buckets=idx["hot_buckets"],
+        ).collect()
+    }
+    assert (1000, 1) in via_index
+    assert len(via_index) < 100
