@@ -80,6 +80,49 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    base_index: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """Delta-vs-corpus EXACT dedup: classify each delta document as new
+    content or a duplicate of existing corpus content by digest lookup
+    against a precomputed digest index (:func:`exact_dedup_groups` output
+    — build once, parquet it, probe per batch, the same amortization
+    contract as :func:`build_minhash_index`).
+
+    Returns (doc_id, content_hash, is_duplicate, canonical_doc_id):
+    duplicates carry the corpus canonical, new content carries NULL.
+    Within-delta duplicates are the batch's own
+    :func:`exact_dedup_groups` pass, not this probe's job.
+
+    100 TB shape: one hash join keyed on the digest — no shingling, no
+    bands. The index side is corpus-sized, the delta batch small, and the
+    probe key is the scanned index column: exactly the shape Spark's
+    runtime bloom-filter injection
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default)
+    optimizes. The optimizer builds a bloom from the delta's digests and
+    plants ``might_contain`` on the index scan, so index rows that cannot
+    match any delta digest drop at the scan and never enter the shuffle —
+    the classic membership prefilter for incremental dedup, injected by
+    Catalyst instead of hand-built. Pinned by a plan test with the
+    injection size thresholds scaled down to fixture size; at corpus
+    scale the default 10 GB application-side threshold is what a real
+    index scan exceeds.
+    """
+    d = fan_out(delta).select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias(
+            "content_hash"
+        ),
+    )
+    idx = base_index.select("content_hash", "canonical_doc_id")
+    return d.join(idx, "content_hash", "left").select(
+        "doc_id",
+        "content_hash",
+        F.col("canonical_doc_id").isNotNull().alias("is_duplicate"),
+        "canonical_doc_id",
+    )
+
+
 def _shingle_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over DISTINCT shingle sets: |∩| via self-join on
     shingle, |∪| = |A|+|B|-|∩|. Callers pass a df-capped shingle set

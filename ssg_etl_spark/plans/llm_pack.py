@@ -1052,6 +1052,44 @@ def dedup_incremental_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Delta-vs-corpus EXACT dedup through the digest-index probe: one hash
+# join keyed on the content digest. The operator's scale story is
+# Catalyst's runtime bloom-filter injection on the index scan (pinned by
+# plan test at fixture thresholds); the RESULT is threshold-free and
+# exactly SQL-expressible, so the oracle is a plain left join.
+@register(
+    "dedup_incremental_exact",
+    oracle=r"""
+WITH base AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+         MIN(doc_id) AS canonical_doc_id
+  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+delta AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+  FROM documents WHERE doc_id % 10 = 0)
+SELECT d.doc_id AS doc_id, d.content_hash AS content_hash,
+       b.canonical_doc_id IS NOT NULL AS is_duplicate,
+       b.canonical_doc_id AS canonical_doc_id
+FROM delta d LEFT JOIN base b USING (content_hash)
+""",
+    tags=("llm", "dedup", "incremental"),
+    extra=True,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (digest-level) delta-vs-corpus dedup: probe the precomputed
+    digest index with the batch's content hashes; duplicates resolve to
+    the corpus canonical. The cheap first stage every incremental ingest
+    runs before near-dup LSH — most re-crawled content is byte-identical.
+    Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_exact_dedup(
+        dedup.exact_dedup_groups(base), delta
+    )
+
+
 # Quality-decile stratification via the DISTRIBUTED global rank (W2's
 # histogram-offset operator, coarse-bucketed on floor(score*10)) — the
 # corpus-curation step "keep the top-N% by quality" without a
@@ -1265,18 +1303,23 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     it defers to. Stage 1 drops exact duplicates to their content-hash
     canonical; stage 2 clusters the SURVIVORS by shingle Jaccard
     (pointer-jumping components) and keeps each cluster's minimum member.
-    Training corpus = rows with reason = 'kept'. Extra registry: locally
+    Training corpus = rows with reason = 'kept'. Exact canonicals come
+    from groupBy('h').agg(min) + join-back, not a window over the digest
+    partition: the aggregation partial-combines map-side, so a
+    mega-duplicated page (10⁶ identical copies, one digest) reduces to one
+    row per input partition instead of materializing the whole group in a
+    single window partition — same skew contract as
+    :func:`dedup_keep_list_longest`. Extra registry: locally
     oracle-verified."""
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id",
         F.md5(text.normalize_text(F.col("text")).cast("binary")).alias("h"),
     )
-    canon = norm.withColumn(
-        "exact_canon", F.min("doc_id").over(Window.partitionBy("h"))
+    exact_canon = norm.groupBy("h").agg(
+        F.min("doc_id").alias("exact_canon")
     )
+    canon = norm.join(exact_canon, "h")
     survivors = docs.join(
         canon.filter(F.col("doc_id") == F.col("exact_canon")).select("doc_id"),
         "doc_id",

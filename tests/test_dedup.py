@@ -963,3 +963,75 @@ def test_incremental_probe_base_occupancy_guard(spark):
     }
     assert (1000, 1) in via_index
     assert len(via_index) < 100
+
+
+def test_incremental_exact_dedup_classification(spark):
+    """Delta docs resolve to the corpus canonical on normalized-content
+    equality (case/whitespace differences collapse); new content is NULL."""
+    base = spark.createDataFrame(
+        [
+            (1, "Alpha  Beta gamma"),
+            (2, "unique base content"),
+            (3, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, "ALPHA beta   GAMMA"), (11, "brand new content here")],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_exact_dedup(dedup.exact_dedup_groups(base), delta)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[10].is_duplicate and rows[10].canonical_doc_id == 1
+    assert not rows[11].is_duplicate and rows[11].canonical_doc_id is None
+
+
+def test_incremental_exact_probe_gets_runtime_bloom_filter(
+    spark, sf_dir, tmp_path
+):
+    """The probe's 100 TB story: Catalyst's runtime bloom-filter injection
+    builds a bloom from the DELTA's digests and plants ``might_contain``
+    on the corpus-side scan — below the digest groupBy — so corpus rows
+    whose digest cannot match any delta digest drop at the scan and never
+    enter the shuffle. Injection traces the join key's lineage down to a
+    scan column, so the corpus must arrive as a multi-split layout (the
+    production case, where ``fan_out`` no-ops); a single-file fixture scan
+    triggers fan_out's Repartition, which breaks that lineage — hence the
+    multi-file rewrite here. Size thresholds are scaled down to fixture
+    size; at corpus scale the defaults fire on their own."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        src = str(tmp_path / "docs_multisplit")
+        load_table(spark, sf_dir, "documents").repartition(8).write.parquet(
+            src
+        )
+        docs = spark.read.parquet(src)
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+        out = dedup.incremental_exact_dedup(
+            dedup.exact_dedup_groups(base), delta
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        # The might_contain filter must sit on the BASE branch (its Filter
+        # node carries the base-side NOT(doc_id%10=0) predicate), i.e. the
+        # corpus scan is pruned, not the delta.
+        hits = [ln for ln in plan.split("\n") if "might_contain" in ln]
+        assert hits and all("NOT" in ln for ln in hits), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
