@@ -82,6 +82,13 @@ CURATION_FAMILY = [
     "domain_caps",
     "domain_profile",
     "url_normalize",
+    # Round 6: incremental exact dedup, LM/model quality scoring, C4
+    # line cleaning, domain reputation.
+    "dedup_incremental_exact",
+    "unigram_logprob",
+    "quality_model_score",
+    "c4_line_filter",
+    "domain_quality_flags",
 ]
 
 

@@ -281,6 +281,184 @@ def token_entropy(df: DataFrame) -> DataFrame:
     )
 
 
+# Phrases whose presence disqualifies a line under the C4 cleaning rules
+# (cookie banners, script fragments, lorem filler). Lowercase substrings.
+C4_LINE_BLOCKLIST = ("javascript", "lorem ipsum", "cookie", "{")
+
+
+def clean_lines(
+    df: DataFrame,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple[str, ...] = C4_LINE_BLOCKLIST,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level cleaning verdicts: split each document on
+    newlines and judge every line against the classic rules — minimum
+    word count, terminal punctuation (. ! ? "), and a phrase blocklist
+    (cookie banners / script fragments / lorem filler). Returns one row
+    per line: (doc_id, line_id, line, kept, reason) with reason the FIRST
+    failing rule ('short' → 'no_terminal_punct' → 'blocklist') or NULL
+    when kept — the audit trail form, so curation can report what each
+    rule removed before committing to a rebuilt corpus
+    (:func:`apply_line_cleaning`).
+
+    Pure Column expressions over one posexplode — linear, no shuffle at
+    all (the explode preserves the scan partitioning).
+    """
+    lines = fan_out(df).select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_id", "line"),
+    )
+    trimmed = F.trim(F.col("line"))
+    n_words = F.size(F.split(trimmed, " "))
+    short = (n_words < min_words) | (trimmed == "")
+    no_punct = (
+        ~trimmed.rlike(r'[.!?"]$')
+        if require_terminal_punct
+        else F.lit(False)
+    )
+    low = F.lower(F.col("line"))
+    blocked = F.lit(False)
+    for phrase in blocklist:
+        blocked = blocked | low.contains(phrase.lower())
+    reason = (
+        F.when(short, F.lit("short"))
+        .when(no_punct, F.lit("no_terminal_punct"))
+        .when(blocked, F.lit("blocklist"))
+    )
+    return lines.select(
+        "doc_id",
+        "line_id",
+        "line",
+        reason.isNull().alias("kept"),
+        reason.alias("reason"),
+    )
+
+
+def apply_line_cleaning(verdicts: DataFrame) -> DataFrame:
+    """Rebuild cleaned documents from :func:`clean_lines` verdicts: kept
+    lines re-joined in order. Documents whose every line was dropped
+    disappear (C4 drops empty pages). One doc-keyed aggregation; the
+    in-order rebuild is an ``array_sort(collect_list(struct))`` — state is
+    bounded by a single document's line count, not a window over the
+    corpus."""
+    kept = verdicts.filter(F.col("kept"))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept_lines"),
+    )
+
+
+def unigram_logprob(df: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality proxy: mean per-token
+    log-probability of each document under the corpus's own unigram
+    distribution. Natural prose scores near the corpus mode; OCR noise,
+    wrong-language text, and keyword stuffing (mass on rare or on
+    over-frequent terms) fall into the tails — threshold or
+    decile-stratify downstream exactly like the CCNet perplexity buckets,
+    with the corpus itself as the LM (no external model artifact).
+
+    mean_logprob = (Σ_tokens ln cf_term)/n_tokens − ln N, where cf is the
+    corpus frequency of the token's term and N the corpus token count.
+    Self-scoring means every term has cf ≥ 1 — no OOV, no smoothing knob.
+
+    Scale shape: explode → (doc,term) TF → term-keyed corpus counts →
+    join back — all map-side combinable aggregations; the corpus-frequency
+    side is one row per DISTINCT term (a dimension next to the TF table)
+    so AQE broadcasts it in practice, and the hot-term join ("the" joins
+    every document) is 1:1 per TF row, never a fanout. The Σ ln cf partial
+    sum runs on DECIMAL(28,12) intermediates for the same
+    order-independence reason as :func:`token_entropy`; ln of INTEGER
+    counts is bit-identical across engines.
+    """
+    from ssg_etl_spark.cache import persist_tracked
+
+    terms = fan_out(df).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    # tf feeds three plan branches (corpus frequencies, the total, and the
+    # scored join); persist so the explode+groupBy runs once — the same
+    # contract as tfidf_top_terms. Consumers release via release_tracked().
+    tf = persist_tracked(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = persist_tracked(
+        tf.groupBy("term").agg(F.sum("c").alias("cf"))
+    )
+    total = corpus.agg(F.sum("cf").alias("_n_total"))
+    per_doc = (
+        tf.join(corpus, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                (F.col("c") * F.log(F.col("cf"))).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("_s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("_s") / F.col("n_tokens").cast("double")
+            - F.log(F.col("_n_total").cast("double")),
+            6,
+        ).alias("mean_logprob"),
+    )
+
+
+# Deployed-classifier weights for quality_model_score: stand-ins for a
+# trained logistic regression's coefficients (the engine contract is the
+# scoring plan, not the fit). (intercept, stopword_ratio, punct_ratio,
+# word-len-in-range indicator, ln n_words).
+QUALITY_MODEL_WEIGHTS = (-2.0, 6.0, -4.0, 1.0, 0.2)
+
+
+def quality_model_score(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Model-based quality filtering, the way a trained classifier
+    (fastText / logistic regression over handcrafted features) actually
+    deploys at corpus scale: featurize with Column expressions, dot the
+    feature vector with broadcast-literal coefficients, sigmoid, threshold.
+    No Python in the loop — the 'model' is constant-folded into
+    whole-stage codegen, so scoring costs one linear scan.
+
+    Features come from :func:`text_metrics`' ROUNDED columns so both
+    engines feed bit-identical inputs to exp(); scores round to 6 before
+    the keep decision is NOT applied (the keep flag is emitted alongside —
+    filtering is the caller's join/filter, keeping this a pure scorer).
+    """
+    w0, w_stop, w_punct, w_len, w_logn = QUALITY_MODEL_WEIGHTS
+    m = text_metrics(df)
+    in_range = (
+        F.when(
+            (F.col("avg_word_len") >= 3) & (F.col("avg_word_len") <= 10),
+            1.0,
+        ).otherwise(0.0)
+    )
+    z = (
+        F.lit(w0)
+        + F.lit(w_stop) * F.col("stopword_ratio")
+        + F.lit(w_punct) * F.col("punct_ratio")
+        + F.lit(w_len) * in_range
+        + F.lit(w_logn) * F.log(F.col("n_words").cast("double"))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return m.select(
+        "doc_id",
+        F.round(score, 6).alias("model_score"),
+        (F.round(score, 6) >= threshold).alias("keep"),
+    )
+
+
 # PII patterns kept to the Java-regex ∩ RE2 common subset so the DuckDB
 # oracle runs the IDENTICAL expressions (no lookbehind, no backrefs).
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -79,6 +79,47 @@ def domain_cap(
     )
 
 
+def domain_quality_flags(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    min_mean_quality: float = 0.5,
+) -> DataFrame:
+    """Domain-level reputation (the RefinedWeb/DCLM-style site filter):
+    aggregate each registrable domain's mean document quality and flag
+    documents whose DOMAIN falls below ``min_mean_quality`` — low-quality
+    sites are dropped wholesale even when an individual page sneaks past
+    the per-document threshold. Returns the input's (doc_id, domain) plus
+    (domain_n_docs, domain_mean_quality, low_quality_domain).
+
+    One domain-keyed aggregation + a join back. The aggregate side is one
+    row per registrable domain — dimension-sized next to the corpus — so
+    AQE broadcasts the join-back in practice; the corpus itself shuffles
+    only if the optimizer decides the domain dim is too big to broadcast.
+    The mean runs on DECIMAL(18,12) partial sums (scores are 6-decimal
+    rounded, exactly representable) so the double-addition order never
+    flips a rounding boundary vs the oracle.
+    """
+    per_domain = df.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("domain_n_docs"),
+        F.sum(F.col(score_col).cast("decimal(18,12)")).alias("_sum_q"),
+    )
+    # Cast the (exact) decimal sum to double BEFORE dividing: both engines
+    # then perform the identical double division, instead of each picking
+    # its own decimal-division scale.
+    mean_q = F.round(
+        F.col("_sum_q").cast("double")
+        / F.col("domain_n_docs").cast("double"),
+        6,
+    )
+    dim = per_domain.select(
+        "domain",
+        "domain_n_docs",
+        mean_q.alias("domain_mean_quality"),
+        (mean_q < min_mean_quality).alias("low_quality_domain"),
+    )
+    return df.select("doc_id", "domain").join(dim, "domain")
+
+
 def normalize_url(
     df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
 ) -> DataFrame:

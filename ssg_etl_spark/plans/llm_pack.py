@@ -1542,6 +1542,34 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "unigram_logprob",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2),
+corpus AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM corpus),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+    CAST(SUM(CAST(c * ln(cf) AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM tf JOIN corpus USING (term) GROUP BY 1)
+SELECT doc_id, n_tokens,
+  round(s / CAST(n_tokens AS DOUBLE)
+        - ln(CAST((SELECT n_total FROM tot) AS DOUBLE)), 6) AS mean_logprob
+FROM agg
+""",
+    tags=("llm", "text", "quality"),
+    extra=True,
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: mean per-token log-probability under
+    the corpus's own unigram distribution — the perplexity-bucket filter
+    with the corpus itself as the LM. Extra registry: locally
+    oracle-verified."""
+    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 # Sub-document span dedup: fixed 16-word chunks, md5 digests, occurrence
 # counting. The oracle replays the chunking with range(0,2048)+WHERE (the
 # lateral-free form — fixture docs are <600 words; a corpus with longer
@@ -2400,3 +2428,133 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return web.normalize_url(messy)
+
+
+@register(
+    "quality_model_score",
+    oracle=rf"""
+WITH m AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_words,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains([{_EN_STOPWORDS}], w))) AS sh,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents),
+f AS (
+  SELECT doc_id, n_words,
+    round(CAST(sh AS DOUBLE) / n_words, 6) AS stop_r,
+    round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_r,
+    round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS awl
+  FROM m),
+z AS (
+  SELECT doc_id,
+    -2.0 + 6.0 * stop_r - 4.0 * punct_r
+    + CASE WHEN awl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END
+    + 0.2 * ln(CAST(n_words AS DOUBLE)) AS z
+  FROM f)
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-z)), 6) AS model_score,
+  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+FROM z
+""",
+    tags=("llm", "text", "quality"),
+    extra=True,
+)
+def quality_model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter the way a trained classifier deploys:
+    Column-expression featurization → broadcast-literal coefficients →
+    sigmoid → keep flag, constant-folded into one codegen'd scan.
+    Extra registry: locally oracle-verified."""
+    return text.quality_model_score(load_table(spark, sf_dir, "documents"))
+
+
+# C4 line-level cleaning. Fixture text carries no newlines (or any
+# punctuation), so the query synthesizes a deterministic multi-line
+# corpus from each document's 8-word chunks — every third line left
+# without terminal punctuation — and the oracle replays the identical
+# construction. The rules themselves (min words, terminal punctuation,
+# phrase blocklist) are the operator's; planted-fixture pytests cover the
+# blocklist branch the synthetic corpus cannot hit.
+@register(
+    "c4_line_filter",
+    oracle=r"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(s / 8 AS BIGINT) AS line_id,
+    array_to_string(list_slice(w, s + 1, s + 8), ' ') ||
+    CASE WHEN (s / 8) % 3 < 2 THEN '.' ELSE '' END AS line
+  FROM ws, range(0, 2048) g(s) WHERE s < len(w) AND s % 8 = 0),
+v AS (
+  SELECT doc_id, line_id, line, trim(line) AS t,
+    len(string_split(trim(line), ' ')) AS nw,
+    contains(lower(line), 'javascript') OR contains(lower(line), 'lorem ipsum')
+      OR contains(lower(line), 'cookie') OR contains(lower(line), '{') AS blocked
+  FROM chunks)
+SELECT doc_id, line_id, line,
+  CASE WHEN nw < 3 OR t = '' THEN 'short'
+       WHEN NOT regexp_matches(t, '[.!?"]$') THEN 'no_terminal_punct'
+       WHEN blocked THEN 'blocklist' END IS NULL AS kept,
+  CASE WHEN nw < 3 OR t = '' THEN 'short'
+       WHEN NOT regexp_matches(t, '[.!?"]$') THEN 'no_terminal_punct'
+       WHEN blocked THEN 'blocklist' END AS reason
+FROM v
+""",
+    tags=("llm", "text", "curation"),
+    extra=True,
+)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning verdicts over a synthesized multi-line
+    corpus (8-word chunk lines, every third line missing its terminal
+    '.'): per line, kept + the first failing rule. Extra registry: locally
+    oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, chunk_words=8, overlap_words=0)
+    line = F.concat(
+        F.col("chunk_text"),
+        F.when(F.col("chunk_id") % 3 < 2, F.lit(".")).otherwise(F.lit("")),
+    )
+    rebuilt = (
+        chunks.select("doc_id", F.struct("chunk_id", line.alias("l")).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s.l),
+                "\n",
+            ).alias("text")
+        )
+    )
+    return text.clean_lines(rebuilt)
+
+
+@register(
+    "domain_quality_flags",
+    oracle=f"""
+WITH {_URL_SQL},
+q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM documents),
+j AS (
+  SELECT h.doc_id, h.domain, q.quality_score
+  FROM hosted h JOIN q USING (doc_id)),
+agg AS (
+  SELECT domain, COUNT(*) AS domain_n_docs,
+    round(CAST(SUM(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE)
+          / COUNT(*), 6) AS domain_mean_quality
+  FROM j GROUP BY 1)
+SELECT j.doc_id, j.domain, agg.domain_n_docs, agg.domain_mean_quality,
+       agg.domain_mean_quality < 0.5 AS low_quality_domain
+FROM j JOIN agg USING (domain)
+""",
+    tags=("llm", "curation", "web", "quality"),
+    extra=True,
+)
+def domain_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level reputation: registrable-domain mean quality joined
+    back per document, flagging documents whose whole DOMAIN scores below
+    threshold — the site-level filter that drops low-quality sources
+    wholesale. Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    hosted = web.with_url_host(_docs_with_urls(spark, sf_dir))
+    scored = hosted.select("doc_id", "domain").join(
+        text.text_metrics(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    return web.domain_quality_flags(scored)

@@ -1035,3 +1035,101 @@ def test_incremental_exact_probe_gets_runtime_bloom_filter(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    """Docs made of corpus-frequent words score higher (closer to 0) than
+    docs of corpus-rare words; every score is negative (cf < N)."""
+    import math
+
+    from ssg_etl_spark.operators import text as text_ops
+
+    common = "the cat sat on the mat"
+    docs = [(i, common) for i in range(10)]
+    docs.append((100, "zyx wvu tsr qpo nml kji"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in text_ops.unigram_logprob(df).collect()}
+    assert all(r.mean_logprob < 0 for r in rows.values())
+    assert rows[0].mean_logprob > rows[100].mean_logprob
+    # Hand-check the rare doc: each of its 6 terms occurs once, N = 66
+    # tokens → mean = ln(1) - ln(66) = -ln(66).
+    assert math.isclose(rows[100].mean_logprob, -math.log(66), abs_tol=1e-5)
+    assert rows[100].n_tokens == 6
+
+
+def test_clean_lines_rules_and_rebuild(spark):
+    """Each C4 rule fires with first-failure precedence; the rebuild keeps
+    surviving lines in order and drops fully-cleaned documents."""
+    from ssg_etl_spark.operators.text import apply_line_cleaning, clean_lines
+
+    doc1 = "\n".join(
+        [
+            "This line is long enough and ends well.",
+            "too short.",
+            "this line has no terminal punctuation at all",
+            "Please accept our cookie policy to continue.",
+            "Another perfectly fine sentence stands here!",
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, doc1), (2, "junk"), (3, 'A quoted line ends with a quote."')],
+        "doc_id long, text string",
+    )
+    v = clean_lines(df)
+    got = {(r.doc_id, r.line_id): (r.kept, r.reason) for r in v.collect()}
+    assert got[(1, 0)] == (True, None)
+    assert got[(1, 1)] == (False, "short")
+    assert got[(1, 2)] == (False, "no_terminal_punct")
+    assert got[(1, 3)] == (False, "blocklist")
+    assert got[(1, 4)] == (True, None)
+    assert got[(2, 0)] == (False, "short")
+    assert got[(3, 0)] == (True, None)
+
+    rebuilt = {r.doc_id: r for r in apply_line_cleaning(v).collect()}
+    assert rebuilt[1].clean_text == (
+        "This line is long enough and ends well.\n"
+        "Another perfectly fine sentence stands here!"
+    )
+    assert rebuilt[1].n_kept_lines == 2
+    assert 2 not in rebuilt  # fully-cleaned doc disappears
+    assert rebuilt[3].n_kept_lines == 1
+
+
+def test_quality_model_score_monotone_in_features(spark):
+    """Higher stopword density raises the score; punctuation noise lowers
+    it — the coefficients act in their documented directions."""
+    from ssg_etl_spark.operators.text import quality_model_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the and for you that this with have from they"),
+            (2, "zxq vbn mlk poi uyt rew qas dfg hjk lzx"),
+            (3, "the, and; for: you! that? this. with, have; from: they!"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_model_score(df).collect()}
+    assert rows[1].model_score > rows[2].model_score  # stopwords reward
+    assert rows[1].model_score > rows[3].model_score  # punctuation penalty
+    assert all(0.0 <= r.model_score <= 1.0 for r in rows.values())
+    assert rows[1].keep and not rows[2].keep
+
+
+def test_domain_quality_flags_site_level(spark):
+    """A domain whose documents average below threshold is flagged on
+    EVERY document — including its one good page."""
+    from ssg_etl_spark.operators.web import domain_quality_flags
+
+    rows = [
+        (1, "good.org", 0.9),
+        (2, "good.org", 0.8),
+        (3, "spam.biz", 0.1),
+        (4, "spam.biz", 0.2),
+        (5, "spam.biz", 0.9),  # good page on a bad site
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, quality_score double")
+    out = {r.doc_id: r for r in domain_quality_flags(df).collect()}
+    assert not out[1].low_quality_domain and not out[2].low_quality_domain
+    assert out[3].low_quality_domain and out[5].low_quality_domain
+    assert out[5].domain_mean_quality == 0.4
+    assert out[1].domain_n_docs == 2

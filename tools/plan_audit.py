@@ -71,6 +71,11 @@ AUDIT_DEFAULT = [
     "ann_quantized_topk",
     "embedding_near_dup_incremental",
     "cross_source_dup_matrix",
+    "dedup_incremental_exact",
+    "unigram_logprob",
+    "quality_model_score",
+    "c4_line_filter",
+    "domain_quality_flags",
 ]
 
 
