@@ -89,6 +89,8 @@ CURATION_FAMILY = [
     "quality_model_score",
     "c4_line_filter",
     "domain_quality_flags",
+    "leakage_safe_split",
+    "token_budget_selection",
 ]
 
 

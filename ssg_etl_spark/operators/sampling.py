@@ -141,3 +141,112 @@ def mixture_sample(
         | (u < (F.col("_rate") - F.floor(F.col("_rate"))))
     )
     return kept.drop("_rate")
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the GROUP key (registrable domain, near-dup cluster id,
+    author…), so every correlated document lands in the SAME split — the
+    standard guard against evaluation leakage through near-duplicates and
+    same-site pages, which a per-document split cannot give you.
+
+    Same hash-threshold contract as :func:`hash_split` (stable under
+    repartition, re-run, and appends); the plan is one projection — no
+    join, no shuffle — because the group key is already on the row.
+    Returns (id, group, bucket, split).
+    """
+    if not (0 < train < 1 and 0 <= val < 1 and train + val <= 1):
+        raise ValueError("need 0<train<1, 0<=val<1, train+val<=1")
+    b = hash_bucket(group_col)
+    split = (
+        F.when(b < int(train * _BUCKETS), "train")
+        .when(b < int((train + val) * _BUCKETS), "val")
+        .otherwise("test")
+    )
+    return df.select(
+        F.col(id_col), F.col(group_col), b.alias("bucket"), split.alias("split")
+    )
+
+
+def token_budget_selection(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "quality_score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus selection under a token budget: take documents in
+    quality-descending order (ties by id) until the cumulative token
+    count exceeds the budget — "train on the best N tokens", the
+    data-selection step behind quality-pruned training mixes.
+
+    The global ordered cumulative sum uses the same two-level histogram
+    scheme as ``analytics.global_row_number`` (W2): token sums per
+    DISTINCT score prefix (dimension-sized — scores are rounded/banded by
+    construction), coarse-bucket offsets from a driver-collected handful
+    of aggregate rows, and a running sum WINDOW only within each score
+    group — no single-partition window anywhere, no row funnels through
+    one task. Rows with NULL score are excluded (unrankable), matching
+    the oracle's WHERE.
+
+    Returns (id, score, tokens, cum_tokens, selected); ``selected`` marks
+    the kept prefix. Callers filter on it — emitting the full ranking
+    keeps the op auditable (how far past the budget each document fell).
+    """
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(id_col), F.col(score_col), F.col(token_col)
+    )
+    neg = (-F.col(score_col)).alias("_neg")
+    rows = base.select("*", neg)
+    hist = rows.groupBy("_neg").agg(F.sum(token_col).alias("_tsum"))
+    coarse = F.floor(F.col("_neg") * 10).cast("int").alias("_coarse")
+    hist = hist.select("*", coarse)
+    bucket_rows = sorted(
+        (r["_coarse"], r["_n"])
+        for r in hist.groupBy("_coarse")
+        .agg(F.sum("_tsum").alias("_n"))
+        .collect()
+    )
+    bucket_offsets, acc = {}, 0
+    for bucket, n in bucket_rows:
+        bucket_offsets[bucket] = acc
+        acc += n
+    bucket_offset = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in bucket_offsets.items() for x in kv]
+        ),
+        F.col("_coarse"),
+    )
+    w_hist = (
+        Window.partitionBy("_coarse")
+        .orderBy(F.asc("_neg"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = hist.select(
+        F.col("_neg").alias("_prefix"),
+        (bucket_offset + F.sum("_tsum").over(w_hist) - F.col("_tsum")).alias(
+            "_offset"
+        ),
+    )
+    w_local = (
+        Window.partitionBy("_neg")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col("_offset") + F.sum(token_col).over(w_local)).cast("long")
+    return (
+        rows.join(F.broadcast(offsets), F.col("_neg") == F.col("_prefix"))
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.col(token_col),
+            cum.alias("cum_tokens"),
+            (cum <= budget_tokens).alias("selected"),
+        )
+    )

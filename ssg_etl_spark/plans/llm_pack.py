@@ -2558,3 +2558,65 @@ def domain_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.text_metrics(docs).select("doc_id", "quality_score"), "doc_id"
     )
     return web.domain_quality_flags(scored)
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+WITH {_URL_SQL},
+b AS (
+  SELECT doc_id, domain,
+    CAST(('0x' || substr(md5(domain), 1, 8)) AS BIGINT) AS bucket
+  FROM hosted)
+SELECT doc_id, domain, bucket,
+  CASE WHEN bucket < {_TRAIN_HI} THEN 'train'
+       WHEN bucket < {_VAL_HI} THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+""",
+    tags=("llm", "sampling", "web"),
+    extra=True,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-coherent train/val/test split keyed on the registrable
+    domain: every page of a site lands in the same split, so near-dup
+    and same-site correlations cannot leak between train and eval — the
+    guard a per-document split cannot give. Extra registry: locally
+    oracle-verified."""
+    hosted = web.with_url_host(_docs_with_urls(spark, sf_dir))
+    return sampling.group_split(hosted, "domain")
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, {_QUALITY_EXPR} AS quality_score,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, quality_score, n_tokens,
+    SUM(n_tokens) OVER (
+      ORDER BY quality_score DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+  FROM m WHERE quality_score IS NOT NULL)
+SELECT doc_id, quality_score, n_tokens,
+  CAST(ct AS BIGINT) AS cum_tokens, ct <= 10000 AS selected
+FROM c
+""",
+    tags=("llm", "sampling", "quality"),
+    extra=True,
+)
+def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus selection under a token budget: documents in
+    quality-descending order until 10k cumulative tokens — "train on the
+    best N tokens". The global ordered cumsum runs on the two-level
+    histogram scheme (W2's machinery); no single-partition window.
+    Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text.text_metrics(docs).select(
+        "doc_id",
+        "quality_score",
+        F.col("n_words").alias("n_tokens"),
+    )
+    return sampling.token_budget_selection(m, 10_000)

@@ -1133,3 +1133,51 @@ def test_domain_quality_flags_site_level(spark):
     assert out[3].low_quality_domain and out[5].low_quality_domain
     assert out[5].domain_mean_quality == 0.4
     assert out[1].domain_n_docs == 2
+
+
+def test_group_split_coherence_and_stability(spark):
+    """Every member of a group gets the group's split; assignment is a
+    pure function of the group key (stable under repartition/subset)."""
+    from ssg_etl_spark.operators.sampling import group_split
+
+    rows = [(i, f"site{i % 7}.org") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = group_split(df, "domain")
+    by_domain = {}
+    for r in out.collect():
+        by_domain.setdefault(r.domain, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_domain.values())
+    sub = {
+        (r.doc_id, r.split)
+        for r in group_split(
+            df.filter("doc_id % 2 = 0").repartition(5), "domain"
+        ).collect()
+    }
+    full = {(r.doc_id, r.split) for r in out.collect()}
+    assert sub <= full
+
+
+def test_token_budget_selection_matches_sequential_scan(spark):
+    """The distributed cumsum equals the sequential quality-descending
+    scan; the budget cuts exactly at the boundary; NULL scores drop."""
+    from ssg_etl_spark.operators.sampling import token_budget_selection
+
+    rows = [
+        (1, 0.9, 40),
+        (2, 0.9, 30),   # tie with doc 1 → doc_id order
+        (3, 0.7, 50),
+        (4, 0.5, 100),
+        (5, None, 10),  # unrankable
+        (6, 0.3, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, quality_score double, n_tokens long"
+    )
+    out = {r.doc_id: r for r in token_budget_selection(df, 120).collect()}
+    assert 5 not in out
+    assert [out[i].cum_tokens for i in (1, 2, 3, 4, 6)] == [
+        40, 70, 120, 220, 225,
+    ]
+    assert [out[i].selected for i in (1, 2, 3, 4, 6)] == [
+        True, True, True, False, False,
+    ]

@@ -76,6 +76,8 @@ AUDIT_DEFAULT = [
     "quality_model_score",
     "c4_line_filter",
     "domain_quality_flags",
+    "leakage_safe_split",
+    "token_budget_selection",
 ]
 
 
