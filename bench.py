@@ -91,6 +91,7 @@ CURATION_FAMILY = [
     "domain_quality_flags",
     "leakage_safe_split",
     "token_budget_selection",
+    "intra_doc_line_dedup",
 ]
 
 

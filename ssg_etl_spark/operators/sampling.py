@@ -159,7 +159,11 @@ def group_split(
     Same hash-threshold contract as :func:`hash_split` (stable under
     repartition, re-run, and appends); the plan is one projection — no
     join, no shuffle — because the group key is already on the row.
-    Returns (id, group, bucket, split).
+    Returns (id, group, bucket, split). A NULL group key hashes to a NULL
+    bucket and falls through to 'test' (identically in the SQL oracle's
+    CASE) — quarantining unattributable rows in the split that never
+    trains is the safe default, but callers who consider NULL groups
+    uncorrelated should pre-coalesce the key to the row id.
     """
     if not (0 < train < 1 and 0 <= val < 1 and train + val <= 1):
         raise ValueError("need 0<train<1, 0<=val<1, train+val<=1")

@@ -336,6 +336,36 @@ def clean_lines(
     )
 
 
+def dedup_intra_doc_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """RefinedWeb-style intra-document line dedup: drop every repeat of a
+    line WITHIN its own document, keeping the first occurrence — the
+    cleanup for nav menus, footers, and templated headers pasted between
+    sections of one page. Cross-document recurrence is
+    :func:`ssg_etl_spark.operators.dedup.boilerplate_chunks`' job; this
+    op never looks outside the document.
+
+    Returns (doc_id, line_id, line, kept) per line — compose with
+    :func:`apply_line_cleaning` to rebuild cleaned text. The first-
+    occurrence rank is a window over (doc, line): state is bounded by one
+    document's lines, the shuffle key is (doc_id, line), and
+    WindowGroupLimit does not apply (we keep all rows, flagged) — but the
+    window partition is doc+line-scoped, so a mega-document cannot funnel
+    one reducer unless a single line repeats ~partition-size times within
+    ONE document, which the line count itself bounds.
+    """
+    lines = fan_out(df).select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_id", "line"),
+    )
+    w = Window.partitionBy("doc_id", "line").orderBy("line_id")
+    return lines.select(
+        "doc_id",
+        "line_id",
+        "line",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
 def apply_line_cleaning(verdicts: DataFrame) -> DataFrame:
     """Rebuild cleaned documents from :func:`clean_lines` verdicts: kept
     lines re-joined in order. Documents whose every line was dropped

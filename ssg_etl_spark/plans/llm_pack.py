@@ -2620,3 +2620,43 @@ def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").alias("n_tokens"),
     )
     return sampling.token_budget_selection(m, 10_000)
+
+
+# Intra-document line dedup over a synthesized multi-line corpus (2-word
+# chunk lines — short enough that the fixture's synthetic vocabulary
+# produces real within-document repeats: 246 duplicate groups at sf0.01).
+@register(
+    "intra_doc_line_dedup",
+    oracle=r"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+lines AS (
+  SELECT doc_id, CAST(s / 2 AS BIGINT) AS line_id,
+    array_to_string(list_slice(w, s + 1, s + 2), ' ') AS line
+  FROM ws, range(0, 2048) g(s) WHERE s < len(w) AND s % 2 = 0)
+SELECT doc_id, line_id, line,
+  row_number() OVER (PARTITION BY doc_id, line ORDER BY line_id) = 1 AS kept
+FROM lines
+""",
+    tags=("llm", "text", "dedup", "curation"),
+    extra=True,
+)
+def intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style intra-document line dedup: flag every repeat of a
+    line within its own page, keeping the first occurrence (nav menus /
+    footers pasted between sections). Extra registry: locally
+    oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, chunk_words=2, overlap_words=0)
+    rebuilt = (
+        chunks.select(
+            "doc_id", F.struct("chunk_id", F.col("chunk_text").alias("l")).alias("s")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s.l),
+                "\n",
+            ).alias("text")
+        )
+    )
+    return text.dedup_intra_doc_lines(rebuilt)

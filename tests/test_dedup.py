@@ -1181,3 +1181,25 @@ def test_token_budget_selection_matches_sequential_scan(spark):
     assert [out[i].selected for i in (1, 2, 3, 4, 6)] == [
         True, True, True, False, False,
     ]
+
+
+def test_dedup_intra_doc_lines_first_occurrence(spark):
+    """Repeats within one page flag kept=False; the same line in ANOTHER
+    document is untouched (the op never looks across documents)."""
+    from ssg_etl_spark.operators.text import (
+        apply_line_cleaning,
+        dedup_intra_doc_lines,
+    )
+
+    doc1 = "menu home about\nreal content one\nmenu home about\nreal content two"
+    doc2 = "menu home about\nunrelated page"
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.line_id): r.kept for r in dedup_intra_doc_lines(df).collect()}
+    assert out[(1, 0)] and not out[(1, 2)]
+    assert out[(1, 1)] and out[(1, 3)]
+    assert out[(2, 0)]  # cross-document repeat stays
+    rebuilt = {r.doc_id: r.clean_text for r in apply_line_cleaning(
+        dedup_intra_doc_lines(df)).collect()}
+    assert rebuilt[1] == "menu home about\nreal content one\nreal content two"

@@ -78,6 +78,7 @@ AUDIT_DEFAULT = [
     "domain_quality_flags",
     "leakage_safe_split",
     "token_budget_selection",
+    "intra_doc_line_dedup",
 ]
 
 

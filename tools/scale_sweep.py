@@ -113,7 +113,7 @@ def family(sf_dir: str, n_vectors: int):
 
     from pyspark.sql import functions as F
 
-    from ssg_etl_spark.operators import dedup, similarity
+    from ssg_etl_spark.operators import dedup, sampling, similarity, text
     from ssg_etl_spark.sources.tables import load_table
 
     # Keep expected sign-bucket occupancy near ~150 vectors: bits =
@@ -188,6 +188,32 @@ def family(sf_dir: str, n_vectors: int):
                 emb(s), queries(s), k=10, n_tables=n_tables, bits_per_table=bits
             ),
             f"L={n_tables} b={bits}",
+        ),
+        (
+            "dedup_incremental_exact",
+            lambda s: dedup.incremental_exact_dedup(
+                dedup.exact_dedup_groups(docs(s).filter("doc_id % 10 != 0")),
+                docs(s).filter("doc_id % 10 = 0"),
+            ),
+            "index built in-run",
+        ),
+        ("unigram_logprob", lambda s: text.unigram_logprob(docs(s)), ""),
+        (
+            "quality_model_score",
+            lambda s: text.quality_model_score(docs(s)),
+            "",
+        ),
+        (
+            "token_budget_selection",
+            lambda s: sampling.token_budget_selection(
+                text.text_metrics(docs(s)).select(
+                    "doc_id",
+                    "quality_score",
+                    F.col("n_words").alias("n_tokens"),
+                ),
+                10_000,
+            ),
+            "",
         ),
         (
             "ann_ivf_topk",
