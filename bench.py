@@ -92,6 +92,7 @@ CURATION_FAMILY = [
     "leakage_safe_split",
     "token_budget_selection",
     "intra_doc_line_dedup",
+    "deterministic_shuffle",
 ]
 
 

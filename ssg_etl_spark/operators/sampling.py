@@ -254,3 +254,33 @@ def token_budget_selection(
             (cum <= budget_tokens).alias("selected"),
         )
     )
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Reproducible global permutation of the corpus: rank every row by
+    (md5(id), id) — the pre-training "shuffle the dataset" step, made a
+    pure function of content ids so it replays identically across
+    cluster sizes and reruns (Spark's own shuffle/randomSplit order is
+    partitioning-dependent and unreproducible).
+
+    The global rank rides :func:`analytics.global_row_number`'s two-level
+    histogram scheme, keyed on a 4-hex-char hash prefix (65 536 groups —
+    dimension-sized REGARDLESS of corpus size, uniformly filled because
+    the prefix is itself hash output) with 256 coarse buckets for the
+    offset cumsum; no single-partition window, no row funnels through one
+    task. Returns (id, shuffle_rank) with ranks 1..N dense and unique.
+    """
+    from ssg_etl_spark.operators.analytics import global_row_number
+
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    with_h = df.select(F.col(id_col)).withColumn("_h", h).withColumn(
+        "_hp", F.substring(F.col("_h"), 1, 4)
+    )
+    ranked = global_row_number(
+        with_h,
+        "_hp",
+        ["_h", id_col],
+        out_col="shuffle_rank",
+        coarse_fn=lambda c: F.conv(F.substring(F.col(c), 1, 2), 16, 10),
+    )
+    return ranked.select(F.col(id_col), F.col("shuffle_rank"))

@@ -2660,3 +2660,24 @@ def intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return text.dedup_intra_doc_lines(rebuilt)
+
+
+@register(
+    "deterministic_shuffle",
+    oracle="""
+SELECT doc_id,
+  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+    AS shuffle_rank
+FROM documents
+""",
+    tags=("llm", "sampling"),
+    extra=True,
+)
+def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus permutation (pre-training shuffle) by
+    (md5(doc_id), doc_id) rank — W2's histogram-offset machinery on a
+    hash-prefix key, no single-partition window. Extra registry: locally
+    oracle-verified."""
+    return sampling.deterministic_shuffle(
+        load_table(spark, sf_dir, "documents")
+    )

@@ -1203,3 +1203,21 @@ def test_dedup_intra_doc_lines_first_occurrence(spark):
     rebuilt = {r.doc_id: r.clean_text for r in apply_line_cleaning(
         dedup_intra_doc_lines(df)).collect()}
     assert rebuilt[1] == "menu home about\nreal content one\nreal content two"
+
+
+def test_deterministic_shuffle_dense_unique_and_stable(spark):
+    """Ranks are a dense 1..N permutation, reproducible across
+    repartitionings, and uncorrelated with id order (it's a shuffle)."""
+    from ssg_etl_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r.shuffle_rank for r in deterministic_shuffle(df).collect()}
+    assert sorted(out.values()) == list(range(1, 501))
+    again = {
+        r.doc_id: r.shuffle_rank
+        for r in deterministic_shuffle(df.repartition(13)).collect()
+    }
+    assert again == out
+    # Not the identity/sorted order: at least half the ids moved.
+    moved = sum(1 for i in range(500) if out[i] != i + 1)
+    assert moved > 250

@@ -79,6 +79,7 @@ AUDIT_DEFAULT = [
     "leakage_safe_split",
     "token_budget_selection",
     "intra_doc_line_dedup",
+    "deterministic_shuffle",
 ]
 
 
