@@ -315,38 +315,27 @@ def asof_last_before(
     )
 
 
-def global_row_number(
+def ordered_prefix_offsets(
     df: DataFrame,
     prefix_col: str,
-    tiebreak_cols: list[str],
-    out_col: str = "entry_no",
-    coarse_fn=None,
+    coarse_fn,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Distributed global ROW_NUMBER over (prefix, tiebreaks) — W2 at scale.
-
-    A bare ``Window.orderBy(...)`` funnels every row through ONE task (Spark
-    itself warns); this form keeps full parallelism: rank within each prefix
-    group (one shuffle on the prefix), then add the number of rows in all
-    earlier prefixes, computed from a prefix histogram. The histogram is
-    prefix-cardinality-sized (dates, not rows), so its cumulative window is
-    dimension-scale work; no row data ever converges on one task.
-
-    ``coarse_fn`` maps the prefix column to a coarse integer bucket whose
-    ORDER AGREES with the prefix order (bucket(a) < bucket(b) whenever
-    a < b) — it shards the histogram cumsum so even the histogram window
-    is partitioned. Default: calendar year (date/timestamp prefixes).
-    For numeric prefixes pass e.g. ``lambda c: F.floor(F.col(c) * 10)``.
+    """The two-level histogram at the heart of every distributed global
+    ordered rank/cumsum here: per-prefix totals (COUNT, or SUM of
+    ``weight_col``), cumulated WITHOUT an unpartitioned window — cumsum
+    within a coarse bucket plus bucket-level offsets from a
+    driver-collected handful of AGGREGATE rows (buckets, never row data).
+    Returns (_prefix, _offset): the total weight of all strictly-earlier
+    prefixes, ascending NULLS FIRST. Shared by :func:`global_row_number`
+    (weight = row count) and ``sampling.token_budget_selection``
+    (weight = token count); keep the NULL-sentinel and offset arithmetic
+    HERE so the two can't drift.
     """
-    order_cols = [prefix_col, *tiebreak_cols]
-    hist = df.groupBy(prefix_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    # Cumulative counts over the histogram WITHOUT an unpartitioned window
-    # (even dimension-sized ones trip Spark's single-partition WindowExec
-    # path): cumsum within a coarse bucket (year; NULL prefixes → a sentinel
-    # bucket that sorts first, matching NULLS FIRST ascending order), plus
-    # bucket-level offsets from a driver-collected bucket histogram — a
-    # handful of AGGREGATE rows (years), never row data.
-    if coarse_fn is None:
-        coarse_fn = lambda c: F.year(c)  # noqa: E731
+    measure = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).alias("_cnt")
+    hist = df.groupBy(prefix_col).agg(measure)
     null_bucket = -(2**31)
     coarse = F.coalesce(
         coarse_fn(prefix_col).cast("int"), F.lit(null_bucket)
@@ -371,10 +360,44 @@ def global_row_number(
         .orderBy(F.asc_nulls_first(prefix_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offsets = hist.select(
+    return hist.select(
         F.col(prefix_col).alias("_prefix"),
-        (bucket_offset + F.sum("_cnt").over(w_hist) - F.col("_cnt")).alias("_offset"),
+        (bucket_offset + F.sum("_cnt").over(w_hist) - F.col("_cnt")).alias(
+            "_offset"
+        ),
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    prefix_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "entry_no",
+    coarse_fn=None,
+) -> DataFrame:
+    """Distributed global ROW_NUMBER over (prefix, tiebreaks) — W2 at scale.
+
+    A bare ``Window.orderBy(...)`` funnels every row through ONE task (Spark
+    itself warns); this form keeps full parallelism: rank within each prefix
+    group (one shuffle on the prefix), then add the number of rows in all
+    earlier prefixes, computed from a prefix histogram. The histogram is
+    prefix-cardinality-sized (dates, not rows), so its cumulative window is
+    dimension-scale work; no row data ever converges on one task.
+
+    ``coarse_fn`` maps the prefix column to a coarse integer bucket whose
+    ORDER AGREES with the prefix order (bucket(a) < bucket(b) whenever
+    a < b) — it shards the histogram cumsum so even the histogram window
+    is partitioned. Default: calendar year (date/timestamp prefixes).
+    For numeric prefixes pass e.g. ``lambda c: F.floor(F.col(c) * 10)``.
+    """
+    order_cols = [prefix_col, *tiebreak_cols]
+    # Cumulative counts over the histogram WITHOUT an unpartitioned window
+    # (even dimension-sized ones trip Spark's single-partition WindowExec
+    # path) — see ordered_prefix_offsets (NULL prefixes → a sentinel
+    # bucket that sorts first, matching NULLS FIRST ascending order).
+    if coarse_fn is None:
+        coarse_fn = lambda c: F.year(c)  # noqa: E731
+    offsets = ordered_prefix_offsets(df, prefix_col, coarse_fn)
     w_local = Window.partitionBy(prefix_col).orderBy(*[F.col(c) for c in order_cols])
     # Null-safe join so NULL-prefix rows keep their offset instead of
     # silently dropping out of an equi-join.

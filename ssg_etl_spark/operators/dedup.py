@@ -108,7 +108,12 @@ def incremental_exact_dedup(
     scale the default 10 GB application-side threshold is what a real
     index scan exceeds.
     """
-    d = fan_out(delta).select(
+    # NO fan_out here: the delta is the bloom-CREATION side, and fan_out's
+    # Repartition (triggered by exactly the small few-split delta files
+    # production ships) breaks the key-lineage trace InjectRuntimeFilter
+    # needs — disabling the optimization this operator exists to exploit.
+    # The delta-side work is one md5 per row; scan parallelism is enough.
+    d = delta.select(
         "doc_id",
         F.md5(normalize_text(F.col("text")).cast("binary")).alias(
             "content_hash"
@@ -211,7 +216,10 @@ def minhash_lsh_pairs(
     # recomputes per branch (measured 4×+ at sf0.1: 39 s → 13 s with the
     # persists here).
     sig = persist_tracked(minhash_signature(shingles, "doc_id", "shingle", num_hashes))
-    buckets = band_buckets(sig, "doc_id", num_hashes, rows_per_band)
+    # Persisted per capped_self_join_pairs' contract: the band explode is
+    # consumed by the EAGER occupancy aggregation plus both self-join
+    # sides — unpersisted it would recompute three times.
+    buckets = persist_tracked(band_buckets(sig, "doc_id", num_hashes, rows_per_band))
 
     # Candidate pairs are near-dup-sized (small); persisted because both the
     # verification filter and the final semi-join consume them.
@@ -536,14 +544,26 @@ def simhash_pairs(
     Candidate generation is banded (8 equal chunks of the signature → docs
     sharing any chunk meet); with k ≤ 7 differing bits over 8 bands,
     pigeonhole guarantees every qualifying pair shares at least one exact
-    band — no recall loss. With 60-bit signatures the bands cover bits
-    0..55; the uncovered top bits can only ADD candidates (two docs
-    differing solely there still share all 8 bands), and membership is
-    decided by the exact Hamming filter over the full signature, so the
-    guarantee is intact. The band self-join is occupancy-guarded
-    (``lsh.capped_self_join_pairs``): an oversized (band, chunk) bucket —
-    a mega-family of near-identical docs — emits star candidates around
-    its min doc instead of all pairs, bounding the one quadratic term.
+    band. With 60-bit signatures the bands cover bits 0..55; the uncovered
+    top bits can only ADD candidates (two docs differing solely there
+    still share all 8 bands), and membership is decided by the exact
+    Hamming filter over the full signature.
+
+    The band self-join is occupancy-guarded
+    (``lsh.capped_self_join_pairs``): an oversized (band, chunk) bucket
+    emits star candidates around its min doc instead of all pairs,
+    bounding the one quadratic term. RECALL BOUNDARY, stated honestly:
+    once the guard fires, the pigeonhole guarantee narrows to pairs with
+    at least one NON-oversized shared band (or a member within Hamming k
+    of the bucket rep). Each band has only 2^(60/8)≈128 chunk values, so
+    on a DIVERSE corpus ≫ 128·cap per partition, most buckets go hot with
+    mostly-unrelated members and banded SimHash stops being a useful
+    filter at all — that is a parameterization limit of 60-bit/8-band
+    SimHash itself, not of the guard (which merely converts the quadratic
+    blowup into bounded work). At that scale, shard the corpus before
+    banding or use MinHash (64-bit band buckets, where a hot bucket
+    really is one duplicate family and the star contract stays
+    semantically right).
     """
     # Persisted: the banded candidate generation SELF-joins the signature
     # table; without caching the two-aggregation signature plan runs twice.
@@ -570,6 +590,9 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
 
+    # Persisted per capped_self_join_pairs' contract (eager occupancy agg
+    # + both self-join sides consume the 8-band explode).
+    bands = persist_tracked(bands)
     cand = capped_self_join_pairs(
         bands, ["band", "chunk"], "doc_id", "doc_a", "doc_b", max_bucket_occupancy
     )

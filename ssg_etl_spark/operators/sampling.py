@@ -203,40 +203,18 @@ def token_budget_selection(
     the kept prefix. Callers filter on it — emitting the full ranking
     keeps the op auditable (how far past the budget each document fell).
     """
+    from ssg_etl_spark.operators.analytics import ordered_prefix_offsets
+
     base = df.filter(F.col(score_col).isNotNull()).select(
         F.col(id_col), F.col(score_col), F.col(token_col)
     )
     neg = (-F.col(score_col)).alias("_neg")
     rows = base.select("*", neg)
-    hist = rows.groupBy("_neg").agg(F.sum(token_col).alias("_tsum"))
-    coarse = F.floor(F.col("_neg") * 10).cast("int").alias("_coarse")
-    hist = hist.select("*", coarse)
-    bucket_rows = sorted(
-        (r["_coarse"], r["_n"])
-        for r in hist.groupBy("_coarse")
-        .agg(F.sum("_tsum").alias("_n"))
-        .collect()
-    )
-    bucket_offsets, acc = {}, 0
-    for bucket, n in bucket_rows:
-        bucket_offsets[bucket] = acc
-        acc += n
-    bucket_offset = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in bucket_offsets.items() for x in kv]
-        ),
-        F.col("_coarse"),
-    )
-    w_hist = (
-        Window.partitionBy("_coarse")
-        .orderBy(F.asc("_neg"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = hist.select(
-        F.col("_neg").alias("_prefix"),
-        (bucket_offset + F.sum("_tsum").over(w_hist) - F.col("_tsum")).alias(
-            "_offset"
-        ),
+    offsets = ordered_prefix_offsets(
+        rows,
+        "_neg",
+        lambda c: F.floor(F.col(c) * 10),
+        weight_col=token_col,
     )
     w_local = (
         Window.partitionBy("_neg")

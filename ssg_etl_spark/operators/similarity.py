@@ -28,6 +28,33 @@ from ssg_etl_spark.operators.lsh import (
 from ssg_etl_spark.partitioning import fan_out
 
 
+# Target mean bucket occupancy for auto-scaled sign-pattern LSH: small
+# enough that the Σ occupancy² candidate term stays executor-sized, large
+# enough that near neighbors still collide.
+AUTO_BITS_TARGET_OCCUPANCY = 150
+
+
+def auto_bits_per_table(
+    embeddings: DataFrame, target_occupancy: int = AUTO_BITS_TARGET_OCCUPANCY
+) -> int:
+    """bits ≈ log2(N / target_occupancy), floored at 3 — the bucket space
+    MUST grow with the corpus: sign-pattern tables have only 2^bits
+    buckets, so a pinned small ``bits_per_table`` at corpus scale makes
+    EVERY bucket oversized and the occupancy guard's star fallback would
+    quietly replace candidate generation wholesale (recall collapse —
+    hot sign-pattern buckets are mostly UNRELATED vectors, unlike a hot
+    64-bit MinHash bucket, which really is one duplicate family). Costs
+    one eager count job; callers that replay a pinned bucketization (the
+    oracle-checked registry queries, fixture tests) pass explicit bits
+    and skip it. The same scaling rule tools/scale_sweep.py applies
+    manually per scale step.
+    """
+    import math
+
+    n = embeddings.count()
+    return max(3, math.ceil(math.log2(max(2.0, n / float(target_occupancy)))))
+
+
 def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -218,7 +245,7 @@ def knn_label_agreement_lsh(
     k: int = 5,
     label_col: str = "label",
     n_tables: int = 8,
-    bits_per_table: int = 3,
+    bits_per_table: int | None = None,
 ) -> DataFrame:
     """Scale-path noisy-label detection: the SAME vote stage as
     :func:`knn_label_agreement`, fed from LSH bucket-mate candidates
@@ -234,6 +261,8 @@ def knn_label_agreement_lsh(
     coverage + agreement against the exact baseline on the fixture.
     Deterministic anchors → SQL-replayable, approximation included.
     """
+    if bits_per_table is None:
+        bits_per_table = auto_bits_per_table(embeddings)
     anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
     # Persisted: the occupancy-guarded join consumes the postings several
     # times, and each recompute redoes the anchor dot products.
@@ -619,7 +648,7 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 10,
     n_tables: int = 8,
-    bits_per_table: int = 3,
+    bits_per_table: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: banded random-hyperplane LSH (OR-construction).
 
@@ -630,11 +659,18 @@ def lsh_bucketed_topk(
     table; candidates are deduped, then exactly scored and ranked.
 
     Recall for a pair at angle θ is 1-(1-p^b)^L with p = 1-θ/π — tunable via
-    (L, b); the defaults give ≈0.94 at cosine 0.5. At 100 TB: the exploded
+    (L, b); L=8, b=3 gives ≈0.94 at cosine 0.5. ``bits_per_table=None``
+    (the default) auto-scales b with corpus size via
+    :func:`auto_bits_per_table` so bucket occupancy — and with it the
+    Σ occupancy² candidate cost — stays roughly constant as the corpus
+    grows; recall then rides the (L, b) formula at the scaled b, and
+    callers wanting a pinned recall point pass b explicitly. At 100 TB: the exploded
     (table, bucket) corpus is the partitioning key, query signatures
     broadcast, so each executor scores only its bucket-mates — work scales
     with bucket occupancy, not corpus size.
     """
+    if bits_per_table is None:
+        bits_per_table = auto_bits_per_table(embeddings)
     anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
     emb_b = _bucketize(
         embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
@@ -658,7 +694,7 @@ def lsh_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,
     n_tables: int = 8,
-    bits_per_table: int = 3,
+    bits_per_table: int | None = None,
     max_bucket_occupancy: int | None = DEFAULT_MAX_BUCKET_OCCUPANCY,
 ) -> DataFrame:
     """Scale-path near-duplicate pairs: LSH bucket SELF-join for candidate
@@ -674,6 +710,8 @@ def lsh_near_dup_pairs(
     first corpus vectors), hence SQL-replayable for the oracle,
     approximation included.
     """
+    if bits_per_table is None:
+        bits_per_table = auto_bits_per_table(embeddings)
     anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
     # The self-join shuffles the 8×-exploded corpus on (table, bucket) —
     # ids only: carrying dim-sized vectors through that shuffle would
@@ -763,7 +801,7 @@ def lsh_near_dup_pairs_incremental(
     delta: DataFrame,
     threshold: float,
     n_tables: int = 8,
-    bits_per_table: int = 3,
+    bits_per_table: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup of NEW embeddings against an EXISTING corpus —
     the embedding twin of ``dedup.minhash_lsh_pairs_incremental``: the
@@ -774,6 +812,8 @@ def lsh_near_dup_pairs_incremental(
     bucket; each batch bucketizes the delta only and probes). Ids only
     ride the bucket shuffle; vectors re-join on the candidate ids.
     """
+    if bits_per_table is None:
+        bits_per_table = auto_bits_per_table(base)
     anchor_list = _hyperplane_anchor_list(base, n_tables * bits_per_table)
     # Persisted: the guarded probe join consumes the base postings twice
     # (occupancy aggregation + join), and each recompute redoes the

@@ -28,13 +28,21 @@ _DOMAIN_RE = r"([^.]+\.[^.]+)$"
 def with_url_host(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Add ``host`` (parse_url HOST — scheme/port/path-safe) and
     ``domain`` (registrable-domain heuristic) columns. Pure Column
-    expressions; NULL/relative URLs yield NULL host and domain."""
+    expressions; NULL/relative URLs AND single-label hosts (``localhost``,
+    an intranet name — nothing the two-label heuristic can call a
+    registrable domain) yield NULL domain, never the empty string
+    ``regexp_extract`` returns on no match: an ``''`` domain would silently
+    merge every such host into one phantom "site" for caps, splits, and
+    reputation."""
     host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    dom = F.regexp_extract(F.col("host"), _DOMAIN_RE, 1)
     return df.withColumn("host", host).withColumn(
         "domain",
         F.when(
-            F.col("host").isNotNull() & (F.col("host") != ""),
-            F.regexp_extract(F.col("host"), _DOMAIN_RE, 1),
+            F.col("host").isNotNull()
+            & (F.col("host") != "")
+            & (dom != ""),
+            dom,
         ),
     )
 
@@ -98,8 +106,15 @@ def domain_quality_flags(
     The mean runs on DECIMAL(18,12) partial sums (scores are 6-decimal
     rounded, exactly representable) so the double-addition order never
     flips a rounding boundary vs the oracle.
+
+    NULL-domain documents (relative URLs, single-label hosts) PASS
+    THROUGH with NULL reputation columns — the join-back is a LEFT join,
+    so unattributable pages are neither silently dropped nor lumped into
+    one phantom reputation group; "keep where NOT low_quality_domain" on
+    the output retains them (NULL is not true), which is the safe
+    default for a site-level filter.
     """
-    per_domain = df.groupBy("domain").agg(
+    per_domain = df.filter(F.col("domain").isNotNull()).groupBy("domain").agg(
         F.count(F.lit(1)).alias("domain_n_docs"),
         F.sum(F.col(score_col).cast("decimal(18,12)")).alias("_sum_q"),
     )
@@ -117,7 +132,7 @@ def domain_quality_flags(
         mean_q.alias("domain_mean_quality"),
         (mean_q < min_mean_quality).alias("low_quality_domain"),
     )
-    return df.select("doc_id", "domain").join(dim, "domain")
+    return df.select("doc_id", "domain").join(dim, "domain", "left")
 
 
 def normalize_url(

@@ -226,7 +226,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.lsh_bucketed_topk(emb, queries, k=10)
+    # bits pinned: the oracle replays THIS bucketization; the operator
+    # default auto-scales with corpus size instead.
+    return similarity.lsh_bucketed_topk(
+        emb, queries, k=10, n_tables=8, bits_per_table=3
+    )
 
 
 @register(
@@ -266,6 +270,8 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. The probe-≪-build wall split is measured in bench.py; recall at
     default n_probe is pinned by tests/test_similarity.py. Extra
     registry: public surface at the 50-entry driver cap."""
+    import atexit
+    import shutil
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -274,6 +280,12 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = similarity.build_ivf_index(emb, n_cells=16)
     idx_dir = tempfile.mkdtemp(prefix="ivfidx_")
+    # The probe reads these files at EXECUTION time, so the dir cannot be
+    # removed inside the builder; register process-exit cleanup instead of
+    # leaking one index dir per invocation (bench.py's own IVF block uses
+    # try/finally because it controls execution; a registry builder does
+    # not).
+    atexit.register(shutil.rmtree, idx_dir, True)
     idx["centroids"].write.mode("overwrite").parquet(f"{idx_dir}/centroids")
     # Partitioned by cell: a default-n_probe probe prunes to the cells it
     # reads (at fixture scale the pruning is cosmetic; the layout is the
@@ -898,7 +910,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py). Deterministic pipeline → the oracle replays
     candidates AND verification, approximation included."""
     return similarity.lsh_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), 0.45
+        load_table(spark, sf_dir, "embeddings"), 0.45,
+        n_tables=8, bits_per_table=3,
     )
 
 
@@ -927,7 +940,8 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_dup_clusters_exact`` as its O(N²) exactness baseline.
     Extra registry: locally oracle-verified."""
     pairs = similarity.lsh_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), 0.45
+        load_table(spark, sf_dir, "embeddings"), 0.45,
+        n_tables=8, bits_per_table=3,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     return dedup.duplicate_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
@@ -1477,7 +1491,8 @@ def knn_label_agreement_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline → the oracle replays candidates AND the vote tail,
     approximation included. Extra registry: locally oracle-verified."""
     return similarity.knn_label_agreement_lsh(
-        load_table(spark, sf_dir, "embeddings"), k=5
+        load_table(spark, sf_dir, "embeddings"), k=5,
+        n_tables=8, bits_per_table=3,
     )
 
 
@@ -2189,6 +2204,8 @@ def embedding_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         emb.filter(F.col("vec_id") % 10 != 0),
         emb.filter(F.col("vec_id") % 10 == 0),
         0.45,
+        n_tables=8,
+        bits_per_table=3,
     )
 
 
@@ -2221,7 +2238,9 @@ def semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages as ``embedding_dup_clusters`` plus one left join back to the
     full corpus. Extra registry: locally oracle-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.lsh_near_dup_pairs(emb, 0.45).select(
+    pairs = similarity.lsh_near_dup_pairs(
+        emb, 0.45, n_tables=8, bits_per_table=3
+    ).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     clusters = dedup.duplicate_clusters(pairs).select(
@@ -2255,8 +2274,8 @@ docs_url AS (
 hosted AS (
   SELECT doc_id, source, n_chars,
     regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-    regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
-                   '([^.]+\\.[^.]+)$', 1) AS domain
+    nullif(regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                          '([^.]+\\.[^.]+)$', 1), '') AS domain
   FROM docs_url)
 """
 
@@ -2539,10 +2558,10 @@ agg AS (
   SELECT domain, COUNT(*) AS domain_n_docs,
     round(CAST(SUM(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE)
           / COUNT(*), 6) AS domain_mean_quality
-  FROM j GROUP BY 1)
+  FROM j WHERE domain IS NOT NULL GROUP BY 1)
 SELECT j.doc_id, j.domain, agg.domain_n_docs, agg.domain_mean_quality,
        agg.domain_mean_quality < 0.5 AS low_quality_domain
-FROM j JOIN agg USING (domain)
+FROM j LEFT JOIN agg USING (domain)
 """,
     tags=("llm", "curation", "web", "quality"),
     extra=True,

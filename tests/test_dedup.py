@@ -1221,3 +1221,50 @@ def test_deterministic_shuffle_dense_unique_and_stable(spark):
     # Not the identity/sorted order: at least half the ids moved.
     moved = sum(1 for i in range(500) if out[i] != i + 1)
     assert moved > 250
+
+
+def test_with_url_host_single_label_host_yields_null_domain(spark):
+    """Single-label hosts (localhost, intranet names) get NULL domain —
+    never '' (which would merge unrelated hosts into one phantom site)."""
+    from ssg_etl_spark.operators.web import with_url_host
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://localhost/x"),
+            (2, "http://intranet:8080/page"),
+            (3, "https://www.example.org/a"),
+            (4, None),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in with_url_host(df).collect()}
+    assert out[1].domain is None and out[2].domain is None
+    assert out[3].domain == "example.org"
+    assert out[4].domain is None
+
+
+def test_domain_quality_flags_null_domain_passthrough(spark):
+    """NULL-domain documents pass through with NULL reputation instead of
+    being dropped by the join-back or lumped into one phantom group."""
+    from ssg_etl_spark.operators.web import domain_quality_flags
+
+    df = spark.createDataFrame(
+        [(1, "good.org", 0.9), (2, None, 0.2), (3, None, 0.8)],
+        "doc_id long, domain string, quality_score double",
+    )
+    out = {r.doc_id: r for r in domain_quality_flags(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].low_quality_domain is None
+    assert out[2].domain_mean_quality is None
+    assert out[1].domain_n_docs == 1  # null rows never join a real domain
+
+
+def test_auto_bits_per_table_scales_with_corpus(spark):
+    """Default sign-pattern bucket space grows with the corpus so mean
+    occupancy stays ~constant; small corpora keep the fixture floor."""
+    from ssg_etl_spark.operators.similarity import auto_bits_per_table
+
+    assert auto_bits_per_table(spark.range(120)) == 3
+    assert auto_bits_per_table(spark.range(1000)) == 3
+    assert auto_bits_per_table(spark.range(100_000)) == 10
+    assert auto_bits_per_table(spark.range(1_000_000)) == 13
