@@ -93,6 +93,7 @@ CURATION_FAMILY = [
     "token_budget_selection",
     "intra_doc_line_dedup",
     "deterministic_shuffle",
+    "bm25_topk",
 ]
 
 

@@ -446,6 +446,83 @@ def unigram_logprob(df: DataFrame) -> DataFrame:
     )
 
 
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval over the corpus: for each query document, the top-k
+    most relevant corpus documents — the "more like this" search that
+    powers retrieval-based decontamination, topic expansion, and
+    relevance-graded curation. ``queries`` is a (query_id, text) frame,
+    small next to the corpus by contract.
+
+    Standard Okapi BM25: idf = ln((N − df + 0.5)/(df + 0.5) + 1) per
+    term, tf saturation tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), score =
+    Σ matching-term contributions. Self-matches are excluded; ties break
+    on ascending doc_id.
+
+    Scale shape: one corpus TF pass (persisted — df table, dl table, and
+    the match join all consume it), query terms DISTINCT per (query,
+    term) then joined to corpus postings on term — the posting-list join
+    of an inverted index, expressed relationally. The query side is
+    query-corpus-sized (small), so AQE broadcasts it; the N/avgdl scalars
+    ride a broadcast 1-row aggregate. Per-pair score accumulation runs on
+    DECIMAL(28,12) intermediates (contributions are doubles computed
+    identically in both engines from integer tf/df/dl and the shared
+    avgdl; only the ADDITION ORDER is nondeterministic, which the decimal
+    partial sums make irrelevant). Ranking is a per-query window with
+    rank-limit pushdown.
+    """
+    from ssg_etl_spark.cache import persist_tracked
+
+    terms = fan_out(corpus).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    tf = persist_tracked(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    qterms = queries.select(
+        "query_id", F.explode(words(F.col("text"))).alias("term")
+    ).distinct()
+    idf = F.log(
+        (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    contrib = (idf * tf_norm).cast("decimal(28,12)")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib).cast("double"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
 # Deployed-classifier weights for quality_model_score: stand-ins for a
 # trained logistic regression's coefficients (the engine contract is the
 # scoring plan, not the fit). (intercept, stopword_ratio, punct_ratio,

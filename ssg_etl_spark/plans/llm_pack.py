@@ -2700,3 +2700,51 @@ def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.deterministic_shuffle(
         load_table(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl),
+q AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+    round(CAST(SUM(CAST(
+      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      * (t.tf * (1.2 + 1.0))
+        / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+      AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+  FROM tf t
+  JOIN q ON t.term = q.term AND t.doc_id <> q.query_id
+  JOIN dfreq d ON t.term = d.term
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, bm25 FROM (
+  SELECT query_id, doc_id, bm25,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored) r
+WHERE rank <= 10
+""",
+    tags=("llm", "text", "retrieval"),
+    extra=True,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 "more like this" retrieval: every doc_id % 100 = 0 document
+    queries the corpus for its 10 most relevant documents — the inverted-
+    index posting-list join expressed relationally, with retrieval-based
+    decontamination and relevance curation as the downstream uses.
+    Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return text.bm25_topk(docs, queries, k=10)

@@ -1268,3 +1268,32 @@ def test_auto_bits_per_table_scales_with_corpus(spark):
     assert auto_bits_per_table(spark.range(1000)) == 3
     assert auto_bits_per_table(spark.range(100_000)) == 10
     assert auto_bits_per_table(spark.range(1_000_000)) == 13
+
+
+def test_bm25_ranks_relevant_above_common(spark):
+    """A document sharing the query's RARE terms outranks one sharing
+    only corpus-ubiquitous terms (idf does the work), and a longer doc
+    with the same matches scores below a shorter one (length norm)."""
+    from ssg_etl_spark.operators.text import bm25_topk
+
+    # "the and of" appear in EVERY document (df = N → idf ≈ 0), so a
+    # common-only match must lose to any rare-term match.
+    corpus = spark.createDataFrame(
+        [
+            (1, "the and of zebra quagga okapi"),      # rare-term match
+            (2, "the and of"),                         # common-only match
+            (3, "the and of zebra quagga okapi " + "filler " * 30),
+            (4, "the and of something else entirely"),
+            (5, "the and of unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "zebra quagga okapi the and of")],
+        "query_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(corpus, queries, k=5).collect()}
+    assert out[1].rank < out[2].rank          # rare beats common
+    assert out[1].bm25 > out[3].bm25          # shorter beats longer
+    assert all(r.query_id == 100 for r in out.values())
+    assert sorted(r.rank for r in out.values()) == list(range(1, 6))

@@ -80,6 +80,7 @@ AUDIT_DEFAULT = [
     "token_budget_selection",
     "intra_doc_line_dedup",
     "deterministic_shuffle",
+    "bm25_topk",
 ]
 
 
