@@ -85,6 +85,7 @@ def load_all(include_extra: bool = False) -> dict[str, QuerySpec]:
     from ssg_etl_spark.plans import analytics_pack  # noqa: F401
     from ssg_etl_spark.plans import events_pack  # noqa: F401
     from ssg_etl_spark.plans import functions_pack  # noqa: F401
+    from ssg_etl_spark.plans import features_pack  # noqa: F401  (sequence/encoding/outliers)
 
     if len(_REGISTRY) > MAX_PUBLIC_QUERIES:
         raise AssertionError(
