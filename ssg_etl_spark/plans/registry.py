@@ -86,6 +86,7 @@ def load_all(include_extra: bool = False) -> dict[str, QuerySpec]:
     from ssg_etl_spark.plans import events_pack  # noqa: F401
     from ssg_etl_spark.plans import functions_pack  # noqa: F401
     from ssg_etl_spark.plans import features_pack  # noqa: F401  (sequence/encoding/outliers)
+    from ssg_etl_spark.plans import linkage_pack  # noqa: F401  (blocked fuzzy matching)
 
     if len(_REGISTRY) > MAX_PUBLIC_QUERIES:
         raise AssertionError(

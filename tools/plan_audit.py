@@ -81,6 +81,7 @@ AUDIT_DEFAULT = [
     "intra_doc_line_dedup",
     "deterministic_shuffle",
     "bm25_topk",
+    "fuzzy_customer_match",
 ]
 
 
