@@ -109,12 +109,21 @@ def mixture_sample(
     rate_map = F.create_map(
         *[x for s, r in rates.items() for x in (F.lit(s), F.lit(float(r)))]
     )
-    rate = rate_map[F.col(source_col)]
-    n_full = F.floor(rate).cast("int")
-    frac = rate - F.floor(rate)
+    return _epoch_bernoulli(
+        df.withColumn("_rate", rate_map[F.col(source_col)]), id_col, seed
+    )
+
+
+def _epoch_bernoulli(df: DataFrame, id_col: str, seed: int) -> DataFrame:
+    """Shared epoch-replication core: given rows carrying a ``_rate``
+    column, emit ``floor(rate)`` full epochs plus a deterministic
+    fractional epoch kept when md5(id:epoch:seed)-uniform < frac.
+    Pure row function — zero joins/shuffles beyond the input's own plan;
+    consumed by :func:`mixture_sample` (literal rates) and
+    :func:`temperature_mixture` (data-derived rates)."""
+    n_full = F.floor(F.col("_rate")).cast("int")
     with_epoch = (
-        df.withColumn("_rate", rate)
-        .filter(F.col("_rate").isNotNull() & (F.col("_rate") > 0))
+        df.filter(F.col("_rate").isNotNull() & (F.col("_rate") > 0))
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), n_full)))
     )
     u = (
@@ -141,6 +150,113 @@ def mixture_sample(
         | (u < (F.col("_rate") - F.floor(F.col("_rate"))))
     )
     return kept.drop("_rate")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_rate: float = 8.0,
+) -> DataFrame:
+    """Temperature-based (alpha) group rebalancing — the multilingual
+    mixing rule behind mBERT/XLM-R-style corpora: sample group ``g`` with
+    probability q_g ∝ p_g^alpha (p_g the natural share), so rare
+    languages/sources are upsampled and dominant ones downsampled while
+    the expected corpus size stays N. alpha=1 is the natural mix,
+    alpha→0 uniform-over-groups.
+
+    Per-group epoch rate = N · n_g^(alpha-1) / Σ_h n_h^alpha, clamped to
+    ``max_rate`` (a tiny group under small alpha would otherwise explode
+    into thousands of copies — the clamp bounds the fan-out and is
+    mirrored in the oracle). Rates come from one group-count aggregation
+    (dimension-sized: one row per language/source); the normalizer is a
+    DECIMAL sum of the per-group n^alpha terms, so it is exact and
+    order-independent — the one double-sum that would otherwise make the
+    rate engine-dependent. The rates frame broadcasts back onto the
+    corpus; replication/fractional epochs ride
+    :func:`_epoch_bernoulli`'s hash-threshold contract
+    (repartition-stable, oracle-replayable).
+
+    Plan: scan → count-agg (dimension-sized) → broadcast join → explode →
+    filter. Returns the input id/group plus ``epoch``.
+    """
+    if not (0 < alpha <= 1):
+        raise ValueError("alpha must be in (0, 1]")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    norm = counts.agg(
+        F.sum(F.pow(F.col("_n"), F.lit(alpha)).cast("decimal(38,18)")).alias(
+            "_z"
+        ),
+        F.sum("_n").alias("_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        group_col,
+        F.least(
+            F.col("_total").cast("double")
+            * F.pow(F.col("_n"), F.lit(alpha - 1.0))
+            / F.col("_z").cast("double"),
+            F.lit(float(max_rate)),
+        ).alias("_rate"),
+    )
+    with_rate = df.select(F.col(id_col), F.col(group_col)).join(
+        F.broadcast(rates), group_col
+    )
+    return _epoch_bernoulli(with_rate, id_col, seed)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (sequential
+    Poisson sampling, Ohlsson 1998): rank every row by ξ = u / w — u a
+    hash-uniform in (0, 1] from md5(id:seed), w the row's weight — and
+    keep the k smallest. Inclusion probability is approximately
+    proportional to weight (πps), the standard scheme for
+    quality-weighted corpus subsampling, and unlike ``DataFrame.sample``
+    the result is a pure function of (id, weight): stable under
+    repartition, cluster resize, and re-run, and replayable by the SQL
+    oracle (u/w is one IEEE double division — bit-identical across
+    engines, no pow/log whose libm rounding could diverge).
+
+    Rows with NULL or non-positive weight are excluded (unsamplable).
+    The global top-k is ``orderBy(ξ).limit(k)`` — Spark plans
+    TakeOrderedAndProject: per-partition partial top-k then a k-row
+    merge, no global sort, no single-task funnel. Returns
+    (id, weight, ξ) for auditability of the cut point.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.col(weight_col).cast("double")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                        ).cast("binary")
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + F.lit(1)
+        )
+        / F.lit(float(1 << 48))
+    )
+    ranked = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(F.col(id_col), w.alias("weight"), (u / w).alias("xi"))
+    )
+    return ranked.orderBy("xi", id_col).limit(k)
 
 
 def group_split(

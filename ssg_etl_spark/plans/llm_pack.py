@@ -2748,3 +2748,60 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "text"
     )
     return text.bm25_topk(docs, queries, k=10)
+
+
+@register(
+    "weighted_sample_topk",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+    ((CAST(('0x' || substr(md5(doc_id || ':42'), 1, 12)) AS BIGINT) + 1)
+       / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS xi
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, weight, xi FROM s ORDER BY xi, doc_id LIMIT 500
+""",
+    tags=("llm", "sampling"),
+    extra=True,
+)
+def weighted_sample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson weighted sampling (Ohlsson): 500 documents drawn
+    without replacement with inclusion probability ~ proportional to
+    n_chars — the quality/length-weighted corpus subsampling step, as a
+    pure function of (id, weight): ξ = hash-uniform/weight, global
+    smallest-k via TakeOrderedAndProject (per-partition partial top-k, no
+    global sort). Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(docs, k=500, weight_col="n_chars")
+
+
+@register(
+    "temperature_mixture_lang",
+    oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+z AS (SELECT SUM(CAST(pow(n, 0.5) AS DECIMAL(38,18))) AS z,
+             SUM(n) AS total FROM c),
+r AS (SELECT lang,
+        LEAST(CAST(total AS DOUBLE) * pow(n, -0.5) / CAST(z AS DOUBLE),
+              8.0) AS rate
+      FROM c, z),
+d AS (SELECT doc_id, d.lang, rate FROM documents d JOIN r USING (lang)),
+e AS (SELECT doc_id, lang, rate, CAST(s AS INT) AS epoch
+      FROM d, range(0, 16) g(s) WHERE s <= CAST(FLOOR(rate) AS INT)),
+u AS (SELECT *,
+  CAST(('0x' || substr(md5(doc_id || ':' || epoch || ':42'), 1, 12))
+       AS BIGINT) / 281474976710656.0 AS uu
+  FROM e)
+SELECT doc_id, lang, epoch
+FROM u WHERE epoch < CAST(FLOOR(rate) AS INT) OR uu < rate - FLOOR(rate)
+""",
+    tags=("llm", "sampling"),
+    extra=True,
+)
+def temperature_mixture_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) language rebalancing: rare languages
+    upsampled, dominant downsampled, expected corpus size preserved —
+    per-group rates from one dimension-sized count aggregation with an
+    exact DECIMAL normalizer, broadcast back, epochs via the shared
+    hash-threshold Bernoulli. Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mixture(docs, alpha=0.5, group_col="lang")

@@ -282,3 +282,28 @@ def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+from ssg_etl_spark.operators.zorder import zorder_key, zorder_oracle_sql  # noqa: E402
+
+
+@register(
+    "zorder_orders",
+    oracle=zorder_oracle_sql(
+        "orders", "o_orderkey", ["o_totalprice", "o_custkey"], bits=8
+    ),
+    tags=("scale", "export"),
+    extra=True,
+)
+def zorder_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (o_totalprice, o_custkey) —
+    the multi-dimensional data-skipping layout: range-sorting files by
+    this key keeps per-file min-max stats tight on BOTH columns at once.
+    One 1-row min/max aggregate broadcast back + pure bit-interleave
+    column math; the oracle replays the identical IEEE quantization.
+    Extra registry: locally oracle-verified."""
+    return zorder_key(
+        load_table(spark, sf_dir, "orders"),
+        ["o_totalprice", "o_custkey"],
+        bits=8,
+    ).select("o_orderkey", "zorder")

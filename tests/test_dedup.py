@@ -1297,3 +1297,66 @@ def test_bm25_ranks_relevant_above_common(spark):
     assert out[1].bm25 > out[3].bm25          # shorter beats longer
     assert all(r.query_id == 100 for r in out.values())
     assert sorted(r.rank for r in out.values()) == list(range(1, 6))
+
+
+def test_weighted_sample_exact_set_and_stability(spark):
+    """Sequential Poisson sample equals the hashlib-recomputed expected
+    set (ξ = u/w smallest-k), is repartition-stable, and excludes NULL
+    and non-positive weights."""
+    import hashlib
+
+    from ssg_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(10 + (i * 37) % 90)) for i in range(200)]
+    rows += [(900, None), (901, 0.0), (902, -5.0)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def xi(i, w):
+        h = hashlib.md5(f"{i}:42".encode()).hexdigest()
+        u = (int(h[:12], 16) + 1) / float(1 << 48)
+        return u / w
+
+    expected = sorted(
+        ((xi(i, w), i) for i, w in rows if w is not None and w > 0)
+    )[:25]
+    got = weighted_sample(docs, k=25, weight_col="w").collect()
+    assert len(got) == 25
+    assert {r.doc_id for r in got} == {i for _, i in expected}
+    got2 = weighted_sample(docs.repartition(7), k=25, weight_col="w").collect()
+    assert {r.doc_id for r in got2} == {i for _, i in expected}
+
+
+def test_temperature_mixture_rebalances_and_clamps(spark):
+    """alpha=0.5 upsamples the rare group (~2.5 epochs) and downsamples
+    the dominant one (~0.83); alpha=1 reproduces the natural mix exactly;
+    max_rate clamps a degenerate rare-group rate to exactly max_rate
+    full epochs."""
+    from ssg_etl_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big") for i in range(90)] + [
+        (100 + i, "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture(docs, alpha=0.5).collect()
+    per_doc: dict = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # rate_small = 100 / (sqrt(10) * (sqrt(90)+sqrt(10))) ≈ 2.5
+    for i in range(10):
+        n = len(per_doc.get(100 + i, []))
+        assert 2 <= n <= 3, (i, n)
+    # rate_big ≈ 0.833 — at most one copy each
+    for i in range(90):
+        assert len(per_doc.get(i, [])) <= 1
+    assert 80 <= len(out) <= 120  # expected size ≈ N
+
+    nat = temperature_mixture(docs, alpha=1.0).collect()
+    assert sorted((r.doc_id, r.epoch) for r in nat) == [
+        (i, 0) for i, _ in rows
+    ]
+
+    rows2 = [(i, "big") for i in range(200)] + [(999, "tiny")]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, lang string")
+    out2 = temperature_mixture(docs2, alpha=0.5, max_rate=8.0).collect()
+    tiny_epochs = sorted(r.epoch for r in out2 if r.doc_id == 999)
+    assert tiny_epochs == list(range(8))

@@ -82,6 +82,9 @@ AUDIT_DEFAULT = [
     "deterministic_shuffle",
     "bm25_topk",
     "fuzzy_customer_match",
+    "weighted_sample_topk",
+    "temperature_mixture_lang",
+    "zorder_orders",
 ]
 
 
