@@ -94,6 +94,10 @@ CURATION_FAMILY = [
     "intra_doc_line_dedup",
     "deterministic_shuffle",
     "bm25_topk",
+    # Round 6: weighted/temperature sampling, Z-order clustering keys.
+    "weighted_sample_topk",
+    "temperature_mixture_lang",
+    "zorder_orders",
 ]
 
 

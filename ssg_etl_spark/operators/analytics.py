@@ -541,3 +541,114 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation for every column pair in ONE scan + ONE
+    aggregation — the profiling matrix ``df.stat.corr`` would need
+    O(pairs) separate jobs for.
+
+    All sufficient statistics (Σx, Σx², Σxy, n) accumulate as one
+    partial-aggregated pass; the per-row products are IEEE doubles cast
+    to DECIMAL(38,10) before summing, so every sum is exact and
+    order-independent — the oracle replays r to the last rounded digit
+    regardless of row order or partitioning. r is assembled driver-free
+    from the single aggregate row (broadcast-sized by construction:
+    p(p+1)/2 + p + 1 columns), NULL when either column is constant.
+    Rows where any participating column is NULL are excluded (pairwise
+    deletion would make each r see a different n — complete-case is the
+    reproducible default, mirrored in the oracle's WHERE).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    vals = {c: F.col(c).cast("double") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(vals[c].cast("decimal(38,10)")).alias(f"_s_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((vals[a] * vals[b]).cast("decimal(38,10)")).alias(
+                    f"_p_{a}_{b}"
+                )
+            )
+    row = base.agg(*aggs)
+
+    def r_expr(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sa = F.col(f"_s_{a}").cast("double")
+        sb = F.col(f"_s_{b}").cast("double")
+        saa = F.col(f"_p_{a}_{a}").cast("double")
+        sbb = F.col(f"_p_{b}_{b}").cast("double")
+        sab = F.col(f"_p_{a}_{b}").cast("double")
+        cov = n * sab - sa * sb
+        va = n * saa - sa * sa
+        vb = n * sbb - sb * sb
+        return F.when(
+            (va > 0) & (vb > 0), cov / F.sqrt(va) / F.sqrt(vb)
+        ).otherwise(F.lit(None).cast("double"))
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(r_expr(a, b), 6).alias("corr"),
+            )
+            for i, a in enumerate(cols)
+            for b in cols[i + 1 :]
+        ]
+    )
+    return row.select(F.explode(pairs).alias("p"), "_n").select(
+        "p.col_a", "p.col_b", "p.corr", F.col("_n").alias("n_rows")
+    )
+
+
+def correlation_matrix_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB replay of :func:`correlation_matrix`: identical sufficient
+    statistics (DECIMAL(38,10) sums of IEEE double products), identical
+    assembly order (n·Sab − Sa·Sb, divided by the two sqrt factors in
+    sequence)."""
+    where = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sums = ", ".join(
+        f"SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(38,10))) AS s_{c}"
+        for c in cols
+    )
+    prods = ", ".join(
+        f"SUM(CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
+        f" AS DECIMAL(38,10))) AS p_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    )
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            r = (
+                f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / sqrt(CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" / sqrt(CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            )
+            guard = (
+                f"CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) > 0"
+                f" AND CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) > 0"
+            )
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" CASE WHEN {guard} THEN round({r}, 6) END AS corr,"
+                f" n AS n_rows FROM agg"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        f"WITH agg AS (SELECT COUNT(*) AS n, {sums}, {prods}\n"
+        f"FROM {table} WHERE {where})\n{union}"
+    )

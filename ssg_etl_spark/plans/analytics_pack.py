@@ -766,3 +766,29 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.numeric_histogram(
         load_table(spark, sf_dir, "orders"), "o_totalprice", 20
     )
+
+
+from ssg_etl_spark.operators.analytics import (  # noqa: E402
+    correlation_matrix,
+    correlation_matrix_oracle_sql,
+)
+
+
+@register(
+    "lineitem_correlations",
+    oracle=correlation_matrix_oracle_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ),
+    tags=("analytics", "profiling"),
+    extra=True,
+)
+def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the four lineitem measures in one
+    scan + one aggregation (df.stat.corr would run a job per pair) —
+    DECIMAL-exact sufficient statistics, so the oracle replays r to the
+    last rounded digit under any row order. Extra registry: locally
+    oracle-verified."""
+    return correlation_matrix(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )

@@ -352,3 +352,27 @@ def test_run_report_escapes_html(spark):
     _, body = format_run_report(run)
     assert "<script>" not in body
     assert "&lt;script&gt;" in body and "&amp; broken" in body
+
+
+def test_correlation_matrix_known_values(spark):
+    """r = +1 for a perfect linear pair, -1 for a perfect inverse pair,
+    NULL for a constant column; NULL rows are complete-case excluded so
+    every pair sees the same n."""
+    from ssg_etl_spark.operators.analytics import correlation_matrix
+
+    rows = [
+        (float(i), 2.0 * i + 3.0, -1.5 * i + 10.0, 7.0)
+        for i in range(1, 21)
+    ] + [(None, 1.0, 1.0, 7.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, k double")
+    got = {
+        (r.col_a, r.col_b): (r.corr, r.n_rows)
+        for r in correlation_matrix(df, ["a", "b", "c", "k"]).collect()
+    }
+    assert len(got) == 6
+    assert all(n == 20 for _, n in got.values())  # NULL row excluded
+    assert got[("a", "b")][0] == 1.0
+    assert got[("a", "c")][0] == -1.0
+    assert got[("b", "c")][0] == -1.0
+    assert got[("a", "k")][0] is None  # constant column -> undefined r
+    assert got[("b", "k")][0] is None

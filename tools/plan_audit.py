@@ -85,6 +85,7 @@ AUDIT_DEFAULT = [
     "weighted_sample_topk",
     "temperature_mixture_lang",
     "zorder_orders",
+    "lineitem_correlations",
 ]
 
 

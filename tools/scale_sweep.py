@@ -113,7 +113,7 @@ def family(sf_dir: str, n_vectors: int):
 
     from pyspark.sql import functions as F
 
-    from ssg_etl_spark.operators import dedup, sampling, similarity, text
+    from ssg_etl_spark.operators import dedup, sampling, similarity, text, zorder
     from ssg_etl_spark.sources.tables import load_table
 
     # Keep expected sign-bucket occupancy near ~150 vectors: bits =
@@ -212,6 +212,27 @@ def family(sf_dir: str, n_vectors: int):
                     F.col("n_words").alias("n_tokens"),
                 ),
                 10_000,
+            ),
+            "",
+        ),
+        (
+            "weighted_sample",
+            lambda s: sampling.weighted_sample(
+                docs(s), k=500, weight_col="n_chars"
+            ),
+            "",
+        ),
+        (
+            "temperature_mixture",
+            lambda s: sampling.temperature_mixture(
+                docs(s), alpha=0.5, group_col="lang"
+            ),
+            "",
+        ),
+        (
+            "zorder_key",
+            lambda s: zorder.zorder_key(docs(s), ["n_chars", "doc_id"]).select(
+                "doc_id", "zorder"
             ),
             "",
         ),
