@@ -2805,3 +2805,27 @@ def temperature_mixture_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-threshold Bernoulli. Extra registry: locally oracle-verified."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.temperature_mixture(docs, alpha=0.5, group_col="lang")
+
+
+@register(
+    "media_frame_plan",
+    oracle="""
+WITH v AS (
+  SELECT doc_id AS asset_id, n_chars * 100 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT asset_id, CAST(s AS BIGINT) AS sample_ms
+FROM v, range(0, 100000) g(s)
+WHERE s <= duration_ms AND s % 1000 = 0
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per planned sample timestamp
+    (stride 1000 ms) per video asset — the pure-DataFrame half of frame
+    extraction (sequence+explode; decode rides extract_features'
+    mapInPandas contract). Extra registry: locally oracle-verified."""
+    assets = multimodal.media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.frame_sample_plan(assets, every_ms=1000)
