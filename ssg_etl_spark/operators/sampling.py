@@ -180,7 +180,11 @@ def temperature_mixture(
     (repartition-stable, oracle-replayable).
 
     Plan: scan → count-agg (dimension-sized) → broadcast join → explode →
-    filter. Returns the input id/group plus ``epoch``.
+    filter. Returns the input id/group plus ``epoch``. Rows with a NULL
+    group key are EXCLUDED (the rate join is inner, identically in the
+    oracle's ``JOIN USING``): a NULL language/source has no principled
+    rate under the temperature rule — pre-coalesce the key (e.g. to
+    'und') to give unattributed rows an explicit group instead.
     """
     if not (0 < alpha <= 1):
         raise ValueError("alpha must be in (0, 1]")
