@@ -94,10 +94,13 @@ CURATION_FAMILY = [
     "intra_doc_line_dedup",
     "deterministic_shuffle",
     "bm25_topk",
-    # Round 6: weighted/temperature sampling, Z-order clustering keys.
+    # Round 6: weighted/temperature sampling, Z-order clustering keys,
+    # one-pass correlation profiling, frame-sample planning.
     "weighted_sample_topk",
     "temperature_mixture_lang",
     "zorder_orders",
+    "lineitem_correlations",
+    "media_frame_plan",
 ]
 
 
