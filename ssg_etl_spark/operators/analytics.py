@@ -564,28 +564,31 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     base = df
     for c in cols:
         base = base.filter(F.col(c).isNotNull())
-    vals = {c: F.col(c).cast("double") for c in cols}
+    vals = [F.col(c).cast("double") for c in cols]
+    # Aliases are INDEX-based (_s_0, _p_0_1): name-derived aliases would
+    # collide for column names containing underscores ((x, y_y) and
+    # (x_y, y) both flatten to _p_x_y_y).
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
+    for i in range(len(cols)):
         aggs.append(
-            F.sum(vals[c].cast("decimal(38,10)")).alias(f"_s_{c}")
+            F.sum(vals[i].cast("decimal(38,10)")).alias(f"_s_{i}")
         )
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
             aggs.append(
-                F.sum((vals[a] * vals[b]).cast("decimal(38,10)")).alias(
-                    f"_p_{a}_{b}"
+                F.sum((vals[i] * vals[j]).cast("decimal(38,10)")).alias(
+                    f"_p_{i}_{j}"
                 )
             )
     row = base.agg(*aggs)
 
-    def r_expr(a: str, b: str):
+    def r_expr(i: int, j: int):
         n = F.col("_n").cast("double")
-        sa = F.col(f"_s_{a}").cast("double")
-        sb = F.col(f"_s_{b}").cast("double")
-        saa = F.col(f"_p_{a}_{a}").cast("double")
-        sbb = F.col(f"_p_{b}_{b}").cast("double")
-        sab = F.col(f"_p_{a}_{b}").cast("double")
+        sa = F.col(f"_s_{i}").cast("double")
+        sb = F.col(f"_s_{j}").cast("double")
+        saa = F.col(f"_p_{i}_{i}").cast("double")
+        sbb = F.col(f"_p_{j}_{j}").cast("double")
+        sab = F.col(f"_p_{i}_{j}").cast("double")
         cov = n * sab - sa * sb
         va = n * saa - sa * sa
         vb = n * sbb - sb * sb
@@ -596,12 +599,12 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     pairs = F.array(
         *[
             F.struct(
-                F.lit(a).alias("col_a"),
-                F.lit(b).alias("col_b"),
-                F.round(r_expr(a, b), 6).alias("corr"),
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                F.round(r_expr(i, j), 6).alias("corr"),
             )
-            for i, a in enumerate(cols)
-            for b in cols[i + 1 :]
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
         ]
     )
     return row.select(F.explode(pairs).alias("p"), "_n").select(
@@ -615,35 +618,37 @@ def correlation_matrix_oracle_sql(table: str, cols: list[str]) -> str:
     assembly order (n·Sab − Sa·Sb, divided by the two sqrt factors in
     sequence)."""
     where = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    # Index-based aliases, mirroring correlation_matrix (name-derived
+    # aliases collide when column names contain underscores).
     sums = ", ".join(
-        f"SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(38,10))) AS s_{c}"
-        for c in cols
+        f"SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(38,10))) AS s_{i}"
+        for i, c in enumerate(cols)
     )
     prods = ", ".join(
-        f"SUM(CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
-        f" AS DECIMAL(38,10))) AS p_{a}_{b}"
-        for i, a in enumerate(cols)
-        for b in cols[i:]
+        f"SUM(CAST(CAST({cols[i]} AS DOUBLE) * CAST({cols[j]} AS DOUBLE)"
+        f" AS DECIMAL(38,10))) AS p_{i}_{j}"
+        for i in range(len(cols))
+        for j in range(i, len(cols))
     )
     selects = []
-    for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
             r = (
-                f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
-                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-                f" / sqrt(CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)"
-                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
-                f" / sqrt(CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)"
-                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f"(CAST(n AS DOUBLE) * CAST(p_{i}_{j} AS DOUBLE)"
+                f" - CAST(s_{i} AS DOUBLE) * CAST(s_{j} AS DOUBLE))"
+                f" / sqrt(CAST(n AS DOUBLE) * CAST(p_{i}_{i} AS DOUBLE)"
+                f" - CAST(s_{i} AS DOUBLE) * CAST(s_{i} AS DOUBLE))"
+                f" / sqrt(CAST(n AS DOUBLE) * CAST(p_{j}_{j} AS DOUBLE)"
+                f" - CAST(s_{j} AS DOUBLE) * CAST(s_{j} AS DOUBLE))"
             )
             guard = (
-                f"CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)"
-                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) > 0"
-                f" AND CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)"
-                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) > 0"
+                f"CAST(n AS DOUBLE) * CAST(p_{i}_{i} AS DOUBLE)"
+                f" - CAST(s_{i} AS DOUBLE) * CAST(s_{i} AS DOUBLE) > 0"
+                f" AND CAST(n AS DOUBLE) * CAST(p_{j}_{j} AS DOUBLE)"
+                f" - CAST(s_{j} AS DOUBLE) * CAST(s_{j} AS DOUBLE) > 0"
             )
             selects.append(
-                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,"
                 f" CASE WHEN {guard} THEN round({r}, 6) END AS corr,"
                 f" n AS n_rows FROM agg"
             )

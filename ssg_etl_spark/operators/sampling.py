@@ -114,6 +114,23 @@ def mixture_sample(
     )
 
 
+def _hash_uniform48(parts: list[Column], open_zero: bool = False) -> Column:
+    """Deterministic hash-uniform: first 48 bits of md5(':'-joined parts)
+    over 2^48 — [0, 1), or (0, 1] with ``open_zero`` (adds 1 before the
+    division, for keys that must never be exactly 0). The ONE Spark-side
+    construction every sampling oracle replays as
+    ``('0x' || substr(md5(a || ':' || b), 1, 12))::BIGINT / 2^48`` —
+    hex width, offsets, and divisor live here only."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts).cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    if open_zero:
+        h = h + F.lit(1)
+    return h / F.lit(float(1 << 48))
+
+
 def _epoch_bernoulli(df: DataFrame, id_col: str, seed: int) -> DataFrame:
     """Shared epoch-replication core: given rows carrying a ``_rate``
     column, emit ``floor(rate)`` full epochs plus a deterministic
@@ -126,24 +143,12 @@ def _epoch_bernoulli(df: DataFrame, id_col: str, seed: int) -> DataFrame:
         df.filter(F.col("_rate").isNotNull() & (F.col("_rate") > 0))
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), n_full)))
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col(id_col).cast("string"),
-                        F.col("epoch").cast("string"),
-                        F.lit(str(seed)),
-                    ).cast("binary")
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(float(1 << 48))
+    u = _hash_uniform48(
+        [
+            F.col(id_col).cast("string"),
+            F.col("epoch").cast("string"),
+            F.lit(str(seed)),
+        ]
     )
     kept = with_epoch.filter(
         (F.col("epoch") < F.floor(F.col("_rate")).cast("int"))
@@ -189,18 +194,32 @@ def temperature_mixture(
     if not (0 < alpha <= 1):
         raise ValueError("alpha must be in (0, 1]")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_d = F.col("_n").cast("double")
+    # alpha = 0.5 (the common temperature) goes through sqrt, which IEEE
+    # guarantees correctly rounded in every engine; generic alpha uses
+    # libm pow, where the JVM (Math.pow, 1-ulp tolerance) and the
+    # oracle's glibc may differ in the last ulp — harmless for sampling
+    # quality, but only the sqrt path is bit-replayable by the oracle.
+    if alpha == 0.5:
+        z_term = F.sqrt(n_d)
+        rate_raw = (
+            lambda total, z: total.cast("double") / F.sqrt(n_d) / z.cast("double")
+        )
+    else:
+        z_term = F.pow(n_d, F.lit(alpha))
+        rate_raw = (
+            lambda total, z: total.cast("double")
+            * F.pow(n_d, F.lit(alpha - 1.0))
+            / z.cast("double")
+        )
     norm = counts.agg(
-        F.sum(F.pow(F.col("_n"), F.lit(alpha)).cast("decimal(38,18)")).alias(
-            "_z"
-        ),
+        F.sum(z_term.cast("decimal(38,18)")).alias("_z"),
         F.sum("_n").alias("_total"),
     )
     rates = counts.crossJoin(F.broadcast(norm)).select(
         group_col,
         F.least(
-            F.col("_total").cast("double")
-            * F.pow(F.col("_n"), F.lit(alpha - 1.0))
-            / F.col("_z").cast("double"),
+            rate_raw(F.col("_total"), F.col("_z")),
             F.lit(float(max_rate)),
         ).alias("_rate"),
     )
@@ -237,24 +256,8 @@ def weighted_sample(
     if k <= 0:
         raise ValueError("k must be positive")
     w = F.col(weight_col).cast("double")
-    u = (
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.col(id_col).cast("string"), F.lit(str(seed))
-                        ).cast("binary")
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("long")
-            + F.lit(1)
-        )
-        / F.lit(float(1 << 48))
+    u = _hash_uniform48(
+        [F.col(id_col).cast("string"), F.lit(str(seed))], open_zero=True
     )
     ranked = (
         df.filter(w.isNotNull() & (w > 0))

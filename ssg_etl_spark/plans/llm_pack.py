@@ -2778,10 +2778,11 @@ def weighted_sample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "temperature_mixture_lang",
     oracle="""
 WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-z AS (SELECT SUM(CAST(pow(n, 0.5) AS DECIMAL(38,18))) AS z,
+z AS (SELECT SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,18))) AS z,
              SUM(n) AS total FROM c),
 r AS (SELECT lang,
-        LEAST(CAST(total AS DOUBLE) * pow(n, -0.5) / CAST(z AS DOUBLE),
+        LEAST(CAST(total AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+                / CAST(z AS DOUBLE),
               8.0) AS rate
       FROM c, z),
 d AS (SELECT doc_id, d.lang, rate FROM documents d JOIN r USING (lang)),
@@ -2809,13 +2810,23 @@ def temperature_mixture_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frame_plan",
+    # Recursive CTE instead of a bounded range(): no hard timestamp cap
+    # to outgrow the data, and the NULL-duration branch mirrors
+    # frame_sample_plan's explode_outer row (asset visible, sample NULL).
     oracle="""
-WITH v AS (
+WITH RECURSIVE v AS (
   SELECT doc_id AS asset_id, n_chars * 100 AS duration_ms
-  FROM documents WHERE doc_id % 3 = 2)
-SELECT asset_id, CAST(s AS BIGINT) AS sample_ms
-FROM v, range(0, 100000) g(s)
-WHERE s <= duration_ms AND s % 1000 = 0
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT asset_id, duration_ms, CAST(0 AS BIGINT) AS sample_ms
+  FROM v WHERE duration_ms >= 0
+  UNION ALL
+  SELECT asset_id, duration_ms, sample_ms + 1000
+  FROM f WHERE sample_ms + 1000 <= duration_ms)
+SELECT asset_id, sample_ms FROM f
+UNION ALL
+SELECT asset_id, CAST(NULL AS BIGINT) AS sample_ms
+FROM v WHERE duration_ms IS NULL
 """,
     tags=("llm", "multimodal"),
     extra=True,

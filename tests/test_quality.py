@@ -376,3 +376,29 @@ def test_correlation_matrix_known_values(spark):
     assert got[("b", "c")][0] == -1.0
     assert got[("a", "k")][0] is None  # constant column -> undefined r
     assert got[("b", "k")][0] is None
+
+
+def test_correlation_matrix_underscore_names_no_alias_collision(spark):
+    """Column names containing underscores must not collide in the
+    sufficient-statistic aliases ((x, y_y) vs (x_y, y) both flatten to
+    _p_x_y_y under name-derived aliasing; aliases are index-based)."""
+    from ssg_etl_spark.operators.analytics import (
+        correlation_matrix,
+        correlation_matrix_oracle_sql,
+    )
+
+    rows = [(float(i), 2.0 * i, 3.0 * i + 1, float(i % 7)) for i in range(30)]
+    df = spark.createDataFrame(rows, "x double, y_y double, x_y double, y double")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(df, ["x", "y_y", "x_y", "y"]).collect()
+    }
+    assert len(got) == 6
+    assert got[("x", "y_y")] == 1.0
+    assert got[("x", "x_y")] == 1.0
+    # The generated oracle must not emit duplicate aliases either.
+    sql = correlation_matrix_oracle_sql("t", ["x", "y_y", "x_y", "y"])
+    import re
+
+    aliases = re.findall(r"AS (p_\d+_\d+|s_\d+)", sql)
+    assert len(aliases) == len(set(aliases))
