@@ -307,3 +307,49 @@ def zorder_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_totalprice", "o_custkey"],
         bits=8,
     ).select("o_orderkey", "zorder")
+
+
+from ssg_etl_spark.sources import versioning  # noqa: E402
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+SELECT o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_price
+FROM orders WHERE year(o_orderdate) < 1998
+GROUP BY o_orderstatus
+""",
+    tags=("sources", "versioning"),
+    extra=True,
+)
+def snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning end-to-end: commit pre-1998 orders as v1,
+    append the rest as v2, then time-travel-read v1 — the pinned version
+    must replay the original filter exactly even though the table has
+    since grown (manifest-listed files only; later commits never touch
+    them). Extra registry: locally oracle-verified."""
+    import atexit
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap_dir = tempfile.mkdtemp(prefix="snapshots_")
+    atexit.register(shutil.rmtree, snap_dir, True)
+    v1 = versioning.commit_snapshot(
+        orders.filter(F.year("o_orderdate") < 1998), snap_dir
+    )
+    versioning.commit_snapshot(
+        orders.filter(F.year("o_orderdate") >= 1998), snap_dir
+    )
+    return (
+        versioning.read_snapshot(spark, snap_dir, version=v1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

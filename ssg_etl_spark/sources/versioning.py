@@ -1,0 +1,156 @@
+"""Snapshot versioning ("time travel") over parquet — reproducible
+corpus pinning (BASELINE.json north-star extension; the lakehouse
+counterparts are the Delta/Iceberg commit logs).
+
+Why a training-data engine needs it: a 100 TB corpus is rebuilt and
+appended continuously, but every training run must be able to name —
+and re-read, bit-for-bit — the exact snapshot it consumed. Mutating a
+directory of parquet in place cannot give that; a manifest log can.
+
+Design (deliberately minimal, single-writer):
+* Data files are immutable: every commit writes NEW parquet files under
+  ``<path>/data/v<N>/`` and never touches previous files.
+* A commit is one JSON manifest ``<path>/_manifests/v<N>.json`` listing
+  every data file visible in that version (append commits carry the
+  previous version's list plus the new files). The manifest directory
+  IS the log — versions are discovered by listing it, and a version is
+  readable forever regardless of later commits.
+* Manifest publication is write-temp + ``os.replace`` (atomic on POSIX):
+  a reader either sees a complete manifest or none; a crashed commit
+  leaves data files that no manifest references — garbage, never
+  corruption.
+* Readers load exactly the manifest's file list (``spark.read.parquet``
+  with explicit paths): time travel is O(manifest) metadata work, and
+  file-level pruning/pushdown applies to the listed files as usual.
+
+Scale notes: the manifest holds file paths, not row data — at 128 MB
+target files, 100 TB is ~800k paths; JSON is fine at this round's scale
+and the format is versioned (``format_version``) so a real deployment
+can shard manifests without changing callers. Concurrent writers need a
+lock service (as Delta does on S3); this module documents and assumes a
+single committer, which is the shape of a scheduled corpus-build DAG
+(reference: scripts/ETL pipelines run one writer per table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_VERSION = 1
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version}.json")
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed versions, ascending (empty list for a fresh path)."""
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        m = json.load(f)
+    if m.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported manifest format {m.get('format_version')!r}"
+        )
+    return m
+
+
+def _publish_manifest(path: str, version: int, files: list[str]) -> None:
+    """Atomic manifest publication: temp file + os.replace. Refuses to
+    overwrite an existing version (single-writer contract — a lost race
+    surfaces as an error, not a silent clobber)."""
+    target = _manifest_path(path, version)
+    if os.path.exists(target):
+        raise FileExistsError(
+            f"version {version} already committed at {target}"
+        )
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_manifest_dir(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {
+                "format_version": FORMAT_VERSION,
+                "version": version,
+                "files": sorted(files),
+            },
+            f,
+        )
+    os.replace(tmp, target)
+
+
+def _data_files(data_dir: str) -> list[str]:
+    return [
+        os.path.join(data_dir, n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    ]
+
+
+def commit_snapshot(
+    df: DataFrame, path: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` as the next version and return its number.
+
+    ``mode='append'``: the new version sees every file of the previous
+    version plus the new files (the corpus-growth commit).
+    ``mode='overwrite'``: the new version sees ONLY the new files — a
+    logical replace that still never deletes data, so every earlier
+    version stays readable (retention/vacuum is a separate, explicitly
+    destructive step a deployment schedules).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be 'append' or 'overwrite'")
+    versions = snapshot_versions(path)
+    version = (versions[-1] + 1) if versions else 1
+    # Unique per-commit data dir (mkdtemp): an orphan dir from a crashed
+    # earlier attempt at this version number can never collide with —
+    # or leak rows into — this commit; only the manifest decides
+    # visibility.
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    data_dir = tempfile.mkdtemp(
+        prefix=f"v{version}-", dir=os.path.join(path, "data")
+    )
+    df.write.mode("overwrite").parquet(data_dir)
+    files = _data_files(data_dir)
+    if mode == "append" and versions:
+        files += _read_manifest(path, versions[-1])["files"]
+    _publish_manifest(path, version, files)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed version (default: latest). The plan scans exactly
+    the manifest's file list — later commits never change what an
+    already-pinned version returns."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    files = _read_manifest(path, version)["files"]
+    return spark.read.parquet(*files)

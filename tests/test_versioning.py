@@ -1,0 +1,87 @@
+"""Snapshot versioning: manifest log, time travel, commit contracts."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from ssg_etl_spark.sources import versioning as V
+
+
+@pytest.fixture()
+def snap_dir():
+    d = tempfile.mkdtemp(prefix="snaptest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"row{i}") for i in range(lo, hi)], "id long, val string"
+    )
+
+
+def test_append_commits_and_time_travel(spark, snap_dir):
+    """v1 stays bit-stable after later appends; latest sees the union;
+    version listing is ascending."""
+    v1 = V.commit_snapshot(_df(spark, 0, 100), snap_dir)
+    v2 = V.commit_snapshot(_df(spark, 100, 150), snap_dir)
+    assert (v1, v2) == (1, 2)
+    assert V.snapshot_versions(snap_dir) == [1, 2]
+    got1 = {r.id for r in V.read_snapshot(spark, snap_dir, version=1).collect()}
+    assert got1 == set(range(100))
+    latest = {r.id for r in V.read_snapshot(spark, snap_dir).collect()}
+    assert latest == set(range(150))
+    # Re-read v1 AFTER reading latest: still the pinned file list.
+    again = {r.id for r in V.read_snapshot(spark, snap_dir, version=1).collect()}
+    assert again == got1
+
+
+def test_overwrite_replaces_logically_keeps_history(spark, snap_dir):
+    """overwrite makes the new version see only its own files, but every
+    earlier version remains readable (no data deletion on commit)."""
+    V.commit_snapshot(_df(spark, 0, 50), snap_dir)
+    V.commit_snapshot(_df(spark, 500, 510), snap_dir, mode="overwrite")
+    latest = {r.id for r in V.read_snapshot(spark, snap_dir).collect()}
+    assert latest == set(range(500, 510))
+    old = {r.id for r in V.read_snapshot(spark, snap_dir, version=1).collect()}
+    assert old == set(range(50))
+
+
+def test_duplicate_version_commit_refused(spark, snap_dir):
+    """The single-writer contract surfaces a lost race as an error, not a
+    silent manifest clobber."""
+    V.commit_snapshot(_df(spark, 0, 10), snap_dir)
+    # Simulate a concurrent committer having published v2 already.
+    V._publish_manifest(snap_dir, 2, [])
+    with pytest.raises(FileExistsError):
+        V._publish_manifest(snap_dir, 2, ["x"])
+
+
+def test_crashed_commit_is_invisible(spark, snap_dir):
+    """Data files without a manifest (a commit that died before
+    publication) are garbage, not corruption: readers never see them."""
+    V.commit_snapshot(_df(spark, 0, 10), snap_dir)
+    # Orphan data dir from a crashed v2 commit — no manifest written.
+    _df(spark, 900, 910).write.parquet(
+        os.path.join(snap_dir, "data", "v2-deadbeef")
+    )
+    assert V.snapshot_versions(snap_dir) == [1]
+    got = {r.id for r in V.read_snapshot(spark, snap_dir).collect()}
+    assert got == set(range(10))
+    # The NEXT commit claims version 2 in its own unique dir: it must
+    # succeed, and the orphan's rows must stay invisible.
+    assert V.commit_snapshot(_df(spark, 10, 20), snap_dir) == 2
+    latest = {r.id for r in V.read_snapshot(spark, snap_dir).collect()}
+    assert latest == set(range(20))
+
+
+def test_read_errors(spark, snap_dir):
+    with pytest.raises(FileNotFoundError):
+        V.read_snapshot(spark, snap_dir)
+    V.commit_snapshot(_df(spark, 0, 5), snap_dir)
+    with pytest.raises(ValueError):
+        V.read_snapshot(spark, snap_dir, version=9)
