@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -154,3 +155,43 @@ def read_snapshot(
         raise ValueError(f"version {version} not in {versions}")
     files = _read_manifest(path, version)["files"]
     return spark.read.parquet(*files)
+
+
+def vacuum_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Retention: drop all but the last ``keep_last`` versions and delete
+    every data file no kept manifest references (including orphans from
+    crashed commits). The ONE explicitly destructive step in the module —
+    scheduled deliberately, never implied by a commit. Returns counts
+    ``{"versions_dropped": n, "files_deleted": m}``.
+
+    Time travel to a vacuumed version stops working by design; callers
+    pin retention windows to their reproducibility requirements (e.g.
+    "every snapshot a live training run consumed").
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(path)
+    drop = versions[:-keep_last]
+    keep = versions[-keep_last:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(path, v)["files"])
+    files_deleted = 0
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for sub in os.listdir(data_root):
+            d = os.path.join(data_root, sub)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                fp = os.path.join(d, name)
+                if name.endswith(".parquet") and fp not in referenced:
+                    os.remove(fp)
+                    files_deleted += 1
+            if not any(
+                n.endswith(".parquet") for n in os.listdir(d)
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+    for v in drop:
+        os.remove(_manifest_path(path, v))
+    return {"versions_dropped": len(drop), "files_deleted": files_deleted}

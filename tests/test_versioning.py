@@ -85,3 +85,31 @@ def test_read_errors(spark, snap_dir):
     V.commit_snapshot(_df(spark, 0, 5), snap_dir)
     with pytest.raises(ValueError):
         V.read_snapshot(spark, snap_dir, version=9)
+
+
+def test_vacuum_retention(spark, snap_dir):
+    """Vacuum keeps the last N versions readable, deletes dropped
+    manifests and every unreferenced data file (including crashed-commit
+    orphans), and append-shared files survive as long as a kept manifest
+    references them."""
+    V.commit_snapshot(_df(spark, 0, 50), snap_dir)
+    V.commit_snapshot(_df(spark, 50, 80), snap_dir)
+    V.commit_snapshot(_df(spark, 800, 810), snap_dir, mode="overwrite")
+    # Crashed-commit orphan.
+    _df(spark, 900, 910).write.parquet(
+        os.path.join(snap_dir, "data", "v4-orphan")
+    )
+    stats = V.vacuum_snapshots(snap_dir, keep_last=2)
+    assert stats["versions_dropped"] == 1
+    assert stats["files_deleted"] > 0
+    assert V.snapshot_versions(snap_dir) == [2, 3]
+    # v2 (append of v1) still reads fully: its manifest references v1's
+    # files, so they survived the vacuum.
+    got2 = {r.id for r in V.read_snapshot(spark, snap_dir, version=2).collect()}
+    assert got2 == set(range(80))
+    got3 = {r.id for r in V.read_snapshot(spark, snap_dir, version=3).collect()}
+    assert got3 == set(range(800, 810))
+    # Orphan data is gone from disk.
+    assert not os.path.isdir(os.path.join(snap_dir, "data", "v4-orphan"))
+    with pytest.raises(ValueError):
+        V.read_snapshot(spark, snap_dir, version=1)
