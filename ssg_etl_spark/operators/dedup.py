@@ -538,6 +538,7 @@ def simhash_pairs(
     bits: int = 60,
     max_hamming: int = 7,
     max_bucket_occupancy: int | None = DEFAULT_MAX_BUCKET_OCCUPANCY,
+    n_bands: int = 8,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) ≤ k.
 
@@ -558,20 +559,27 @@ def simhash_pairs(
     of the bucket rep). Each band has only 2^(60/8)≈128 chunk values, so
     on a DIVERSE corpus ≫ 128·cap per partition, most buckets go hot with
     mostly-unrelated members and banded SimHash stops being a useful
-    filter at all — that is a parameterization limit of 60-bit/8-band
-    SimHash itself, not of the guard (which merely converts the quadratic
-    blowup into bounded work). At that scale, shard the corpus before
-    banding or use MinHash (64-bit band buckets, where a hot bucket
-    really is one duplicate family and the star contract stays
-    semantically right).
+    filter at all — that is a parameterization limit of the chosen
+    band width, not of the guard (which merely converts the quadratic
+    blowup into bounded work). The scale lever is ``n_bands``: FEWER
+    bands ⇒ wider chunks ⇒ 2^(bits/n_bands) bucket values per band ⇒ a
+    corpus ~2^(bits/n_bands)·cap is served — at the price of a tighter
+    guaranteed radius (pigeonhole needs ``max_hamming < n_bands``). E.g.
+    4 bands of 15 bits serve ~32k·cap docs at guaranteed hd ≤ 3; the
+    8-band default serves ~128·cap at hd ≤ 7. Beyond what any banding
+    covers, shard the corpus before banding or use MinHash (64-bit band
+    buckets, where a hot bucket really is one duplicate family and the
+    star contract stays semantically right).
     """
     # Persisted: the banded candidate generation SELF-joins the signature
     # table; without caching the two-aggregation signature plan runs twice.
     sig = persist_tracked(simhash_signatures(documents, bits))
-    n_bands = 8
     # Pigeonhole: k differing bits can ruin at most k bands, so a shared
     # band is guaranteed only while max_hamming < n_bands.
-    assert max_hamming < n_bands, "banded recall guarantee requires max_hamming < 8"
+    assert 2 <= n_bands <= bits, "need 2 <= n_bands <= bits"
+    assert max_hamming < n_bands, (
+        "banded recall guarantee requires max_hamming < n_bands"
+    )
     band_bits = bits // n_bands
     bands = sig.select(
         "doc_id",

@@ -1360,3 +1360,29 @@ def test_temperature_mixture_rebalances_and_clamps(spark):
     out2 = temperature_mixture(docs2, alpha=0.5, max_rate=8.0).collect()
     tiny_epochs = sorted(r.epoch for r in out2 if r.doc_id == 999)
     assert tiny_epochs == list(range(8))
+
+
+def test_simhash_wide_band_parameterization(spark, sf_dir):
+    """The n_bands scale lever: 4 bands of 15 bits (guaranteed hd <= 3)
+    must find every pair the default banding finds at hamming <= 3, with
+    zero pairs beyond the tightened radius — and n_bands <= max_hamming
+    is rejected (pigeonhole violated)."""
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs(
+            docs, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    default = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs(docs).collect()
+    }
+    assert all(h <= 3 for h in wide.values())
+    tight_default = {p for p, h in default.items() if h <= 3}
+    # Pigeonhole at hd<=3 over 4 bands is exact: same pair set.
+    assert set(wide) == tight_default
+    with _pytest.raises(AssertionError):
+        dedup.simhash_pairs(docs, n_bands=3, max_hamming=3)

@@ -122,6 +122,16 @@ def family(sf_dir: str, n_vectors: int):
     bits = max(3, int(math.ceil(math.log2(max(2, n_vectors / 150)))))
     n_tables = 8
 
+    # SimHash banding tuned the same way: band width grows with the
+    # corpus so per-(band, chunk) occupancy stays ~150 (2^band_bits
+    # values per band), trading guaranteed Hamming radius (< n_bands)
+    # for corpus coverage — the documented scale lever of banded
+    # SimHash. docs:embeddings is 5:2 in the fixtures.
+    n_docs = n_vectors * 5 // 2
+    sim_band_bits = max(6, int(math.ceil(math.log2(max(2, n_docs / 150)))))
+    sim_bands = max(2, 60 // sim_band_bits)
+    sim_hamming = min(7, sim_bands - 1)
+
     def docs(spark):
         return load_table(spark, sf_dir, "documents")
 
@@ -151,7 +161,13 @@ def family(sf_dir: str, n_vectors: int):
             "index built in-run",
         ),
         ("dedup_minhash_lsh", lambda s: dedup.minhash_lsh_pairs(docs(s), 0.5), ""),
-        ("dedup_simhash", lambda s: dedup.simhash_pairs(docs(s)), ""),
+        (
+            "dedup_simhash",
+            lambda s: dedup.simhash_pairs(
+                docs(s), n_bands=sim_bands, max_hamming=sim_hamming
+            ),
+            f"bands={sim_bands} hd<={sim_hamming}",
+        ),
         (
             "dedup_clusters",
             lambda s: dedup.duplicate_clusters(
