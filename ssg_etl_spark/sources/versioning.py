@@ -77,7 +77,9 @@ def _read_manifest(path: str, version: int) -> dict:
     return m
 
 
-def _publish_manifest(path: str, version: int, files: list[str]) -> None:
+def _publish_manifest(
+    path: str, version: int, files: list[str], meta: dict | None = None
+) -> None:
     """Atomic manifest publication: temp file + os.replace. Refuses to
     overwrite an existing version (single-writer contract — a lost race
     surfaces as an error, not a silent clobber)."""
@@ -94,10 +96,17 @@ def _publish_manifest(path: str, version: int, files: list[str]) -> None:
                 "format_version": FORMAT_VERSION,
                 "version": version,
                 "files": sorted(files),
+                "meta": meta or {},
             },
             f,
         )
     os.replace(tmp, target)
+
+
+def snapshot_meta(path: str, version: int) -> dict:
+    """Commit metadata recorded with a version (e.g. the streaming
+    batch_id) — the idempotence key for replayed committers."""
+    return _read_manifest(path, version).get("meta", {})
 
 
 def _data_files(data_dir: str) -> list[str]:
@@ -109,7 +118,7 @@ def _data_files(data_dir: str) -> list[str]:
 
 
 def commit_snapshot(
-    df: DataFrame, path: str, mode: str = "append"
+    df: DataFrame, path: str, mode: str = "append", meta: dict | None = None
 ) -> int:
     """Commit ``df`` as the next version and return its number.
 
@@ -136,7 +145,7 @@ def commit_snapshot(
     files = _data_files(data_dir)
     if mode == "append" and versions:
         files += _read_manifest(path, versions[-1])["files"]
-    _publish_manifest(path, version, files)
+    _publish_manifest(path, version, files, meta)
     return version
 
 

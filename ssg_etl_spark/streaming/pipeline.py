@@ -427,3 +427,58 @@ def run_span_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def foreach_batch_snapshot_commit(snapshot_path: str):
+    """Streaming corpus versioning: every micro-batch lands as ONE new
+    snapshot version (``versioning.commit_snapshot`` append), so each
+    training run can pin "the corpus as of version N" while ingestion
+    keeps flowing — the continuous form of the batch commit.
+
+    Replay safety: the manifest records the micro-batch id as commit
+    meta; a replayed batch (crash between the commit and the checkpoint
+    write) finds its own batch_id in the log and no-ops instead of
+    double-committing. The scan is over manifest metadata (one small
+    JSON per version, newest first — a replay's own commit is near the
+    tail), not data.
+    """
+    from ssg_etl_spark.sources import versioning
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        for v in reversed(versioning.snapshot_versions(snapshot_path)):
+            if versioning.snapshot_meta(snapshot_path, v).get("batch_id") == batch_id:
+                return
+        versioning.commit_snapshot(
+            batch, snapshot_path, mode="append", meta={"batch_id": batch_id}
+        )
+
+    return apply
+
+
+def run_snapshot_commit_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint: str,
+    snapshot_path: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive snapshot-per-micro-batch ingestion over all available files
+    once (Trigger.AvailableNow), one commit per source file."""
+    from ssg_etl_spark.schemas import DOCUMENTS
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_snapshot_commit(snapshot_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

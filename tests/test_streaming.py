@@ -414,3 +414,49 @@ def test_span_dedup_replay_idempotent(spark, tmp_path):
     shutil.copytree(pre_swap, index_path)
     apply(b1, 1)
     assert snapshot() == want
+
+
+def test_snapshot_commit_stream_versions_and_replay(spark, sf_dir, tmp_path):
+    """One snapshot version per micro-batch; re-running the stream on the
+    same checkpoint commits nothing new; a replayed batch_id no-ops
+    instead of double-committing; every intermediate version stays
+    pinned."""
+    from ssg_etl_spark.sources import versioning as V
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.streaming.pipeline import (
+        foreach_batch_snapshot_commit,
+        run_snapshot_commit_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(90)
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    # Three source files -> three micro-batches (maxFilesPerTrigger=1).
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    run_snapshot_commit_stream(spark, src, ckpt, snap)
+    versions = V.snapshot_versions(snap)
+    assert len(versions) == 3
+    latest = {r.doc_id for r in V.read_snapshot(spark, snap).collect()}
+    assert latest == {r.doc_id for r in docs.collect()}
+    # Version sizes grow monotonically (append commits).
+    sizes = [
+        V.read_snapshot(spark, snap, version=v).count() for v in versions
+    ]
+    assert sizes == sorted(sizes) and sizes[-1] == len(latest)
+
+    # Restart on the same checkpoint: nothing new to process, no commits.
+    run_snapshot_commit_stream(spark, src, ckpt, snap)
+    assert V.snapshot_versions(snap) == versions
+
+    # Crash-replay simulation: re-apply an already-committed batch_id.
+    apply = foreach_batch_snapshot_commit(snap)
+    replay_bid = max(
+        V.snapshot_meta(snap, v)["batch_id"] for v in versions
+    )
+    apply(docs.limit(5), replay_bid)
+    assert V.snapshot_versions(snap) == versions
