@@ -166,7 +166,7 @@ def main() -> None:
             mins[name] = round(min(walls), 3)
         return medians, mins
 
-    timings, _ = run_group(HEADLINE, trials)
+    timings, headline_mins = run_group(HEADLINE, trials)
     llm_timings, llm_mins = run_group(LLM_FAMILY, llm_trials)
     curation_timings, curation_mins = run_group(CURATION_FAMILY, llm_trials)
 
@@ -245,25 +245,37 @@ def main() -> None:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "llm_queries": llm_timings,
-                "llm_total": round(sum(llm_timings.values()), 3),
-                "llm_queries_min": llm_mins,
-                "llm_total_min": round(sum(llm_mins.values()), 3),
-                "curation_queries": curation_timings,
-                "curation_total": round(sum(curation_timings.values()), 3),
-                "curation_queries_min": curation_mins,
-                "curation_total_min": round(sum(curation_mins.values()), 3),
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_min": headline_mins,
+            "value_min": round(sum(headline_mins.values()), 3),
+            "llm_queries": llm_timings,
+            "llm_total": round(sum(llm_timings.values()), 3),
+            "llm_queries_min": llm_mins,
+            "llm_total_min": round(sum(llm_mins.values()), 3),
+            "curation_queries": curation_timings,
+            "curation_total": round(sum(curation_timings.values()), 3),
+            "curation_queries_min": curation_mins,
+            "curation_total_min": round(sum(curation_mins.values()), 3),
+            "sf": sf,
+        }
     )
+    # Artifact reliability (BENCH_r06's tail capture truncated the line's
+    # front): persist the full line to a file the driver/judge can always
+    # read, stop Spark FIRST so its shutdown logging can't land after the
+    # line in a combined-stream tail, then emit the line as the final
+    # stdout output.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
+        "w",
+    ) as f:
+        f.write(payload + "\n")
+    spark.stop()
+    print(payload)
 
 
 if __name__ == "__main__":

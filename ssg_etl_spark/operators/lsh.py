@@ -35,54 +35,26 @@ from ssg_etl_spark.cache import persist_tracked
 # and unwanted).
 DEFAULT_MAX_BUCKET_OCCUPANCY = 2000
 
-_M64 = (1 << 64) - 1
-
-
-def _splitmix64(x: int) -> int:
-    """Deterministic 64-bit mix (public splitmix64 finalizer) used to derive
-    the affine minwise constants — no RNG, stable across runs/engines."""
-    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & _M64
-    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & _M64
-    return x ^ (x >> 31)
-
-
-def _to_signed(v: int) -> int:
-    return v - (1 << 64) if v >= (1 << 63) else v
-
-
-def minwise_constants(num_hashes: int) -> tuple[list[int], list[int]]:
-    """(multipliers, offsets) for the classic one-hash minwise family
-    h_i(x) = a_i·h(x) + b_i (mod 2⁶⁴), a_i odd ⇒ each h_i is a bijection of
-    the hash space. Returned as signed 64-bit ints for ``F.lit``."""
-    a, b = [], []
-    x = 0x243F6A8885A308D3
-    for _ in range(num_hashes):
-        x = (x + 0x9E3779B97F4A7C15) & _M64
-        a.append(_to_signed(_splitmix64(x) | 1))
-        x = (x + 0x9E3779B97F4A7C15) & _M64
-        b.append(_to_signed(_splitmix64(x)))
-    return a, b
-
-
 def minhash_signature(
     items: DataFrame, id_col: str, item_col: str, num_hashes: int
 ) -> DataFrame:
     """One row per id with ``num_hashes`` min-hash columns h0..h{k-1}.
 
     The item string is hashed ONCE per row (``xxhash64``); the k hash
-    functions are affine mixes of that single value (multiply-add on a
-    long, pure whole-stage codegen). The previous construction ran k
-    independent ``xxhash64(lit(i), item)`` calls — k full string hashes
-    per row — which dominated signature cost at 64 hashes. Min over the
-    signed-long order of a bijective mix is a valid minwise family (any
-    consistent total order works). Wrapping multiply requires ANSI off
-    (the engine default, session.py).
+    functions are ``xxhash64(lit(i), _h)`` — k independent cheap hashes
+    over the single 8-byte value, not k full string hashes (the original
+    construction, which dominated signature cost at 64 hashes). Min over
+    the signed-long order of a per-i keyed hash is a valid minwise family
+    (any family of near-independent total orders works). Unlike the
+    interim wrapping-multiply affine mix, this is ANSI-safe: no long
+    arithmetic, so the plan is correct under both ``spark.sql.ansi
+    .enabled`` settings and in embedding applications that supply their
+    own SparkSession (PySpark 4.x defaults ANSI ON).
     """
-    mult, add = minwise_constants(num_hashes)
     hashed = items.select(F.col(id_col), F.xxhash64(F.col(item_col)).alias("_h"))
     return hashed.groupBy(id_col).agg(
         *[
-            F.min(F.col("_h") * F.lit(mult[i]) + F.lit(add[i])).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )

@@ -4,7 +4,14 @@ Runs every registered query through Spark AND its DuckDB oracle at the given
 scale factor, then compares row count, sorted column names, and an
 order-insensitive value hash. Use while iterating:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--ansi=on|off] [sf_dir] [query ...]
+
+Session-robustness contract (VERDICT r6): the driver — and any embedding
+application — supplies its OWN SparkSession, which under PySpark 4.x
+defaults ``spark.sql.ansi.enabled=true``, while the engine session pins it
+false. Every query must be correct under BOTH, so this gate runs ANSI **on**
+by default (driver parity; the strict mode that surfaces wrapping-arithmetic
+and silent-cast bugs); ``--ansi=off`` re-checks the engine-default session.
 """
 
 from __future__ import annotations
@@ -92,10 +99,18 @@ def table_digest(rows: list[tuple], columns: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    argv = list(sys.argv[1:])
+    ansi = "on"
+    for flag in [a for a in argv if a.startswith("--ansi")]:
+        argv.remove(flag)
+        ansi = flag.split("=", 1)[1] if "=" in flag else "on"
+    if ansi not in ("on", "off"):
+        print("ERROR: --ansi takes on|off")
+        return 2
+    sf_dir = argv[0] if argv else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
-    only = set(sys.argv[2:])
+    only = set(argv[1:])
 
     import duckdb
 
@@ -114,6 +129,10 @@ def main() -> int:
         return 2
 
     spark = get_spark("check_correctness", master="local[8]", shuffle_partitions=8)
+    # ANSI is a runtime SQL conf: toggling it on the built session exactly
+    # reproduces a driver-default (ANSI-on) session for every query plan.
+    spark.conf.set("spark.sql.ansi.enabled", "true" if ansi == "on" else "false")
+    print(f"session: spark.sql.ansi.enabled={ansi}")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
