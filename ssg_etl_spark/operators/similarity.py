@@ -35,7 +35,9 @@ AUTO_BITS_TARGET_OCCUPANCY = 150
 
 
 def auto_bits_per_table(
-    embeddings: DataFrame, target_occupancy: int = AUTO_BITS_TARGET_OCCUPANCY
+    embeddings: DataFrame,
+    target_occupancy: int = AUTO_BITS_TARGET_OCCUPANCY,
+    n: int | None = None,
 ) -> int:
     """bits ≈ log2(N / target_occupancy), floored at 3 — the bucket space
     MUST grow with the corpus: sign-pattern tables have only 2^bits
@@ -44,14 +46,16 @@ def auto_bits_per_table(
     quietly replace candidate generation wholesale (recall collapse —
     hot sign-pattern buckets are mostly UNRELATED vectors, unlike a hot
     64-bit MinHash bucket, which really is one duplicate family). Costs
-    one eager count job; callers that replay a pinned bucketization (the
-    oracle-checked registry queries, fixture tests) pass explicit bits
-    and skip it. The same scaling rule tools/scale_sweep.py applies
-    manually per scale step.
+    one eager count job unless ``n`` (a known corpus size — e.g. recorded
+    index metadata) is supplied; callers that replay a pinned
+    bucketization (the oracle-checked registry queries, fixture tests)
+    pass explicit bits and skip it entirely. The same scaling rule
+    tools/scale_sweep.py applies manually per scale step.
     """
     import math
 
-    n = embeddings.count()
+    if n is None:
+        n = embeddings.count()
     return max(3, math.ceil(math.log2(max(2.0, n / float(target_occupancy)))))
 
 
@@ -802,6 +806,7 @@ def lsh_near_dup_pairs_incremental(
     threshold: float,
     n_tables: int = 8,
     bits_per_table: int | None = None,
+    base_count: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup of NEW embeddings against an EXISTING corpus —
     the embedding twin of ``dedup.minhash_lsh_pairs_incremental``: the
@@ -811,9 +816,14 @@ def lsh_near_dup_pairs_incremental(
     the base's (table, bucket) postings are a persisted index keyed by
     bucket; each batch bucketizes the delta only and probes). Ids only
     ride the bucket shuffle; vectors re-join on the candidate ids.
+
+    Per-micro-batch callers should pass ``bits_per_table`` (a pinned
+    bucketization matching their persisted index) or ``base_count`` (the
+    corpus size from index metadata): auto-scaling bits without either
+    re-counts — i.e. re-evaluates — the full base lineage EVERY batch.
     """
     if bits_per_table is None:
-        bits_per_table = auto_bits_per_table(base)
+        bits_per_table = auto_bits_per_table(base, n=base_count)
     anchor_list = _hyperplane_anchor_list(base, n_tables * bits_per_table)
     # Persisted: the guarded probe join consumes the base postings twice
     # (occupancy aggregation + join), and each recompute redoes the

@@ -311,7 +311,9 @@ def clean_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_id", "line"),
     )
     trimmed = F.trim(F.col("line"))
-    n_words = F.size(F.split(trimmed, " "))
+    # \s+ split: consecutive spaces must not mint empty-string "words"
+    # that inflate the count past min_words (ADVICE r6).
+    n_words = F.size(F.split(trimmed, r"\s+"))
     short = (n_words < min_words) | (trimmed == "")
     no_punct = (
         ~trimmed.rlike(r'[.!?"]$')

@@ -2506,7 +2506,7 @@ chunks AS (
   FROM ws, range(0, 2048) g(s) WHERE s < len(w) AND s % 8 = 0),
 v AS (
   SELECT doc_id, line_id, line, trim(line) AS t,
-    len(string_split(trim(line), ' ')) AS nw,
+    len(regexp_split_to_array(trim(line), '\s+')) AS nw,
     contains(lower(line), 'javascript') OR contains(lower(line), 'lorem ipsum')
       OR contains(lower(line), 'cookie') OR contains(lower(line), '{') AS blocked
   FROM chunks)

@@ -90,17 +90,27 @@ def _publish_manifest(
         )
     os.makedirs(_manifest_dir(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=_manifest_dir(path), suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(
-            {
-                "format_version": FORMAT_VERSION,
-                "version": version,
-                "files": sorted(files),
-                "meta": meta or {},
-            },
-            f,
-        )
-    os.replace(tmp, target)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "format_version": FORMAT_VERSION,
+                    "version": version,
+                    "files": sorted(files),
+                    "meta": meta or {},
+                },
+                f,
+            )
+        os.replace(tmp, target)
+    except BaseException:
+        # A crash between mkstemp and os.replace must not strand the temp
+        # file in _manifests/ forever (vacuum also sweeps stragglers from
+        # hard kills that skip this handler).
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def snapshot_meta(path: str, version: int) -> dict:
@@ -203,4 +213,14 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> dict:
                 shutil.rmtree(d, ignore_errors=True)
     for v in drop:
         os.remove(_manifest_path(path, v))
+    # Orphan temp manifests (publisher killed between mkstemp and replace —
+    # e.g. SIGKILL, which skips _publish_manifest's own cleanup).
+    md = _manifest_dir(path)
+    if os.path.isdir(md):
+        for name in os.listdir(md):
+            if name.endswith(".tmp"):
+                try:
+                    os.unlink(os.path.join(md, name))
+                except OSError:
+                    pass
     return {"versions_dropped": len(drop), "files_deleted": files_deleted}

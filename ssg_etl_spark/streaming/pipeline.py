@@ -435,23 +435,42 @@ def foreach_batch_snapshot_commit(snapshot_path: str):
     training run can pin "the corpus as of version N" while ingestion
     keeps flowing — the continuous form of the batch commit.
 
-    Replay safety: the manifest records the micro-batch id as commit
-    meta; a replayed batch (crash between the commit and the checkpoint
-    write) finds its own batch_id in the log and no-ops instead of
-    double-committing. The scan is over manifest metadata (one small
-    JSON per version, newest first — a replay's own commit is near the
-    tail), not data.
+    Replay safety: every commit's meta carries ``max_batch_id`` — the
+    high-water micro-batch id over the whole log, carried forward commit
+    to commit — so a replayed batch (crash between the commit and the
+    checkpoint write) is detected by reading ONLY the newest manifest:
+    structured-streaming batch ids are monotone within a checkpoint
+    lineage, so ``batch_id <= max_batch_id`` ⇔ already committed. A
+    long-lived stream therefore pays O(1) manifest reads per batch, not
+    O(versions) (which compounded to O(V²) over the stream's life). Logs
+    written before the watermark existed fall back to the one-time full
+    meta scan and are upgraded by their next commit. Contract: one
+    committer per (checkpoint, snapshot path) lineage — same as the
+    underlying single-writer manifest log.
     """
     from ssg_etl_spark.sources import versioning
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        for v in reversed(versioning.snapshot_versions(snapshot_path)):
-            if versioning.snapshot_meta(snapshot_path, v).get("batch_id") == batch_id:
+        prev_max = -1
+        versions = versioning.snapshot_versions(snapshot_path)
+        if versions:
+            latest = versioning.snapshot_meta(snapshot_path, versions[-1])
+            if "max_batch_id" in latest:
+                prev_max = int(latest["max_batch_id"])
+            else:
+                for v in versions:
+                    bid = versioning.snapshot_meta(snapshot_path, v).get("batch_id")
+                    if bid is not None:
+                        prev_max = max(prev_max, int(bid))
+            if batch_id <= prev_max:
                 return
         versioning.commit_snapshot(
-            batch, snapshot_path, mode="append", meta={"batch_id": batch_id}
+            batch,
+            snapshot_path,
+            mode="append",
+            meta={"batch_id": batch_id, "max_batch_id": max(batch_id, prev_max)},
         )
 
     return apply

@@ -460,3 +460,30 @@ def test_snapshot_commit_stream_versions_and_replay(spark, sf_dir, tmp_path):
     )
     apply(docs.limit(5), replay_bid)
     assert V.snapshot_versions(snap) == versions
+    # O(1) replay detection: the newest manifest alone carries the
+    # committed-batch high-water mark (no per-batch scan of the log).
+    assert V.snapshot_meta(snap, versions[-1])["max_batch_id"] == replay_bid
+    # An EARLIER replayed id is caught by the watermark too.
+    apply(docs.limit(5), replay_bid - 1)
+    assert V.snapshot_versions(snap) == versions
+
+
+def test_snapshot_commit_legacy_log_upgrades_to_watermark(spark, sf_dir, tmp_path):
+    """Logs written before max_batch_id existed: the replay check falls
+    back to the one-time meta scan, and the next commit records the
+    carried watermark."""
+    from ssg_etl_spark.sources import versioning as V
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_snapshot_commit
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    snap = str(tmp_path / "snap")
+    # Legacy commits: batch_id only, no max_batch_id.
+    V.commit_snapshot(docs.limit(5), snap, mode="append", meta={"batch_id": 0})
+    V.commit_snapshot(docs.limit(5), snap, mode="append", meta={"batch_id": 1})
+    apply = foreach_batch_snapshot_commit(snap)
+    apply(docs.limit(5), 1)  # replay of a legacy batch: no-op
+    assert V.snapshot_versions(snap) == [1, 2]
+    apply(docs.limit(5), 2)  # genuinely new batch commits + upgrades
+    assert V.snapshot_versions(snap) == [1, 2, 3]
+    assert V.snapshot_meta(snap, 3)["max_batch_id"] == 2

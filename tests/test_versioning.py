@@ -113,3 +113,30 @@ def test_vacuum_retention(spark, snap_dir):
     assert not os.path.isdir(os.path.join(snap_dir, "data", "v4-orphan"))
     with pytest.raises(ValueError):
         V.read_snapshot(spark, snap_dir, version=1)
+
+
+def test_vacuum_sweeps_orphan_temp_manifests(spark, snap_dir):
+    """A publisher killed between mkstemp and os.replace strands a .tmp in
+    _manifests/; vacuum must clear it (ADVICE r6) without touching real
+    manifests."""
+    V.commit_snapshot(_df(spark, 0, 10), snap_dir)
+    tmp = os.path.join(snap_dir, "_manifests", "stranded123.tmp")
+    with open(tmp, "w") as f:
+        f.write("{}")
+    V.vacuum_snapshots(snap_dir, keep_last=1)
+    assert not os.path.exists(tmp)
+    assert V.snapshot_versions(snap_dir) == [1]
+
+
+def test_failed_publish_cleans_its_temp(spark, snap_dir):
+    """A publish that raises mid-write (here: unserializable meta) leaves
+    no .tmp behind."""
+    with pytest.raises(TypeError):
+        V._publish_manifest(snap_dir, 1, ["f"], meta={"bad": object()})
+    leftovers = [
+        n
+        for n in os.listdir(os.path.join(snap_dir, "_manifests"))
+        if n.endswith(".tmp")
+    ]
+    assert leftovers == []
+    assert V.snapshot_versions(snap_dir) == []
