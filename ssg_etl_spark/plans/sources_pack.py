@@ -225,6 +225,56 @@ def xlsx_reference_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xlsx_folder_load",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+  n_name AS nation_name,
+  CAST(n_regionkey AS BIGINT) AS region_key,
+  'nations_' || CAST(n_nationkey % 3 AS VARCHAR) || '.xlsx' AS source_file
+FROM nation
+""",
+    tags=("sources", "S7"),
+    extra=True,
+)
+def xlsx_folder_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 folder iteration: the reference loops a DIRECTORY of reference
+    workbooks into one table (etl_load_reference_data.py:22-34). The query
+    materializes three workbooks (nation dim split by key mod 3) into a
+    temp dir, reads the whole directory through one read_excel call with a
+    lineage column, and oracles typed rows + originating basename against
+    the dim. Extra registry: locally oracle-verified."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ssg_etl_spark.sources.files import read_excel, write_xlsx
+
+    dim = sorted(
+        (int(r.n_nationkey), str(r.n_name), int(r.n_regionkey))
+        for r in load_table(spark, sf_dir, "nation").collect()
+    )
+    folder = os.path.join(
+        tempfile.gettempdir(),
+        f"ssg_etl_refdir_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(folder, exist_ok=True)
+    for i in range(3):
+        write_xlsx(
+            os.path.join(folder, f"nations_{i}.xlsx"),
+            ["nation_key", "nation_name", "region_key"],
+            [[k, n, g] for k, n, g in dim if k % 3 == i],
+        )
+    schema = T.StructType(
+        [
+            T.StructField("nation_key", T.LongType()),
+            T.StructField("nation_name", T.StringType()),
+            T.StructField("region_key", T.LongType()),
+        ]
+    )
+    return read_excel(spark, folder, schema, source_col="source_file")
+
+
+@register(
     "dpp_partitioned_rollup",
     oracle="""
 WITH dated AS (

@@ -261,26 +261,59 @@ def read_excel(
     schema: T.StructType,
     sheet: str | None = None,
     header: bool = True,
+    source_col: str | None = None,
 ) -> DataFrame:
     """S7: Excel reference-data scan (etl_load_reference_data.py:22-34).
 
-    The xlsx is parsed driver-side (stdlib zip+XML — reference data is
+    ``path`` is one workbook, a directory (every ``*.xlsx`` inside, sorted
+    — the reference's folder-iteration shape, etl_load_reference_data.py
+    loops a directory of workbooks into one table), or a glob pattern.
+    ``source_col`` (optional) appends the originating workbook's basename
+    per row, the usual lineage column for folder loads.
+
+    Each xlsx is parsed driver-side (stdlib zip+XML — reference data is
     dimension-sized control-plane input, like the REST payloads), cells are
     cast to the declared schema through ``createDataFrame`` on string rows.
     At bulk scale land xlsx → CSV/parquet at the ingest edge, or ship the
     spark-excel datasource; this path is for small reference workbooks.
     """
-    rows = _xlsx_rows(path, sheet)
-    if header and rows:
-        rows = rows[1:]
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".xlsx")
+        )
+    elif any(ch in path for ch in "*?["):
+        paths = sorted(_glob.glob(path))
+    else:
+        paths = [path]
+    if not paths:
+        raise FileNotFoundError(f"no .xlsx workbooks match {path!r}")
+
+    all_rows: list[tuple] = []
     n = len(schema.fields)
-    padded = [tuple((r + [None] * n)[:n]) for r in rows]
-    as_strings = T.StructType(
-        [T.StructField(f.name, T.StringType()) for f in schema.fields]
+    for p in paths:
+        rows = _xlsx_rows(p, sheet)
+        if header and rows:
+            rows = rows[1:]
+        base = os.path.basename(p)
+        for r in rows:
+            padded = tuple((r + [None] * n)[:n])
+            all_rows.append(padded + (base,) if source_col else padded)
+
+    out_fields = list(schema.fields) + (
+        [T.StructField(source_col, T.StringType())] if source_col else []
     )
-    raw = spark.createDataFrame(padded, as_strings)
+    as_strings = T.StructType(
+        [T.StructField(f.name, T.StringType()) for f in out_fields]
+    )
+    raw = spark.createDataFrame(all_rows, as_strings)
     return raw.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+        *([F.col(source_col)] if source_col else []),
     )
 
 

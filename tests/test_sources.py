@@ -478,3 +478,39 @@ def test_write_range_sorted_is_globally_ordered_without_single_task(
         f"SELECT COUNT(*) FROM read_parquet('{out}/part-*.parquet')"
     ).fetchall()[0][0]
     assert total == 50_000
+
+
+def test_read_excel_directory_and_glob(spark, tmp_path):
+    """Folder-of-workbooks ingestion (reference loops a directory of xlsx
+    into one table): directory path unions every *.xlsx sorted, glob works,
+    source_col records the originating basename, empty match raises."""
+    import pytest as _pytest
+
+    from ssg_etl_spark.sources.files import read_excel, write_xlsx
+
+    d = tmp_path / "refdir"
+    d.mkdir()
+    write_xlsx(str(d / "b.xlsx"), ["code", "rate"], [["BB", 2.0]])
+    write_xlsx(str(d / "a.xlsx"), ["code", "rate"], [["AA", 1.0], ["AC", 3.0]])
+    (d / "notes.txt").write_text("ignored")
+    schema = T.StructType(
+        [
+            T.StructField("code", T.StringType()),
+            T.StructField("rate", T.DoubleType()),
+        ]
+    )
+    got = {
+        r.code: (r.rate, r.src)
+        for r in read_excel(spark, str(d), schema, source_col="src").collect()
+    }
+    assert got == {
+        "AA": (1.0, "a.xlsx"),
+        "AC": (3.0, "a.xlsx"),
+        "BB": (2.0, "b.xlsx"),
+    }
+    # Glob form, no lineage column: same rows, original schema only.
+    g = read_excel(spark, str(d / "*.xlsx"), schema)
+    assert sorted(g.columns) == ["code", "rate"]
+    assert g.count() == 3
+    with _pytest.raises(FileNotFoundError):
+        read_excel(spark, str(d / "nope*.xlsx"), schema)
