@@ -131,6 +131,118 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# java.sql.Types → Spark type constructors (public JDBC constants; the
+# string names cover drivers whose metadata reports TYPE_NAME only).
+# Numeric/decimal consume precision+scale, char/varchar lengths are
+# metadata-only (Spark strings are unbounded).
+_JDBC_TYPE_CODES: dict[int, str] = {
+    -7: "boolean",   # BIT
+    16: "boolean",   # BOOLEAN
+    -6: "tinyint",   # TINYINT
+    5: "smallint",   # SMALLINT
+    4: "int",        # INTEGER
+    -5: "bigint",    # BIGINT
+    7: "float",      # REAL
+    6: "double",     # FLOAT (JDBC FLOAT is double precision)
+    8: "double",     # DOUBLE
+    2: "decimal",    # NUMERIC
+    3: "decimal",    # DECIMAL
+    1: "string",     # CHAR
+    12: "string",    # VARCHAR
+    -1: "string",    # LONGVARCHAR
+    -15: "string",   # NCHAR
+    -9: "string",    # NVARCHAR
+    -16: "string",   # LONGNVARCHAR
+    2005: "string",  # CLOB
+    91: "date",      # DATE
+    92: "string",    # TIME (no portable Spark TIME type; ISO string)
+    93: "timestamp", # TIMESTAMP
+    -2: "binary",    # BINARY
+    -3: "binary",    # VARBINARY
+    -4: "binary",    # LONGVARBINARY
+    2004: "binary",  # BLOB
+}
+
+_JDBC_TYPE_NAMES: dict[str, str] = {
+    "bit": "boolean", "bool": "boolean", "boolean": "boolean",
+    "tinyint": "tinyint", "smallint": "smallint", "int2": "smallint",
+    "int": "int", "integer": "int", "int4": "int", "serial": "int",
+    "bigint": "bigint", "int8": "bigint", "bigserial": "bigint",
+    "real": "float", "float4": "float",
+    "float": "double", "double": "double", "double precision": "double",
+    "float8": "double",
+    "numeric": "decimal", "decimal": "decimal", "money": "decimal",
+    "char": "string", "nchar": "string", "varchar": "string",
+    "nvarchar": "string", "text": "string", "clob": "string",
+    "longvarchar": "string",
+    "date": "date", "time": "string",
+    "timestamp": "timestamp", "datetime": "timestamp",
+    "datetime2": "timestamp", "timestamptz": "timestamp",
+    "binary": "binary", "varbinary": "binary", "blob": "binary",
+    "bytea": "binary", "image": "binary",
+}
+
+
+def reflect_struct_type(
+    columns: list[dict], strict: bool = False
+):
+    """S13 completion: map JDBC column metadata → explicit ``StructType``.
+
+    The dlt source reflects an unknown table's SQL types into its schema
+    with precision/scale hints (reference: dltproject/sql_database/
+    schema_types.py:17-51, sqlalchemy-type driven); this is the
+    engine-side equivalent over raw ``java.sql.DatabaseMetaData
+    .getColumns`` rows, keeping the engine's explicit-StructType contract
+    (SURVEY §1.3) while admitting tables nobody hand-declared.
+
+    Each entry: ``{"name": str, "type": int java.sql.Types code OR str
+    TYPE_NAME, "precision": COLUMN_SIZE, "scale": DECIMAL_DIGITS,
+    "nullable": bool}`` (precision/scale/nullable optional). DECIMAL/
+    NUMERIC honor precision (capped at Spark's 38) and scale, defaulting
+    to the portable (38, 18); scale is clamped into [0, precision].
+    Unknown types fall back to StringType (JDBC reads them as their
+    string form) unless ``strict`` — then they raise.
+    """
+    from pyspark.sql import types as T
+
+    scalar = {
+        "boolean": T.BooleanType,
+        "tinyint": T.ByteType,
+        "smallint": T.ShortType,
+        "int": T.IntegerType,
+        "bigint": T.LongType,
+        "float": T.FloatType,
+        "double": T.DoubleType,
+        "string": T.StringType,
+        "date": T.DateType,
+        "timestamp": T.TimestampType,
+        "binary": T.BinaryType,
+    }
+    fields = []
+    for col in columns:
+        name = col["name"]
+        t = col.get("type")
+        if isinstance(t, int):
+            kind = _JDBC_TYPE_CODES.get(t)
+        else:
+            kind = _JDBC_TYPE_NAMES.get(str(t).strip().lower())
+        if kind is None:
+            if strict:
+                raise ValueError(f"unmapped JDBC type {t!r} for column {name!r}")
+            kind = "string"
+        if kind == "decimal":
+            precision = col.get("precision") or 38
+            precision = max(1, min(38, int(precision)))
+            scale = col.get("scale")
+            scale = 18 if scale is None else int(scale)
+            scale = max(0, min(precision, scale))
+            dt = T.DecimalType(precision, scale)
+        else:
+            dt = scalar[kind]()
+        fields.append(T.StructField(name, dt, bool(col.get("nullable", True))))
+    return T.StructType(fields)
+
+
 def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: catalog scan driving a per-table loop — the reference's
     ``select t.name from sys.tables where t.name in (…)``

@@ -514,3 +514,51 @@ def test_read_excel_directory_and_glob(spark, tmp_path):
     assert g.count() == 3
     with _pytest.raises(FileNotFoundError):
         read_excel(spark, str(d / "nope*.xlsx"), schema)
+
+
+def test_reflect_struct_type_codes_names_decimal_hints(spark):
+    """S13 schema reflection: java.sql.Types codes and driver TYPE_NAMEs
+    map to the right Spark types; DECIMAL honors precision/scale hints,
+    caps precision at 38, clamps scale; unknown types fall back to string
+    unless strict."""
+    import pytest as _pytest
+
+    from ssg_etl_spark.sources.tables import reflect_struct_type
+
+    st = reflect_struct_type(
+        [
+            {"name": "id", "type": -5, "nullable": False},          # BIGINT
+            {"name": "qty", "type": 4},                              # INTEGER
+            {"name": "price", "type": 3, "precision": 12, "scale": 2},
+            {"name": "big", "type": 2, "precision": 99, "scale": 4},
+            {"name": "ratio", "type": "NUMERIC"},                    # no hints
+            {"name": "name", "type": "nvarchar", "precision": 25},
+            {"name": "born", "type": 91},                            # DATE
+            {"name": "seen", "type": "datetime2"},
+            {"name": "blob", "type": 2004},
+            {"name": "flag", "type": "bit"},
+            {"name": "wat", "type": "hierarchyid"},                  # unknown
+        ]
+    )
+    got = {f.name: (f.dataType.simpleString(), f.nullable) for f in st.fields}
+    assert got == {
+        "id": ("bigint", False),
+        "qty": ("int", True),
+        "price": ("decimal(12,2)", True),
+        "big": ("decimal(38,4)", True),
+        "ratio": ("decimal(38,18)", True),
+        "name": ("string", True),
+        "born": ("date", True),
+        "seen": ("timestamp", True),
+        "blob": ("binary", True),
+        "flag": ("boolean", True),
+        "wat": ("string", True),
+    }
+    with _pytest.raises(ValueError):
+        reflect_struct_type([{"name": "x", "type": "hierarchyid"}], strict=True)
+    # The reflected schema is directly usable as an explicit read schema.
+    df = spark.createDataFrame([], reflect_struct_type([
+        {"name": "a", "type": -5}, {"name": "b", "type": "numeric",
+                                    "precision": 10, "scale": 3},
+    ]))
+    assert df.schema.simpleString() == "struct<a:bigint,b:decimal(10,3)>"
