@@ -2,11 +2,15 @@
 with decode/feature-extraction as Arrow-batched mapInPandas stages
 (BASELINE.json north-star extension).
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_media`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder (seeded by the payload digest) produces
-feature vectors with the real schema, partitioning, and batch shape — the
-Spark-side plumbing under test is real; only the codec is fake.
+The container has no image/audio codec LIBRARIES, so compressed formats
+(JPEG/PNG/audio/video) stay stubbed: ``decode_media`` raises
+NotImplementedError for them unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by the payload digest) produces feature
+vectors with the real schema, partitioning, and batch shape. Uncompressed
+binary PPM (P6) images, however, are decoded FOR REAL — a pure-stdlib
+header parse + pixel-stat pass (:func:`decode_ppm`) — so the whole Arrow
+pipeline runs un-faked end-to-end on that format: real bytes in, real
+pixel statistics out.
 
 Scale design: payloads stay opaque binary through the plan (never parsed by
 Catalyst, never a join key); metadata columns are the pruned/filtered
@@ -68,19 +72,138 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal binary PPM (P6, maxval 255) encoder: the one raster format
+    a pure-stdlib pipeline can write AND read back losslessly. ``pixels``
+    is raw interleaved RGB, exactly ``3*width*height`` bytes."""
+    if width <= 0 or height <= 0:
+        raise ValueError("PPM dimensions must be positive")
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"PPM pixel buffer must be 3*{width}*{height}="
+            f"{3 * width * height} bytes, got {len(pixels)}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary PPM (P6): returns (width, height, maxval, pixels).
+
+    Real header grammar: 'P6', then three whitespace-separated decimal
+    tokens (width, height, maxval) with '#' comments allowed between
+    tokens, then ONE whitespace byte, then raw interleaved RGB. Raises
+    ValueError on anything malformed or truncated — a codec error is a
+    NULL-row-per-asset decision made by the caller, never a silent one.
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header (expected decimal token)")
+        tokens.append(int(payload[start:pos]))
+    if pos >= len(payload) or not payload[pos : pos + 1].isspace():
+        raise ValueError("malformed PPM header (missing raster separator)")
+    pos += 1
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM geometry {width}x{height}/{maxval}")
+    pixels = payload[pos:]
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"truncated PPM raster: expected {3 * width * height} bytes, "
+            f"got {len(pixels)}"
+        )
+    return width, height, maxval, pixels
+
+
+def _ppm_features(payload: bytes) -> list[float]:
+    """REAL decode: header dims + whole-raster pixel statistics, shaped to
+    the same FEATURE_DIM vector the stub emits. Layout:
+    [width, height, n_pixels, mean_byte, min_byte, max_byte, maxval, 1.0]
+    (the trailing 1.0 is the codec id — P6 — so mixed-codec corpora stay
+    distinguishable in the one feature column)."""
+    width, height, maxval, pixels = decode_ppm(payload)
+    return [
+        float(width),
+        float(height),
+        float(width * height),
+        sum(pixels) / len(pixels),
+        float(min(pixels)),
+        float(max(pixels)),
+        float(maxval),
+        1.0,
+    ]
+
+
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> list[float]:
     """Decode one payload into a feature vector.
 
-    Real codecs (PIL/librosa/ffmpeg) are unavailable in this environment —
-    the real branch is intentionally unimplemented; substitute the library
-    call at deployment time.
+    The REAL branch handles binary PPM images (pure-stdlib decode — no
+    codec library needed); compressed formats (JPEG/PNG, audio, video)
+    need PIL/librosa/ffmpeg, unavailable in this environment, and stay
+    intentionally unimplemented — substitute the library call at
+    deployment time.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media codecs not available in this environment; "
-            "use fake=True for the deterministic stub"
-        )
-    return _fake_decode(payload)
+    if fake:
+        return _fake_decode(payload)
+    if media_type == "image" and payload[:2] == b"P6":
+        return _ppm_features(payload)
+    raise NotImplementedError(
+        "no codec for this payload in this environment (real decode "
+        "supports binary PPM images); use fake=True for the stub"
+    )
+
+
+PPM_ASSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def ppm_assets_from_documents(documents: DataFrame, width: int = 16) -> DataFrame:
+    """Synthesize REAL decodable image assets: one binary PPM per document,
+    16×(doc_id%4+1) pixels whose raster is the document text's md5 digest
+    cycled — an Arrow-batched ENCODE stage, the write-side twin of the
+    decode stage, and deterministic from (doc_id, text) alone so an
+    engine-independent oracle can replay every derived pixel statistic
+    (the raster is WHOLE digest repeats: 3·16·h bytes = 3h·16, so each
+    digest byte appears equally often and raster stats equal digest
+    stats; width 8 would give 24h bytes — a half digest per odd row)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = int(doc_id) % 4 + 1
+                n = 3 * width * h
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                reps = -(-n // len(digest))
+                payloads.append(encode_ppm(width, h, (digest * reps)[:n]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return fan_out(documents.select("doc_id", "text")).mapInPandas(
+        run, PPM_ASSETS_SCHEMA
+    )
 
 
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:

@@ -440,6 +440,55 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real-codec oracle: the PPM raster is the text md5 digest cycled to
+# 3·16·h = 48h bytes (whole digest repeats), so per-asset pixel
+# statistics over the raster equal the statistics over the 16 digest
+# bytes — exactly, including the mean (sum·3h / 48h vs sum/16: same real
+# quotient, same IEEE rounding). Header "P6\n16 {h}\n255\n" is 12 bytes
+# for single-digit h (h = doc_id%4+1 ≤ 4).
+@register(
+    "media_features_ppm",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(text), 2*i+1, 2)) AS INTEGER) AS byte
+  FROM documents, range(0, 16) g(i)),
+s AS (SELECT doc_id, SUM(byte) AS sb, MIN(byte) AS mn, MAX(byte) AS mx
+      FROM b GROUP BY 1)
+SELECT doc_id AS asset_id,
+  CAST(12 + 48 * (doc_id % 4 + 1) AS BIGINT) AS payload_bytes,
+  CAST(16 AS INT) AS width,
+  CAST(doc_id % 4 + 1 AS INT) AS height,
+  CAST(16 * (doc_id % 4 + 1) AS INT) AS n_pixels,
+  round(CAST(sb AS DOUBLE) / 16, 6) AS mean_byte,
+  mn AS min_byte,
+  mx AS max_byte
+FROM s
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline UN-FAKED end-to-end: synthesize binary PPM
+    images (Arrow encode stage), then extract_features with fake=False —
+    the pure-stdlib P6 decoder parses every header and computes real
+    whole-raster pixel statistics. Extra registry: locally
+    oracle-verified."""
+    assets = multimodal.ppm_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    feats = multimodal.extract_features(assets, fake=False)
+    return feats.select(
+        "asset_id",
+        "payload_bytes",
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        F.element_at("feature", 3).cast("int").alias("n_pixels"),
+        F.round(F.element_at("feature", 4), 6).alias("mean_byte"),
+        F.element_at("feature", 5).cast("int").alias("min_byte"),
+        F.element_at("feature", 6).cast("int").alias("max_byte"),
+    )
+
+
 _CHUNK, _OVERLAP = 32, 8
 _STEP = _CHUNK - _OVERLAP
 

@@ -20,9 +20,68 @@ def test_media_table_schema_and_features(spark, sf_dir):
         assert r.payload_bytes > 0
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_is_stubbed_for_compressed_formats():
+    """JPEG/PNG/audio/video need codec libraries this sandbox lacks: the
+    real branch must refuse, not silently fake."""
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"bytes", "image", fake=False)
+        MM.decode_media(b"\xff\xd8\xff\xe0 jpeg bytes", "image", fake=False)
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"P6\n1 1\n255\nRGB", "audio", fake=False)
+
+
+def test_ppm_roundtrip_and_real_features():
+    """encode_ppm → decode_ppm is lossless; decode_media(fake=False) on a
+    P6 payload computes REAL pixel statistics."""
+    pixels = bytes([10, 200, 30, 0, 255, 45])  # 2 pixels, 1x2... w=2,h=1
+    payload = MM.encode_ppm(2, 1, pixels)
+    w, h, maxval, back = MM.decode_ppm(payload)
+    assert (w, h, maxval, back) == (2, 1, 255, pixels)
+    f = MM.decode_media(payload, "image", fake=False)
+    assert f[0:3] == [2.0, 1.0, 2.0]
+    assert f[3] == pytest.approx(sum(pixels) / 6)
+    assert (f[4], f[5]) == (0.0, 255.0)
+    assert (f[6], f[7]) == (255.0, 1.0)
+    # Comment + arbitrary whitespace in the header grammar.
+    hairy = b"P6 # comment\n# more\n 2\t1 # w h\n255\n" + pixels
+    assert MM.decode_ppm(hairy)[3] == pixels
+
+
+def test_ppm_malformed_payloads_raise():
+    good = MM.encode_ppm(2, 2, bytes(range(12)))
+    with pytest.raises(ValueError):
+        MM.decode_ppm(good[:-1])  # truncated raster
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P5\n1 1\n255\nx")  # wrong magic (PGM)
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P6\n0 1\n255\n")  # zero dimension
+    with pytest.raises(ValueError):
+        MM.decode_ppm(b"P6\n1 1\n70000\n" + bytes(3))  # >8-bit maxval
+    with pytest.raises(ValueError):
+        MM.encode_ppm(2, 2, bytes(5))  # wrong buffer size
+
+
+def test_ppm_assets_real_extraction_end_to_end(spark, sf_dir):
+    """The un-faked pipeline: Arrow encode stage → fake=False extraction;
+    every asset decodes, dims follow the doc_id rule, stats are the digest
+    stats."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    feats = {
+        r.asset_id: r
+        for r in MM.extract_features(
+            MM.ppm_assets_from_documents(docs), fake=False
+        ).collect()
+    }
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    assert set(feats) == set(rows)
+    for doc_id, text in rows.items():
+        f = feats[doc_id].feature
+        hpx = doc_id % 4 + 1
+        digest = hashlib.md5(text.encode()).digest()
+        assert f[0:3] == [16.0, float(hpx), 16.0 * hpx]
+        assert f[3] == pytest.approx(sum(digest) / 16)
+        assert (f[4], f[5]) == (float(min(digest)), float(max(digest)))
 
 
 def test_frame_sample_plan(spark, sf_dir):
