@@ -39,6 +39,88 @@ def events_file_stream(
     )
 
 
+def foreach_batch_rest_poll(fetch, record_schema, out_path: str):
+    """S8 streaming twin: per-tick REST polling → typed append sink.
+
+    The reference's poller (dags/get_data_api.py:42-64) loops
+    fetch → format → produce at 1 Hz with per-iteration error tolerance;
+    here each rate-source micro-batch carries N tick rows and drives N
+    ``fetch()`` calls (driver-side — API calls are control-plane I/O,
+    like the batch REST source), each returning one JSON response body.
+    Responses parse through the same explicit-schema from_json/explode
+    path as the batch source, land as ONE append per micro-batch keyed
+    by ``_batch_id`` (restart replays overwrite nothing — parquet append
+    of an already-written batch is the at-least-once contract; callers
+    needing exactly-once point this at a snapshot/foreach_batch_upsert
+    sink instead). A failing fetch is logged and skipped — the
+    reference's loop-level try/except — never a stream crash.
+    """
+    import logging
+
+    from ssg_etl_spark.sources.files import flatten_json_records
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        n = batch.count()
+        if n == 0:
+            return
+        payloads = []
+        for _ in range(n):
+            try:
+                payloads.append(fetch())
+            except Exception as e:  # noqa: BLE001 — reference polls on
+                logging.getLogger(__name__).warning(
+                    "rest poll fetch failed (skipped): %s", e
+                )
+        if not payloads:
+            return
+        spark = batch.sparkSession
+        frames = [
+            flatten_json_records(spark, p, record_schema) for p in payloads
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        out.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return apply
+
+
+def run_rest_poll_stream(
+    spark: SparkSession,
+    fetch,
+    record_schema,
+    out_path: str,
+    checkpoint: str,
+    rows_per_second: int = 1,
+    timeout_seconds: float | None = None,
+):
+    """Drive :func:`foreach_batch_rest_poll` from the rate source: one
+    generated row per second == one poll per second, the reference's 1 Hz
+    cadence, with Structured Streaming supplying scheduling, retry-able
+    checkpointed progress, and graceful stop (the reference hand-rolls a
+    60 s sleep loop). ``timeout_seconds`` bounds the run (tests/one-shot
+    ingestion windows); None streams until ``query.stop()``."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_rest_poll(fetch, record_schema, out_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    if timeout_seconds is not None:
+        q.awaitTermination(timeout=timeout_seconds)
+        q.stop()
+        q.awaitTermination()
+    return q
+
+
 def kafka_source_options(
     bootstrap_servers: str,
     topics: list[str],

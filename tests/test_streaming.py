@@ -487,3 +487,75 @@ def test_snapshot_commit_legacy_log_upgrades_to_watermark(spark, sf_dir, tmp_pat
     apply(docs.limit(5), 2)  # genuinely new batch commits + upgrades
     assert V.snapshot_versions(snap) == [1, 2, 3]
     assert V.snapshot_meta(snap, 3)["max_batch_id"] == 2
+
+
+def test_rest_poll_foreach_batch_parses_and_tolerates_errors(spark, tmp_path):
+    """One fetch per tick row, typed rows land with _batch_id, a raising
+    fetch is skipped (reference's per-iteration try/except), an all-fail
+    batch writes nothing."""
+    from pyspark.sql import types as T
+
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_rest_poll
+
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    out = str(tmp_path / "polled")
+    calls = {"n": 0}
+
+    def fetch():
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("transient API failure")
+        return f'[{{"user": "u{calls["n"]}", "score": {calls["n"] * 10}}}]'
+
+    apply = foreach_batch_rest_poll(fetch, schema, out)
+    ticks = spark.range(3)  # 3 tick rows -> 3 fetches, one raises
+    apply(ticks, 7)
+    got = {(r.user, r.score, r._batch_id) for r in spark.read.parquet(out).collect()}
+    assert got == {("u1", 10, 7), ("u3", 30, 7)}
+    # Empty tick batch: no fetches, no writes.
+    apply(spark.range(0), 8)
+    assert calls["n"] == 3
+
+    def always_fail():
+        raise RuntimeError("down")
+
+    foreach_batch_rest_poll(always_fail, schema, str(tmp_path / "never"))(
+        spark.range(2), 9
+    )
+    import os
+
+    assert not os.path.exists(str(tmp_path / "never"))
+
+
+def test_rest_poll_rate_stream_end_to_end(spark, tmp_path):
+    """The 1 Hz poller driven by the real rate source for a bounded
+    window: at least one micro-batch of fetched rows lands."""
+    from pyspark.sql import types as T
+
+    from ssg_etl_spark.streaming.pipeline import run_rest_poll_stream
+
+    schema = T.StructType([T.StructField("tick", T.LongType())])
+    out = str(tmp_path / "rate_polled")
+    seq = {"n": 0}
+
+    def fetch():
+        seq["n"] += 1
+        return f'[{{"tick": {seq["n"]}}}]'
+
+    run_rest_poll_stream(
+        spark,
+        fetch,
+        schema,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        rows_per_second=5,
+        timeout_seconds=10,
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) >= 1
+    assert {r.tick for r in rows} <= set(range(1, seq["n"] + 1))
