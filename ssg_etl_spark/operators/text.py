@@ -26,6 +26,66 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+# High-frequency mojibake digraphs/trigraphs: UTF-8 byte sequences of
+# common non-ASCII characters mis-decoded as cp1252/Latin-1 (the classic
+# double-encoding corruption web corpora carry; the mapping pairs are the
+# well-known public core of what ftfy repairs). Ordered longest-first so
+# the trigraph forms never get half-eaten by a digraph rule. Each entry
+# is (corrupted sequence, intended character).
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # right single quote
+    ("â€œ", "“"),  # left double quote
+    ("â€“", "–"),  # en dash
+    ("â€”", "—"),  # em dash
+    ("â€¦", "…"),  # ellipsis
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã¡", "á"),
+    ("Ã­", "í"),
+    ("Ã³", "ó"),
+    ("Ãº", "ú"),
+    ("Ã±", "ñ"),
+    ("Ã§", "ç"),
+    ("Ã¤", "ä"),
+    ("Ã¶", "ö"),
+    ("Ã¼", "ü"),
+    ("Â«", "«"),
+    ("Â»", "»"),
+    ("Â°", "°"),
+)
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-quality repair stage: detect and undo the classic
+    UTF-8-read-as-cp1252 corruption over :data:`MOJIBAKE_MAP`.
+
+    Output: input columns with ``text_col`` replaced by the repaired
+    text, plus ``mojibake_hits`` (total corrupted-sequence occurrences
+    in the INPUT text, per-pattern counts summed — overlapping patterns
+    are counted per rule, the documented semantics) and ``was_fixed``.
+    Pure chained ``replace`` Column expressions — JVM-side, codegen, no
+    Python, no shuffle; linear in corpus size, the shape an encoding
+    pass must have at 100 TB.
+    """
+    t = F.col(text_col)
+    clean = t
+    for bad, good in MOJIBAKE_MAP:
+        clean = F.replace(clean, F.lit(bad), F.lit(good))
+    hits = None
+    for bad, _ in MOJIBAKE_MAP:
+        h = (
+            (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("long")
+        hits = h if hits is None else hits + h
+    others = [c for c in df.columns if c != text_col]
+    return df.select(
+        *others,
+        clean.alias(text_col),
+        hits.alias("mojibake_hits"),
+        (clean != t).alias("was_fixed"),
+    )
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""

@@ -2595,6 +2595,67 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.clean_lines(rebuilt)
 
 
+# Mojibake oracle fragments generated from the ONE mapping table
+# (operators/text.MOJIBAKE_MAP) so engine and oracle can never drift.
+# The synthetic corpus is pure ASCII, so the query plants corruption
+# deterministically first (doc_id mod 5 buckets), then repairs it.
+def _mojibake_fix_sql(expr: str) -> str:
+    for bad, good in text.MOJIBAKE_MAP:
+        expr = f"replace({expr}, '{bad}', '{good}')"
+    return expr
+
+
+def _mojibake_hits_sql(expr: str) -> str:
+    return " + ".join(
+        f"CAST((length({expr}) - length(replace({expr}, '{bad}', '')))"
+        f" / {len(bad)} AS BIGINT)"
+        for bad, _ in text.MOJIBAKE_MAP
+    )
+
+
+@register(
+    "mojibake_repair",
+    oracle=f"""
+WITH corrupt AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN replace(text, 'a', 'Ã©')
+         WHEN doc_id % 5 = 1 THEN replace(text, 'th', 'â€™')
+         ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+  {_mojibake_hits_sql("t")} AS mojibake_hits,
+  {_mojibake_fix_sql("t")} <> t AS was_fixed,
+  md5({_mojibake_fix_sql("t")}) AS clean_digest
+FROM corrupt
+""",
+    tags=("llm", "text", "curation"),
+    extra=True,
+)
+def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality stage: plant UTF-8-read-as-cp1252 corruption on
+    two doc_id buckets of the (ASCII) corpus, then detect + repair it
+    with text.fix_mojibake (chained JVM replace over the public digraph
+    map — linear, shuffle-free). Output digests the repaired text so the
+    driver hash never sorts raw unicode. Extra registry: locally
+    oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    corrupt = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.replace(t, F.lit("a"), F.lit("Ã©")))
+        .when(F.col("doc_id") % 5 == 1, F.replace(t, F.lit("th"), F.lit("â€™")))
+        .otherwise(t)
+        .alias("text"),
+    )
+    fixed = text.fix_mojibake(corrupt)
+    return fixed.select(
+        "doc_id",
+        "mojibake_hits",
+        "was_fixed",
+        F.md5(F.col("text")).alias("clean_digest"),
+    )
+
+
 @register(
     "domain_quality_flags",
     oracle=f"""

@@ -402,3 +402,33 @@ def test_correlation_matrix_underscore_names_no_alias_collision(spark):
 
     aliases = re.findall(r"AS (p_\d+_\d+|s_\d+)", sql)
     assert len(aliases) == len(set(aliases))
+
+
+def test_fix_mojibake_repairs_and_counts(spark):
+    """UTF-8-read-as-cp1252 corruption is detected and undone; clean text
+    passes through untouched with zero hits; counts are per-rule on the
+    input text."""
+    from ssg_etl_spark.operators.text import MOJIBAKE_MAP, fix_mojibake
+
+    # Real corruption round-trip: encode the intended text as UTF-8 and
+    # mis-decode as cp1252 — exactly what the map exists to undo.
+    # (No ” — its UTF-8 tail byte 0x9D is unmapped in cp1252, so that
+    # corruption cannot even round-trip; the map carries only sequences
+    # that can actually occur.)
+    intended = "It’s café — “quoted … über señor 5°"
+    corrupted = intended.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [(1, corrupted), (2, "plain ascii text."), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in fix_mojibake(df).collect()}
+    assert out[1].text == intended
+    assert out[1].was_fixed is True
+    # Every mapped character used once in `intended` → hits == count of
+    # mapped chars present (’ “ — … é ü ñ ° plus the map's other chars
+    # absent): compute the expectation from the map itself.
+    expect_hits = sum(corrupted.count(bad) for bad, _ in MOJIBAKE_MAP)
+    assert out[1].mojibake_hits == expect_hits > 0
+    assert out[2].text == "plain ascii text."
+    assert out[2].was_fixed is False and out[2].mojibake_hits == 0
+    assert out[3].text is None and out[3].was_fixed is None
