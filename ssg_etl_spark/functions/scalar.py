@@ -32,6 +32,49 @@ def case_map(col: Column, mapping: Mapping[object, object], default: object = No
     return expr.otherwise(F.lit(default))
 
 
+def utc_wall(ts: Column | str) -> Column:
+    """UTC wall-clock view of a timestamp, independent of the ambient
+    ``spark.sql.session.timeZone`` (F5/F6 hardening).
+
+    Field extraction on a TIMESTAMP (``hour``, ``year``, ``CAST(.. AS
+    DATE)``, ``date_format``) renders through the SESSION zone, so the same
+    query returns shifted values inside an embedding application whose
+    session is not UTC — the timezone twin of the round-6 ANSI trap.
+    ``convert_timezone(NULL, 'UTC', ts)`` casts through the current session
+    zone to TIMESTAMP_NTZ carrying the instant's UTC fields, which every
+    downstream extraction then reads zone-independently. Business-time
+    semantics across the engine are defined in UTC; wrap any extraction on
+    a timestamp column in this helper. Plain comparisons, max/min, and
+    interval arithmetic are instant-based and need no wrapping.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.convert_timezone(None, F.lit("UTC"), c)
+
+
+def utc_ts_lit(value) -> Column:
+    """A fixed absolute-instant TIMESTAMP literal from a wall-clock string
+    or datetime, interpreted in UTC regardless of session timeZone or host
+    zone. ``F.lit(s).cast("timestamp")`` parses through the SESSION zone,
+    so the same cutoff names a different instant in every embedding
+    application. An aware-UTC Python datetime converts to the exact instant
+    at literal-build time and stays a foldable constant — comparisons
+    against it still push down to the parquet scan (wrapping the COLUMN
+    side instead would break pushdown).
+    """
+    import datetime as _dt
+
+    if isinstance(value, str):
+        value = _dt.datetime.fromisoformat(value)
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=_dt.timezone.utc)
+    elif isinstance(value, _dt.date):
+        value = _dt.datetime(
+            value.year, value.month, value.day, tzinfo=_dt.timezone.utc
+        )
+    return F.lit(value)
+
+
 def coalesce_zero(col: Column) -> Column:
     """COALESCE(x, 0) (F8) — the reference's fillna('0') / COALESCE(sum,0)."""
     return F.coalesce(col, F.lit(0))

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ssg_etl_spark.functions.scalar import utc_wall
 
 from ssg_etl_spark.functions.scalar import null_profile_exprs, safe_ratio
 from ssg_etl_spark.operators import analytics, rollups
@@ -280,7 +281,7 @@ def count_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT DISTINCT per group (avg_daily_orders_sales.sql:2-8)."""
     return (
         load_table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .groupBy(utc_wall("o_orderdate").cast("date").alias("order_date"))
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -314,7 +315,7 @@ def window_rownum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.select(
         "entry_no",
         F.col("o_orderkey").alias("order_key"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        utc_wall("o_orderdate").cast("date").alias("order_date"),
     )
 
 
@@ -663,8 +664,8 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_drift(
-        orders.filter(F.year("o_orderdate") == 1998),
-        orders.filter(F.year("o_orderdate") == 1997),
+        orders.filter(F.year(utc_wall("o_orderdate")) == 1998),
+        orders.filter(F.year(utc_wall("o_orderdate")) == 1997),
         ["o_totalprice"],
     )
 

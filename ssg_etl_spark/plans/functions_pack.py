@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ssg_etl_spark.functions.scalar import utc_wall
 
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table
@@ -43,7 +44,7 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python in the row path.
     """
     o = load_table(spark, sf_dir, "orders")
-    d = F.col("o_orderdate").cast("date")
+    d = utc_wall("o_orderdate").cast("date")
     return o.select(
         F.col("o_orderkey").alias("order_key"),
         F.lower("o_orderpriority").alias("priority_lower"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ssg_etl_spark.functions.scalar import utc_wall
 
 from ssg_etl_spark.operators import merge as M
 from ssg_etl_spark.operators.valuation import VALUATION_ORACLE, valuation_recompute
@@ -100,9 +101,9 @@ def source_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     prepared = o.select(
         F.col("o_orderkey").alias("order_key"),
-        F.col("o_orderdate").cast("date").alias("created_at"),
+        utc_wall("o_orderdate").cast("date").alias("created_at"),
         F.date_add(
-            F.col("o_orderdate").cast("date"), (F.col("o_orderkey") % 30).cast("int")
+            utc_wall("o_orderdate").cast("date"), (F.col("o_orderkey") % 30).cast("int")
         ).alias("modified_at"),
         F.col("o_totalprice").alias("total_price"),
     )
@@ -193,7 +194,7 @@ def full_refresh_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.date_format(utc_wall("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "user_id",
         "event_type",
         "value",

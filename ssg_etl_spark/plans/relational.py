@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ssg_etl_spark.functions.scalar import utc_ts_lit, utc_wall
 
 from ssg_etl_spark.operators.gl import ENRICH_GL_ORACLE, enrich_gl
 from ssg_etl_spark.plans.registry import register
@@ -71,7 +72,7 @@ def seven_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             l.l_orderkey.alias("order_key"),
             l.l_linenumber.alias("line_number"),
-            o.o_orderdate.cast("date").alias("order_date"),
+            utc_wall(o.o_orderdate).cast("date").alias("order_date"),
             c.c_name.alias("customer_name"),
             n.n_name.alias("nation_name"),
             r.r_name.alias("region_name"),
@@ -159,7 +160,7 @@ def tuple_in_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = load_table(spark, sf_dir, "lineitem")
     recent_pairs = (
-        l.filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+        l.filter(F.col("l_shipdate") >= utc_ts_lit("2001-06-01"))
         .select("l_partkey", "l_suppkey")
     )
     return (

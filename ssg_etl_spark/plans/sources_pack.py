@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ssg_etl_spark.functions.scalar import utc_wall
 from pyspark.sql import types as T
 
 from ssg_etl_spark.operators.gl import ENRICH_GL_ORACLE, enrich_gl, validate_gl
@@ -307,7 +308,7 @@ def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     dated = events.select(
-        F.col("ts").cast("date").alias("event_date"), "event_type", "value"
+        utc_wall("ts").cast("date").alias("event_date"), "event_type", "value"
     )
     # Stable scratch path per sf_dir, overwritten each run (same contract
     # as write_roundtrip).
@@ -321,7 +322,7 @@ def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partition-type inference reads event_date back as DATE (ISO dir names).
     fact = spark.read.parquet(target)
     dim = (
-        events.select(F.col("ts").cast("date").alias("event_date"))
+        events.select(utc_wall("ts").cast("date").alias("event_date"))
         .distinct()
         .filter(F.dayofmonth("event_date") <= 7)
     )
@@ -388,10 +389,10 @@ def snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_dir = tempfile.mkdtemp(prefix="snapshots_")
     atexit.register(shutil.rmtree, snap_dir, True)
     v1 = versioning.commit_snapshot(
-        orders.filter(F.year("o_orderdate") < 1998), snap_dir
+        orders.filter(F.year(utc_wall("o_orderdate")) < 1998), snap_dir
     )
     versioning.commit_snapshot(
-        orders.filter(F.year("o_orderdate") >= 1998), snap_dir
+        orders.filter(F.year(utc_wall("o_orderdate")) >= 1998), snap_dir
     )
     return (
         versioning.read_snapshot(spark, snap_dir, version=v1)

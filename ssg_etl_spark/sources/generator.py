@@ -54,7 +54,10 @@ def synthetic_transactions(
         # interval minutes argument is INT, so id >= 2^31 would silently
         # wrap under non-ANSI casts. bigint micros hold ~292k years of ids.
         F.timestamp_micros(
-            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            # 2024-01-01T00:00:00Z as epoch micros: a FIXED instant. Parsing the
+            # string with cast("timestamp") would go through the session
+            # timeZone, making the generated instants ambient-zone-dependent.
+            F.lit(1_704_067_200_000_000)
             + F.col("id") * F.lit(60_000_000).cast("bigint")
         ).alias("created_at"),
     )

@@ -31,13 +31,14 @@ def stamp_modified(df: DataFrame, col: str = "modified_at", batch_ts=None) -> Da
 
     ``batch_ts`` (datetime or ISO string) pins the stamp for reproducible /
     oracle-checked runs; default is wall-clock, like the reference trigger
-    (dltproject/sql scripts/create trigger.sql:12-22).
+    (dltproject/sql scripts/create trigger.sql:12-22). A naive/string
+    batch_ts is interpreted as UTC wall time via ``utc_ts_lit`` — parsing
+    it with cast("timestamp") would name a different instant under every
+    ambient session timeZone.
     """
-    stamp = (
-        F.current_timestamp()
-        if batch_ts is None
-        else F.lit(batch_ts).cast("timestamp")
-    )
+    from ssg_etl_spark.functions.scalar import utc_ts_lit
+
+    stamp = F.current_timestamp() if batch_ts is None else utc_ts_lit(batch_ts)
     return df.withColumn(col, stamp)
 
 

@@ -26,7 +26,9 @@ def test_release_tracked_returns_storage_to_baseline(spark, sf_dir):
     assert _n_persistent(spark) > baseline
     cache.release_tracked(blocking=True)
     assert cache.tracked_count() == 0
-    assert _n_persistent(spark) == baseline
+    # <=: Spark's ContextCleaner may concurrently reap an earlier test's
+    # GC'd persist, shrinking the count below the measured baseline.
+    assert _n_persistent(spark) <= baseline
 
     # TF-IDF pins the tf table; IVF pins the unit corpus + per-round
     # centroids. Sequential query → release cycles stay flat, as in the
@@ -39,7 +41,7 @@ def test_release_tracked_returns_storage_to_baseline(spark, sf_dir):
     similarity.ivf_topk(emb, queries, k=5, n_cells=4, n_probe=2).count()
     assert _n_persistent(spark) > baseline
     cache.release_tracked(blocking=True)
-    assert _n_persistent(spark) == baseline
+    assert _n_persistent(spark) <= baseline
 
 
 def test_release_tracked_is_idempotent_and_safe(spark):

@@ -1,0 +1,86 @@
+"""Timezone-robustness gate — the zone twin of ``test_ansi_robustness``.
+
+``session.py`` pins ``spark.sql.session.timeZone=UTC``, but the driver and
+any embedding application supply their OWN session whose zone defaults to
+the host zone. Every timestamp field extraction (``hour``, ``CAST(ts AS
+DATE)``, ``year``, ``date_format``) renders through that ambient zone, so
+without the ``utc_wall`` / ``utc_ts_lit`` idioms (functions/scalar.py) a
+query that passes the UTC oracle returns silently shifted values in a
+non-UTC session. Contract: query VALUES are instant-identical under any
+session zone. The full 141-query × 3-zone sweep lives in
+``tools/tz_sweep.py``; this in-suite gate pins the queries whose
+expressions extract calendar fields from TIMESTAMP columns — the ones that
+would regress if an edit dropped a ``utc_wall`` wrapper.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+
+from ssg_etl_spark.plans.registry import load_all
+
+SPECS = load_all(include_extra=True)
+
+# Queries with timestamp→calendar-field extraction in their Spark plans
+# (date rollups, year filters/pivots, hour-based shift recode, timestamp
+# rendering, epoch-anchored generation). Asia/Kathmandu's +05:45 offset
+# shifts every one of these if an extraction reads the ambient zone.
+TZ_SENSITIVE = [
+    "rollup_grouping_sets",
+    "avg_daily_orders_sales",
+    "yoy_monthly_sales",
+    "pivot_status_year",
+    "full_refresh_replicate",
+    "synthetic_transactions",
+    "gl_enrichment",
+    "scalar_string_date_math",
+    "running_total_by_nation",
+    "asof_last_before",
+    "source_change_detection",
+]
+
+
+def _canon(df, zone: str) -> list[str]:
+    # collect() renders TIMESTAMP via datetime.fromtimestamp — the HOST
+    # zone, independent of the session zone we vary. Naive datetimes are
+    # therefore host-local wall time; .astimezone(utc) on a naive datetime
+    # interprets it as host-local, recovering the instant. (TIMESTAMP_NTZ
+    # collects as zone-independent wall fields; shifting those uniformly
+    # keeps the cross-zone hashes comparable.)
+    del zone
+
+    def cell(v):
+        if isinstance(v, dt.datetime) and v.tzinfo is None:
+            return v.astimezone(dt.timezone.utc).isoformat()
+        return repr(v)
+
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+    return sorted("|".join(cell(r[c]) for c in cols) for r in rows)
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE)
+def test_values_identical_across_session_zones(spark, sf_dir, name):
+    from ssg_etl_spark.cache import release_tracked
+
+    assert name in SPECS, f"{name} dropped from registry — update this list"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        base = _canon(SPECS[name].builder(spark, sf_dir), "UTC")
+        release_tracked()
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        got = _canon(SPECS[name].builder(spark, sf_dir), "Asia/Kathmandu")
+        release_tracked()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        release_tracked()
+    assert len(base) > 0
+    h = lambda lines: hashlib.sha256("\n".join(lines).encode()).hexdigest()  # noqa: E731
+    assert h(base) == h(got), (
+        f"{name}: values shift with session timeZone — a timestamp field "
+        "extraction is missing its utc_wall/utc_ts_lit wrapper"
+    )
