@@ -101,6 +101,12 @@ CURATION_FAMILY = [
     "zorder_orders",
     "lineitem_correlations",
     "media_frame_plan",
+    # Round 7: encoding repair, real-codec media features, tokenizer
+    # induction, embedding-level benchmark decontamination.
+    "mojibake_repair",
+    "media_features_ppm",
+    "bpe_pair_counts",
+    "semantic_decontamination",
 ]
 
 

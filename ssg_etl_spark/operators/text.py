@@ -766,3 +766,54 @@ def vocab_oov_rate(df: DataFrame, vocab_size: int = 1000) -> DataFrame:
             ),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """First-round BPE (byte-pair-encoding) merge statistics: the top-k
+    adjacent character pairs by corpus frequency — the tokenizer-induction
+    stage of a training-data pipeline (each BPE merge round picks the most
+    frequent pair; this computes the full ranked candidate table).
+
+    Scale shape (the classic BPE trick): the corpus first REDUCES to its
+    distinct-word vocabulary with frequencies (one shuffle, map-side
+    partial aggregation, output size = |vocab| — sublinear in corpus
+    size), and pair extraction explodes only the vocabulary weighted by
+    word frequency, never the raw corpus. The final ranking runs over at
+    most alphabet² = 676 candidate pairs — bounded by construction, so
+    the global rank window is metadata-sized, not corpus-sized.
+
+    Words are lowercased ASCII-letter runs (non-letters become
+    boundaries); words shorter than 2 characters contribute no pairs.
+    Deterministic total order (count DESC, pair ASC) makes top-k
+    reproducible under any partitioning.
+    """
+    df = fan_out(df)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")),
+        " ",
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    # <= 676 rows reach this window: bounded by the alphabet, not the data.
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "pair", "pair_count")
+    )

@@ -2950,3 +2950,146 @@ def media_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return multimodal.frame_sample_plan(assets, every_ms=1000)
+
+
+@register(
+    "semantic_decontamination",
+    oracle="""
+WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 17 != 0),
+bench AS (SELECT * FROM embeddings WHERE vec_id % 17 = 0),
+alist AS (
+  SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS anchors
+  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 24)),
+cbits AS (
+  SELECT e.vec_id,
+    list_transform(al.anchors,
+      x -> CASE WHEN list_dot_product(x, CAST(e.embedding AS DOUBLE[])) > 0
+           THEN 1 ELSE 0 END) AS bits
+  FROM corpus e, alist al),
+cbuckets AS (
+  SELECT vec_id, t.t AS tbl,
+    bits[t.t*3+1]*4 + bits[t.t*3+2]*2 + bits[t.t*3+3] AS bucket
+  FROM cbits, range(0, 8) t(t)),
+qbits AS (
+  SELECT e.vec_id,
+    list_transform(al.anchors,
+      x -> CASE WHEN list_dot_product(x, CAST(e.embedding AS DOUBLE[])) > 0
+           THEN 1 ELSE 0 END) AS bits
+  FROM bench e, alist al),
+qbuckets AS (
+  SELECT vec_id, t.t AS tbl,
+    bits[t.t*3+1]*4 + bits[t.t*3+2]*2 + bits[t.t*3+3] AS bucket
+  FROM qbits, range(0, 8) t(t)),
+cand AS (
+  SELECT DISTINCT q.vec_id AS vec_new, c.vec_id AS vec_base
+  FROM qbuckets q JOIN cbuckets c USING (tbl, bucket)),
+scored AS (
+  SELECT vec_new, vec_base,
+    list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                             CAST(n.embedding AS DOUBLE[])))
+     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])))) AS cosine_sim
+  FROM cand JOIN bench n ON vec_new = n.vec_id
+            JOIN corpus b ON vec_base = b.vec_id),
+hits AS (
+  SELECT vec_base, vec_new, round(cosine_sim, 6) AS r_sim
+  FROM scored WHERE cosine_sim >= 0.5),
+best AS (
+  SELECT vec_base, vec_new, r_sim,
+    ROW_NUMBER() OVER (PARTITION BY vec_base
+                       ORDER BY r_sim DESC, vec_new) AS rn
+  FROM hits)
+SELECT c.vec_id,
+  CASE WHEN b.vec_new IS NOT NULL THEN 'contaminated' ELSE 'clean' END
+    AS status,
+  b.vec_new AS benchmark_vec_id,
+  b.r_sim AS max_sim
+FROM corpus c
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON c.vec_id = b.vec_base
+""",
+    tags=("llm", "similarity", "decontamination", "pipeline"),
+    extra=True,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic twin of
+    the n-gram `benchmark_decontamination`: every training-corpus vector
+    near ANY benchmark/eval vector (cosine >= 0.5 through the banded LSH
+    probe) is flagged with its closest benchmark id. Same scale contract
+    as the incremental near-dup path: the bucket join is benchmark x
+    corpus only (the corpus x corpus term never exists), the benchmark
+    side is model-sized, and at 100 TB the corpus postings are the
+    persisted bucketed index the benchmark set probes shuffle-free.
+    Output: one row per corpus vector — (vec_id, status
+    contaminated|clean, benchmark_vec_id, max_sim), best match broken by
+    rounded-sim DESC then benchmark id ASC so the keep decision is
+    deterministic under any partitioning. Extra registry: locally
+    oracle-verified."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    pairs = similarity.lsh_near_dup_pairs_incremental(
+        corpus, bench, 0.5, n_tables=8, bits_per_table=3
+    )
+    w = Window.partitionBy("vec_base").orderBy(
+        F.desc("r_sim"), F.asc("vec_new")
+    )
+    best = (
+        pairs.withColumn("r_sim", F.round("cosine_sim", 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_base").alias("vec_id"),
+            F.col("vec_new").alias("benchmark_vec_id"),
+            F.col("r_sim").alias("max_sim"),
+        )
+    )
+    return corpus.select("vec_id").join(best, "vec_id", "left").select(
+        "vec_id",
+        F.when(
+            F.col("benchmark_vec_id").isNotNull(), F.lit("contaminated")
+        )
+        .otherwise(F.lit("clean"))
+        .alias("status"),
+        "benchmark_vec_id",
+        "max_sim",
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(
+    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS word
+  FROM documents),
+vocab AS (
+  SELECT word, COUNT(*) AS freq FROM toks
+  WHERE length(word) >= 2 GROUP BY word),
+pairs AS (
+  SELECT substr(word, CAST(unnest(range(1, length(word))) AS INTEGER), 2)
+    AS pair, freq
+  FROM vocab),
+agg AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY pair)
+SELECT rank, pair, pair_count FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank,
+         pair, pair_count
+  FROM agg)
+WHERE rank <= 50
+""",
+    tags=("llm", "text", "tokenizer"),
+    extra=True,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction over the corpus: ranked adjacent character-pair
+    frequencies (the first BPE merge round's candidate table). The corpus
+    reduces to its distinct-word vocabulary before any pair explode, and
+    the rank window sees at most alphabet-squared rows — see
+    `operators/text.py:bpe_pair_counts`. Extra registry: locally
+    oracle-verified."""
+    return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"))

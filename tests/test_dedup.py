@@ -1386,3 +1386,59 @@ def test_simhash_wide_band_parameterization(spark, sf_dir):
     assert set(wide) == tight_default
     with _pytest.raises(AssertionError):
         dedup.simhash_pairs(docs, n_bands=3, max_hamming=3)
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    """'aaab' twice: within-word pair 'aa' occurs 2x per occurrence ->
+    weighted count 4 beats 'ab' (2) and the cross-word space never forms
+    a pair (words are the pair universe, not the raw character stream)."""
+    from ssg_etl_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "zz! 7q")], ["doc_id", "text"]
+    )
+    rows = {
+        r["pair"]: (r["rank"], r["pair_count"])
+        for r in text.bpe_pair_counts(df).collect()
+    }
+    assert rows["aa"] == (1, 4)  # 2 per 'aaab' x freq 2
+    assert rows["ab"][1] == 2
+    assert rows["zz"][1] == 1  # 'zz!' normalizes to word 'zz'
+    assert "7q" not in rows  # digits are boundaries, '7q' -> word 'q' (<2)
+    assert "b " not in rows and " a" not in rows  # no cross-word pairs
+
+
+def test_semantic_decontamination_flags_only_near_benchmark(spark):
+    """A corpus vector colinear with a benchmark vector is contaminated
+    with that benchmark id; an orthogonal one is clean; output covers the
+    whole corpus exactly once."""
+    from ssg_etl_spark.operators import similarity
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    dim = 8
+    base = [0.0] * dim
+    v_hit = list(base)
+    v_hit[0] = 1.0
+    v_miss = list(base)
+    v_miss[5] = 1.0
+    corpus_rows = [(i, v_hit if i % 2 else v_miss) for i in range(1, 25)]
+    bench_rows = [(100, v_hit)]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    bench = spark.createDataFrame(bench_rows, ["vec_id", "embedding"])
+
+    pairs = similarity.lsh_near_dup_pairs_incremental(
+        corpus, bench, 0.5, n_tables=2, bits_per_table=2
+    )
+    w = Window.partitionBy("vec_base").orderBy(
+        F.desc("r_sim"), F.asc("vec_new")
+    )
+    best = (
+        pairs.withColumn("r_sim", F.round("cosine_sim", 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    flagged = {r["vec_base"]: r["vec_new"] for r in best.collect()}
+    hit_ids = {i for i, v in corpus_rows if v == v_hit}
+    assert set(flagged) == hit_ids
+    assert all(b == 100 for b in flagged.values())

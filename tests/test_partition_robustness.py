@@ -10,7 +10,7 @@ under-keyed ``row_number`` sorts, un-ordered ``limit`` — would return
 different VALUES at different parallelism. Contract: results are a pure
 function of the input data, not the physical partitioning (enforced by
 DECIMAL sum intermediates, ``array_sort``-wrapped collects, fully-keyed
-sort orders). The full 141-query × 4-config sweep lives in
+sort orders). The full registry × 4-config sweep lives in
 ``tools/partition_sweep.py``; this in-suite gate pins the queries whose
 plans contain the order-sensitive shapes, at the serial extreme (1
 shuffle partition) vs the suite default.
