@@ -107,6 +107,12 @@ CURATION_FAMILY = [
     "media_features_ppm",
     "bpe_pair_counts",
     "semantic_decontamination",
+    # Round 7: iterative clustering, distinct sketch, user-journey ops.
+    "kmeans_embeddings",
+    "hll_distinct_users",
+    "cms_user_frequencies",
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
 ]
 
 

@@ -1,0 +1,169 @@
+"""Distributed k-means (Lloyd's) over embedding columns — the iterative
+clustering stage of a training-data pipeline (semantic domain discovery,
+coreset construction, diversity-balanced mixing all start from a k-means
+assignment over document embeddings).
+
+Spark-first shape (the same one MLlib uses, restated on DataFrames): the
+MODEL is driver-sized, the DATA never leaves the cluster. Each Lloyd
+iteration is
+
+  1. broadcast the k×dim centroid table into the assignment expression
+     (literal arrays — Catalyst folds them; no join, no shuffle), and
+  2. one map-side-combined ``groupBy(cluster_id)`` whose output is k rows
+     of per-dimension sufficient statistics (sum, count).
+
+So an iteration costs one scan + one k-row shuffle, independent of corpus
+size; at 100 TB the input is persisted once (MEMORY_AND_DISK) and every
+iteration re-reads the cached columnar blocks.
+
+Engine-portable determinism (the DuckDB oracle replays every step):
+
+- Seeding: the k vectors with the LOWEST ids, cluster_id = rank order —
+  no RNG, same seeds in any engine.
+- Distances: squared L2 decomposed as ``xx - 2·xc + cc`` from
+  left-to-right dot-product folds (the same fold DuckDB's
+  ``list_dot_product`` uses), so doubles match bit-for-bit.
+- Assignment: argmin with ties broken by cluster_id ASC.
+- Centroid update: per-dimension DECIMAL(38,12) sums (order-independent
+  regardless of partitioning) cast to DOUBLE before the division; empty
+  clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.cache import persist_tracked
+from ssg_etl_spark.operators.similarity import _to_double, dot
+from ssg_etl_spark.partitioning import fan_out
+
+# Wide enough that summing billions of unit-scale components cannot
+# overflow the integral part (38-12 = 26 digits) while keeping 12
+# fractional digits — the same cross-engine-exact sufficient-statistic
+# pattern as analytics.correlation_matrix.
+VEC_DEC = "decimal(38,12)"
+
+
+def _sq_dist(xx: Column, v: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance of vector column ``v`` (with its precomputed
+    self-dot ``xx``) to a driver-side centroid, as ``xx - 2*xc + cc``.
+    ``cc`` folds left-to-right in Python — IEEE doubles, the identical
+    fold order the engines use — so every term is engine-portable."""
+    cc = 0.0
+    for c in centroid:
+        cc += c * c
+    xc = dot(v, F.array(*[F.lit(float(c)) for c in centroid]))
+    return xx - 2.0 * xc + F.lit(cc)
+
+
+def _assign(
+    vecs: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Add ``cluster_id`` (argmin of squared L2, ties → lowest id) and
+    ``d2``. Pure projection: the centroid table rides inside the
+    expression as folded literals — no join, no shuffle."""
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("_xx"), F.col("_v"), c).alias("d2"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, c in centroids
+            ]
+        )
+    )[0]
+    return vecs.withColumn("cluster_id", best["cid"]).withColumn(
+        "d2", best["d2"]
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, ``n_iter`` fixed iterations (a fixed budget is the
+    deterministic, oracle-replayable contract; convergence-based stopping
+    is a trivial driver-side wrapper). Returns one row per input vector:
+    ``(id, cluster_id int, d2 double)`` — the final assignment and its
+    squared distance to the final centroid.
+
+    Driver state is k×dim doubles per iteration (model-sized); the data
+    path is one persisted scan + one k-row-output shuffle per iteration.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be positive")
+    vecs = persist_tracked(
+        fan_out(
+            embeddings.select(
+                F.col(id_col).alias("_id"),
+                _to_double(F.col(vec_col)).alias("_v"),
+            )
+        ).withColumn("_xx", dot(F.col("_v"), F.col("_v")))
+    )
+
+    dim = len(vecs.select("_v").first()["_v"])
+    # Deterministic seeding: the k lowest-id vectors, cluster_id in id
+    # order. k rows to the driver — model-sized, like MLlib's init.
+    seed_rows = vecs.select("_id", "_v").orderBy("_id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
+    centroids = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
+
+    sum_cols = [
+        F.sum(F.col("_v")[i].cast(VEC_DEC)).cast("double").alias(f"_s{i}")
+        for i in range(dim)
+    ] + [F.count(F.lit(1)).cast("double").alias("_n")]
+
+    for _ in range(n_iter):
+        stats = (
+            _assign(vecs, centroids)
+            .groupBy("cluster_id")
+            .agg(*sum_cols)
+            .collect()
+        )
+        by_cid = {r["cluster_id"]: r for r in stats}
+        centroids = [
+            (
+                cid,
+                [by_cid[cid][f"_s{i}"] / by_cid[cid]["_n"] for i in range(dim)]
+                if cid in by_cid
+                else prev,  # empty cluster keeps its previous centroid
+            )
+            for cid, prev in centroids
+        ]
+
+    rounded = F.round("d2", 6)
+    # round() of a tiny negative (float error near an exact centroid hit)
+    # yields -0.0 in some engines and +0.0 in others; pin the zero.
+    return _assign(vecs, centroids).select(
+        F.col("_id").alias(id_col),
+        "cluster_id",
+        F.when(rounded == 0, F.lit(0.0)).otherwise(rounded).alias("d2"),
+    )
+
+
+def kmeans_profile(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-level summary of a k-means run: size and inertia (DECIMAL
+    sum of squared distances — order-independent) per cluster."""
+    assigned = kmeans_assign(embeddings, k, n_iter, id_col, vec_col)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("d2").cast(VEC_DEC)).cast("double").alias("inertia"),
+        )
+        .select(
+            "cluster_id", "n_points", F.round("inertia", 6).alias("inertia")
+        )
+    )

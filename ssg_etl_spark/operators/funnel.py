@@ -1,0 +1,138 @@
+"""User-journey analytics over event streams: ordered funnels and cohort
+retention — the two classic "how do users move through time" operators an
+event table supports (reference's event DAGs stop at windowed counts;
+these are their natural analytical extensions).
+
+Scale shape: every stage is an equi-join or aggregation keyed on
+``user_id`` (hash-shuffled, map-side combinable, no single-task funnels
+— pun intended, no global windows anywhere). The per-step join frontier
+shrinks monotonically (only users who completed step i-1 survive), so
+later steps cost less, not more.
+
+Timestamp semantics: event timestamps infer as TIMESTAMP_NTZ from the
+naive parquet column, so comparisons and calendar-field extraction are
+session-zone-independent by construction (the tz-robustness contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order funnel: for each user who performed ``steps[0]``, the
+    earliest completion time of each subsequent step STRICTLY AFTER the
+    previous step's time (the earliest-first-then-earliest-next greedy —
+    the standard funnel semantics; ties at the exact same timestamp do
+    not advance the funnel, keeping the rule total and deterministic).
+
+    One row per step-1 user: ``(user, step1_ts..stepN_ts, steps_completed)``
+    with NULL timestamps past the drop-off point.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias("step1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"step{i - 1}_ts"
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("user"), F.col(ts_col).alias("_t"))
+            .join(out.select("user", prev), "user")
+            .filter(F.col("_t") > F.col(prev))
+            .groupBy("user")
+            .agg(F.min("_t").alias(f"step{i}_ts"))
+        )
+        out = out.join(nxt, "user", "left")
+    completed = sum(
+        (F.col(f"step{i}_ts").isNotNull().cast("int"))
+        for i in range(1, len(steps) + 1)
+    )
+    return out.withColumn(
+        "steps_completed", completed.cast("bigint")
+    ).withColumnRenamed("user", user_col)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """Cohort-retention matrix at daily or monthly granularity: users are
+    cohorted by the calendar period of their first event; each later
+    active period increments the cohort's ``periods_since`` cell.
+    ``retained_pct`` is the cell count over the cohort's period-0 size
+    (period 0 is 100% by construction).
+
+    Two shuffles total: the per-user first-event min (map-side combined,
+    with the user's distinct active periods collected alongside — a
+    bounded set, ≤ periods in the data's time span) and the
+    (cohort, period) count — both keyed, both bounded by |users| rows,
+    not |events|.
+    """
+    if period == "day":
+        # Epoch-day ordinal: zone-free on the NTZ event time.
+        pnum = F.datediff(
+            F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("_p")
+
+        def label(c):
+            return F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), c.cast("int")),
+                "yyyy-MM-dd",
+            )
+
+    elif period == "month":
+        pnum = (F.year(ts_col) * 12 + F.month(ts_col) - 1).alias("_p")
+
+        def label(c):
+            return F.concat_ws(
+                "-",
+                F.floor(c / 12).cast("string"),
+                F.lpad((c % 12 + 1).cast("string"), 2, "0"),
+            )
+
+    else:
+        raise ValueError(f"unsupported period: {period!r}")
+
+    active = (
+        events.select(F.col(user_col).alias("user"), pnum)
+        .groupBy("user")
+        .agg(
+            F.min("_p").alias("_first_p"),
+            F.array_sort(F.collect_set("_p")).alias("_periods"),
+        )
+        .select("user", "_first_p", F.explode("_periods").alias("_p"))
+    )
+    cells = active.groupBy(
+        F.col("_first_p").alias("_cohort_p"),
+        (F.col("_p") - F.col("_first_p")).cast("bigint").alias("periods_since"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    base = cells.filter(F.col("periods_since") == 0).select(
+        "_cohort_p", F.col("n_users").alias("_cohort_size")
+    )
+    return (
+        cells.join(base, "_cohort_p")
+        .select(
+            label(F.col("_cohort_p")).alias("cohort_period"),
+            "periods_since",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double")
+                / F.col("_cohort_size").cast("double")
+                * 100.0,
+                4,
+            ).alias("retained_pct"),
+        )
+    )

@@ -810,10 +810,22 @@ def bpe_pair_counts(
         "freq",
     )
     agg = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
-    # <= 676 rows reach this window: bounded by the alphabet, not the data.
-    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    # Although <= 676 rows reach the ranking (bounded by the alphabet, not
+    # the data), the rank still routes through the distributed
+    # histogram-offset machinery — the engine ships zero unpartitioned
+    # WindowExecs, bounded or not (plan-audit contract). count DESC ==
+    # negated count ASC; arithmetic shiftright keeps the coarse buckets
+    # order-aligned for negatives (floor division by 1024).
+    from ssg_etl_spark.operators.analytics import global_row_number
+
+    ranked = global_row_number(
+        agg.withColumn("_neg", -F.col("pair_count")),
+        "_neg",
+        ["pair"],
+        out_col="rank",
+        coarse_fn=lambda c: F.shiftright(F.col(c).cast("bigint"), 10),
+    )
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= top_k)
+        ranked.filter(F.col("rank") <= top_k)
         .select("rank", "pair", "pair_count")
     )

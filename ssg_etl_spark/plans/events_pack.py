@@ -190,3 +190,224 @@ def event_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return same_key_burst_pairs(
         load_table(spark, sf_dir, "events"), tolerance_s=600
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id AS u, MIN(ts) AS step1_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS step2_ts
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.step1_ts GROUP BY 1),
+s3 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS step3_ts
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts GROUP BY 1)
+SELECT s1.u AS user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
+  CAST(1 + (CASE WHEN s2.u IS NULL THEN 0 ELSE 1 END)
+         + (CASE WHEN s3.u IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS steps_completed
+FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+""",
+    tags=("events", "funnel", "journey"),
+    extra=True,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view -> click -> purchase: earliest
+    step-1 time per user, then each later step's earliest occurrence
+    strictly after the previous step. Every stage is a user-keyed join or
+    agg; the frontier shrinks per step (operators/funnel.py). Extra
+    registry: locally oracle-verified."""
+    from ssg_etl_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "cohort_retention_daily",
+    oracle="""
+WITH m AS (
+  SELECT user_id AS u,
+    CAST(ts AS DATE) - DATE '1970-01-01' AS p FROM events),
+fm AS (SELECT u, MIN(p) AS first_p FROM m GROUP BY 1),
+act AS (SELECT DISTINCT m.u, fm.first_p, m.p FROM m JOIN fm ON m.u = fm.u),
+cells AS (
+  SELECT first_p AS cp, p - first_p AS periods_since, COUNT(*) AS n_users
+  FROM act GROUP BY 1, 2),
+base AS (SELECT cp, n_users AS cohort_size FROM cells WHERE periods_since = 0)
+SELECT
+  strftime(DATE '1970-01-01' + CAST(cells.cp AS INTEGER), '%Y-%m-%d')
+    AS cohort_period,
+  CAST(periods_since AS BIGINT) AS periods_since, n_users,
+  round(CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) * 100.0, 4)
+    AS retained_pct
+FROM cells JOIN base ON cells.cp = base.cp
+""",
+    tags=("events", "cohort", "journey"),
+    extra=True,
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort-retention matrix (cohort = date of first event; cells
+    = distinct users active k days later, plus retained_pct — daily
+    because the events fixture spans one month). Two user-keyed shuffles,
+    both bounded by |users| (operators/funnel.py). Extra registry:
+    locally oracle-verified."""
+    from ssg_etl_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"), period="day")
+
+
+def _hll_oracle() -> str:
+    """SQL twin of operators/sketches.py — identical register index, rho
+    string-inspection, exact-integer harmonic denominator, and the one
+    shared double constant (inlined by repr so both engines fold the same
+    literal)."""
+    from ssg_etl_spark.operators.sketches import (
+        ALPHA_M2_SCALED,
+        HLL_M,
+        HLL_RHO_HEX,
+        HLL_RHO_MAX,
+        LINEAR_COUNT_CUTOFF,
+    )
+
+    z = f"length(regexp_extract(substr(d, 3, {HLL_RHO_HEX}), '^(0*)', 1))"
+    nib = (
+        f"CASE substr(substr(d, 3, {HLL_RHO_HEX}) || 'f', {z} + 1, 1) "
+        "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+        "ELSE 0 END"
+    )
+    alpha = repr(ALPHA_M2_SCALED)
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d FROM events),
+rr AS (
+  SELECT event_type,
+    CAST(('0x' || substr(d, 1, 2)) AS INTEGER) AS reg,
+    CASE WHEN {z} = {HLL_RHO_HEX} THEN {HLL_RHO_MAX}
+         ELSE {z} * 4 + ({nib}) + 1 END AS rho
+  FROM h),
+regs AS (SELECT event_type, reg, MAX(rho) AS max_rho FROM rr GROUP BY 1, 2),
+est AS (
+  SELECT event_type,
+    SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - max_rho))
+      + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_RHO_MAX}) AS denom,
+    CAST({HLL_M} - COUNT(*) AS DOUBLE) AS zeros
+  FROM regs GROUP BY 1),
+ap AS (
+  SELECT event_type,
+    round(CASE WHEN {alpha} / CAST(denom AS DOUBLE) <= {LINEAR_COUNT_CUTOFF!r}
+                AND zeros > 0
+          THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+          ELSE {alpha} / CAST(denom AS DOUBLE) END, 4) AS approx_distinct
+  FROM est),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1)
+SELECT ap.event_type, ap.approx_distinct, ex.exact_distinct,
+  round(abs(ap.approx_distinct - CAST(ex.exact_distinct AS DOUBLE))
+        / CAST(ex.exact_distinct AS DOUBLE), 4) AS rel_err
+FROM ap JOIN ex ON ap.event_type = ex.event_type
+"""
+
+
+@register(
+    "hll_distinct_users",
+    oracle=_hll_oracle(),
+    tags=("events", "sketch", "approx"),
+    extra=True,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event type,
+    compared against the exact count (rel_err column). The sketch is the
+    scale path: 256 mergeable MAX registers per group instead of a
+    distinct-pair shuffle — see operators/sketches.py. The exact count
+    here is the demo yardstick, not part of the production plan. Extra
+    registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    est = sketches.approx_distinct(events, ["event_type"], "user_id")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "approx_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _cms_oracle() -> str:
+    """SQL twin of the count-min path: same row-seeded md5 cells, SUM
+    counters, min-over-rows lookup — pure integer arithmetic, so the
+    estimates replay exactly."""
+    from ssg_etl_spark.operators.sketches import CMS_DEPTH, CMS_W_HEX
+
+    return f"""
+WITH cells AS (
+  SELECT r.i AS row,
+    CAST(('0x' || substr(
+      md5(CAST(r.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+      1, {CMS_W_HEX})) AS INTEGER) AS reg,
+    COUNT(*) AS cnt
+  FROM events, range(0, {CMS_DEPTH}) r(i)
+  GROUP BY 1, 2),
+keys AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT k.user_id, r.i AS row,
+    CAST(('0x' || substr(
+      md5(CAST(r.i AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)),
+      1, {CMS_W_HEX})) AS INTEGER) AS reg
+  FROM keys k, range(0, {CMS_DEPTH}) r(i)),
+est AS (
+  SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS est_count
+  FROM probes p LEFT JOIN cells c ON p.row = c.row AND p.reg = c.reg
+  GROUP BY 1),
+ex AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1)
+SELECT est.user_id, est.est_count, ex.exact_count,
+  CAST(est.est_count - ex.exact_count AS BIGINT) AS overcount
+FROM est JOIN ex ON est.user_id = ex.user_id
+"""
+
+
+@register(
+    "cms_user_frequencies",
+    oracle=_cms_oracle(),
+    tags=("events", "sketch", "approx"),
+    extra=True,
+)
+def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimate per user vs the exact count (the
+    count-min guarantee surfaces as ``overcount >= 0``). The sketch is
+    depth x width = 1024 SUM counters — mergeable bounded state instead
+    of a per-key count at 100 TB; the lookup probes it broadcast. The
+    exact count is the demo yardstick (operators/sketches.py). Extra
+    registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = sketches.cms_sketch(events, [], "user_id")
+    keys = events.select("user_id").distinct()
+    est = sketches.cms_lookup(sketch, keys, "user_id")
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overcount"),
+    )

@@ -3093,3 +3093,78 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/text.py:bpe_pair_counts`. Extra registry: locally
     oracle-verified."""
     return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+# k-means oracle: the SQL replays every Lloyd step exactly — same seeds
+# (k lowest ids), same left-to-right dot-product folds (list_dot_product
+# == the engine's F.aggregate fold), same DECIMAL(38,12) sufficient
+# statistics cast to DOUBLE before the division, same argmin tie-break
+# (d2 then cid) — so assignments and distances hash-match bit-for-bit.
+_KM_K, _KM_ITER, _KM_DIM = 4, 3, 64
+
+
+def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
+    d2 = (
+        "p.xx - 2*list_dot_product(p.v, c.v)"
+        " + list_dot_product(c.v, c.v)"
+    )
+    means = ",\n    ".join(
+        f"CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE) AS m{i}"
+        for i in range(dim)
+    )
+    lst = "[" + ", ".join(f"m.m{i}" for i in range(dim)) + "]"
+    ctes = [
+        "pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "px AS (SELECT id, v, list_dot_product(v, v) AS xx FROM pts)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v"
+        f" FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k}))",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"a{t} AS (SELECT p.id, p.v, c.cid,\n"
+            f"  ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {d2}, c.cid)"
+            f" AS rn\n  FROM px p CROSS JOIN c{t - 1} c)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT cid,\n    {means}\n"
+            f"  FROM (SELECT a.cid, p.v FROM a{t} a JOIN pts p ON a.id = p.id"
+            f" WHERE a.rn = 1) GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT c.cid, CASE WHEN m.cid IS NULL THEN c.v"
+            f" ELSE {lst} END AS v"
+            f" FROM c{t - 1} c LEFT JOIN m{t} m USING (cid))"
+        )
+    ctes.append(
+        f"af AS (SELECT p.id, c.cid, {d2} AS d2,\n"
+        f"  ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {d2}, c.cid)"
+        f" AS rn\n  FROM px p CROSS JOIN c{n_iter} c)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT id AS vec_id, CAST(cid AS INT) AS cluster_id,\n"
+        "  CASE WHEN round(d2, 6) = 0 THEN 0.0 ELSE round(d2, 6) END AS d2\n"
+        "FROM af WHERE rn = 1"
+    )
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=_kmeans_oracle(_KM_K, _KM_ITER, _KM_DIM),
+    tags=("llm", "clustering", "iterative"),
+    extra=True,
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus (semantic
+    domain discovery / diversity-mixing stage): k=4, 3 fixed iterations,
+    deterministic lowest-id seeding. Model (k x dim doubles) rides the
+    driver; the data path is one persisted scan + one k-row shuffle per
+    iteration — see operators/clustering.py. Extra registry: locally
+    oracle-verified."""
+    from ssg_etl_spark.operators import clustering
+
+    return clustering.kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, n_iter=_KM_ITER
+    )

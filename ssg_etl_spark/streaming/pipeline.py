@@ -583,3 +583,66 @@ def run_snapshot_commit_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def foreach_batch_hll_merge(
+    registers_path: str, group_cols: list[str], value_col: str
+):
+    """Streaming distinct-count sketch: each micro-batch's HLL registers
+    fold into a persisted register table by register-wise MAX
+    (operators/sketches.py). MAX-merging is IDEMPOTENT, so a replayed
+    micro-batch (restart between write and checkpoint commit) leaves the
+    sketch unchanged — this sink is exactly-once by algebra, with no
+    batch-id bookkeeping. State is ≤ 256 rows per group forever; the
+    stream never re-reads its own history."""
+    import os
+
+    from ssg_etl_spark.operators.sketches import hll_merge, hll_registers
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fresh = hll_registers(batch, group_cols, value_col)
+        if os.path.exists(registers_path):
+            prior = spark.read.parquet(registers_path)
+            merged = hll_merge([prior, fresh], group_cols)
+        else:
+            merged = fresh
+        # Registers are group-bounded tiny; collect-and-rewrite keeps the
+        # update atomic-enough for a single writer (the stream itself).
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(registers_path)
+
+    return apply
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint: str,
+    registers_path: str,
+    group_cols: list[str],
+    value_col: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drive the streaming HLL fold over all available files once
+    (Trigger.AvailableNow), one micro-batch per source file."""
+    from ssg_etl_spark.schemas import EVENTS
+
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_hll_merge(registers_path, group_cols, value_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,268 @@
+"""Operator-level tests for the round-7 additions: k-means clustering,
+the deterministic HLL sketch (incl. the merge law), and the user-journey
+operators (funnel, cohort retention)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssg_etl_spark.operators import clustering, sketches
+from ssg_etl_spark.operators.funnel import cohort_retention, funnel_steps
+
+
+# ---------------------------------------------------------------- k-means
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_separates_two_obvious_blobs(spark):
+    """Points near (0,0) and near (10,10) split into the two seed-derived
+    clusters regardless of id interleaving."""
+    low = [[0.0 + i * 0.1, 0.0] for i in range(5)]
+    high = [[10.0 + i * 0.1, 10.0] for i in range(5)]
+    rows = []
+    for i in range(5):  # interleave ids so seeding picks one of each
+        rows.append((2 * i, low[i]))
+        rows.append((2 * i + 1, high[i]))
+    out = clustering.kmeans_assign(_vec_df(spark, rows), k=2, n_iter=3)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert {got[i] for i in (0, 2, 4, 6, 8)} == {0}  # low blob = seed 0
+    assert {got[i] for i in (1, 3, 5, 7, 9)} == {1}
+    assert len(got) == 10
+
+
+def test_kmeans_singleton_cluster_has_zero_distance(spark):
+    """A cluster that converges to a single point reports d2 exactly 0.0
+    (the -0.0 normalization contract)."""
+    rows = [(0, [0.0, 0.0]), (1, [100.0, 100.0]), (2, [0.2, 0.0])]
+    out = clustering.kmeans_assign(_vec_df(spark, rows), k=2, n_iter=2)
+    d2 = {r["vec_id"]: r["d2"] for r in out.collect()}
+    assert d2[1] == 0.0 and math.copysign(1.0, d2[1]) == 1.0
+
+
+def test_kmeans_profile_counts_and_inertia(spark):
+    rows = [(i, [float(i % 2) * 10.0, 0.0]) for i in range(8)]
+    prof = clustering.kmeans_profile(_vec_df(spark, rows), k=2, n_iter=2)
+    got = {r["cluster_id"]: r for r in prof.collect()}
+    assert got[0]["n_points"] == 4 and got[1]["n_points"] == 4
+    assert got[0]["inertia"] == 0.0  # both blobs collapse onto a centroid
+    assert got[1]["inertia"] == 0.0
+
+
+def test_kmeans_rejects_k_larger_than_corpus(spark):
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        clustering.kmeans_assign(_vec_df(spark, [(0, [1.0])]), k=2, n_iter=1)
+
+
+# ------------------------------------------------------------ HLL sketch
+
+
+def _ids_df(spark, ids, tag="t"):
+    return spark.createDataFrame([(tag, i) for i in ids], ["g", "v"])
+
+
+def test_hll_merge_law_equals_sketch_of_union(spark):
+    """register-wise MAX of two sketches == the sketch of the union,
+    EXACTLY (the property that makes it a rollup)."""
+    a = sketches.hll_registers(_ids_df(spark, range(0, 600)), ["g"], "v")
+    b = sketches.hll_registers(_ids_df(spark, range(400, 1000)), ["g"], "v")
+    u = sketches.hll_registers(_ids_df(spark, range(0, 1000)), ["g"], "v")
+    merged = sketches.hll_merge([a, b], ["g"])
+    assert {
+        (r["g"], r["reg"], r["max_rho"]) for r in merged.collect()
+    } == {(r["g"], r["reg"], r["max_rho"]) for r in u.collect()}
+
+
+def test_hll_estimate_within_typical_error(spark):
+    """p=8 → ~6.5% standard error; 1000 distinct values land within 4σ,
+    and duplicate re-insertion never changes the sketch."""
+    once = sketches.approx_distinct(_ids_df(spark, range(1000)), ["g"], "v")
+    twice = sketches.approx_distinct(
+        _ids_df(spark, list(range(1000)) * 3), ["g"], "v"
+    )
+    e1 = once.collect()[0]["approx_distinct"]
+    e2 = twice.collect()[0]["approx_distinct"]
+    assert e1 == e2
+    assert abs(e1 - 1000) / 1000 < 0.26
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    """With n << m most registers are empty: the estimate takes the
+    linear-counting branch, m*ln(m/zeros) for the exact integer zeros."""
+    regs = sketches.hll_registers(_ids_df(spark, range(10)), ["g"], "v")
+    occupied = regs.count()
+    est = sketches.hll_estimate(regs, ["g"]).collect()[0]["approx_distinct"]
+    expect = round(256.0 * math.log(256.0 / (256 - occupied)), 4)
+    assert est == expect
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, 0, s), u, t, 1.0, "{}")
+            for i, (u, t, s) in enumerate(rows)
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+def test_funnel_strict_order_and_dropoff(spark):
+    rows = [
+        # user 1: full funnel in order
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        # user 2: click BEFORE view → funnel stalls at step 1
+        (2, "click", 0), (2, "view", 10),
+        # user 3: never viewed → not in the output at all
+        (3, "purchase", 0),
+        # user 4: view then click at the SAME second → tie does not advance
+        (4, "view", 5), (4, "click", 5),
+    ]
+    out = funnel_steps(
+        _events(spark, rows), ["view", "click", "purchase"]
+    )
+    got = {r["user_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1]["steps_completed"] == 3
+    assert got[2]["steps_completed"] == 1
+    assert got[2]["step2_ts"] is None
+    assert got[4]["steps_completed"] == 1
+
+
+def test_funnel_takes_earliest_qualifying_times(spark):
+    rows = [
+        (1, "view", 30), (1, "view", 0),          # earliest view wins
+        (1, "click", 10), (1, "click", 40),       # first click AFTER view=0
+    ]
+    out = funnel_steps(_events(spark, rows), ["view", "click"]).collect()[0]
+    assert out["step1_ts"].second == 0
+    assert out["step2_ts"].second == 10
+
+
+# ------------------------------------------------------------- retention
+
+
+def test_cohort_retention_daily_matrix(spark):
+    def ev(i, u, day):
+        return (i, dt.datetime(2024, 1, day), u, "view", 1.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            ev(0, 1, 1), ev(1, 2, 1),   # cohort Jan-1: users 1,2
+            ev(2, 1, 2),                 # user 1 active day+1
+            ev(3, 1, 2),                 # same user+day: counted once
+            ev(4, 3, 2),                 # cohort Jan-2: user 3
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    got = {
+        (r["cohort_period"], r["periods_since"]): (
+            r["n_users"],
+            r["retained_pct"],
+        )
+        for r in cohort_retention(events, period="day").collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 100.0)
+    assert got[("2024-01-01", 1)] == (1, 50.0)
+    assert got[("2024-01-02", 0)] == (1, 100.0)
+    assert len(got) == 3
+
+
+# -------------------------------------------------------- streaming sketch
+
+
+def test_streaming_hll_fold_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Registers folded micro-batch-by-micro-batch equal the one-shot
+    batch sketch of the full table (the MAX-merge law in motion), and
+    re-applying a batch leaves them unchanged (replay idempotence)."""
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.streaming.pipeline import (
+        foreach_batch_hll_merge,
+        run_hll_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    regs_path = str(tmp_path / "regs")
+    run_hll_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        regs_path,
+        ["event_type"],
+        "user_id",
+    )
+    streamed = {
+        (r["event_type"], r["reg"], r["max_rho"])
+        for r in spark.read.parquet(regs_path).collect()
+    }
+    batch = {
+        (r["event_type"], r["reg"], r["max_rho"])
+        for r in sketches.hll_registers(
+            events, ["event_type"], "user_id"
+        ).collect()
+    }
+    assert streamed == batch
+
+    # Replay: re-apply an arbitrary slice; MAX-merge must be a no-op.
+    foreach_batch_hll_merge(regs_path, ["event_type"], "user_id")(
+        events.limit(500), batch_id=999
+    )
+    replayed = {
+        (r["event_type"], r["reg"], r["max_rho"])
+        for r in spark.read.parquet(regs_path).collect()
+    }
+    assert replayed == streamed
+
+
+# ------------------------------------------------------------- count-min
+
+
+def test_cms_overcounts_never_undercount_and_merge(spark):
+    vals = [i % 37 for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sketch = sketches.cms_sketch(df, [], "v")
+    keys = df.distinct()
+    est = {
+        r["v"]: r["est_count"]
+        for r in sketches.cms_lookup(sketch, keys, "v").collect()
+    }
+    from collections import Counter
+
+    exact = Counter(vals)
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+    # Merge law: sketches of disjoint halves sum to the whole's sketch.
+    a = sketches.cms_sketch(
+        spark.createDataFrame([(v,) for v in vals[:500]], ["v"]), [], "v"
+    )
+    b = sketches.cms_sketch(
+        spark.createDataFrame([(v,) for v in vals[500:]], ["v"]), [], "v"
+    )
+    merged = {
+        (r["row"], r["reg"]): r["cnt"]
+        for r in sketches.cms_merge([a, b], []).collect()
+    }
+    whole = {
+        (r["row"], r["reg"]): r["cnt"] for r in sketch.collect()
+    }
+    assert merged == whole
+
+
+def test_cms_unseen_key_reads_zero_or_collision(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["v"])
+    sketch = sketches.cms_sketch(df, [], "v")
+    probe = spark.createDataFrame([(999999,)], ["v"])
+    est = sketches.cms_lookup(sketch, probe, "v").collect()[0]["est_count"]
+    assert est in (0, 1, 2)  # zero unless it collides in EVERY row

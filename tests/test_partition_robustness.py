@@ -45,6 +45,8 @@ ORDER_SENSITIVE = [
     "weighted_sample_topk",
     "running_total_by_nation",
     "lineitem_correlations",
+    "kmeans_embeddings",  # DECIMAL centroid sums: invariant by design
+    "cohort_retention_daily",  # collect_set periods -> exploded counts
 ]
 
 

@@ -40,6 +40,7 @@ TZ_SENSITIVE = [
     "running_total_by_nation",
     "asof_last_before",
     "source_change_detection",
+    "cohort_retention_daily",  # calendar-day cohorts from NTZ event time
 ]
 
 

@@ -86,6 +86,13 @@ AUDIT_DEFAULT = [
     "temperature_mixture_lang",
     "zorder_orders",
     "lineitem_correlations",
+    "bpe_pair_counts",
+    "semantic_decontamination",
+    "kmeans_embeddings",
+    "hll_distinct_users",
+    "cms_user_frequencies",
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
 ]
 
 
