@@ -79,32 +79,20 @@ def _assign(
     )
 
 
-def kmeans_assign(
-    embeddings: DataFrame,
-    k: int = 4,
-    n_iter: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means, ``n_iter`` fixed iterations (a fixed budget is the
-    deterministic, oracle-replayable contract; convergence-based stopping
-    is a trivial driver-side wrapper). Returns one row per input vector:
-    ``(id, cluster_id int, d2 double)`` — the final assignment and its
-    squared distance to the final centroid.
+def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Normalized working shape: (_id, _v double[], _xx self-dot)."""
+    return fan_out(
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            _to_double(F.col(vec_col)).alias("_v"),
+        )
+    ).withColumn("_xx", dot(F.col("_v"), F.col("_v")))
 
-    Driver state is k×dim doubles per iteration (model-sized); the data
-    path is one persisted scan + one k-row-output shuffle per iteration.
-    """
+
+def _fit_on(vecs: DataFrame, k: int, n_iter: int) -> list[tuple[int, list[float]]]:
+    """Lloyd iterations over a prepared (persisted) vector table."""
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be positive")
-    vecs = persist_tracked(
-        fan_out(
-            embeddings.select(
-                F.col(id_col).alias("_id"),
-                _to_double(F.col(vec_col)).alias("_v"),
-            )
-        ).withColumn("_xx", dot(F.col("_v"), F.col("_v")))
-    )
 
     dim = len(vecs.select("_v").first()["_v"])
     # Deterministic seeding: the k lowest-id vectors, cluster_id in id
@@ -136,10 +124,62 @@ def kmeans_assign(
             )
             for cid, prev in centroids
         ]
+    return centroids
 
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train centroids with ``n_iter`` fixed Lloyd iterations (a fixed
+    budget is the deterministic, oracle-replayable contract;
+    convergence-based stopping is a trivial driver-side wrapper).
+    Returns the model: ``[(cluster_id, centroid), ...]`` — k×dim doubles,
+    driver-sized. The data path per iteration is one persisted scan +
+    one k-row-output shuffle of DECIMAL sufficient statistics."""
+    vecs = persist_tracked(_prep(embeddings, id_col, vec_col))
+    return _fit_on(vecs, k, n_iter)
+
+
+def kmeans_assign_precomputed(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to PRE-TRAINED centroids — the serving path: the
+    model rides the expression as folded literals, so assignment is a
+    pure scan+project with ZERO shuffles. Train once (on a sample, a
+    previous snapshot, yesterday's corpus), then label 100 TB in a
+    single embarrassingly parallel map."""
+    vecs = _prep(embeddings, id_col, vec_col)
     rounded = F.round("d2", 6)
     # round() of a tiny negative (float error near an exact centroid hit)
     # yields -0.0 in some engines and +0.0 in others; pin the zero.
+    return _assign(vecs, centroids).select(
+        F.col("_id").alias(id_col),
+        "cluster_id",
+        F.when(rounded == 0, F.lit(0.0)).otherwise(rounded).alias("d2"),
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + assign on the same corpus (the persisted working table is
+    shared between training and the final labeling pass): one row per
+    input vector, ``(id, cluster_id int, d2 double)`` — the final
+    assignment and its squared distance to the final centroid."""
+    vecs = persist_tracked(_prep(embeddings, id_col, vec_col))
+    centroids = _fit_on(vecs, k, n_iter)
+    rounded = F.round("d2", 6)
     return _assign(vecs, centroids).select(
         F.col("_id").alias(id_col),
         "cluster_id",

@@ -829,3 +829,71 @@ def bpe_pair_counts(
         ranked.filter(F.col("rank") <= top_k)
         .select("rank", "pair", "pair_count")
     )
+
+
+def hashed_tf(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick featurization (the classic feature-hashing / hashed
+    term-frequency vectorizer): every token hashes to one of ``dim``
+    cells (md5 — engine-portable), cell counts are the document's sparse
+    TF vector, L2-normalized. No vocabulary, no fit pass, no model state
+    — the property that makes the featurizer embarrassingly parallel at
+    100 TB (one scan, one (doc, cell)-keyed map-side-combined count).
+
+    Returns SPARSE rows ``(id, cell int, tf bigint, weight double)`` —
+    only occupied cells. ``weight = tf / sqrt(Σ tf²)``; the norm is a
+    sqrt of an exact integer, and IEEE sqrt/division are correctly
+    rounded, so weights replay bit-identically in any engine.
+
+    Tokens are lowercased ASCII-letter runs (the corpus-wide convention
+    of :func:`bpe_pair_counts`)."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")),
+        " ",
+    )
+    cell = (
+        F.conv(F.substring(F.md5(F.col("_w").cast("binary")), 1, 2), 16, 10)
+        .cast("int")
+        % dim
+    )
+    tf = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(toks).alias("_w"))
+        .filter(F.length("_w") >= 1)
+        .groupBy(id_col, cell.alias("cell"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norm = Window.partitionBy(id_col)
+    return tf.withColumn(
+        "weight",
+        F.col("tf")
+        / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(norm).cast("double")),
+    )
+
+
+def hashed_tf_dense(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense ``array<double>`` form of :func:`hashed_tf` — the bridge from
+    raw text into the embedding operators (k-means, ANN, near-dup):
+    ``(id, vec)`` with unoccupied cells 0.0. Pure placement (map build +
+    indexed lookup), so the dense values equal the sparse weights
+    exactly."""
+    sparse = hashed_tf(df, dim, text_col, id_col)
+    m = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("cell"), F.col("weight")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)),
+    )
+    return m.select(F.col(id_col), vec.alias("vec"))

@@ -3103,7 +3103,16 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITER, _KM_DIM = 4, 3, 64
 
 
-def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
+def _kmeans_oracle(
+    k: int,
+    n_iter: int,
+    dim: int,
+    pts_select: str = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+    " FROM embeddings",
+    pre_ctes: tuple[str, ...] = (),
+    out_id: str = "vec_id",
+    assign_select: str | None = None,
+) -> str:
     d2 = (
         "p.xx - 2*list_dot_product(p.v, c.v)"
         " + list_dot_product(c.v, c.v)"
@@ -3115,8 +3124,8 @@ def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
     )
     lst = "[" + ", ".join(f"m.m{i}" for i in range(dim)) + "]"
     ctes = [
-        "pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings)",
+        *pre_ctes,
+        f"pts AS ({pts_select})",
         "px AS (SELECT id, v, list_dot_product(v, v) AS xx FROM pts)",
         f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v"
         f" FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k}))",
@@ -3137,14 +3146,24 @@ def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
             f" ELSE {lst} END AS v"
             f" FROM c{t - 1} c LEFT JOIN m{t} m USING (cid))"
         )
+    # Final labeling pass: by default over the training points; with
+    # assign_select, over a (usually larger) serving set — the
+    # train-on-sample / assign-everything split.
+    final_src = "px"
+    if assign_select is not None:
+        ctes.append(f"apts AS ({assign_select})")
+        ctes.append(
+            "apx AS (SELECT id, v, list_dot_product(v, v) AS xx FROM apts)"
+        )
+        final_src = "apx"
     ctes.append(
         f"af AS (SELECT p.id, c.cid, {d2} AS d2,\n"
         f"  ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {d2}, c.cid)"
-        f" AS rn\n  FROM px p CROSS JOIN c{n_iter} c)"
+        f" AS rn\n  FROM {final_src} p CROSS JOIN c{n_iter} c)"
     )
     return (
         "WITH " + ",\n".join(ctes) + "\n"
-        "SELECT id AS vec_id, CAST(cid AS INT) AS cluster_id,\n"
+        f"SELECT id AS {out_id}, CAST(cid AS INT) AS cluster_id,\n"
         "  CASE WHEN round(d2, 6) = 0 THEN 0.0 ELSE round(d2, 6) END AS d2\n"
         "FROM af WHERE rn = 1"
     )
@@ -3168,3 +3187,104 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_assign(
         load_table(spark, sf_dir, "embeddings"), k=_KM_K, n_iter=_KM_ITER
     )
+
+
+# Hashed-TF oracle fragments (shared by the sparse query and the composed
+# text->features->kmeans pipeline): same lowercase-letter-run tokens, same
+# md5-byte cell, same exact-integer L2 norm (IEEE sqrt/division are
+# correctly rounded, so weights replay bit-identically).
+_HTF_DIM = 64
+_HTF_CTES = (
+    "tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace("
+    "lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w FROM documents)",
+    f"tf AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 2)) AS INTEGER)"
+    f" % {_HTF_DIM} AS cell, COUNT(*) AS tf"
+    f" FROM tok WHERE length(w) >= 1 GROUP BY 1, 2)",
+    "nrm AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nn"
+    " FROM tf GROUP BY 1)",
+)
+
+
+@register(
+    "hashed_tf_features",
+    oracle=f"""
+WITH {",".join(_HTF_CTES)}
+SELECT tf.doc_id, tf.cell, tf.tf,
+  round(CAST(tf.tf AS DOUBLE) / nrm.nn, 6) AS weight
+FROM tf JOIN nrm ON tf.doc_id = nrm.doc_id
+""",
+    tags=("llm", "text", "features"),
+    extra=True,
+)
+def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (hashing trick): tokens -> md5 cells ->
+    L2-normalized hashed TF. Stateless (no vocabulary fit), one scan +
+    one (doc, cell)-keyed count — see operators/text.py:hashed_tf. Extra
+    registry: locally oracle-verified."""
+    tf = text.hashed_tf(load_table(spark, sf_dir, "documents"))
+    return tf.select(
+        "doc_id", "cell", "tf", F.round("weight", 6).alias("weight")
+    )
+
+
+_HTF_PTS = (
+    f"SELECT tf.doc_id AS id, ["
+    + ", ".join(
+        f"SUM(CASE WHEN tf.cell = {i} THEN CAST(tf.tf AS DOUBLE) / nrm.nn"
+        f" ELSE 0.0 END)"
+        for i in range(_HTF_DIM)
+    )
+    + "] AS v FROM tf JOIN nrm ON tf.doc_id = nrm.doc_id GROUP BY tf.doc_id"
+)
+
+
+@register(
+    "hashed_tf_kmeans",
+    oracle=_kmeans_oracle(
+        4, 2, _HTF_DIM, pts_select=_HTF_PTS, pre_ctes=_HTF_CTES, out_id="doc_id"
+    ),
+    tags=("llm", "text", "clustering", "pipeline"),
+    extra=True,
+)
+def hashed_tf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text clustering with zero model state: raw documents ->
+    hashing-trick TF vectors -> Lloyd's k-means (k=4, 2 iterations) —
+    the full "where do the vectors come from" path, every stage
+    engine-replayable. Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import clustering
+
+    dense = text.hashed_tf_dense(load_table(spark, sf_dir, "documents"))
+    return clustering.kmeans_assign(
+        dense, k=4, n_iter=2, id_col="doc_id", vec_col="vec"
+    )
+
+
+@register(
+    "kmeans_sample_trained",
+    oracle=_kmeans_oracle(
+        _KM_K,
+        2,
+        _KM_DIM,
+        pts_select="SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings WHERE vec_id % 5 = 0",
+        assign_select="SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings",
+    ),
+    tags=("llm", "clustering", "serving"),
+    extra=True,
+)
+def kmeans_sample_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-sample / assign-everything: centroids fit on a 20%
+    id-hash sample (k=4, 2 iterations), then the FULL corpus labeled via
+    `kmeans_assign_precomputed` — whose plan is a pure scan+project with
+    ZERO shuffles (the model rides the expression as folded literals).
+    This is the 100 TB serving shape: training touches a bounded sample;
+    labeling is one embarrassingly parallel map over everything. Extra
+    registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = clustering.kmeans_fit(
+        emb.filter(F.col("vec_id") % 5 == 0), k=_KM_K, n_iter=2
+    )
+    return clustering.kmeans_assign_precomputed(emb, cent)

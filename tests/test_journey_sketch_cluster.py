@@ -266,3 +266,106 @@ def test_cms_unseen_key_reads_zero_or_collision(spark):
     probe = spark.createDataFrame([(999999,)], ["v"])
     est = sketches.cms_lookup(sketch, probe, "v").collect()[0]["est_count"]
     assert est in (0, 1, 2)  # zero unless it collides in EVERY row
+
+
+# -------------------------------------------------------------- hashed TF
+
+
+def _cell_of(token: str, dim: int = 64) -> int:
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:2], 16) % dim
+
+
+def test_hashed_tf_counts_and_l2_norm(spark):
+    from ssg_etl_spark.operators import text as t
+
+    df = spark.createDataFrame([(1, "aa bb AA, x7aa")], ["doc_id", "text"])
+    # tokens: aa, bb, aa, x, aa  (lowercased; digits are boundaries)
+    rows = {r["cell"]: r for r in t.hashed_tf(df).collect()}
+    assert rows[_cell_of("aa")]["tf"] == 3
+    assert rows[_cell_of("bb")]["tf"] == 1
+    assert rows[_cell_of("x")]["tf"] == 1
+    sq = sum(r["weight"] ** 2 for r in rows.values())
+    assert abs(sq - 1.0) < 1e-12  # L2-normalized
+
+
+def test_hashed_tf_dense_matches_sparse(spark):
+    from ssg_etl_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma")], ["doc_id", "text"]
+    )
+    sparse = {
+        (r["doc_id"], r["cell"]): r["weight"]
+        for r in t.hashed_tf(df).collect()
+    }
+    for r in t.hashed_tf_dense(df).collect():
+        vec = r["vec"]
+        assert len(vec) == 64
+        for cell, w in enumerate(vec):
+            if (r["doc_id"], cell) in sparse:
+                assert w == sparse[(r["doc_id"], cell)]
+            else:
+                assert w == 0.0
+
+
+def test_hashed_tf_collisions_sum_into_one_cell(spark):
+    from ssg_etl_spark.operators import text as t
+
+    # Find two distinct tokens that share a cell, from the test side.
+    import itertools
+    import string
+
+    by_cell: dict[int, str] = {}
+    pair = None
+    for s in itertools.product(string.ascii_lowercase, repeat=2):
+        tok = "".join(s)
+        c = _cell_of(tok)
+        if c in by_cell:
+            pair = (by_cell[c], tok, c)
+            break
+        by_cell[c] = tok
+    a, b, cell = pair
+    df = spark.createDataFrame([(1, f"{a} {b}")], ["doc_id", "text"])
+    rows = t.hashed_tf(df).collect()
+    assert len(rows) == 1 and rows[0]["cell"] == cell and rows[0]["tf"] == 2
+
+
+def test_kmeans_precomputed_assign_plan_has_zero_exchanges(spark):
+    """The serving path (assign to pre-trained centroids) must be a pure
+    scan+project: the model rides the expression, nothing shuffles."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    cent = [(0, [0.0, 1.0]), (1, [19.0, 1.0])]
+    out = clustering.kmeans_assign_precomputed(df, cent)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    nodes = re.findall(r"^\(\d+\) (\w+)", buf.getvalue(), re.MULTILINE)
+    assert "Exchange" not in nodes and "ShuffleExchange" not in str(nodes)
+    # And it labels correctly.
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert got[0] == 0 and got[19] == 1
+
+
+def test_kmeans_fit_then_assign_matches_fit_assign(spark):
+    """kmeans_assign == kmeans_fit + kmeans_assign_precomputed on the
+    same corpus (the split is a pure refactoring of the combined op)."""
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
+    df = _vec_df(spark, rows)
+    combined = {
+        (r["vec_id"], r["cluster_id"], r["d2"])
+        for r in clustering.kmeans_assign(df, k=3, n_iter=2).collect()
+    }
+    cent = clustering.kmeans_fit(df, k=3, n_iter=2)
+    split = {
+        (r["vec_id"], r["cluster_id"], r["d2"])
+        for r in clustering.kmeans_assign_precomputed(df, cent).collect()
+    }
+    assert combined == split

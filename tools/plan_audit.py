@@ -93,6 +93,9 @@ AUDIT_DEFAULT = [
     "cms_user_frequencies",
     "funnel_view_click_purchase",
     "cohort_retention_daily",
+    "hashed_tf_features",
+    "hashed_tf_kmeans",
+    "kmeans_sample_trained",
 ]
 
 

@@ -52,6 +52,14 @@ QUERIES = [
     "window_rownum_global",
     "events_10min_window",
     "correlated_scalar_max",
+    # Round 7 event-side additions: user-keyed journeys and sketches.
+    # The replica shift multiplies USERS (10x users, same events/user),
+    # so these measure the per-user frontier joins and the bounded
+    # register shuffles at 10x key cardinality.
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
+    "hll_distinct_users",
+    "cms_user_frequencies",
 ]
 
 

@@ -113,7 +113,15 @@ def family(sf_dir: str, n_vectors: int):
 
     from pyspark.sql import functions as F
 
-    from ssg_etl_spark.operators import dedup, sampling, similarity, text, zorder
+    from ssg_etl_spark.operators import (
+        clustering,
+        dedup,
+        sampling,
+        similarity,
+        sketches,
+        text,
+        zorder,
+    )
     from ssg_etl_spark.sources.tables import load_table
 
     # Keep expected sign-bucket occupancy near ~150 vectors: bits =
@@ -263,6 +271,28 @@ def family(sf_dir: str, n_vectors: int):
                 train_mod=max(1, n_vectors // 10_000),
             ),
             f"cells≈sqrt(N) train_mod={max(1, n_vectors // 10_000)}",
+        ),
+        # k-means: per iteration one scan + one k-row shuffle; the wall
+        # should track the scan (~linear), parameters fixed across scales.
+        (
+            "kmeans_assign",
+            lambda s: clustering.kmeans_assign(emb(s), k=4, n_iter=3),
+            "k=4 iters=3",
+        ),
+        # Sketches: linear scan, bounded (non-growing) shuffle state.
+        (
+            "hll_distinct_docs",
+            lambda s: sketches.approx_distinct(docs(s), ["lang"], "text"),
+            "",
+        ),
+        (
+            "cms_lang_freq",
+            lambda s: sketches.cms_lookup(
+                sketches.cms_sketch(docs(s), [], "lang"),
+                docs(s).select("lang").distinct(),
+                "lang",
+            ),
+            "",
         ),
     ]
 
