@@ -116,6 +116,8 @@ CURATION_FAMILY = [
     "hashed_tf_features",
     "hashed_tf_kmeans",
     "kmeans_sample_trained",
+    "random_projection_16",
+    "cluster_balanced_sample",
 ]
 
 

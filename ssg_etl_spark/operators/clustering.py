@@ -207,3 +207,34 @@ def kmeans_profile(
             "cluster_id", "n_points", F.round("inertia", 6).alias("inertia")
         )
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    per_cluster: int = 25,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced (coreset-style) sampling: k-means the corpus,
+    then take ``per_cluster`` items from EVERY cluster — equal semantic
+    coverage instead of frequency-weighted coverage, the mixing move that
+    keeps a dominant domain from swamping a training sample.
+
+    Within-cluster selection orders by ``md5(id)`` (deterministic
+    pseudo-random, partitioning-independent, engine-replayable) with the
+    id as tie-break. The rank is a per-cluster window + rank filter —
+    Spark executes it as WindowGroupLimit (per-partition top-k push-down),
+    never a global sort."""
+    from pyspark.sql.window import Window
+
+    assigned = kmeans_assign(embeddings, k, n_iter, id_col, vec_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cluster)
+        .select(id_col, "cluster_id")
+    )

@@ -856,3 +856,55 @@ def lsh_near_dup_pairs_incremental(
         .select("vec_new", "vec_base", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def rp_sign_matrix(d_in: int, d_out: int) -> list[list[float]]:
+    """Deterministic ±1 projection matrix: sign(i, j) from the top bit of
+    md5(f"{i}:{j}") — reproducible in any engine/language, no RNG state.
+    Column-major: ``matrix[j][i]`` is input-dim i's sign for output-dim j."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_projection(
+    embeddings: DataFrame,
+    d_in: int,
+    d_out: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a signed
+    (Achlioptas-style ±1) matrix: ``y_j = (1/√d_out) · Σ_i v_i·s(i,j)``.
+    The matrix is driver-generated literals folded into the projection —
+    a pure scan+project with ZERO shuffles, the same serving shape as
+    ``kmeans_assign_precomputed``. Use it to shrink vectors before
+    LSH/ANN/near-dup when the raw dimensionality dominates compute.
+
+    Determinism: signs from md5 (engine-replayable), per-output-dim
+    left-to-right dot folds, and a scale of 1/√d_out — exactly
+    representable when ``d_out`` is a power of 4 (16 → 0.25); other
+    values still replay (IEEE sqrt is correctly rounded) but prefer
+    powers of 4 for clarity. Returns ``(id, proj array<double>)``."""
+    signs = rp_sign_matrix(d_in, d_out)
+    import math
+
+    scale = 1.0 / math.sqrt(float(d_out))
+    v = _to_double(F.col(vec_col))
+    proj = F.array(
+        *[
+            dot(v, F.array(*[F.lit(s) for s in signs[j]])) * F.lit(scale)
+            for j in range(d_out)
+        ]
+    )
+    return fan_out(embeddings).select(
+        F.col(id_col), proj.alias("proj")
+    )

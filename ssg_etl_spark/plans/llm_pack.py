@@ -3103,16 +3103,18 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITER, _KM_DIM = 4, 3, 64
 
 
-def _kmeans_oracle(
+def _kmeans_ctes(
     k: int,
     n_iter: int,
     dim: int,
     pts_select: str = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
     " FROM embeddings",
     pre_ctes: tuple[str, ...] = (),
-    out_id: str = "vec_id",
     assign_select: str | None = None,
-) -> str:
+) -> list[str]:
+    """CTE chain replaying fit (+ optional separate assign set), ending
+    with ``af`` (id, cid, d2, rn; rn = 1 is the assignment) — shared by
+    the plain oracle and compositions that keep transforming it."""
     d2 = (
         "p.xx - 2*list_dot_product(p.v, c.v)"
         " + list_dot_product(c.v, c.v)"
@@ -3161,6 +3163,20 @@ def _kmeans_oracle(
         f"  ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY {d2}, c.cid)"
         f" AS rn\n  FROM {final_src} p CROSS JOIN c{n_iter} c)"
     )
+    return ctes
+
+
+def _kmeans_oracle(
+    k: int,
+    n_iter: int,
+    dim: int,
+    pts_select: str = "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+    " FROM embeddings",
+    pre_ctes: tuple[str, ...] = (),
+    out_id: str = "vec_id",
+    assign_select: str | None = None,
+) -> str:
+    ctes = _kmeans_ctes(k, n_iter, dim, pts_select, pre_ctes, assign_select)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         f"SELECT id AS {out_id}, CAST(cid AS INT) AS cluster_id,\n"
@@ -3288,3 +3304,77 @@ def kmeans_sample_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 5 == 0), k=_KM_K, n_iter=2
     )
     return clustering.kmeans_assign_precomputed(emb, cent)
+
+
+def _rp_oracle(d_in: int, d_out: int) -> str:
+    """Inline the SAME driver-generated sign matrix (md5 top bit) into
+    DuckDB list_dot_product folds — identical literals, identical fold
+    order, bit-identical projections."""
+    signs = similarity.rp_sign_matrix(d_in, d_out)
+    import math
+
+    scale = repr(1.0 / math.sqrt(float(d_out)))
+    cols = ",\n  ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(s) for s in signs[j])
+        + f"]) * {scale}, 6) AS y{j}"
+        for j in range(d_out)
+    )
+    return f"""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+  {cols}
+FROM pts
+"""
+
+
+@register(
+    "random_projection_16",
+    oracle=_rp_oracle(64, 16),
+    tags=("llm", "similarity", "projection"),
+    extra=True,
+)
+def random_projection_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection 64 -> 16 dims: the
+    shrink-before-ANN stage. Zero shuffles (matrix folded into the
+    projection); one output column per reduced dimension so the driver
+    can hash values. Extra registry: locally oracle-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.random_projection(emb, d_in=64, d_out=16)
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("proj", j + 1), 6).alias(f"y{j}")
+            for j in range(16)
+        ],
+    )
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle="WITH "
+    + ",\n".join(_kmeans_ctes(_KM_K, 2, _KM_DIM))
+    + """,
+asg AS (SELECT id, cid FROM af WHERE rn = 1),
+samp AS (
+  SELECT id, cid,
+    ROW_NUMBER() OVER (PARTITION BY cid
+                       ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn2
+  FROM asg)
+SELECT id AS vec_id, CAST(cid AS INT) AS cluster_id
+FROM samp WHERE rn2 <= 25
+""",
+    tags=("llm", "clustering", "sampling", "pipeline"),
+    extra=True,
+)
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced sample: 25 items from each of 4 k-means
+    clusters, selected by deterministic md5 order — equal semantic
+    coverage for training mixtures (operators/clustering.py). Extra
+    registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import clustering
+
+    return clustering.cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"), per_cluster=25, k=_KM_K, n_iter=2
+    )

@@ -369,3 +369,65 @@ def test_kmeans_fit_then_assign_matches_fit_assign(spark):
         for r in clustering.kmeans_assign_precomputed(df, cent).collect()
     }
     assert combined == split
+
+
+# ------------------------------------------------- projection / sampling
+
+
+def test_random_projection_preserves_scaled_norms(spark):
+    """JL sanity on an orthogonal pair: projected norms concentrate near
+    the originals, and the plan has zero exchanges (matrix is folded)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from ssg_etl_spark.operators import similarity as sim
+
+    d_in = 64
+    rows = [
+        (1, [1.0 if i < 32 else 0.0 for i in range(d_in)]),
+        (2, [0.0 if i < 32 else 1.0 for i in range(d_in)]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.random_projection(df, d_in=d_in, d_out=16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in re.findall(
+        r"^\(\d+\) (\w+)", buf.getvalue(), re.MULTILINE
+    )
+    got = {r["vec_id"]: r["proj"] for r in out.collect()}
+    for vid, orig in rows:
+        n_orig = sum(x * x for x in orig)
+        n_proj = sum(y * y for y in got[vid])
+        assert abs(n_proj - n_orig) / n_orig < 0.75  # JL at d_out=16 is loose
+
+
+def test_random_projection_matrix_is_deterministic():
+    from ssg_etl_spark.operators import similarity as sim
+
+    a = sim.rp_sign_matrix(8, 4)
+    b = sim.rp_sign_matrix(8, 4)
+    assert a == b
+    assert all(s in (1.0, -1.0) for row in a for s in row)
+
+
+def test_cluster_balanced_sample_equal_quota(spark):
+    """An 80/20-skewed corpus still yields equal per-cluster quotas."""
+    rows = [(i, [0.0, 0.0]) for i in range(80)] + [
+        (100 + i, [50.0, 50.0]) for i in range(20)
+    ]
+    # ensure both blobs are seedable: ids 0,1 both in blob A -> k=2 seeds
+    # are (0, [0,0]) and (1, [0,0])? No: seeds are the 2 lowest ids, both
+    # blob A. Lloyd reassigns: all of blob A ties to both seeds -> cid 0;
+    # blob B is equidistant too. Give seed 1 to blob B instead:
+    rows = [(0, [0.0, 0.0]), (1, [50.0, 50.0])] + [
+        (2 + i, [0.0, 0.0]) for i in range(78)
+    ] + [(100 + i, [50.0, 50.0]) for i in range(19)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = clustering.cluster_balanced_sample(df, per_cluster=10, k=2, n_iter=2)
+    counts = {
+        r["cluster_id"]: r["n"]
+        for r in out.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 10, 1: 10}

@@ -96,6 +96,8 @@ AUDIT_DEFAULT = [
     "hashed_tf_features",
     "hashed_tf_kmeans",
     "kmeans_sample_trained",
+    "random_projection_16",
+    "cluster_balanced_sample",
 ]
 
 
