@@ -238,3 +238,24 @@ def cluster_balanced_sample(
         .filter(F.col("_rn") <= per_cluster)
         .select(id_col, "cluster_id")
     )
+
+
+CENTROIDS_SCHEMA = "cluster_id INT, centroid ARRAY<DOUBLE>"
+
+
+def save_centroids(
+    spark, centroids: list[tuple[int, list[float]]], path: str
+) -> None:
+    """Persist a trained model as a tiny parquet table (cluster_id,
+    centroid) — the cross-session / cross-engine handoff: train in one
+    job, label corpora from any later job or stream."""
+    rows = [(int(cid), [float(x) for x in c]) for cid, c in centroids]
+    spark.createDataFrame(rows, CENTROIDS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Load a model saved by :func:`save_centroids` (ordered by id)."""
+    rows = spark.read.parquet(path).orderBy("cluster_id").collect()
+    return [(r["cluster_id"], list(r["centroid"])) for r in rows]

@@ -646,3 +646,29 @@ def run_hll_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def foreach_batch_kmeans_assign(centroids_path: str, out_path: str):
+    """Streaming semantic labeling: every micro-batch of embeddings is
+    assigned to PRE-TRAINED k-means centroids (loaded once per batch
+    from the model table) and appended with its batch id. The assignment
+    plan is a pure scan+project (operators/clustering.py) — per batch
+    the only work is the map itself, the shape a labeling stream must
+    have when the corpus is 100 TB/day."""
+    from ssg_etl_spark.operators.clustering import (
+        kmeans_assign_precomputed,
+        load_centroids,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cent = load_centroids(batch.sparkSession, centroids_path)
+        (
+            kmeans_assign_precomputed(batch, cent)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return apply

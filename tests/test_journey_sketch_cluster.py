@@ -431,3 +431,32 @@ def test_cluster_balanced_sample_equal_quota(spark):
         for r in out.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {0: 10, 1: 10}
+
+
+def test_centroid_save_load_roundtrip_and_stream_assign(spark, tmp_path):
+    """Model persisted to parquet loads back exactly; a streamed batch
+    labeled via foreachBatch matches the batch-mode assignment."""
+    from ssg_etl_spark.operators.clustering import (
+        load_centroids,
+        save_centroids,
+    )
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_kmeans_assign
+
+    rows = [(i, [float(i % 7), float(i % 4)]) for i in range(40)]
+    df = _vec_df(spark, rows)
+    cent = clustering.kmeans_fit(df, k=3, n_iter=2)
+    model_path = str(tmp_path / "model")
+    save_centroids(spark, cent, model_path)
+    assert load_centroids(spark, model_path) == cent
+
+    out_path = str(tmp_path / "assigned")
+    foreach_batch_kmeans_assign(model_path, out_path)(df, batch_id=7)
+    streamed = {
+        (r["vec_id"], r["cluster_id"], r["d2"], r["batch_id"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    batch = {
+        (r["vec_id"], r["cluster_id"], r["d2"], 7)
+        for r in clustering.kmeans_assign_precomputed(df, cent).collect()
+    }
+    assert streamed == batch
