@@ -118,6 +118,7 @@ CURATION_FAMILY = [
     "kmeans_sample_trained",
     "random_projection_16",
     "cluster_balanced_sample",
+    "bigram_logprob",
 ]
 
 

@@ -897,3 +897,83 @@ def hashed_tf_dense(
         lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)),
     )
     return m.select(F.col(id_col), vec.alias("vec"))
+
+
+def bigram_logprob(df: DataFrame, lam: float = 0.75) -> DataFrame:
+    """Interpolated bigram LM quality score — the perplexity-filter
+    upgrade of :func:`unigram_logprob`: mean per-position
+    ``ln(λ·P(w|prev) + (1−λ)·P(w))`` under the corpus's own counts.
+    Self-scoring keeps every bigram in-vocabulary (cf ≥ 1), so the
+    interpolation needs no unseen-mass smoothing knob; ``λ`` mixes in the
+    unigram so rare-context bigrams are not over-trusted. Repetitive
+    boilerplate scores high, shuffled/OCR text scores low — threshold or
+    decile-stratify exactly like CCNet perplexity buckets.
+
+    Scale shape mirrors the unigram: one explode into per-doc bigram TF
+    (persisted), corpus bigram counts and their prefix-context sums are
+    term-dimension tables joined back 1:1 per TF row (AQE broadcasts
+    them), the Σ ln partial sum runs on DECIMAL(28,12) intermediates.
+    All probability inputs are ratios of exact integers, so the mixed
+    term is bit-identical cross-engine before the final rounding.
+
+    Documents with fewer than 2 tokens have no bigrams and drop out.
+    """
+    from ssg_etl_spark.cache import persist_tracked
+
+    ws = words(F.col("text"))
+    big = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("prev"),
+            F.element_at(ws, i + 1).alias("cur"),
+        ),
+    )
+    pairs = (
+        fan_out(df)
+        .filter(F.size(ws) >= 2)
+        .select("doc_id", F.explode(big).alias("_b"))
+        .select("doc_id", "_b.prev", "_b.cur")
+    )
+    tfb = persist_tracked(
+        pairs.groupBy("doc_id", "prev", "cur").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    corpus_bi = persist_tracked(
+        tfb.groupBy("prev", "cur").agg(F.sum("c").alias("cfb"))
+    )
+    ctx = corpus_bi.groupBy("prev").agg(F.sum("cfb").alias("cfp"))
+
+    terms = fan_out(df).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    uni = persist_tracked(
+        terms.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    )
+    total = uni.agg(F.sum("cf").alias("_n_total"))
+
+    mix = F.lit(lam) * (
+        F.col("cfb").cast("double") / F.col("cfp").cast("double")
+    ) + F.lit(1.0 - lam) * (
+        F.col("cf").cast("double") / F.col("_n_total").cast("double")
+    )
+    per_doc = (
+        tfb.join(corpus_bi, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni, F.col("cur") == F.col("term"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum((F.col("c") * F.log(mix)).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("_s") / F.col("n_bigrams").cast("double"), 6
+        ).alias("mean_logprob"),
+    )

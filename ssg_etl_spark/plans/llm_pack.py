@@ -3378,3 +3378,43 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_balanced_sample(
         load_table(spark, sf_dir, "embeddings"), per_cluster=25, k=_KM_K, n_iter=2
     )
+
+
+@register(
+    "bigram_logprob",
+    oracle="""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pairs AS (
+  SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+  FROM ws, range(1, 2048) g(i)
+  WHERE len(w) >= 2 AND i <= len(w) - 1),
+tfb AS (SELECT doc_id, prev, cur, COUNT(*) AS c FROM pairs GROUP BY 1, 2, 3),
+cb AS (SELECT prev, cur, CAST(SUM(c) AS BIGINT) AS cfb FROM tfb GROUP BY 1, 2),
+ctx AS (SELECT prev, CAST(SUM(cfb) AS BIGINT) AS cfp FROM cb GROUP BY 1),
+terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+uni AS (SELECT term, COUNT(*) AS cf FROM terms GROUP BY 1),
+tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM uni),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+    CAST(SUM(CAST(c * ln(
+      0.75 * (CAST(cfb AS DOUBLE) / CAST(cfp AS DOUBLE))
+      + 0.25 * (CAST(cf AS DOUBLE)
+                / CAST((SELECT n_total FROM tot) AS DOUBLE)))
+      AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM tfb JOIN cb USING (prev, cur) JOIN ctx USING (prev)
+       JOIN uni ON cur = term
+  GROUP BY 1)
+SELECT doc_id, n_bigrams,
+  round(s / CAST(n_bigrams AS DOUBLE), 6) AS mean_logprob
+FROM agg
+""",
+    tags=("llm", "text", "quality"),
+    extra=True,
+)
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (lambda = 0.75, matching the
+    oracle's literals) — the perplexity-filter upgrade of
+    unigram_logprob; see operators/text.py:bigram_logprob. Extra
+    registry: locally oracle-verified."""
+    return text.bigram_logprob(load_table(spark, sf_dir, "documents"))

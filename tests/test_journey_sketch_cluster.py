@@ -460,3 +460,32 @@ def test_centroid_save_load_roundtrip_and_stream_assign(spark, tmp_path):
         for r in clustering.kmeans_assign_precomputed(df, cent).collect()
     }
     assert streamed == batch
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_logprob_ranks_repetition_over_shuffle(spark):
+    """A document whose bigrams repeat corpus-common transitions scores
+    higher than one built from the same unigrams in a scrambled order
+    (the signal bigram interpolation adds over the unigram model)."""
+    from ssg_etl_spark.operators import text as t
+
+    common = "the cat sat on the mat"
+    docs = [(i, common) for i in range(10)]
+    docs.append((100, "mat the on sat cat the"))  # same unigrams, shuffled
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["mean_logprob"] for r in t.bigram_logprob(df).collect()}
+    assert got[0] > got[100]
+    assert all(got[i] == got[0] for i in range(10))
+
+
+def test_bigram_logprob_drops_sub_two_token_docs(spark):
+    from ssg_etl_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello world")], ["doc_id", "text"]
+    )
+    out = t.bigram_logprob(df).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert out[0]["n_bigrams"] == 1

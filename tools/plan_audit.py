@@ -98,6 +98,7 @@ AUDIT_DEFAULT = [
     "kmeans_sample_trained",
     "random_projection_16",
     "cluster_balanced_sample",
+    "bigram_logprob",
 ]
 
 
