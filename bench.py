@@ -119,6 +119,7 @@ CURATION_FAMILY = [
     "random_projection_16",
     "cluster_balanced_sample",
     "bigram_logprob",
+    "lm_quality_cut",
 ]
 
 

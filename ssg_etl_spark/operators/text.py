@@ -977,3 +977,34 @@ def bigram_logprob(df: DataFrame, lam: float = 0.75) -> DataFrame:
             F.col("_s") / F.col("n_bigrams").cast("double"), 6
         ).alias("mean_logprob"),
     )
+
+
+def lm_quality_cut(df: DataFrame, keep_frac: float = 0.2) -> DataFrame:
+    """Percentile-threshold quality curation: score every document with
+    the corpus-self unigram LM (:func:`unigram_logprob`) and keep the top
+    ``keep_frac`` of the corpus — the CCNet-style "keep the head of the
+    perplexity distribution" cut, with the threshold derived FROM the
+    corpus instead of hand-tuned.
+
+    Returns every document with its score, the corpus-wide threshold it
+    was judged against, and the keep decision — the auditable form (the
+    kept subset is a trivial filter). The threshold is one exact
+    ``percentile`` aggregate (linear interpolation — bit-identical to
+    DuckDB ``quantile_cont``) broadcast back over the scores: two
+    model-sized shuffles beyond the LM itself, nothing corpus-sized
+    converges anywhere.
+    """
+    if not 0.0 < keep_frac < 1.0:
+        raise ValueError("keep_frac must be in (0, 1)")
+    scores = unigram_logprob(df)
+    thr = scores.agg(
+        F.expr(
+            f"percentile(mean_logprob, {1.0 - keep_frac!r})"
+        ).alias("_thr")
+    )
+    return scores.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "mean_logprob",
+        F.round("_thr", 6).alias("threshold"),
+        (F.col("mean_logprob") >= F.col("_thr")).alias("kept"),
+    )

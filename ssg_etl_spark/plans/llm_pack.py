@@ -3418,3 +3418,35 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram_logprob; see operators/text.py:bigram_logprob. Extra
     registry: locally oracle-verified."""
     return text.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lm_quality_cut",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2),
+corpus AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM corpus),
+scored AS (
+  SELECT doc_id,
+    round(CAST(SUM(CAST(c * ln(cf) AS DECIMAL(28,12))) AS DOUBLE)
+            / CAST(SUM(c) AS DOUBLE)
+          - ln(CAST((SELECT n_total FROM tot) AS DOUBLE)), 6)
+      AS mean_logprob
+  FROM tf JOIN corpus USING (term) GROUP BY 1),
+thr AS (SELECT quantile_cont(mean_logprob, 0.8) AS t FROM scored)
+SELECT doc_id, mean_logprob,
+  round((SELECT t FROM thr), 6) AS threshold,
+  mean_logprob >= (SELECT t FROM thr) AS kept
+FROM scored
+""",
+    tags=("llm", "text", "quality", "pipeline"),
+    extra=True,
+)
+def lm_quality_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-head cut: keep the top 20% of documents by
+    corpus-self unigram LM score, threshold derived from the corpus's own
+    80th percentile (operators/text.py:lm_quality_cut). Extra registry:
+    locally oracle-verified."""
+    return text.lm_quality_cut(load_table(spark, sf_dir, "documents"), 0.2)

@@ -489,3 +489,22 @@ def test_bigram_logprob_drops_sub_two_token_docs(spark):
     out = t.bigram_logprob(df).collect()
     assert [r["doc_id"] for r in out] == [2]
     assert out[0]["n_bigrams"] == 1
+
+
+def test_lm_quality_cut_keeps_requested_fraction(spark):
+    from ssg_etl_spark.operators import text as t
+
+    docs = [(i, "the cat sat on the mat") for i in range(8)] + [
+        (100 + i, f"zq{i}x wv{i}k jj{i}p qq{i}m") for i in range(2)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = t.lm_quality_cut(df, keep_frac=0.2).collect()
+    kept = {r["doc_id"] for r in out if r["kept"]}
+    assert len(out) == 10
+    # The two gibberish docs (unique rare terms) score lowest -> dropped.
+    assert not kept & {100, 101}
+    assert all(r["threshold"] == out[0]["threshold"] for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.lm_quality_cut(df, keep_frac=1.5)

@@ -99,6 +99,7 @@ AUDIT_DEFAULT = [
     "random_projection_16",
     "cluster_balanced_sample",
     "bigram_logprob",
+    "lm_quality_cut",
 ]
 
 
