@@ -47,6 +47,8 @@ ORDER_SENSITIVE = [
     "lineitem_correlations",
     "kmeans_embeddings",  # DECIMAL centroid sums: invariant by design
     "cohort_retention_daily",  # collect_set periods -> exploded counts
+    "bigram_logprob",  # DECIMAL log-sum over per-doc bigram terms
+    "lm_quality_cut",  # exact percentile threshold over LM scores
 ]
 
 
