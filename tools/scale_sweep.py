@@ -294,6 +294,23 @@ def family(sf_dir: str, n_vectors: int):
             ),
             "",
         ),
+        # Text featurization + LM scoring: explode-heavy but join-bounded
+        # (term/bigram dimension tables), expected ~linear.
+        (
+            "hashed_tf",
+            lambda s: text.hashed_tf(docs(s)),
+            "",
+        ),
+        (
+            "bigram_logprob",
+            lambda s: text.bigram_logprob(docs(s)),
+            "",
+        ),
+        (
+            "lm_quality_cut",
+            lambda s: text.lm_quality_cut(docs(s), 0.2),
+            "",
+        ),
     ]
 
 
