@@ -120,6 +120,7 @@ CURATION_FAMILY = [
     "cluster_balanced_sample",
     "bigram_logprob",
     "lm_quality_cut",
+    "funnel_conversion_summary",
 ]
 
 

@@ -136,3 +136,45 @@ def cohort_retention(
             ).alias("retained_pct"),
         )
     )
+
+
+def funnel_summary(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-step conversion table from :func:`funnel_steps`: one row per
+    step with the surviving-user count, conversion from the previous
+    step, and conversion from step 1 — the deliverable a funnel is
+    usually asked for. The per-user table reduces to ``len(steps)``
+    counts in one aggregation; everything after is driver-free column
+    math on a steps-sized frame."""
+    per_user = funnel_steps(events, steps, user_col, ts_col, type_col)
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"step{i}_ts")).alias(f"_n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = None
+    for i, step in enumerate(steps, start=1):
+        prev = F.col(f"_n{i - 1}") if i > 1 else F.col("_n1")
+        row = counts.select(
+            F.lit(i).cast("int").alias("step_no"),
+            F.lit(step).alias("step"),
+            F.col(f"_n{i}").alias("n_users"),
+            F.round(
+                F.when(prev > 0, F.col(f"_n{i}").cast("double") / prev.cast("double") * 100.0)
+                .otherwise(F.lit(None).cast("double")),
+                4,
+            ).alias("pct_of_prev"),
+            F.round(
+                F.when(F.col("_n1") > 0, F.col(f"_n{i}").cast("double") / F.col("_n1").cast("double") * 100.0)
+                .otherwise(F.lit(None).cast("double")),
+                4,
+            ).alias("pct_of_first"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

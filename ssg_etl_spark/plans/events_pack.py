@@ -411,3 +411,51 @@ def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overcount"),
     )
+
+
+@register(
+    "funnel_conversion_summary",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id AS u, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+n AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3)
+SELECT CAST(1 AS INT) AS step_no, 'view' AS step, n1 AS n_users,
+  round(CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 100.0, 4) AS pct_of_prev,
+  round(CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 100.0, 4) AS pct_of_first
+FROM n
+UNION ALL
+SELECT CAST(2 AS INT), 'click', n2,
+  round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) * 100.0, 4),
+  round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) * 100.0, 4)
+FROM n
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', n3,
+  round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) * 100.0, 4),
+  round(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) * 100.0, 4)
+FROM n
+""",
+    tags=("events", "funnel", "journey"),
+    extra=True,
+)
+def funnel_conversion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step funnel conversion table (view -> click -> purchase):
+    surviving users, conversion from the previous step, conversion from
+    step 1 (operators/funnel.py:funnel_summary). Extra registry: locally
+    oracle-verified."""
+    from ssg_etl_spark.operators.funnel import funnel_summary
+
+    return funnel_summary(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )

@@ -508,3 +508,24 @@ def test_lm_quality_cut_keeps_requested_fraction(spark):
 
     with _pytest.raises(ValueError):
         t.lm_quality_cut(df, keep_frac=1.5)
+
+
+def test_funnel_summary_rates(spark):
+    from ssg_etl_spark.operators.funnel import funnel_summary
+
+    rows = [
+        (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+        (2, "view", 0), (2, "click", 1),
+        (3, "view", 0),
+        (4, "view", 0),
+    ]
+    out = {
+        r["step_no"]: r
+        for r in funnel_summary(
+            _events(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert (out[1]["n_users"], out[2]["n_users"], out[3]["n_users"]) == (4, 2, 1)
+    assert out[2]["pct_of_prev"] == 50.0
+    assert out[3]["pct_of_prev"] == 50.0
+    assert out[3]["pct_of_first"] == 25.0

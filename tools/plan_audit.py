@@ -100,6 +100,7 @@ AUDIT_DEFAULT = [
     "cluster_balanced_sample",
     "bigram_logprob",
     "lm_quality_cut",
+    "funnel_conversion_summary",
 ]
 
 
