@@ -121,6 +121,7 @@ CURATION_FAMILY = [
     "bigram_logprob",
     "lm_quality_cut",
     "funnel_conversion_summary",
+    "hll_daily_rollup",
 ]
 
 

@@ -459,3 +459,68 @@ def funnel_conversion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_summary(
         load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )
+
+
+def _hll_rollup_oracle() -> str:
+    from ssg_etl_spark.operators.sketches import (
+        ALPHA_M2_SCALED,
+        LINEAR_COUNT_CUTOFF,
+    )
+
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d FROM events),
+rr AS (
+  SELECT event_type,
+    CAST(('0x' || substr(d, 1, 2)) AS INTEGER) AS reg,
+    CASE WHEN length(regexp_extract(substr(d, 3, 12), '^(0*)', 1)) = 12
+         THEN 49
+         ELSE length(regexp_extract(substr(d, 3, 12), '^(0*)', 1)) * 4 +
+              (CASE substr(substr(d, 3, 12) || 'f',
+                length(regexp_extract(substr(d, 3, 12), '^(0*)', 1)) + 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                WHEN '7' THEN 1 ELSE 0 END) + 1 END AS rho
+  FROM h),
+regs AS (SELECT event_type, reg, MAX(rho) AS max_rho FROM rr GROUP BY 1, 2),
+est AS (
+  SELECT event_type,
+    SUM(CAST(1 AS BIGINT) << (49 - max_rho))
+      + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS denom,
+    CAST(256 - COUNT(*) AS DOUBLE) AS zeros
+  FROM regs GROUP BY 1)
+SELECT event_type,
+  round(CASE WHEN {ALPHA_M2_SCALED!r} / CAST(denom AS DOUBLE) <= {LINEAR_COUNT_CUTOFF!r}
+              AND zeros > 0
+        THEN 256.0 * ln(256.0 / zeros)
+        ELSE {ALPHA_M2_SCALED!r} / CAST(denom AS DOUBLE) END, 4)
+    AS approx_distinct
+FROM est
+"""
+
+
+@register(
+    "hll_daily_rollup",
+    oracle=_hll_rollup_oracle(),
+    tags=("events", "sketch", "rollup"),
+    extra=True,
+)
+def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-rollup algebra AS the correctness check: the query
+    computes per-(event_type, DAY) register tables and MAX-merges them
+    into overall estimates; the oracle computes the estimate DIRECTLY
+    from the raw rows. They hash-match precisely because HLL registers
+    form a semilattice under MAX — the property that lets a 100 TB
+    warehouse keep tiny daily sketches and answer any date-range
+    distinct count by folding them. Extra registry: locally
+    oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_day", F.col("ts").cast("date")
+    )
+    daily = sketches.hll_registers(events, ["event_type", "_day"], "user_id")
+    merged = daily.groupBy("event_type", "reg").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    return sketches.hll_estimate(merged, ["event_type"])

@@ -101,6 +101,7 @@ AUDIT_DEFAULT = [
     "bigram_logprob",
     "lm_quality_cut",
     "funnel_conversion_summary",
+    "hll_daily_rollup",
 ]
 
 
