@@ -122,6 +122,7 @@ CURATION_FAMILY = [
     "lm_quality_cut",
     "funnel_conversion_summary",
     "hll_daily_rollup",
+    "kmeans_cluster_purity",
 ]
 
 

@@ -3450,3 +3450,64 @@ def lm_quality_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     80th percentile (operators/text.py:lm_quality_cut). Extra registry:
     locally oracle-verified."""
     return text.lm_quality_cut(load_table(spark, sf_dir, "documents"), 0.2)
+
+
+@register(
+    "kmeans_cluster_purity",
+    oracle="WITH "
+    + ",\n".join(_kmeans_ctes(_KM_K, 2, _KM_DIM))
+    + """,
+asg AS (SELECT a.id, a.cid, e.label
+        FROM af a JOIN embeddings e ON a.id = e.vec_id WHERE a.rn = 1),
+lc AS (SELECT cid, label, COUNT(*) AS n FROM asg GROUP BY 1, 2),
+tot AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_points FROM lc GROUP BY 1),
+top AS (
+  SELECT cid, label AS majority_label, n AS n_majority,
+    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+  FROM lc)
+SELECT t.cid AS cluster_id, tot.n_points, t.majority_label,
+  t.n_majority,
+  round(CAST(t.n_majority AS DOUBLE) / CAST(tot.n_points AS DOUBLE), 4)
+    AS purity
+FROM top t JOIN tot ON t.cid = tot.cid WHERE t.rn = 1
+""",
+    tags=("llm", "clustering", "evaluation"),
+    extra=True,
+)
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation: per-cluster label purity (majority-label
+    share) of the k-means assignment against the embeddings' ground-truth
+    label column — the quality gate before a clustering drives mixing or
+    curation decisions. Per-cluster counts are a (cluster, label)
+    dimension table; nothing corpus-sized converges. Extra registry:
+    locally oracle-verified."""
+    from pyspark.sql.window import Window
+
+    from ssg_etl_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = clustering.kmeans_assign(emb, k=_KM_K, n_iter=2).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    lc = asg.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    tot = lc.groupBy("cluster_id").agg(F.sum("n").alias("n_points"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        lc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    return top.join(tot, "cluster_id").select(
+        "cluster_id",
+        "n_points",
+        "majority_label",
+        "n_majority",
+        F.round(
+            F.col("n_majority").cast("double") / F.col("n_points").cast("double"),
+            4,
+        ).alias("purity"),
+    )

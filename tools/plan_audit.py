@@ -102,6 +102,7 @@ AUDIT_DEFAULT = [
     "lm_quality_cut",
     "funnel_conversion_summary",
     "hll_daily_rollup",
+    "kmeans_cluster_purity",
 ]
 
 
