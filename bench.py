@@ -123,6 +123,7 @@ CURATION_FAMILY = [
     "funnel_conversion_summary",
     "hll_daily_rollup",
     "kmeans_cluster_purity",
+    "retention_curve",
 ]
 
 

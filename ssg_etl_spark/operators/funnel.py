@@ -68,6 +68,7 @@ def cohort_retention(
     user_col: str = "user_id",
     ts_col: str = "ts",
     period: str = "day",
+    with_size: bool = False,
 ) -> DataFrame:
     """Cohort-retention matrix at daily or monthly granularity: users are
     cohorted by the calendar period of their first event; each later
@@ -122,6 +123,11 @@ def cohort_retention(
     base = cells.filter(F.col("periods_since") == 0).select(
         "_cohort_p", F.col("n_users").alias("_cohort_size")
     )
+    # with_size: expose the exact cohort size for downstream pooling
+    # (curve aggregation) — the rounded pct cannot be inverted losslessly.
+    extra = (
+        [F.col("_cohort_size").alias("cohort_size")] if with_size else []
+    )
     return (
         cells.join(base, "_cohort_p")
         .select(
@@ -134,6 +140,7 @@ def cohort_retention(
                 * 100.0,
                 4,
             ).alias("retained_pct"),
+            *extra,
         )
     )
 

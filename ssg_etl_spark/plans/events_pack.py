@@ -524,3 +524,50 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_rho").alias("max_rho")
     )
     return sketches.hll_estimate(merged, ["event_type"])
+
+
+@register(
+    "retention_curve",
+    oracle="""
+WITH m AS (
+  SELECT user_id AS u,
+    CAST(ts AS DATE) - DATE '1970-01-01' AS p FROM events),
+fm AS (SELECT u, MIN(p) AS first_p FROM m GROUP BY 1),
+act AS (SELECT DISTINCT m.u, fm.first_p, m.p FROM m JOIN fm ON m.u = fm.u),
+cells AS (
+  SELECT first_p AS cp, p - first_p AS periods_since, COUNT(*) AS n_users
+  FROM act GROUP BY 1, 2),
+base AS (SELECT cp, n_users AS cohort_size FROM cells WHERE periods_since = 0)
+SELECT CAST(periods_since AS BIGINT) AS periods_since,
+  CAST(COUNT(*) AS BIGINT) AS n_cohorts,
+  CAST(SUM(cells.n_users) AS BIGINT) AS n_users,
+  round(CAST(SUM(cells.n_users) AS DOUBLE)
+        / CAST(SUM(base.cohort_size) AS DOUBLE) * 100.0, 4)
+    AS retained_pct
+FROM cells JOIN base ON cells.cp = base.cp
+GROUP BY 1
+""",
+    tags=("events", "cohort", "journey"),
+    extra=True,
+)
+def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention CURVE: the cohort matrix collapsed over cohorts —
+    pooled users retained at k periods over the pooled at-risk cohort
+    sizes (cohort-size-weighted retention, the curve a dashboard plots).
+    Integer sums only; one extra dimension-sized aggregation over the
+    cohort cells. Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators.funnel import cohort_retention
+
+    cells = cohort_retention(
+        load_table(spark, sf_dir, "events"), period="day", with_size=True
+    )
+    return cells.groupBy("periods_since").agg(
+        F.count(F.lit(1)).alias("n_cohorts"),
+        F.sum("n_users").alias("n_users"),
+        F.round(
+            F.sum("n_users").cast("double")
+            / F.sum("cohort_size").cast("double")
+            * 100.0,
+            4,
+        ).alias("retained_pct"),
+    )

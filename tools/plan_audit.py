@@ -103,6 +103,7 @@ AUDIT_DEFAULT = [
     "funnel_conversion_summary",
     "hll_daily_rollup",
     "kmeans_cluster_purity",
+    "retention_curve",
 ]
 
 
