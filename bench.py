@@ -124,6 +124,7 @@ CURATION_FAMILY = [
     "hll_daily_rollup",
     "kmeans_cluster_purity",
     "retention_curve",
+    "kmeans_silhouette",
 ]
 
 

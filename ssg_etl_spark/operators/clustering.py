@@ -259,3 +259,59 @@ def load_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
     """Load a model saved by :func:`save_centroids` (ordered by id)."""
     rows = spark.read.parquet(path).orderBy("cluster_id").collect()
     return [(r["cluster_id"], list(r["centroid"])) for r in rows]
+
+
+def kmeans_silhouette(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for each point,
+    ``a`` = distance to its own centroid, ``b`` = distance to the nearest
+    OTHER centroid, ``s = (b - a) / max(a, b)`` (0 when both are 0);
+    reported as the per-cluster mean — the standard cheap clustering
+    quality signal (full silhouette is O(N²); the centroid form is the
+    one that scales, the same simplification MLlib ships).
+
+    Same determinism story as the assignment: both distances come from
+    the sorted literal-centroid array, sqrt is IEEE-exact, and the mean
+    runs on DECIMAL(28,12) intermediates."""
+    vecs = persist_tracked(_prep(embeddings, id_col, vec_col))
+    centroids = _fit_on(vecs, k, n_iter)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("_xx"), F.col("_v"), c).alias("d2"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, c in centroids
+            ]
+        )
+    )
+    a = F.sqrt(F.greatest(ranked[0]["d2"], F.lit(0.0)))
+    b = F.sqrt(F.greatest(ranked[1]["d2"], F.lit(0.0)))
+    s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    per_point = vecs.select(
+        ranked[0]["cid"].alias("cluster_id"), s.alias("_s")
+    )
+    return (
+        per_point.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("_s").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("_sum"),
+        )
+        .select(
+            "cluster_id",
+            "n_points",
+            F.round(
+                F.col("_sum") / F.col("n_points").cast("double"), 4
+            ).alias("mean_silhouette"),
+        )
+    )

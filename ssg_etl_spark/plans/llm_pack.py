@@ -3511,3 +3511,37 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("purity"),
     )
+
+
+@register(
+    "kmeans_silhouette",
+    oracle="WITH "
+    + ",\n".join(_kmeans_ctes(_KM_K, 2, _KM_DIM))
+    + """,
+s1 AS (SELECT id, cid, d2 FROM af WHERE rn = 1),
+s2 AS (SELECT id, d2 AS d2b FROM af WHERE rn = 2),
+sp AS (
+  SELECT s1.cid,
+    CASE WHEN greatest(sqrt(greatest(s1.d2, 0.0)),
+                       sqrt(greatest(s2.d2b, 0.0))) = 0 THEN 0.0
+         ELSE (sqrt(greatest(s2.d2b, 0.0)) - sqrt(greatest(s1.d2, 0.0)))
+              / greatest(sqrt(greatest(s1.d2, 0.0)),
+                         sqrt(greatest(s2.d2b, 0.0))) END AS s
+  FROM s1 JOIN s2 ON s1.id = s2.id)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+  round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 4) AS mean_silhouette
+FROM sp GROUP BY 1
+""",
+    tags=("llm", "clustering", "evaluation"),
+    extra=True,
+)
+def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cluster — the
+    scalable clustering-quality signal (operators/clustering.py:
+    kmeans_silhouette). Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import clustering
+
+    return clustering.kmeans_silhouette(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, n_iter=2
+    )

@@ -529,3 +529,20 @@ def test_funnel_summary_rates(spark):
     assert out[2]["pct_of_prev"] == 50.0
     assert out[3]["pct_of_prev"] == 50.0
     assert out[3]["pct_of_first"] == 25.0
+
+
+def test_kmeans_silhouette_separated_blobs_near_one(spark):
+    """Two tight, far-apart blobs: silhouette approaches 1 for both
+    clusters; points exactly at a centroid contribute s = 1 (a = 0)."""
+    rows = [(i, [0.0 + (i % 3) * 0.01, 0.0]) for i in range(9)] + [
+        (100 + i, [100.0 + (i % 3) * 0.01, 0.0]) for i in range(9)
+    ]
+    # ids 0..8 are blob A; seed 2nd cluster from blob B:
+    rows[1] = (1, [100.0, 0.0])
+    df = _vec_df(spark, rows)
+    out = {
+        r["cluster_id"]: r["mean_silhouette"]
+        for r in clustering.kmeans_silhouette(df, k=2, n_iter=2).collect()
+    }
+    assert len(out) == 2
+    assert all(v > 0.99 for v in out.values())

@@ -104,6 +104,7 @@ AUDIT_DEFAULT = [
     "hll_daily_rollup",
     "kmeans_cluster_purity",
     "retention_curve",
+    "kmeans_silhouette",
 ]
 
 
