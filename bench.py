@@ -125,6 +125,7 @@ CURATION_FAMILY = [
     "kmeans_cluster_purity",
     "retention_curve",
     "kmeans_silhouette",
+    "event_transition_matrix",
 ]
 
 

@@ -185,3 +185,38 @@ def funnel_summary(
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order (Markov) transition matrix over per-user event
+    sequences: consecutive event-type pairs in time order (ties broken by
+    event id — a total, partitioning-independent order), counted and
+    normalized per source state. The lag window is user-partitioned —
+    per-partition work is one user's history, never the corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_row_n"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("_row_n").cast("double"), 6
+        ).alias("p"),
+    )

@@ -571,3 +571,33 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("retained_pct"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS from_type,
+    event_type AS to_type
+  FROM events),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rn FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+  round(CAST(p.n AS DOUBLE) / CAST(t.rn AS DOUBLE), 6) AS p
+FROM pairs p JOIN tot t ON p.from_type = t.from_type
+""",
+    tags=("events", "journey", "markov"),
+    extra=True,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (counts + row-normalized
+    probabilities) over per-user time-ordered sequences
+    (operators/funnel.py:event_transitions). Extra registry: locally
+    oracle-verified."""
+    from ssg_etl_spark.operators.funnel import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))

@@ -546,3 +546,20 @@ def test_kmeans_silhouette_separated_blobs_near_one(spark):
     }
     assert len(out) == 2
     assert all(v > 0.99 for v in out.values())
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from ssg_etl_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, "a", 0), (1, "b", 1), (1, "a", 2), (1, "b", 3),
+        (2, "a", 0), (2, "c", 1),
+    ]
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(_events(spark, rows)).collect()
+    }
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3  # no cross-user transitions

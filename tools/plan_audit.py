@@ -105,6 +105,7 @@ AUDIT_DEFAULT = [
     "kmeans_cluster_purity",
     "retention_curve",
     "kmeans_silhouette",
+    "event_transition_matrix",
 ]
 
 
