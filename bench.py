@@ -270,37 +270,70 @@ def main() -> None:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    payload = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "queries_min": headline_mins,
-            "value_min": round(sum(headline_mins.values()), 3),
-            "llm_queries": llm_timings,
-            "llm_total": round(sum(llm_timings.values()), 3),
-            "llm_queries_min": llm_mins,
-            "llm_total_min": round(sum(llm_mins.values()), 3),
-            "curation_queries": curation_timings,
-            "curation_total": round(sum(curation_timings.values()), 3),
-            "curation_queries_min": curation_mins,
-            "curation_total_min": round(sum(curation_mins.values()), 3),
-            "sf": sf,
-        }
-    )
-    # Artifact reliability (BENCH_r06's tail capture truncated the line's
-    # front): persist the full line to a file the driver/judge can always
-    # read, stop Spark FIRST so its shutdown logging can't land after the
-    # line in a combined-stream tail, then emit the line as the final
-    # stdout output.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": headline_mins,
+        "value_min": round(sum(headline_mins.values()), 3),
+        "llm_queries": llm_timings,
+        "llm_total": round(sum(llm_timings.values()), 3),
+        "llm_queries_min": llm_mins,
+        "llm_total_min": round(sum(llm_mins.values()), 3),
+        "curation_queries": curation_timings,
+        "curation_total": round(sum(curation_timings.values()), 3),
+        "curation_queries_min": curation_mins,
+        "curation_total_min": round(sum(curation_mins.values()), 3),
+        "sf": sf,
+    }
+    # Artifact reliability, round-8 form. The BENCH_r* capture keeps only a
+    # TAIL of stdout, and r6/r7 both lost groups to it (r6: tail truncated
+    # the single line's front; r7: line-first still lost the headline/LLM
+    # groups). Fix: the full payload goes to bench_out.json (git-TRACKED
+    # since r8), and stdout ends with one COMPACT JSON line PER GROUP —
+    # each fits any tail window — with the small headline summary line
+    # LAST (the driver's documented one-line contract). Spark stops FIRST
+    # so shutdown logging can't land after the lines in a combined tail.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
         "w",
     ) as f:
-        f.write(payload + "\n")
+        f.write(json.dumps(full) + "\n")
     spark.stop()
-    print(payload)
+    for group, med, mn in (
+        ("llm", llm_timings, llm_mins),
+        ("curation", curation_timings, curation_mins),
+    ):
+        print(
+            json.dumps(
+                {
+                    "bench_group": group,
+                    "sf": sf,
+                    "total": round(sum(med.values()), 3),
+                    "total_min": round(sum(mn.values()), 3),
+                    "queries": med,
+                    "queries_min": mn,
+                }
+            )
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "queries_min": headline_mins,
+                "value_min": round(sum(headline_mins.values()), 3),
+                "llm_total": round(sum(llm_timings.values()), 3),
+                "llm_total_min": round(sum(llm_mins.values()), 3),
+                "curation_total": round(sum(curation_timings.values()), 3),
+                "curation_total_min": round(sum(curation_mins.values()), 3),
+                "sf": sf,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -33,46 +33,80 @@ def case_map(col: Column, mapping: Mapping[object, object], default: object = No
 
 
 def utc_wall(ts: Column | str) -> Column:
-    """UTC wall-clock view of a timestamp, independent of the ambient
-    ``spark.sql.session.timeZone`` (F5/F6 hardening).
+    """BOUNDARY normalization: the UTC wall-clock (TIMESTAMP_NTZ) view of a
+    TIMESTAMP *instant* column, independent of the ambient
+    ``spark.sql.session.timeZone``.
 
-    Field extraction on a TIMESTAMP (``hour``, ``year``, ``CAST(.. AS
-    DATE)``, ``date_format``) renders through the SESSION zone, so the same
-    query returns shifted values inside an embedding application whose
-    session is not UTC — the timezone twin of the round-6 ANSI trap.
-    ``convert_timezone(NULL, 'UTC', ts)`` casts through the current session
-    zone to TIMESTAMP_NTZ carrying the instant's UTC fields, which every
-    downstream extraction then reads zone-independently. Business-time
-    semantics across the engine are defined in UTC; wrap any extraction on
-    a timestamp column in this helper. Plain comparisons, max/min, and
-    interval arithmetic are instant-based and need no wrapping.
+    The engine's time contract (round 8): business time is UTC wall-clock
+    carried in TIMESTAMP_NTZ. Table columns come out of ``load_table``
+    already NTZ; calendar-field extraction on NTZ (``hour``, ``year``,
+    ``CAST(.. AS DATE)``, ``date_format``) is zone-free BY TYPE and needs
+    no wrapper. This helper exists for the boundaries where a genuine
+    instant (session-zone-rendered TIMESTAMP) enters the engine —
+    ``current_timestamp()`` stamps, JDBC/Kafka timestamps, the
+    nanos-as-long rebuild in ``load_table``. ``convert_timezone(NULL,
+    'UTC', ts)`` casts through the current session zone to TIMESTAMP_NTZ
+    carrying the instant's UTC fields.
+
+    NEVER apply this to a TIMESTAMP_NTZ column: Spark would first
+    reinterpret the NTZ wall fields as session-zone local time, SHIFTING
+    the values with the ambient zone — the exact bug the round-7 advisor
+    found in ``cohort_retention`` generalizes to every NTZ call site
+    (the vacuous-UTC-pin gate masked it; see tests/test_tz_robustness.py).
     """
     c = F.col(ts) if isinstance(ts, str) else ts
     return F.convert_timezone(None, F.lit("UTC"), c)
 
 
 def utc_ts_lit(value) -> Column:
-    """A fixed absolute-instant TIMESTAMP literal from a wall-clock string
-    or datetime, interpreted in UTC regardless of session timeZone or host
-    zone. ``F.lit(s).cast("timestamp")`` parses through the SESSION zone,
-    so the same cutoff names a different instant in every embedding
-    application. An aware-UTC Python datetime converts to the exact instant
-    at literal-build time and stays a foldable constant — comparisons
-    against it still push down to the parquet scan (wrapping the COLUMN
-    side instead would break pushdown).
+    """A fixed UTC wall-clock TIMESTAMP_NTZ literal from a string /
+    date / datetime — the cutoff literal matching the engine's NTZ time
+    contract, zone-free on both sides of a comparison.
+
+    ``F.lit(s).cast("timestamp")`` parses through the SESSION zone, and an
+    aware-UTC datetime literal becomes a session-rendered TIMESTAMP whose
+    comparison against an NTZ column coerces through the session zone
+    (round-8 finding: ``ntz >= utc_ts_lit(..)`` flipped between UTC and
+    Asia/Kathmandu under the old instant-literal form). A string cast to
+    TIMESTAMP_NTZ parses the wall fields literally — no zone anywhere —
+    and stays a foldable constant, so comparisons against it still push
+    down to the parquet scan.
     """
     import datetime as _dt
 
-    if isinstance(value, str):
-        value = _dt.datetime.fromisoformat(value)
     if isinstance(value, _dt.datetime):
-        if value.tzinfo is None:
-            value = value.replace(tzinfo=_dt.timezone.utc)
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        value = value.isoformat(sep=" ")
     elif isinstance(value, _dt.date):
-        value = _dt.datetime(
-            value.year, value.month, value.day, tzinfo=_dt.timezone.utc
-        )
-    return F.lit(value)
+        value = f"{value.isoformat()} 00:00:00"
+    return F.lit(str(value)).cast("timestamp_ntz")
+
+
+def ntz_epoch_micros(ts: Column | str) -> Column:
+    """Epoch-microseconds of a TIMESTAMP_NTZ wall-clock value, computed
+    arithmetically from the wall fields — zone-free by construction.
+
+    ``unix_micros`` rejects NTZ, and every coercion route to TIMESTAMP
+    (``cast("timestamp")``, ``to_utc_timestamp(.., 'UTC')``) first
+    reinterprets the NTZ wall through the ambient session zone (measured:
+    both shift under America/New_York). Day count × 86.4e9 + in-day
+    seconds × 1e6 + the fractional-second field avoids any zone: every
+    term reads wall fields only. Exact for pre-epoch values too
+    (``datediff`` is a signed day count and the in-day terms are
+    non-negative). All integer arithmetic — no double rounding, ANSI-safe
+    (bounded by the NTZ range, ~±2.9e14 µs).
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    day_us = F.datediff(
+        c.cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint") * F.lit(86_400_000_000).cast("bigint")
+    sec_us = (
+        F.hour(c).cast("bigint") * 3600
+        + F.minute(c).cast("bigint") * 60
+        + F.second(c).cast("bigint")
+    ) * F.lit(1_000_000).cast("bigint")
+    return day_us + sec_us + F.date_format(c, "SSSSSS").cast("bigint")
 
 
 def coalesce_zero(col: Column) -> Column:

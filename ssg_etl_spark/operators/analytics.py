@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ssg_etl_spark.functions.scalar import utc_ts_lit, utc_wall
+from ssg_etl_spark.functions.scalar import utc_ts_lit
 from ssg_etl_spark.operators.rollups import DEC, dec_sum
 
 
@@ -158,7 +158,7 @@ def avg_daily_orders_sales(orders: DataFrame) -> DataFrame:
     """Two-level aggregate: per-day totals, then averages over days
     (scripts/SQL/avg_daily_orders_sales.sql:2-13, A5+A6).
     """
-    daily = orders.groupBy(utc_wall("o_orderdate").cast("date").alias("order_date")).agg(
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
         F.countDistinct("o_orderkey").alias("order_count"),
         F.sum(F.col("o_totalprice").cast(DEC)).alias("daily_sales"),
     )
@@ -194,7 +194,7 @@ def pivot_status_year(orders: DataFrame) -> DataFrame:
 
 
 def prepare_pivot_input(orders: DataFrame) -> DataFrame:
-    return orders.withColumn("o_year", F.year(utc_wall("o_orderdate")))
+    return orders.withColumn("o_year", F.year(F.col("o_orderdate")))
 
 
 def melt_part_metrics(part: DataFrame) -> DataFrame:
@@ -223,8 +223,8 @@ def month_spine(orders: DataFrame, date_col: str = "o_orderdate") -> DataFrame:
     min/max scan; the spine itself is generated, not scanned.
     """
     bounds = orders.agg(
-        F.date_trunc("month", utc_wall(F.min(date_col))).cast("date").alias("lo"),
-        F.date_trunc("month", utc_wall(F.max(date_col))).cast("date").alias("hi"),
+        F.date_trunc("month", F.min(date_col)).cast("date").alias("lo"),
+        F.date_trunc("month", F.max(date_col)).cast("date").alias("hi"),
     )
     return bounds.select(
         F.explode(
@@ -242,7 +242,7 @@ def yoy_monthly_sales(orders: DataFrame) -> DataFrame:
     groupby(month,day).shift(). The spine join guarantees missing months
     read as 0 rather than silently collapsing the lag offset.
     """
-    monthly = orders.groupBy(F.date_trunc("month", utc_wall("o_orderdate")).cast("date").alias("month_start")).agg(
+    monthly = orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start")).agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("sales_dec")
     )
     spine = month_spine(orders)
@@ -273,7 +273,7 @@ def running_total_by_nation(
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation_name"),
-            utc_wall("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
         )
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("daily_sales"))
     )
@@ -309,7 +309,7 @@ def asof_last_before(
         .select(
             F.col("l_partkey").alias("part_key"),
             F.col("l_suppkey").alias("supp_key"),
-            utc_wall("l_shipdate").cast("date").alias("last_ship_date"),
+            F.col("l_shipdate").cast("date").alias("last_ship_date"),
             F.col("l_extendedprice").alias("last_price"),
             F.col("l_quantity").alias("last_quantity"),
         )

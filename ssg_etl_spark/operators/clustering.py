@@ -94,7 +94,10 @@ def _fit_on(vecs: DataFrame, k: int, n_iter: int) -> list[tuple[int, list[float]
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be positive")
 
-    dim = len(vecs.select("_v").first()["_v"])
+    head = vecs.select("_v").first()
+    if head is None:
+        raise ValueError("cannot fit k-means on an empty input DataFrame")
+    dim = len(head["_v"])
     # Deterministic seeding: the k lowest-id vectors, cluster_id in id
     # order. k rows to the driver — model-sized, like MLlib's init.
     seed_rows = vecs.select("_id", "_v").orderBy("_id").limit(k).collect()
@@ -278,6 +281,11 @@ def kmeans_silhouette(
     Same determinism story as the assignment: both distances come from
     the sorted literal-centroid array, sqrt is IEEE-exact, and the mean
     runs on DECIMAL(28,12) intermediates."""
+    if k < 2:
+        # ranked[1] (nearest OTHER centroid) would be out of bounds —
+        # NULL under non-ANSI, INVALID_ARRAY_INDEX under ANSI; silhouette
+        # is undefined for a single cluster anyway.
+        raise ValueError("silhouette requires k >= 2 clusters")
     vecs = persist_tracked(_prep(embeddings, id_col, vec_col))
     centroids = _fit_on(vecs, k, n_iter)
     ranked = F.array_sort(

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from ssg_etl_spark.functions.scalar import utc_wall
 
 _DEC = "decimal(28,12)"
 
@@ -58,8 +57,8 @@ def sequence_features(
         key_col,
         F.row_number().over(w).alias("event_seq"),
         F.datediff(
-            utc_wall(time_col).cast("date"),
-            F.lag(utc_wall(time_col).cast("date")).over(w),
+            F.col(time_col).cast("date"),
+            F.lag(F.col(time_col).cast("date")).over(w),
         ).alias("days_since_prev"),
         F.round(
             F.sum(v_dec).over(w_roll).cast("double")

@@ -9,9 +9,14 @@ Scale shape: every stage is an equi-join or aggregation keyed on
 shrinks monotonically (only users who completed step i-1 survive), so
 later steps cost less, not more.
 
-Timestamp semantics: event timestamps infer as TIMESTAMP_NTZ from the
-naive parquet column, so comparisons and calendar-field extraction are
-session-zone-independent by construction (the tz-robustness contract).
+Timestamp semantics: ``load_table`` guarantees every timestamp column is
+TIMESTAMP_NTZ carrying UTC wall-clock fields (the round-8 time contract,
+sources/tables.py), so calendar-field extraction here — cohort days,
+cohort months — is session-zone-free BY TYPE; comparisons and min/max are
+wall-field-ordered, consistent with the same contract. Do NOT wrap these
+columns in ``utc_wall`` — on NTZ input it would reinterpret the wall
+fields through the ambient session zone and shift them (the round-7
+advisor's cohort finding, generalized).
 """
 
 from __future__ import annotations
@@ -82,10 +87,11 @@ def cohort_retention(
     (cohort, period) count — both keyed, both bounded by |users| rows,
     not |events|.
     """
+    wall = F.col(ts_col)  # NTZ-UTC by the load_table contract
     if period == "day":
-        # Epoch-day ordinal: zone-free on the NTZ event time.
+        # Epoch-day ordinal of the UTC calendar day, session-zone-free.
         pnum = F.datediff(
-            F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+            wall.cast("date"), F.lit("1970-01-01").cast("date")
         ).alias("_p")
 
         def label(c):
@@ -95,7 +101,7 @@ def cohort_retention(
             )
 
     elif period == "month":
-        pnum = (F.year(ts_col) * 12 + F.month(ts_col) - 1).alias("_p")
+        pnum = (F.year(wall) * 12 + F.month(wall) - 1).alias("_p")
 
         def label(c):
             return F.concat_ws(

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ssg_etl_spark.functions.scalar import utc_wall
 
 from ssg_etl_spark.functions.scalar import case_map
 
@@ -75,7 +74,7 @@ def enrich_gl(
 
     return enriched.select(
         orders.o_orderkey.alias("order_key"),
-        utc_wall(orders.o_orderdate).cast("date").alias("order_date"),
+        orders.o_orderdate.cast("date").alias("order_date"),
         orders.o_orderstatus.alias("status_code"),
         case_map(orders.o_orderstatus, STATUS_DESC, "N/A").alias("status_desc"),
         # F2: LEFT(id, 2) → substring of the priority code.

@@ -7,10 +7,11 @@ The container has no image/audio codec LIBRARIES, so compressed formats
 NotImplementedError for them unless ``fake=True``, in which case a
 deterministic fake decoder (seeded by the payload digest) produces feature
 vectors with the real schema, partitioning, and batch shape. Uncompressed
-binary PPM (P6) images, however, are decoded FOR REAL — a pure-stdlib
-header parse + pixel-stat pass (:func:`decode_ppm`) — so the whole Arrow
-pipeline runs un-faked end-to-end on that format: real bytes in, real
-pixel statistics out.
+binary PPM (P6) images, however, run FOR REAL end-to-end: a pure-stdlib
+header parse + pixel-stat pass (:func:`decode_ppm`) and a numpy
+nearest-neighbor resample (:func:`_ppm_resize`, round 8) — the whole
+Arrow pipeline, encode → decode → features → resize, un-faked on that
+format: real bytes in, real pixels out.
 
 Scale design: payloads stay opaque binary through the plan (never parsed by
 Catalyst, never a join key); metadata columns are the pruned/filtered
@@ -251,6 +252,27 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _ppm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resample: nearest-neighbor resize of a binary PPM through the
+    pure-stdlib codec (decode → numpy index-gather → encode).
+
+    Standard pixel-center mapping: target index i reads source index
+    ``floor((i + 0.5) * src / dst)`` — the OpenCV/PIL NEAREST convention,
+    exact in integer arithmetic as ``((2i + 1) * src) // (2 * dst)`` (no
+    float rounding anywhere, so the output is engine-replayable
+    byte-for-byte). Vectorized as one numpy fancy-index over the
+    (h, w, 3) raster view — no Python per-pixel loop."""
+    import numpy as np
+
+    w0, h0, maxval, pixels = decode_ppm(payload)
+    if maxval != 255:
+        raise ValueError(f"resample requires maxval 255, got {maxval}")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h0, w0, 3)
+    rows = (2 * np.arange(height, dtype=np.int64) + 1) * h0 // (2 * height)
+    cols = (2 * np.arange(width, dtype=np.int64) + 1) * w0 // (2 * width)
+    return encode_ppm(width, height, arr[rows][:, cols].tobytes())
+
+
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for an image resample: a digest-seeded byte
     stream sized ~3 bytes/pixel (RGB), so downstream size accounting and
@@ -268,22 +290,22 @@ def resize_images(
 
     Same plumbing contract as :func:`extract_features`: mapInPandas over
     (asset_id, payload) record batches, binary in → binary out, executor
-    memory bounded by batch size × payload size. The pixel work is stubbed
-    (no codecs in this environment — substitute PIL/Pillow-SIMD at
-    deployment); NULL payloads pass through as NULL rows.
+    memory bounded by batch size × payload size. ``fake=False`` runs the
+    REAL pure-stdlib path — binary PPM in, nearest-neighbor-resampled
+    binary PPM out (:func:`_ppm_resize`); other raster codecs substitute
+    PIL/Pillow-SIMD at deployment behind the same batch signature.
+    ``fake=True`` keeps the digest-seeded stand-in for corpora whose
+    formats this environment cannot decode. NULL payloads pass through as
+    NULL rows either way.
     """
     if width <= 0 or height <= 0:
         raise ValueError("target dimensions must be positive")
-    if not fake:
-        raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "use fake=True for the deterministic stub"
-        )
+    resample = _fake_resize if fake else _ppm_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = [
-                None if p is None else _fake_resize(p, width, height)
+                None if p is None else resample(p, width, height)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

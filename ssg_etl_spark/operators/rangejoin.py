@@ -43,10 +43,12 @@ def same_key_burst_pairs(
     post-join dedup.
     """
     tol_us = tolerance_s * _US
-    # cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ (how parquet
-    # naive timestamps infer); with the session pinned to UTC the NTZ→LTZ
-    # cast is exact, and it is a no-op on an already-zoned column.
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # Zone-free wall→micros: casting NTZ to TIMESTAMP would reinterpret
+    # the wall fields through the ambient session zone; a DST transition
+    # inside the data span would then shift pair gaps (tz contract).
+    from ssg_etl_spark.functions.scalar import ntz_epoch_micros
+
+    us = ntz_epoch_micros(ts_col)
     # Exact floor division in integer arithmetic (pmod is non-negative, so
     # this is floor — not truncate — for pre-epoch timestamps too). The
     # float form floor(us/tol) risks an off-by-one bucket near exact

@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ssg_etl_spark.functions.scalar import utc_wall
 
 # Exact-decimal intermediate for order-independent double aggregation.
 DEC = "decimal(28,6)"
@@ -32,9 +31,10 @@ def dec_sum(col: str | Column, alias: str) -> Column:
 def shift_recode(ts: Column) -> Column:
     """Day/Night shift from the event hour (reference: ODP_Shift=1→'Day').
 
-    The hour is the UTC business hour (``utc_wall``), so the Day/Night
-    split does not move with the ambient session timezone."""
-    return F.when(F.hour(utc_wall(ts)).between(6, 17), F.lit("Day")).otherwise(F.lit("Night"))
+    The hour is the UTC business hour (``ts`` is NTZ-UTC by the
+    load_table contract), so the Day/Night split does not move with the
+    ambient session timezone."""
+    return F.when(F.hour(ts).between(6, 17), F.lit("Day")).otherwise(F.lit("Night"))
 
 
 def rollup_by(events: DataFrame, *keys: Column | str) -> DataFrame:
@@ -49,7 +49,7 @@ def rollup_date_type(events: DataFrame) -> DataFrame:
     """A1: date × event-type rollup (sparkProcess.py:248-249)."""
     return rollup_by(
         events,
-        utc_wall("ts").cast("date").alias("event_date"),
+        F.col("ts").cast("date").alias("event_date"),
         F.col("event_type"),
     )
 
@@ -58,7 +58,7 @@ def rollup_date_shift(events: DataFrame) -> DataFrame:
     """A2: date × shift rollup with CASE recode (sparkProcess.py:257-258)."""
     return rollup_by(
         events,
-        utc_wall("ts").cast("date").alias("event_date"),
+        F.col("ts").cast("date").alias("event_date"),
         shift_recode(F.col("ts")).alias("shift"),
     )
 
@@ -67,7 +67,7 @@ def rollup_date_user(events: DataFrame) -> DataFrame:
     """A3: date × user × type rollup (sparkProcess.py:266-267, 6-key analog)."""
     return rollup_by(
         events,
-        utc_wall("ts").cast("date").alias("event_date"),
+        F.col("ts").cast("date").alias("event_date"),
         F.col("user_id"),
         F.col("event_type"),
     )

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from ssg_etl_spark.functions.scalar import utc_wall
 
 from ssg_etl_spark.functions.scalar import null_profile_exprs, safe_ratio
 from ssg_etl_spark.operators import analytics, rollups
@@ -147,6 +146,7 @@ UNION ALL
 SELECT p_partkey AS part_key, 'p_retailprice' AS metric, p_retailprice AS metric_value FROM part
 """,
     tags=("A13",),
+    extra=True,
 )
 def melt_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot wide metrics to long rows (fxrate melt twin)."""
@@ -234,6 +234,7 @@ SELECT o.o_orderkey AS order_key, o.o_totalprice AS total_price,
 FROM orders o
 """,
     tags=("J12",),
+    extra=True,
 )
 def correlated_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery, decorrelated to agg+join (valuation :488-493)."""
@@ -254,6 +255,7 @@ SELECT l_partkey AS part_key,
 FROM lineitem GROUP BY 1
 """,
     tags=("A9", "F7", "F8"),
+    extra=True,
 )
 def agg_ratio_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM + COALESCE-guarded ratio (item_valuation_update.py:361-370)."""
@@ -281,7 +283,7 @@ def count_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT DISTINCT per group (avg_daily_orders_sales.sql:2-8)."""
     return (
         load_table(spark, sf_dir, "orders")
-        .groupBy(utc_wall("o_orderdate").cast("date").alias("order_date"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -315,7 +317,7 @@ def window_rownum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.select(
         "entry_no",
         F.col("o_orderkey").alias("order_key"),
-        utc_wall("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
     )
 
 
@@ -331,6 +333,7 @@ SELECT COUNT(*) AS n_rows,
 FROM customer
 """,
     tags=("A15",),
+    extra=True,
 )
 def null_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-count profile (pandas df.isnull().sum() twin)."""
@@ -348,6 +351,7 @@ SELECT CAST(SUM(CAST(o_totalprice AS {DEC_SQL})) AS DOUBLE) AS total_sales,
 FROM orders
 """,
     tags=("A14", "A7"),
+    extra=True,
 )
 def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table KPI totals (Python Data Analysis.ipynb KPI cell)."""
@@ -560,6 +564,7 @@ SELECT 'row_count_between(1, 1000000000)',
        COUNT(*) BETWEEN 1 AND 1000000000 FROM part
 """,
     tags=("quality", "GE-suite"),
+    extra=True,
 )
 def quality_suite_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§5 GE-suite port as an oracle-checked query: the expectation engine
@@ -664,8 +669,8 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_drift(
-        orders.filter(F.year(utc_wall("o_orderdate")) == 1998),
-        orders.filter(F.year(utc_wall("o_orderdate")) == 1997),
+        orders.filter(F.year(F.col("o_orderdate")) == 1998),
+        orders.filter(F.year(F.col("o_orderdate")) == 1997),
         ["o_totalprice"],
     )
 

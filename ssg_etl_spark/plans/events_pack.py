@@ -77,6 +77,7 @@ FROM events
 WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
 """,
     tags=("P6", "P7", "F6"),
+    extra=True,
 )
 def interval_filter_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding lookback: last day relative to the data's max timestamp
@@ -133,7 +134,9 @@ def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "success",
         "status",
     )
-    return summary.crossJoin(audit)
+    # Both sides are 1-row aggregates; broadcast-wrap per repo convention
+    # (plan audit uniformity with the sibling scalar-join sites).
+    return summary.crossJoin(F.broadcast(audit))
 
 
 from ssg_etl_spark.streaming.stateful import sessionize_batch, sessionize_batch_oracle
@@ -155,12 +158,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions_native",
     oracle=sessionize_batch_oracle(30),
     tags=("streaming", "sessionization"),
-    extra=True,
 )
 def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via the built-in session_window aggregation —
     shares the lag-form oracle (boundary semantics verified identical:
-    delta == gap merges in both). Extra registry: locally verified."""
+    delta == gap merges in both)."""
     from ssg_etl_spark.streaming.stateful import sessionize_native
 
     return sessionize_native(load_table(spark, sf_dir, "events"), 30)
@@ -249,14 +251,12 @@ SELECT
 FROM cells JOIN base ON cells.cp = base.cp
 """,
     tags=("events", "cohort", "journey"),
-    extra=True,
 )
 def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort-retention matrix (cohort = date of first event; cells
     = distinct users active k days later, plus retained_pct — daily
     because the events fixture spans one month). Two user-keyed shuffles,
-    both bounded by |users| (operators/funnel.py). Extra registry:
-    locally oracle-verified."""
+    both bounded by |users| (operators/funnel.py)."""
     from ssg_etl_spark.operators.funnel import cohort_retention
 
     return cohort_retention(load_table(spark, sf_dir, "events"), period="day")
@@ -285,7 +285,8 @@ def _hll_oracle() -> str:
     alpha = repr(ALPHA_M2_SCALED)
     return f"""
 WITH h AS (
-  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d FROM events),
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d FROM events
+  WHERE user_id IS NOT NULL),
 rr AS (
   SELECT event_type,
     CAST(('0x' || substr(d, 1, 2)) AS INTEGER) AS reg,
@@ -320,15 +321,13 @@ FROM ap JOIN ex ON ap.event_type = ex.event_type
     "hll_distinct_users",
     oracle=_hll_oracle(),
     tags=("events", "sketch", "approx"),
-    extra=True,
 )
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user estimate per event type,
     compared against the exact count (rel_err column). The sketch is the
     scale path: 256 mergeable MAX registers per group instead of a
     distinct-pair shuffle — see operators/sketches.py. The exact count
-    here is the demo yardstick, not part of the production plan. Extra
-    registry: locally oracle-verified."""
+    here is the demo yardstick, not part of the production plan."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -362,6 +361,7 @@ WITH cells AS (
       1, {CMS_W_HEX})) AS INTEGER) AS reg,
     COUNT(*) AS cnt
   FROM events, range(0, {CMS_DEPTH}) r(i)
+  WHERE user_id IS NOT NULL
   GROUP BY 1, 2),
 keys AS (SELECT DISTINCT user_id FROM events),
 probes AS (
@@ -385,15 +385,13 @@ FROM est JOIN ex ON est.user_id = ex.user_id
     "cms_user_frequencies",
     oracle=_cms_oracle(),
     tags=("events", "sketch", "approx"),
-    extra=True,
 )
 def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimate per user vs the exact count (the
     count-min guarantee surfaces as ``overcount >= 0``). The sketch is
     depth x width = 1024 SUM counters — mergeable bounded state instead
     of a per-key count at 100 TB; the lookup probes it broadcast. The
-    exact count is the demo yardstick (operators/sketches.py). Extra
-    registry: locally oracle-verified."""
+    exact count is the demo yardstick (operators/sketches.py)."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -447,13 +445,11 @@ SELECT CAST(3 AS INT), 'purchase', n3,
 FROM n
 """,
     tags=("events", "funnel", "journey"),
-    extra=True,
 )
 def funnel_conversion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-step funnel conversion table (view -> click -> purchase):
     surviving users, conversion from the previous step, conversion from
-    step 1 (operators/funnel.py:funnel_summary). Extra registry: locally
-    oracle-verified."""
+    step 1 (operators/funnel.py:funnel_summary)."""
     from ssg_etl_spark.operators.funnel import funnel_summary
 
     return funnel_summary(
@@ -469,7 +465,8 @@ def _hll_rollup_oracle() -> str:
 
     return f"""
 WITH h AS (
-  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d FROM events),
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d FROM events
+  WHERE user_id IS NOT NULL),
 rr AS (
   SELECT event_type,
     CAST(('0x' || substr(d, 1, 2)) AS INTEGER) AS reg,
@@ -503,7 +500,6 @@ FROM est
     "hll_daily_rollup",
     oracle=_hll_rollup_oracle(),
     tags=("events", "sketch", "rollup"),
-    extra=True,
 )
 def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-rollup algebra AS the correctness check: the query
@@ -512,8 +508,7 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the raw rows. They hash-match precisely because HLL registers
     form a semilattice under MAX — the property that lets a 100 TB
     warehouse keep tiny daily sketches and answer any date-range
-    distinct count by folding them. Extra registry: locally
-    oracle-verified."""
+    distinct count by folding them."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events").withColumn(
@@ -548,14 +543,13 @@ FROM cells JOIN base ON cells.cp = base.cp
 GROUP BY 1
 """,
     tags=("events", "cohort", "journey"),
-    extra=True,
 )
 def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retention CURVE: the cohort matrix collapsed over cohorts —
     pooled users retained at k periods over the pooled at-risk cohort
     sizes (cohort-size-weighted retention, the curve a dashboard plots).
     Integer sums only; one extra dimension-sized aggregation over the
-    cohort cells. Extra registry: locally oracle-verified."""
+    cohort cells."""
     from ssg_etl_spark.operators.funnel import cohort_retention
 
     cells = cohort_retention(
@@ -591,13 +585,11 @@ SELECT p.from_type, p.to_type, p.n,
 FROM pairs p JOIN tot t ON p.from_type = t.from_type
 """,
     tags=("events", "journey", "markov"),
-    extra=True,
 )
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix (counts + row-normalized
     probabilities) over per-user time-ordered sequences
-    (operators/funnel.py:event_transitions). Extra registry: locally
-    oracle-verified."""
+    (operators/funnel.py:event_transitions)."""
     from ssg_etl_spark.operators.funnel import event_transitions
 
     return event_transitions(load_table(spark, sf_dir, "events"))

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ssg_etl_spark.functions.scalar import utc_wall
 
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table
@@ -44,7 +43,7 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python in the row path.
     """
     o = load_table(spark, sf_dir, "orders")
-    d = utc_wall("o_orderdate").cast("date")
+    d = F.col("o_orderdate").cast("date")
     return o.select(
         F.col("o_orderkey").alias("order_key"),
         F.lower("o_orderpriority").alias("priority_lower"),
@@ -83,6 +82,7 @@ SELECT l_orderkey AS order_key, l_linenumber AS line_number,
 FROM lineitem
 """,
     tags=("F1", "P10"),
+    extra=True,
 )
 def conditional_recode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE-chain recodes + conditional quantities — the hanger-lane
@@ -122,6 +122,7 @@ SELECT c_custkey AS cust_key,
 FROM customer
 """,
     tags=("F8", "F12"),
+    extra=True,
 )
 def defensive_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Defensive per-field coercion, vectorized: the reference's 40+

@@ -489,6 +489,59 @@ def media_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real-codec RESIZE oracle (round 8): nearest-neighbor is pure integer
+# index math, so DuckDB can replay every output byte. Source raster is the
+# digest cycled (byte k = digest[k % 16]); target pixel (r, c) channel ch
+# reads source byte ((sr*16 + sc)*3 + ch) with sr = ((2r+1)*h)//16,
+# sc = 2c+1 (exact ((2c+1)*16)//(2*8)) — the same ((2i+1)*src)//(2*dst)
+# arithmetic as operators/multimodal.py:_ppm_resize. The digest compares
+# as md5 over the lowercase-hex payload INCLUDING the 11-byte P6 header
+# (inlined as a hex literal).
+_RPW = _RPH = 8
+_RP_RASTER = _RPW * _RPH * 3  # 192
+_RP_HDR_HEX = (b"P6\n%d %d\n255\n" % (_RPW, _RPH)).hex()
+
+
+@register(
+    "media_resize_ppm",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS hx, doc_id % 4 + 1 AS h FROM documents),
+b AS (
+  SELECT d.doc_id, p.p,
+    substr(d.hx,
+      2 * ((((((2 * (p.p // 24) + 1) * d.h) // 16) * 16
+            + (2 * ((p.p % 24) // 3) + 1)) * 3 + p.p % 3) % 16) + 1,
+      2) AS hb
+  FROM d, range(0, {_RP_RASTER}) p(p))
+SELECT doc_id AS asset_id,
+  CAST({_RPW} AS INT) AS width, CAST({_RPH} AS INT) AS height,
+  CAST({11 + _RP_RASTER} AS BIGINT) AS payload_bytes,
+  md5('{_RP_HDR_HEX}' || string_agg(hb, '' ORDER BY p)) AS payload_digest
+FROM b GROUP BY doc_id
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize UN-FAKED end-to-end: binary PPM assets through
+    the numpy nearest-neighbor resample inside the Arrow mapInPandas
+    stage (fake=False), output bytes verified byte-for-byte by a DuckDB
+    replay of the integer index arithmetic. Extra registry: locally
+    oracle-verified."""
+    assets = multimodal.ppm_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    resized = multimodal.resize_images(assets, _RPW, _RPH, fake=False)
+    return resized.select(
+        "asset_id",
+        "width",
+        "height",
+        "payload_bytes",
+        F.md5(F.lower(F.hex("payload")).cast("binary")).alias("payload_digest"),
+    )
+
+
 _CHUNK, _OVERLAP = 32, 8
 _STEP = _CHUNK - _OVERLAP
 
@@ -2030,7 +2083,6 @@ WHERE m.quality_score >= 0.53
     "training_manifest",
     oracle=_MANIFEST_SQL.format(quality_expr=_QUALITY_EXPR),
     tags=("llm", "pipeline", "dedup", "quality", "sampling"),
-    extra=True,
 )
 def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline's end deliverable in one plan: documents that
@@ -2041,7 +2093,7 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score, split). Every stage is an already-verified operator —
     this query pins that they COMPOSE: semi-join against the keep list,
     broadcast-friendly metric joins, no new shuffle beyond the stages'
-    own. Extra registry: locally oracle-verified."""
+    own."""
     docs = load_table(spark, sf_dir, "documents")
     kept = dedup_keep_list(spark, sf_dir).filter(
         F.col("reason") == "kept"
@@ -3010,7 +3062,6 @@ FROM corpus c
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON c.vec_id = b.vec_base
 """,
     tags=("llm", "similarity", "decontamination", "pipeline"),
-    extra=True,
 )
 def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level benchmark decontamination — the semantic twin of
@@ -3024,8 +3075,7 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per corpus vector — (vec_id, status
     contaminated|clean, benchmark_vec_id, max_sim), best match broken by
     rounded-sim DESC then benchmark id ASC so the keep decision is
-    deterministic under any partitioning. Extra registry: locally
-    oracle-verified."""
+    deterministic under any partitioning."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3189,15 +3239,13 @@ def _kmeans_oracle(
     "kmeans_embeddings",
     oracle=_kmeans_oracle(_KM_K, _KM_ITER, _KM_DIM),
     tags=("llm", "clustering", "iterative"),
-    extra=True,
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus (semantic
     domain discovery / diversity-mixing stage): k=4, 3 fixed iterations,
     deterministic lowest-id seeding. Model (k x dim doubles) rides the
     driver; the data path is one persisted scan + one k-row shuffle per
-    iteration — see operators/clustering.py. Extra registry: locally
-    oracle-verified."""
+    iteration — see operators/clustering.py."""
     from ssg_etl_spark.operators import clustering
 
     return clustering.kmeans_assign(
@@ -3230,13 +3278,11 @@ SELECT tf.doc_id, tf.cell, tf.tf,
 FROM tf JOIN nrm ON tf.doc_id = nrm.doc_id
 """,
     tags=("llm", "text", "features"),
-    extra=True,
 )
 def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing vectorizer (hashing trick): tokens -> md5 cells ->
     L2-normalized hashed TF. Stateless (no vocabulary fit), one scan +
-    one (doc, cell)-keyed count — see operators/text.py:hashed_tf. Extra
-    registry: locally oracle-verified."""
+    one (doc, cell)-keyed count — see operators/text.py:hashed_tf."""
     tf = text.hashed_tf(load_table(spark, sf_dir, "documents"))
     return tf.select(
         "doc_id", "cell", "tf", F.round("weight", 6).alias("weight")
@@ -3260,13 +3306,12 @@ _HTF_PTS = (
         4, 2, _HTF_DIM, pts_select=_HTF_PTS, pre_ctes=_HTF_CTES, out_id="doc_id"
     ),
     tags=("llm", "text", "clustering", "pipeline"),
-    extra=True,
 )
 def hashed_tf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end text clustering with zero model state: raw documents ->
     hashing-trick TF vectors -> Lloyd's k-means (k=4, 2 iterations) —
     the full "where do the vectors come from" path, every stage
-    engine-replayable. Extra registry: locally oracle-verified."""
+    engine-replayable."""
     from ssg_etl_spark.operators import clustering
 
     dense = text.hashed_tf_dense(load_table(spark, sf_dir, "documents"))
@@ -3333,13 +3378,12 @@ FROM pts
     "random_projection_16",
     oracle=_rp_oracle(64, 16),
     tags=("llm", "similarity", "projection"),
-    extra=True,
 )
 def random_projection_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss signed random projection 64 -> 16 dims: the
     shrink-before-ANN stage. Zero shuffles (matrix folded into the
     projection); one output column per reduced dimension so the driver
-    can hash values. Extra registry: locally oracle-verified."""
+    can hash values."""
     emb = load_table(spark, sf_dir, "embeddings")
     proj = similarity.random_projection(emb, d_in=64, d_out=16)
     return proj.select(
@@ -3366,7 +3410,6 @@ SELECT id AS vec_id, CAST(cid AS INT) AS cluster_id
 FROM samp WHERE rn2 <= 25
 """,
     tags=("llm", "clustering", "sampling", "pipeline"),
-    extra=True,
 )
 def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-balanced sample: 25 items from each of 4 k-means
@@ -3410,7 +3453,6 @@ SELECT doc_id, n_bigrams,
 FROM agg
 """,
     tags=("llm", "text", "quality"),
-    extra=True,
 )
 def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality score (lambda = 0.75, matching the
@@ -3442,13 +3484,11 @@ SELECT doc_id, mean_logprob,
 FROM scored
 """,
     tags=("llm", "text", "quality", "pipeline"),
-    extra=True,
 )
 def lm_quality_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-head cut: keep the top 20% of documents by
     corpus-self unigram LM score, threshold derived from the corpus's own
-    80th percentile (operators/text.py:lm_quality_cut). Extra registry:
-    locally oracle-verified."""
+    80th percentile (operators/text.py:lm_quality_cut)."""
     return text.lm_quality_cut(load_table(spark, sf_dir, "documents"), 0.2)
 
 
@@ -3479,8 +3519,7 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     share) of the k-means assignment against the embeddings' ground-truth
     label column — the quality gate before a clustering drives mixing or
     curation decisions. Per-cluster counts are a (cluster, label)
-    dimension table; nothing corpus-sized converges. Extra registry:
-    locally oracle-verified."""
+    dimension table; nothing corpus-sized converges."""
     from pyspark.sql.window import Window
 
     from ssg_etl_spark.operators import clustering
@@ -3534,12 +3573,11 @@ SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points,
 FROM sp GROUP BY 1
 """,
     tags=("llm", "clustering", "evaluation"),
-    extra=True,
 )
 def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified (centroid-based) silhouette per k-means cluster — the
     scalable clustering-quality signal (operators/clustering.py:
-    kmeans_silhouette). Extra registry: locally oracle-verified."""
+    kmeans_silhouette)."""
     from ssg_etl_spark.operators import clustering
 
     return clustering.kmeans_silhouette(

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ssg_etl_spark.functions.scalar import utc_wall
 
 from ssg_etl_spark.operators import merge as M
 from ssg_etl_spark.operators.valuation import VALUATION_ORACLE, valuation_recompute
@@ -72,6 +71,7 @@ SELECT c.cust_key, c.cust_name, c.acct_bal,
 FROM changes c LEFT JOIN tkeys k ON c.cust_key = k.cust_key
 """,
     tags=("M7", "J7", "J8", "J9", "U2"),
+    extra=True,
 )
 def change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Destination change comparison: EXCEPT ALL diff + semi/anti split
@@ -93,6 +93,7 @@ WHERE CAST(o_orderdate AS DATE) >= DATE '2001-06-01'
    OR CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INTEGER) >= DATE '2001-06-01'
 """,
     tags=("M8", "P5"),
+    extra=True,
 )
 def source_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """created >= wm OR modified >= wm watermark scan
@@ -101,9 +102,9 @@ def source_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     prepared = o.select(
         F.col("o_orderkey").alias("order_key"),
-        utc_wall("o_orderdate").cast("date").alias("created_at"),
+        F.col("o_orderdate").cast("date").alias("created_at"),
         F.date_add(
-            utc_wall("o_orderdate").cast("date"), (F.col("o_orderkey") % 30).cast("int")
+            F.col("o_orderdate").cast("date"), (F.col("o_orderkey") % 30).cast("int")
         ).alias("modified_at"),
         F.col("o_totalprice").alias("total_price"),
     )
@@ -185,6 +186,7 @@ SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, user_id, event_typ
 FROM events
 """,
     tags=("M14", "S14", "F5"),
+    extra=True,
 )
 def full_refresh_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-store replication with datetime reformatting
@@ -194,7 +196,7 @@ def full_refresh_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.date_format(utc_wall("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "user_id",
         "event_type",
         "value",
@@ -227,6 +229,7 @@ UNION ALL
 SELECT cust_key, cust_name, acct_bal FROM src WHERE cust_key % 3 = 2
 """,
     tags=("M12", "M13", "S10"),
+    extra=True,
 )
 def cdc_batch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigger-CDC envelopes end-to-end: JSON old/new-image messages on a

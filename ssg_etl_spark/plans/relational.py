@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ssg_etl_spark.functions.scalar import utc_ts_lit, utc_wall
+from ssg_etl_spark.functions.scalar import utc_ts_lit
 
 from ssg_etl_spark.operators.gl import ENRICH_GL_ORACLE, enrich_gl
 from ssg_etl_spark.plans.registry import register
@@ -72,7 +72,7 @@ def seven_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             l.l_orderkey.alias("order_key"),
             l.l_linenumber.alias("line_number"),
-            utc_wall(o.o_orderdate).cast("date").alias("order_date"),
+            o.o_orderdate.cast("date").alias("order_date"),
             c.c_name.alias("customer_name"),
             n.n_name.alias("nation_name"),
             r.r_name.alias("region_name"),
@@ -214,6 +214,7 @@ SELECT s_name AS entity_name, s_acctbal AS acct_bal, 'supplier' AS source_connec
 FROM supplier
 """,
     tags=("U1",),
+    extra=True,
 )
 def union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-all consolidation of per-source extracts with a lineage tag.

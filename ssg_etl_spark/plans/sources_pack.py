@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ssg_etl_spark.functions.scalar import utc_wall
 from pyspark.sql import types as T
 
 from ssg_etl_spark.operators.gl import ENRICH_GL_ORACLE, enrich_gl, validate_gl
@@ -24,6 +23,7 @@ from ssg_etl_spark.sources.tables import load_table, load_tables
     "synthetic_transactions",
     oracle=synthetic_transactions_oracle(1000),
     tags=("sources", "S9", "F10"),
+    extra=True,
 )
 def synthetic_transactions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9: deterministic faker-transaction generator (1000 rows)."""
@@ -72,6 +72,7 @@ SELECT * FROM (VALUES
 ) t(id, name, city, full_address, company_name)
 """,
     tags=("sources", "S8", "F9", "F3"),
+    extra=True,
 )
 def rest_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: REST payload → from_json + explode → flat typed rows, with the
@@ -94,6 +95,7 @@ def rest_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", ".join(f"('{n}')" for n in sorted(tables.TABLE_NAMES))
     + ") t(table_name)",
     tags=("sources", "S11"),
+    extra=True,
 )
 def catalog_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: catalog scan of the registered engine tables."""
@@ -164,6 +166,7 @@ SELECT * FROM ({ENRICH_GL_ORACLE}) e
 WHERE e.order_key IS NOT NULL AND abs(e.net) < 1e12
 """,
     tags=("functions", "F11"),
+    extra=True,
 )
 def gl_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11: flagship enrichment through the vectorized validation gate."""
@@ -308,7 +311,7 @@ def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     dated = events.select(
-        utc_wall("ts").cast("date").alias("event_date"), "event_type", "value"
+        F.col("ts").cast("date").alias("event_date"), "event_type", "value"
     )
     # Stable scratch path per sf_dir, overwritten each run (same contract
     # as write_roundtrip).
@@ -322,7 +325,7 @@ def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partition-type inference reads event_date back as DATE (ISO dir names).
     fact = spark.read.parquet(target)
     dim = (
-        events.select(utc_wall("ts").cast("date").alias("event_date"))
+        events.select(F.col("ts").cast("date").alias("event_date"))
         .distinct()
         .filter(F.dayofmonth("event_date") <= 7)
     )
@@ -389,10 +392,10 @@ def snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_dir = tempfile.mkdtemp(prefix="snapshots_")
     atexit.register(shutil.rmtree, snap_dir, True)
     v1 = versioning.commit_snapshot(
-        orders.filter(F.year(utc_wall("o_orderdate")) < 1998), snap_dir
+        orders.filter(F.year(F.col("o_orderdate")) < 1998), snap_dir
     )
     versioning.commit_snapshot(
-        orders.filter(F.year(utc_wall("o_orderdate")) >= 1998), snap_dir
+        orders.filter(F.year(F.col("o_orderdate")) >= 1998), snap_dir
     )
     return (
         versioning.read_snapshot(spark, snap_dir, version=v1)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ssg_etl_spark.functions.scalar import utc_wall as _utc_wall
+
 CURRENCIES = ("USD", "EUR", "PKR", "GBP", "JPY")
 CITIES = ("Karachi", "Lahore", "Faisalabad", "Sialkot")
 
@@ -53,12 +55,18 @@ def synthetic_transactions(
         # Micros arithmetic, not make_interval(..., mins=id, ...): the
         # interval minutes argument is INT, so id >= 2^31 would silently
         # wrap under non-ANSI casts. bigint micros hold ~292k years of ids.
-        F.timestamp_micros(
-            # 2024-01-01T00:00:00Z as epoch micros: a FIXED instant. Parsing the
-            # string with cast("timestamp") would go through the session
-            # timeZone, making the generated instants ambient-zone-dependent.
-            F.lit(1_704_067_200_000_000)
-            + F.col("id") * F.lit(60_000_000).cast("bigint")
+        _utc_wall(
+            F.timestamp_micros(
+                # 2024-01-01T00:00:00Z as epoch micros: a FIXED instant.
+                # Parsing the string with cast("timestamp") would go through
+                # the session timeZone, making the generated instants
+                # ambient-zone-dependent. timestamp_micros yields a
+                # session-rendered TIMESTAMP; utc_wall normalizes it to the
+                # engine's NTZ-UTC time contract (zone-free: instant → UTC
+                # fields), matching every load_table column type.
+                F.lit(1_704_067_200_000_000)
+                + F.col("id") * F.lit(60_000_000).cast("bigint")
+            )
         ).alias("created_at"),
     )
 

@@ -31,14 +31,22 @@ def stamp_modified(df: DataFrame, col: str = "modified_at", batch_ts=None) -> Da
 
     ``batch_ts`` (datetime or ISO string) pins the stamp for reproducible /
     oracle-checked runs; default is wall-clock, like the reference trigger
-    (dltproject/sql scripts/create trigger.sql:12-22). A naive/string
-    batch_ts is interpreted as UTC wall time via ``utc_ts_lit`` — parsing
-    it with cast("timestamp") would name a different instant under every
-    ambient session timeZone.
+    (dltproject/sql scripts/create trigger.sql:12-22). Both branches emit
+    TIMESTAMP_NTZ in UTC wall time (the engine's time contract): a
+    naive/string batch_ts parses zone-free via ``utc_ts_lit``, and the
+    wall-clock default normalizes ``current_timestamp()`` (a
+    session-rendered instant) through ``utc_wall`` — parsing/rendering
+    through the ambient session timeZone would name a different wall time
+    in every embedding application, and the two branches would otherwise
+    disagree on the column type.
     """
-    from ssg_etl_spark.functions.scalar import utc_ts_lit
+    from ssg_etl_spark.functions.scalar import utc_ts_lit, utc_wall
 
-    stamp = F.current_timestamp() if batch_ts is None else utc_ts_lit(batch_ts)
+    stamp = (
+        utc_wall(F.current_timestamp())
+        if batch_ts is None
+        else utc_ts_lit(batch_ts)
+    )
     return df.withColumn(col, stamp)
 
 

@@ -9,10 +9,33 @@ partitioned parquet/table layout; nothing in the operator code changes.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Belt: load_table pins the session zone to UTC so an embedding app's
+# ambient zone cannot shift calendar extraction. Braces: every extraction
+# is ALSO utc_wall-wrapped. The tz-robustness gates (tests/
+# test_tz_robustness.py, tools/tz_sweep.py) verify the braces, which
+# requires taking the belt off — otherwise both "zones" execute under the
+# pin and the sweep can never fail (round-7 advisor finding).
+_PIN_SESSION_UTC = True
+
+
+@contextlib.contextmanager
+def tz_pin_suppressed():
+    """Disable load_table's UTC session pin inside the block — FOR THE
+    TZ-ROBUSTNESS SWEEPS ONLY, so a dropped ``utc_wall`` wrapper produces
+    a detectable value shift instead of being masked by the pin."""
+    global _PIN_SESSION_UTC
+    prev = _PIN_SESSION_UTC
+    _PIN_SESSION_UTC = False
+    try:
+        yield
+    finally:
+        _PIN_SESSION_UTC = prev
 
 TABLE_NAMES = (
     "region",
@@ -36,24 +59,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds with integer division — byte-identical to DuckDB's
     nanos→micros truncation, so oracles still hash-match.
 
+    Time contract (round 8): every timestamp column this function returns
+    is TIMESTAMP_NTZ carrying UTC wall-clock fields — calendar extraction
+    downstream is then zone-free BY TYPE, no per-site wrapper. Parquet
+    naive timestamps already read as NTZ; any column that comes back as a
+    session-rendered TIMESTAMP instant (e.g. the nanos→``timestamp_micros``
+    rebuild) is normalized here through ``utc_wall`` (instant → UTC
+    fields, zone-independent).
+
     Side effect (deliberate): both confs below are session-level and stay
     set — they must hold at task-execution time, not just plan time, so a
     save/restore around the read would break deferred execution. UTC is the
     engine's contract; nanosAsLong only affects TIMESTAMP(NANOS) parquet,
     which vanilla Spark cannot read at all.
     """
+    from ssg_etl_spark.functions.scalar import utc_wall
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Defensive: timestamps in the testdata are naive and the oracles are
     # timezone-less — pin the session to UTC even under a caller-built
-    # SparkSession (runtime-settable conf).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # SparkSession (runtime-settable conf). The tz sweeps suppress this
+    # pin (tz_pin_suppressed) to exercise the NTZ/utc_wall discipline
+    # itself.
+    if _PIN_SESSION_UTC:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp":  # instant → NTZ-UTC boundary normalization
+            df = df.withColumn(col, utc_wall(F.col(col)))
+    return df
 
 
 def jdbc_read_options(

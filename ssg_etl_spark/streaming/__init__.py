@@ -8,6 +8,7 @@ from ssg_etl_spark.streaming.pipeline import (
 )
 from ssg_etl_spark.streaming.stateful import (
     sessionize_batch,
+    sessionize_native_stream,
     sessionize_stream,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "foreach_batch_upsert",
     "windowed_event_counts",
     "sessionize_batch",
+    "sessionize_native_stream",
     "sessionize_stream",
 ]

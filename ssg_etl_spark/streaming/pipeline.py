@@ -594,27 +594,43 @@ def foreach_batch_hll_merge(
     micro-batch (restart between write and checkpoint commit) leaves the
     sketch unchanged — this sink is exactly-once by algebra, with no
     batch-id bookkeeping. State is ≤ 256 rows per group forever; the
-    stream never re-reads its own history."""
-    import os
+    stream never re-reads its own history.
 
+    State durability: the merged registers publish through
+    ``commit_snapshot`` (write new data files, then atomic manifest
+    ``os.replace``) — a crash mid-write leaves the previous register
+    version fully readable, and the replayed micro-batch re-merges into it
+    idempotently. The r7 form overwrote ``registers_path`` in place, so a
+    crash between delete and rewrite destroyed ALL accumulated state and
+    the replay silently rebuilt the sketch from that one batch — the
+    "exactly-once by algebra" claim only ever covered replays, not a
+    non-atomic state rewrite (r7 advisor finding)."""
     from ssg_etl_spark.operators.sketches import hll_merge, hll_registers
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_versions,
+    )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         fresh = hll_registers(batch, group_cols, value_col)
-        if os.path.exists(registers_path):
-            prior = spark.read.parquet(registers_path)
+        if snapshot_versions(registers_path):
+            prior = read_snapshot(spark, registers_path)
             merged = hll_merge([prior, fresh], group_cols)
         else:
             merged = fresh
-        # Registers are group-bounded tiny; collect-and-rewrite keeps the
-        # update atomic-enough for a single writer (the stream itself).
+        # Registers are group-bounded tiny; materialize before the commit
+        # so the snapshot write does not re-read the version it replaces.
         rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(registers_path)
+        commit_snapshot(
+            spark.createDataFrame(rows, merged.schema).coalesce(1),
+            registers_path,
+            mode="overwrite",
+            meta={"batch_id": batch_id},
+        )
 
     return apply
 

@@ -41,10 +41,12 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap sessionization, batch form: a new session starts where the gap
     from the previous event of the same user exceeds ``gap_minutes``."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ (how parquet
-    # naive timestamps infer); with the session pinned to UTC the NTZ→LTZ
-    # cast is exact, and it is a no-op on an already-zoned column.
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # Zone-free wall→micros: casting NTZ to TIMESTAMP would reinterpret
+    # the wall fields through the ambient session zone, shifting gap
+    # boundaries across a DST transition (tz-robustness contract).
+    from ssg_etl_spark.functions.scalar import ntz_epoch_micros
+
+    us = ntz_epoch_micros("ts")
     gap = us - F.lag(us).over(w)
     flagged = events.withColumn(
         "_new_session",
@@ -85,6 +87,36 @@ def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         events.groupBy(
             "user_id", F.session_window("ts", f"{gap_minutes} minutes")
         )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "total_value"),
+        )
+        .drop("session_window")
+    )
+
+
+def sessionize_native_stream(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Fourth twin: ``session_window`` on a STREAM — the fully
+    Catalyst-native stateful sessionization (no Python in the loop).
+
+    Under append mode a session row emits once its window can no longer
+    grow (watermark passed session_end + gap) — the same closure rule the
+    ``applyInPandasWithState`` twin implements by event-time timeout, so
+    the two streaming forms and the two batch forms all share one oracle.
+    Prefer this form in production streams: state is managed by the
+    streaming aggregation operator (RocksDB-spillable, merge-combinable),
+    where the Python-state twin exists for session logic the built-in
+    cannot express (e.g. value-dependent gaps, early partial emission).
+    """
+    from ssg_etl_spark.operators.rollups import dec_sum
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),

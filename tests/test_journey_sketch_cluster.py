@@ -202,9 +202,14 @@ def test_streaming_hll_fold_matches_batch_sketch(spark, sf_dir, tmp_path):
         ["event_type"],
         "user_id",
     )
+    from ssg_etl_spark.sources.versioning import (
+        read_snapshot,
+        snapshot_versions,
+    )
+
     streamed = {
         (r["event_type"], r["reg"], r["max_rho"])
-        for r in spark.read.parquet(regs_path).collect()
+        for r in read_snapshot(spark, regs_path).collect()
     }
     batch = {
         (r["event_type"], r["reg"], r["max_rho"])
@@ -220,12 +225,41 @@ def test_streaming_hll_fold_matches_batch_sketch(spark, sf_dir, tmp_path):
     )
     replayed = {
         (r["event_type"], r["reg"], r["max_rho"])
-        for r in spark.read.parquet(regs_path).collect()
+        for r in read_snapshot(spark, regs_path).collect()
     }
     assert replayed == streamed
 
+    # Crash-safety: state publishes as atomic snapshot versions — every
+    # pre-replay version is still fully readable (a crash mid-commit can
+    # never destroy accumulated registers, unlike an in-place overwrite).
+    versions = snapshot_versions(regs_path)
+    assert len(versions) >= 2
+    prev = {
+        (r["event_type"], r["reg"], r["max_rho"])
+        for r in read_snapshot(spark, regs_path, versions[-2]).collect()
+    }
+    assert prev == streamed
+
 
 # ------------------------------------------------------------- count-min
+
+
+def test_sketches_ignore_nulls(spark):
+    """NULL values must not occupy HLL registers or CMS cells: the
+    sketches approximate COUNT(DISTINCT ..) / GROUP BY frequencies, both
+    of which ignore NULLs. A NULL row would md5 to a register and shrink
+    the HLL empty-register correction (r7 advisor finding)."""
+    vals = [(str(i),) for i in range(50)]
+    clean = spark.createDataFrame(vals, ["v"])
+    dirty = spark.createDataFrame(vals + [(None,)] * 7, ["v"])
+
+    hll_clean = {(r["reg"], r["max_rho"]) for r in sketches.hll_registers(clean, [], "v").collect()}
+    hll_dirty = {(r["reg"], r["max_rho"]) for r in sketches.hll_registers(dirty, [], "v").collect()}
+    assert hll_clean == hll_dirty
+
+    cms_clean = {(r["row"], r["reg"], r["cnt"]) for r in sketches.cms_sketch(clean, [], "v").collect()}
+    cms_dirty = {(r["row"], r["reg"], r["cnt"]) for r in sketches.cms_sketch(dirty, [], "v").collect()}
+    assert cms_clean == cms_dirty
 
 
 def test_cms_overcounts_never_undercount_and_merge(spark):

@@ -135,5 +135,54 @@ def test_resize_images_stub_shapes(spark):
 
     with _pytest.raises(ValueError):
         resize_images(assets, 0, 2)
-    with _pytest.raises(NotImplementedError):
-        resize_images(assets, 4, 2, fake=False)
+
+
+def test_ppm_resize_real_nearest_neighbor():
+    """_ppm_resize: integer-scale downsample picks exactly the
+    pixel-center sources (((2i+1)*src)//(2*dst)); output re-decodes."""
+    from ssg_etl_spark.operators.multimodal import (
+        _ppm_resize,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    # 4x2 source with distinct per-pixel bytes.
+    raster = bytes(range(4 * 2 * 3))
+    out = _ppm_resize(encode_ppm(4, 2, raster), 2, 1)
+    w, h, maxval, px = decode_ppm(out)
+    assert (w, h, maxval) == (2, 1, 255)
+    # Target (0, c) reads source row ((2*0+1)*2)//2 = 1, col 2c+1.
+    expect = bytes(
+        raster[(1 * 4 + sc) * 3 + ch] for sc in (1, 3) for ch in range(3)
+    )
+    assert px == expect
+    # Upsample is pure replication of nearest sources; still decodable.
+    w, h, _, px = decode_ppm(_ppm_resize(encode_ppm(4, 2, raster), 8, 4))
+    assert (w, h, len(px)) == (8, 4, 8 * 4 * 3)
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        _ppm_resize(b"not a ppm", 2, 2)
+
+
+def test_resize_images_real_ppm_pipeline(spark, sf_dir):
+    """fake=False end-to-end: PPM assets through the Arrow resize stage —
+    every output payload is a decodable 8x8 PPM whose bytes match the
+    local _ppm_resize of the same source."""
+    from ssg_etl_spark.operators import multimodal as MM
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    assets = MM.ppm_assets_from_documents(docs)
+    src = {r.asset_id: r.payload for r in assets.collect()}
+    out = {
+        r.asset_id: r
+        for r in MM.resize_images(assets, 8, 8, fake=False).collect()
+    }
+    assert set(out) == set(src)
+    for aid, row in out.items():
+        assert row.payload == MM._ppm_resize(src[aid], 8, 8)
+        w, h, _, px = MM.decode_ppm(row.payload)
+        assert (w, h, len(px)) == (8, 8, 192)
+        assert row.payload_bytes == len(row.payload)

@@ -125,6 +125,59 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, events_dir, tmp_pa
     assert not missing, sorted(missing)[:3]
 
 
+def test_native_session_window_stream_matches_batch(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """session_window on a STREAM (append mode) == the batch session_window
+    twin for every session closed before the final watermark — the fully
+    Catalyst-native counterpart of the applyInPandasWithState pin above;
+    all four sessionization forms share one oracle."""
+    import datetime
+
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.streaming.pipeline import events_file_stream
+    from ssg_etl_spark.streaming.stateful import (
+        sessionize_native,
+        sessionize_native_stream,
+    )
+
+    out = str(tmp_path / "native_sessions")
+    q = (
+        sessionize_native_stream(events_file_stream(spark, events_dir), 30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in sessionize_native(events, 30).collect()
+    }
+    assert got, "no sessions emitted"
+    for key, val in got.items():
+        assert val == want[key], key
+    # Every session closed comfortably before the final watermark emitted.
+    hi = events.agg(F.max("ts")).first()[0]
+    cutoff = hi - datetime.timedelta(minutes=30 + 30 + 10)
+    closed = {k for k in want if k[2] <= cutoff}
+    missing = closed - set(got)
+    assert not missing, sorted(missing)[:3]
+
+
 def test_kafka_option_plumbing():
     from ssg_etl_spark.streaming.pipeline import (
         kafka_sink_options,

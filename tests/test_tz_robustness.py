@@ -66,16 +66,21 @@ def _canon(df, zone: str) -> list[str]:
 @pytest.mark.parametrize("name", TZ_SENSITIVE)
 def test_values_identical_across_session_zones(spark, sf_dir, name):
     from ssg_etl_spark.cache import release_tracked
+    from ssg_etl_spark.sources.tables import tz_pin_suppressed
 
     assert name in SPECS, f"{name} dropped from registry — update this list"
     prev = spark.conf.get("spark.sql.session.timeZone")
+    # Suppress load_table's UTC pin so the sweep actually varies the
+    # execution zone — with the pin in place both branches run under UTC
+    # and a dropped utc_wall wrapper is undetectable (r7 advisor finding).
     try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        base = _canon(SPECS[name].builder(spark, sf_dir), "UTC")
-        release_tracked()
-        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
-        got = _canon(SPECS[name].builder(spark, sf_dir), "Asia/Kathmandu")
-        release_tracked()
+        with tz_pin_suppressed():
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            base = _canon(SPECS[name].builder(spark, sf_dir), "UTC")
+            release_tracked()
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+            got = _canon(SPECS[name].builder(spark, sf_dir), "Asia/Kathmandu")
+            release_tracked()
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
         release_tracked()

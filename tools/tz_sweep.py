@@ -66,6 +66,7 @@ def main() -> int:
     from ssg_etl_spark.cache import release_tracked
     from ssg_etl_spark.plans.registry import load_all
     from ssg_etl_spark.session import get_spark
+    from ssg_etl_spark.sources.tables import tz_pin_suppressed
 
     specs = load_all(include_extra=True)
     if only:
@@ -74,24 +75,29 @@ def main() -> int:
     spark = get_spark("tz_sweep", shuffle_partitions=8)
     base: dict[str, tuple[int, str]] = {}
     bad: list[str] = []
-    for zone in ZONES:
-        spark.conf.set("spark.sql.session.timeZone", zone)
-        for name in sorted(specs):
-            try:
-                got = canon_hash(specs[name].builder(spark, sf_dir), zone)
-            except Exception as exc:  # noqa: BLE001
-                got = (-1, f"ERROR {type(exc).__name__}: {exc}")
-            finally:
-                release_tracked()
-            if zone == "UTC":
-                base[name] = got
-                if got[0] < 0:
-                    bad.append(f"{name}: errors even under UTC: {got[1]}")
-                    print(f"FAIL {name} [{zone}]: {got[1]}", flush=True)
-            elif got != base[name]:
-                bad.append(f"{name} [{zone}]: {base[name]} -> {got}")
-                print(f"FAIL {name} [{zone}]: UTC={base[name]} got={got}", flush=True)
-        print(f"== zone {zone}: done ({len(bad)} failures so far)", flush=True)
+    # Suppress load_table's UTC session pin for the whole sweep: with the
+    # pin active both "zones" execute under UTC and the comparison is
+    # vacuous (r7 advisor finding) — the sweep verifies the utc_wall
+    # discipline itself, not the pin.
+    with tz_pin_suppressed():
+        for zone in ZONES:
+            spark.conf.set("spark.sql.session.timeZone", zone)
+            for name in sorted(specs):
+                try:
+                    got = canon_hash(specs[name].builder(spark, sf_dir), zone)
+                except Exception as exc:  # noqa: BLE001
+                    got = (-1, f"ERROR {type(exc).__name__}: {exc}")
+                finally:
+                    release_tracked()
+                if zone == "UTC":
+                    base[name] = got
+                    if got[0] < 0:
+                        bad.append(f"{name}: errors even under UTC: {got[1]}")
+                        print(f"FAIL {name} [{zone}]: {got[1]}", flush=True)
+                elif got != base[name]:
+                    bad.append(f"{name} [{zone}]: {base[name]} -> {got}")
+                    print(f"FAIL {name} [{zone}]: UTC={base[name]} got={got}", flush=True)
+            print(f"== zone {zone}: done ({len(bad)} failures so far)", flush=True)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     print(f"\n{len(specs)} queries x {len(ZONES)} zones, {len(bad)} failures")
