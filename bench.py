@@ -126,6 +126,9 @@ CURATION_FAMILY = [
     "retention_curve",
     "kmeans_silhouette",
     "event_transition_matrix",
+    # Round 8: mergeable Bloom membership index, real-codec PPM resize.
+    "bloom_membership_probe",
+    "media_resize_ppm",
 ]
 
 

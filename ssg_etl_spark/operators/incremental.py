@@ -47,10 +47,17 @@ def bootstrap_watermark(df: DataFrame, ts_col: str):
 
 def incremental_read(df: DataFrame, ts_col: str, watermark) -> DataFrame:
     """M4/P5: strictly-greater watermark filter — pushed to the parquet scan
-    by Catalyst, so old partitions are never read."""
+    by Catalyst, so old partitions are never read.
+
+    The watermark literal goes through ``utc_ts_lit`` (TIMESTAMP_NTZ):
+    ``F.lit(datetime)`` would build a session-rendered TIMESTAMP whose
+    comparison against the NTZ column coerces through the ambient session
+    zone — the round-8 tz sweep caught exactly that shift here."""
     if watermark is None:
         return df
-    return df.filter(F.col(ts_col) > F.lit(watermark))
+    from ssg_etl_spark.functions.scalar import utc_ts_lit
+
+    return df.filter(F.col(ts_col) > utc_ts_lit(watermark))
 
 
 def has_new_data(df: DataFrame, ts_col: str, watermark) -> bool:

@@ -94,10 +94,14 @@ def source_changed_rows(
 ) -> DataFrame:
     """M8: source change detection — created OR modified since watermark
     (Source-Change-Detection notebook: ``created_at >= wm OR modified_at >= wm``).
-    """
-    return df.filter(
-        (F.col(created_col) >= F.lit(watermark)) | (F.col(modified_col) >= F.lit(watermark))
-    )
+
+    The watermark enters as an NTZ literal (``utc_ts_lit``) so the
+    comparison against NTZ columns never coerces through the ambient
+    session zone (round-8 tz contract)."""
+    from ssg_etl_spark.functions.scalar import utc_ts_lit
+
+    wm = utc_ts_lit(watermark)
+    return df.filter((F.col(created_col) >= wm) | (F.col(modified_col) >= wm))
 
 
 def scd2_apply(

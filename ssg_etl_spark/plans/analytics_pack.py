@@ -798,3 +798,87 @@ def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+# Mergeable Bloom membership index (operators/bloom.py): engine-portable
+# md5 bit positions, 32-bit words in BIGINT, bit_or aggregation — DuckDB
+# rebuilds the identical filter and replays every probe, so maybe_present
+# is oracle-checked bit-for-bit, not just "plausible". The classic use at
+# 100 TB: persist the filter beside the corpus, answer "definitely new"
+# without re-scanning keys. Customers WITH orders build the filter; ALL
+# customers probe it — no false negatives by construction, false
+# positives at the sized rate surface as maybe=true/exact=false rows.
+_BLOOM_BITS, _BLOOM_K = 1024, 4
+
+
+@register(
+    "bloom_membership_probe",
+    oracle=f"""
+WITH built AS (SELECT DISTINCT o_custkey AS key FROM orders),
+bpos AS (
+  SELECT CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' ||
+                CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS}
+         AS pos
+  FROM built, range(0, {_BLOOM_K}) r(i)),
+words AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM bpos GROUP BY 1),
+ppos AS (
+  SELECT c.c_custkey, r.i,
+    CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' ||
+          CAST(c.c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS}
+      AS pos
+  FROM customer c, range(0, {_BLOOM_K}) r(i)),
+probed AS (
+  SELECT p.c_custkey,
+    CAST(SUM(CASE WHEN (COALESCE(w.bits, 0)
+          & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) <> 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word
+  GROUP BY 1)
+SELECT p.c_custkey AS c_custkey,
+  p.hits = {_BLOOM_K} AS maybe_present,
+  b.key IS NOT NULL AS exact_present,
+  (p.hits = {_BLOOM_K} AND b.key IS NULL) AS false_positive
+FROM probed p LEFT JOIN built b ON p.c_custkey = b.key
+""",
+    tags=("sketch", "membership", "bloom"),
+    extra=True,
+)
+def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-membership sketch end-to-end: build a Bloom filter over
+    the customers that have orders (bit_or aggregation, ≤ 32 word rows
+    total), probe EVERY customer against the broadcast word table, and
+    compare with the exact semi-join — no false negatives by algebra;
+    false positives at the sized rate (operators/bloom.py)."""
+    from ssg_etl_spark.operators.bloom import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    flt = bloom_build(
+        orders.select("o_custkey"), "o_custkey",
+        n_bits=_BLOOM_BITS, k=_BLOOM_K,
+    )
+    probed = bloom_probe(
+        flt,
+        customer.select("c_custkey"),
+        "c_custkey",
+        n_bits=_BLOOM_BITS,
+        k=_BLOOM_K,
+    )
+    exact = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        probed.join(
+            exact.withColumn("_seen", F.lit(True)), "c_custkey", "left"
+        )
+        .select(
+            "c_custkey",
+            "maybe_present",
+            F.coalesce(F.col("_seen"), F.lit(False)).alias("exact_present"),
+            (
+                F.col("maybe_present")
+                & ~F.coalesce(F.col("_seen"), F.lit(False))
+            ).alias("false_positive"),
+        )
+    )

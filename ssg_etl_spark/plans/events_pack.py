@@ -82,11 +82,18 @@ WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
 def interval_filter_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding lookback: last day relative to the data's max timestamp
     (P7: NOW() - INTERVAL '1 day', anchored to data for determinism).
+
+    The collected max re-enters as an NTZ literal (``utc_ts_lit``) — a
+    plain ``F.lit(datetime)`` builds a session-rendered TIMESTAMP whose
+    comparison against the NTZ column shifts with the ambient zone (the
+    round-8 tz sweep caught it here).
     """
+    from ssg_etl_spark.functions.scalar import utc_ts_lit
+
     events = load_table(spark, sf_dir, "events")
     max_ts = events.agg(F.max("ts").alias("mx")).first()["mx"]
     return events.filter(
-        F.col("ts") >= F.lit(max_ts) - F.expr("interval 1 day")
+        F.col("ts") >= utc_ts_lit(max_ts) - F.expr("interval 1 day")
     ).select("event_id", "ts", "user_id", "event_type", "value")
 
 

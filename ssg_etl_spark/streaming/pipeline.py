@@ -664,6 +664,45 @@ def run_hll_stream(
     q.awaitTermination()
 
 
+def foreach_batch_bloom_merge(
+    bloom_path: str, key_col: str, n_bits: int = 1024, k: int = 4
+):
+    """Streaming membership index: each micro-batch's keys fold into a
+    persisted Bloom word table by bitwise OR (operators/bloom.py). OR is
+    IDEMPOTENT, so a replayed micro-batch leaves the filter unchanged —
+    exactly-once by algebra, the same contract as the HLL fold above —
+    and the state publishes through atomic snapshot commits, so a crash
+    mid-write can never destroy accumulated bits. State is ≤ n_bits/32
+    word rows forever; probing "have we ever seen this key?" needs only
+    the latest snapshot, never the stream's history."""
+    from ssg_etl_spark.operators.bloom import bloom_build, bloom_merge
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fresh = bloom_build(batch, key_col, n_bits=n_bits, k=k)
+        if snapshot_versions(bloom_path):
+            prior = read_snapshot(spark, bloom_path)
+            merged = bloom_merge([prior, fresh])
+        else:
+            merged = fresh
+        rows = merged.collect()
+        commit_snapshot(
+            spark.createDataFrame(rows, merged.schema).coalesce(1),
+            bloom_path,
+            mode="overwrite",
+            meta={"batch_id": batch_id},
+        )
+
+    return apply
+
+
 def foreach_batch_kmeans_assign(centroids_path: str, out_path: str):
     """Streaming semantic labeling: every micro-batch of embeddings is
     assigned to PRE-TRAINED k-means centroids (loaded once per batch

@@ -174,6 +174,91 @@ def test_salted_association_megarow_hot_pair(spark):
         df.unpersist()
 
 
+def test_salted_join_megarow_hot_key(spark):
+    """Measured skew evidence in the regime partial aggregation CANNOT
+    absorb: a shuffle JOIN with one hot key. Unlike a skewed groupBy —
+    where map-side combine collapses the hot key to one partial row per
+    map partition before the shuffle — a sort-merge join must move EVERY
+    row of the hot key through one reducer; no combiner exists for join.
+    With AQE's skew-join splitting disabled (the stream-static /
+    non-adaptive regime salting exists for), the salted two-stage join
+    must return exactly the unsalted result and beat its wall.
+
+    Gated behind RUN_SLOW_BENCH=1 like the megarow agg benchmark above —
+    wall-clock assertions on a shared box are flaky by nature; the small
+    equality pin (test_salted_join_exact) stays in the default suite.
+    """
+    import os
+    import statistics
+    import time
+
+    import pytest as _pytest
+
+    if os.environ.get("RUN_SLOW_BENCH") != "1":
+        _pytest.skip("set RUN_SLOW_BENCH=1 for the megarow join benchmark")
+
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators.skew import salted_join
+
+    n = 4_000_000
+    n_keys = 10_000
+    # 90% of the large side lands on key 0 — the single-reducer blowup:
+    # unsalted, that key's rows sort and join in ONE task while every
+    # other core idles; salted, the same rows spread over n_salts tasks.
+    large = spark.range(0, n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))
+        .otherwise(F.pmod(F.hash("id"), F.lit(n_keys)))
+        .cast("bigint")
+        .alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    ).persist()
+    small = spark.range(0, n_keys).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 101).cast("double").alias("w")
+    ).persist()
+    large.count(), small.count()
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force the pathological plan: no AQE skew splitting, no broadcast
+        # (at real scale the small side is too big to broadcast; here we
+        # pin the same shape explicitly).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def checksum(df):
+            return df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("v") * F.col("w")).cast("decimal(28,6)")).alias("s"),
+            ).collect()[0]
+
+        def median_wall(fn, trials=3):
+            walls = []
+            for _ in range(trials):
+                t0 = time.time()
+                fn().write.mode("overwrite").format("noop").save()
+                walls.append(time.time() - t0)
+            return statistics.median(walls)
+
+        unsalted_df = lambda: large.join(small, "k")  # noqa: E731
+        salted_df = lambda: salted_join(large, small, "k", "v", n_salts=32)  # noqa: E731
+
+        # Deterministic equality pin first (count + exact decimal dot sum).
+        assert checksum(unsalted_df()) == checksum(salted_df())
+
+        unsalted = median_wall(unsalted_df)
+        salted = median_wall(salted_df)
+        # The hot key is 2M rows through ONE reducer unsalted vs 32 salted
+        # slices; require a real win, with shared-box slack.
+        assert salted < unsalted, (salted, unsalted)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        large.unpersist()
+        small.unpersist()
+
+
 def test_global_row_number_handles_null_prefix(spark):
     """NULL prefix values sort first (ascending NULLS FIRST) and keep their
     rows — the histogram join is null-safe."""

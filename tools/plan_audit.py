@@ -106,6 +106,9 @@ AUDIT_DEFAULT = [
     "retention_curve",
     "kmeans_silhouette",
     "event_transition_matrix",
+    # Round 8: mergeable membership sketch + real-codec resize.
+    "bloom_membership_probe",
+    "media_resize_ppm",
 ]
 
 

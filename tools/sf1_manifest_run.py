@@ -55,7 +55,14 @@ def main() -> int:
             "dedup_ngram_jaccard",
             "dedup_clusters",
             "training_manifest",
+            # Round 8 (r7 verdict #5): the LSH family's sf1.0 decade pin —
+            # banded minhash over the full corpus and the delta×base
+            # incremental path, with measured shuffle bytes.
+            "dedup_minhash_lsh",
+            "dedup_incremental_vs_corpus",
         ]
+        from shuffle_audit import audit_query
+
         result = {
             "n_replicas": n_replicas,
             "n_docs": n_docs,
@@ -71,9 +78,17 @@ def main() -> int:
                 ).format("noop").save()
                 walls.append(round(time.time() - t0, 2))
                 release_tracked()
+            # One measured pass for shuffle economics (status REST API) —
+            # shuffle-per-input-byte is the scale-invariant ratio the
+            # COVERAGE growth table tracks across sf decades.
+            audit = audit_query(spark, specs[name].builder, out_dir)
             result["stages"][name] = {
                 "trials": walls,
                 "median": round(statistics.median(walls), 2),
+                "input_mb": audit["input_mb"],
+                "shuf_w_mb": audit["shuf_w_mb"],
+                "spill_mb": audit["spill_mb"],
+                "ratio": audit["ratio"],
             }
         rows = specs["training_manifest"].builder(spark, out_dir).count()
         result["manifest_rows"] = rows
