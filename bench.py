@@ -126,9 +126,11 @@ CURATION_FAMILY = [
     "retention_curve",
     "kmeans_silhouette",
     "event_transition_matrix",
-    # Round 8: mergeable Bloom membership index, real-codec PPM resize.
+    # Round 8: mergeable Bloom membership index, real-codec PPM resize,
+    # prefix-filtered exact Jaccard.
     "bloom_membership_probe",
     "media_resize_ppm",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -177,6 +177,79 @@ def ngram_jaccard_pairs(
     return _shingle_jaccard(capped, threshold)
 
 
+def ngram_jaccard_pairs_prefix(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING — the same result set as
+    :func:`ngram_jaccard_pairs`, found without joining on every shingle.
+
+    The prefix-filter lemma (the classic set-similarity-join optimization
+    — Chaudhuri/Ganti/Kaushik SSJoin, Xiao et al. PPJoin): sort each
+    document's shingles by one GLOBAL total order and keep only the first
+    ``|d| - ceil(t*|d|) + 1`` as its *prefix*. Any pair with
+    ``J(A,B) >= t`` has overlap ``o >= t*max(|A|,|B|)`` (since the union
+    is at least the larger set), so by pigeonhole the pair MUST share a
+    token inside both prefixes — joining prefixes only is lossless.
+    Ordering by ascending document frequency makes prefixes carry the
+    RAREST shingles, so the candidate join's key-frequency distribution
+    collapses: at threshold 0.5 the join touches ~half the tokens of each
+    doc, and the quadratic hot-shingle blowup the df-cap guards against
+    cannot arise from common tokens at all. Exact verification of the
+    candidates then computes true Jaccard over the full capped universe —
+    identical semantics, shared oracle.
+
+    Scale shape: one extra df aggregation + one per-doc window (bounded by
+    document length) versus a candidate join whose cost tracks the number
+    of TRUE near-pairs, not the shingle-frequency distribution."""
+    from pyspark.sql.window import Window
+
+    raw = persist_tracked(word_shingles(documents))
+    capped = persist_tracked(_cap_shingle_df(raw, max_shingle_df))
+
+    df_counts = capped.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = capped.join(df_counts, "shingle").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("_df", "shingle")
+        ),
+    )
+    sized = ranked.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    # prefix length = n - ceil(t*n) + 1, computed in exact integer math:
+    # ceil(t*n) = -floor(-t*n); t is a plan literal so Catalyst folds it.
+    prefix_len = F.col("_n") - F.ceil(F.col("_n") * F.lit(float(threshold))).cast(
+        "int"
+    ) + 1
+    prefix = persist_tracked(
+        sized.filter(F.col("_rk") <= prefix_len).select("doc_id", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    candidates = persist_tracked(candidates)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    cand_shingles = capped.join(cand_docs, "doc_id", "left_semi")
+    verified = _shingle_jaccard(cand_shingles, threshold)
+    return verified.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = 0.5,

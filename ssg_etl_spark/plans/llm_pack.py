@@ -75,6 +75,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
 
 
+@register(
+    "dedup_jaccard_prefix",
+    oracle=JACCARD_SQL,
+    tags=("llm", "dedup"),
+    extra=True,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering — LOSSLESS candidate
+    pruning by the prefix-filter lemma (rarest-first global shingle
+    order), then exact verification; identical result set to
+    dedup_ngram_jaccard, hence the shared oracle
+    (operators/dedup.py:ngram_jaccard_pairs_prefix). Extra registry:
+    locally oracle-verified."""
+    return dedup.ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), 0.5
+    )
+
+
 @register("dedup_minhash_lsh", oracle=JACCARD_SQL, tags=("llm", "dedup"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates, exact-verified — equals the exact operator

@@ -18,6 +18,72 @@ def test_minhash_equals_exact(spark, sf_dir):
     assert approx == exact  # verification removes FPs; LSH recall ~1 here
 
 
+def test_prefix_filter_equals_plain_exact(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: same pairs and same Jaccard values as
+    the all-token join, on the testdata corpus and with the df-cap
+    disabled (full-universe semantics) on a slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, 0.5))
+    pref = _pairs(dedup.ngram_jaccard_pairs_prefix(docs, 0.5))
+    assert pref == exact
+
+    small = docs.limit(120)
+    exact_uncapped = _pairs(
+        dedup.ngram_jaccard_pairs(small, 0.5, max_shingle_df=None)
+    )
+    pref_uncapped = _pairs(
+        dedup.ngram_jaccard_pairs_prefix(small, 0.5, max_shingle_df=None)
+    )
+    assert pref_uncapped == exact_uncapped
+
+
+def test_prefix_filter_prunes_template_corpus(spark):
+    """The regime the prefix filter exists for: a shared template makes
+    every all-token join quadratic in |docs| (df-capping avoids that only
+    by APPROXIMATING — dropping hot shingles from the Jaccard universe).
+    With rarest-first prefixes, docs whose similarity comes only from the
+    template produce ZERO candidates: their prefixes fill up with their
+    own unique shingles before any template shingle qualifies — exactness
+    and pruning at once."""
+    from pyspark.sql import functions as F
+
+    template = " ".join(f"t{i}" for i in range(10))
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(template + " "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"u{j}_"), F.col("id").cast("string"))
+                    for j in range(40)
+                ],
+            ),
+        ).alias("text"),
+    )
+    # No pair reaches J >= 0.5 (shared shingles are only the template's).
+    pref = _pairs(dedup.ngram_jaccard_pairs_prefix(docs, 0.5, max_shingle_df=None))
+    assert pref == set()
+    # And the candidate join itself is EMPTY, not merely filtered: every
+    # doc's 24-shingle prefix is exhausted by its 38 unique (df=1)
+    # shingles before any df=300 template shingle can enter.
+    raw = dedup.word_shingles(docs)
+    df_counts = raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql.window import Window
+
+    ranked = raw.join(df_counts, "shingle").withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "shingle")),
+    )
+    sized = ranked.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    prefix_len = F.col("_n") - F.ceil(F.col("_n") * F.lit(0.5)).cast("int") + 1
+    prefix = sized.filter(F.col("_rk") <= prefix_len)
+    hot_in_prefix = prefix.filter(F.col("_df") > 1).count()
+    assert hot_in_prefix == 0
+
+
 def test_simhash_no_false_positives_and_decent_recall(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = _pairs(dedup.ngram_jaccard_pairs(docs, 0.5))

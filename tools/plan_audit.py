@@ -106,9 +106,11 @@ AUDIT_DEFAULT = [
     "retention_curve",
     "kmeans_silhouette",
     "event_transition_matrix",
-    # Round 8: mergeable membership sketch + real-codec resize.
+    # Round 8: mergeable membership sketch, real-codec resize,
+    # prefix-filtered exact Jaccard.
     "bloom_membership_probe",
     "media_resize_ppm",
+    "dedup_jaccard_prefix",
 ]
 
 
