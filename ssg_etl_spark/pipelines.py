@@ -124,8 +124,10 @@ def _recover(spark: SparkSession, p: dict[str, str]) -> None:
             parsed = {
                 f.name: (
                     dt.datetime.fromisoformat(raw[f.name])
+                    # startswith: matches TIMESTAMP and TIMESTAMP_NTZ (the
+                    # audit log's type since the round-8 NTZ contract).
                     if raw.get(f.name) is not None
-                    and f.dataType.typeName() == "timestamp"
+                    and f.dataType.typeName().startswith("timestamp")
                     else raw.get(f.name)
                 )
                 for f in ETL_LOG.fields

@@ -6,6 +6,18 @@ raw DDL at scripts/test/create_general_ledger_table.sql:1-36); we follow the
 same discipline: explicit StructTypes everywhere, no inference for the
 engine's own tables (SURVEY §1.3).
 
+Time contract (round 8): engine-owned tables carry TIMESTAMP_NTZ
+(UTC wall-clock) — NTZ is also the zone-free ``createDataFrame`` path: a
+naive Python datetime converts by its wall fields, where TimestampType
+converts through the HOST zone. The TESTDATA schemas below keep their
+event-time columns as TIMESTAMP because Spark's streaming watermark
+REJECTS NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE, measured on 4.1):
+these schemas exist for ``readStream``, whose windows/session gaps are
+instant-based (epoch-anchored, zone-free) and whose outputs the
+stream==batch pins compare under the engine's pinned-UTC session. Batch
+scans never use these schemas — ``load_table`` normalizes every
+timestamp column to NTZ at the boundary.
+
 Two families live here:
 
 * ``TESTDATA`` — the driver-generated TPC-H-ish tables we run against
@@ -150,9 +162,9 @@ ETL_LOG = T.StructType(
         T.StructField("process_log_id", T.StringType()),  # uuid per run
         T.StructField("source_connection", T.StringType()),
         T.StructField("rows_extracted", T.LongType()),
-        T.StructField("started_at", T.TimestampType()),
-        T.StructField("finished_at", T.TimestampType()),
-        T.StructField("last_extract_ts", T.TimestampType()),  # the watermark
+        T.StructField("started_at", T.TimestampNTZType()),
+        T.StructField("finished_at", T.TimestampNTZType()),
+        T.StructField("last_extract_ts", T.TimestampNTZType()),  # the watermark
         T.StructField("success", T.BooleanType()),
         T.StructField("status", T.StringType()),
         T.StructField("error_message", T.StringType()),

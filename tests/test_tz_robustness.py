@@ -41,6 +41,11 @@ TZ_SENSITIVE = [
     "asof_last_before",
     "source_change_detection",
     "cohort_retention_daily",  # calendar-day cohorts from NTZ event time
+    # Round 8: the two latent shifts the first REAL full sweep caught —
+    # a collected NTZ max re-entered via F.lit(datetime) builds a
+    # session-coerced TIMESTAMP literal (now utc_ts_lit → NTZ).
+    "interval_filter_last_day",
+    "watermark_incremental",
 ]
 
 
