@@ -131,6 +131,7 @@ CURATION_FAMILY = [
     "bloom_membership_probe",
     "media_resize_ppm",
     "dedup_jaccard_prefix",
+    "quantiles_totalprice",
 ]
 
 

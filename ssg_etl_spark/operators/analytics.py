@@ -544,6 +544,63 @@ def numeric_histogram(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    n_bins: int = 20,
+) -> DataFrame:
+    """Approximate quantiles from the mergeable equal-width histogram —
+    the quantile member of the sketch family (HLL distinct, CMS
+    frequency, Bloom membership): one min/max pass + one combinable
+    groupBy, then O(n_bins) post-processing; error bounded by one bin
+    width, deterministic under any partitioning (unlike
+    ``percentile_approx``, whose result depends on internal merge order).
+
+    For each q: the first bin (in bin order) whose cumulative count
+    reaches ``q * total``, linearly interpolated inside the bin. The
+    cumulative walk runs DRIVER-SIDE over the collected histogram —
+    metadata-sized by construction (≤ n_bins rows), the same convention
+    as k-means centroids and HLL registers, and it keeps the plan free
+    of single-partition windows. Every step is plain double arithmetic,
+    so a SQL oracle replays the values exactly.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    spark = df.sparkSession
+    bins = sorted(
+        numeric_histogram(df, value_col, n_bins).collect(),
+        key=lambda r: r["bin"],
+    )
+    total = sum(r["n"] for r in bins)
+    out: list[tuple[float, float, int]] = []
+    for q in qs:
+        target = float(q) * float(total)
+        cum = 0
+        for r in bins:
+            cum += r["n"]
+            if float(cum) >= target:
+                from decimal import ROUND_HALF_UP, Decimal
+
+                frac = (target - float(cum - r["n"])) / float(r["n"])
+                raw = r["bin_lo"] + (r["bin_hi"] - r["bin_lo"]) * frac
+                # HALF_UP to match SQL round(x, 6) in both engines —
+                # Python's built-in round is HALF_EVEN and would drift on
+                # exact .5 ties at the 6th decimal.
+                value = float(
+                    Decimal(repr(raw)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                out.append((float(q), value, int(r["bin"])))
+                break
+    return spark.createDataFrame(
+        sorted(out), "q double, value double, bin int"
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pearson correlation for every column pair in ONE scan + ONE
     aggregation — the profiling matrix ``df.stat.corr`` would need

@@ -882,3 +882,65 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("false_positive"),
         )
     )
+
+
+# Quantile member of the sketch family: the mergeable 20-bin histogram
+# post-processed to interpolated quantiles — O(bins) rows end-to-end
+# after the two histogram passes, deterministic under any partitioning
+# (percentile_approx's merge order is not), error <= one bin width. The
+# oracle replays the identical double arithmetic over the identical bins.
+_Q_QS = (0.25, 0.5, 0.9, 0.99)
+_Q_BINS = 20
+
+
+@register(
+    "quantiles_totalprice",
+    oracle=f"""
+WITH b AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+  FROM orders),
+binned AS (
+  SELECT
+    CASE WHEN mx = mn THEN 0
+         ELSE LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn)
+                               / ((mx - mn) / {_Q_BINS})) AS INT),
+                    {_Q_BINS - 1}) END AS bin,
+    mn, mx
+  FROM orders, b WHERE o_totalprice IS NOT NULL),
+hist AS (
+  SELECT bin,
+    round(mn + bin * ((mx - mn) / {_Q_BINS}), 6) AS bin_lo,
+    round(mn + (bin + 1) * ((mx - mn) / {_Q_BINS}), 6) AS bin_hi,
+    COUNT(*) AS n
+  FROM binned GROUP BY 1, 2, 3),
+cum AS (
+  SELECT bin, bin_lo, bin_hi, n,
+    SUM(n) OVER (ORDER BY bin) AS c,
+    SUM(n) OVER () AS total
+  FROM hist),
+probes AS (
+  SELECT CAST(q.q AS DOUBLE) AS q, cum.*
+  FROM cum, (VALUES {", ".join(f"({q})" for q in _Q_QS)}) q(q)
+  WHERE CAST(c AS DOUBLE) >= CAST(q.q AS DOUBLE) * CAST(total AS DOUBLE)),
+first AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS rn
+  FROM probes)
+SELECT q,
+  round(bin_lo + (bin_hi - bin_lo)
+        * ((q * CAST(total AS DOUBLE) - CAST(c - n AS DOUBLE))
+           / CAST(n AS DOUBLE)), 6) AS value,
+  bin
+FROM first WHERE rn = 1
+""",
+    tags=("sketch", "quantile", "profile"),
+    extra=True,
+)
+def quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (p25/p50/p90/p99) of order totals —
+    deterministic mergeable alternative to percentile_approx, error
+    bounded by one bin width (operators/analytics.py:
+    histogram_quantiles). Extra registry: locally oracle-verified."""
+    return analytics.histogram_quantiles(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", _Q_QS, _Q_BINS
+    )

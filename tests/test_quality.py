@@ -268,6 +268,37 @@ def test_numeric_histogram_bins_and_totals(spark):
     assert len(crows) == 1 and crows[0].n == 7
 
 
+def test_histogram_quantiles_bounds_and_determinism(spark):
+    """Sketch quantiles sit within one bin width of the exact quantile,
+    increase monotonically in q, and are partition-invariant."""
+    import pytest as _pytest
+
+    from ssg_etl_spark.operators.analytics import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, v double"
+    )
+    qs = (0.25, 0.5, 0.9, 0.99)
+    got = {r.q: r.value for r in histogram_quantiles(df, "v", qs, 20).collect()}
+    width = 999.0 / 20
+    for q in qs:
+        exact = q * 999.0
+        assert abs(got[q] - exact) <= width + 1e-6, (q, got[q], exact)
+    vals = [got[q] for q in sorted(qs)]
+    assert vals == sorted(vals)
+
+    again = {
+        r.q: r.value
+        for r in histogram_quantiles(df.repartition(17), "v", qs, 20).collect()
+    }
+    assert again == got
+
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "v", ())
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "v", (0.0,))
+
+
 def test_winsorize_preserves_nulls(spark):
     """NULL must stay NULL: least/greatest skip NULLs, so an unguarded
     clamp silently imputes missing values to the p_lo bound (advisor

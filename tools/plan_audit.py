@@ -111,6 +111,7 @@ AUDIT_DEFAULT = [
     "bloom_membership_probe",
     "media_resize_ppm",
     "dedup_jaccard_prefix",
+    "quantiles_totalprice",
 ]
 
 
