@@ -703,6 +703,84 @@ def foreach_batch_bloom_merge(
     return apply
 
 
+def foreach_batch_hist_merge(
+    hist_path: str, value_col: str, lo: float, hi: float, n_bins: int = 20
+):
+    """Streaming distribution profile: each micro-batch's fixed-range
+    histogram counts ADD into a persisted bin table — the quantile
+    sketch's streaming form (operators/analytics.histogram_quantiles
+    post-processes the result at read time).
+
+    Contrast with the HLL (MAX) and Bloom (OR) folds: SUM is mergeable
+    but NOT idempotent, so replay safety cannot come from algebra — it
+    comes from the manifest's ``max_batch_id`` watermark (the
+    snapshot-commit pattern): a replayed micro-batch is detected from
+    the newest manifest alone and skipped, and the atomic snapshot
+    commit keeps prior state readable through a crash. The bin range
+    must be FIXED up front ([lo, hi), out-of-range values clamp into
+    the edge bins) — per-batch min/max would mis-align bins across
+    batches and make the counts meaningless to add.
+    """
+    if hi <= lo:
+        raise ValueError("hi must be greater than lo")
+    if n_bins < 1:
+        raise ValueError("n_bins must be positive")
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_meta,
+        snapshot_versions,
+    )
+
+    width = (hi - lo) / n_bins
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        prev_max = -1
+        versions = snapshot_versions(hist_path)
+        if versions:
+            prev_max = int(
+                snapshot_meta(hist_path, versions[-1]).get("max_batch_id", -1)
+            )
+            if batch_id <= prev_max:
+                return  # replay of an already-folded batch: SUM must skip
+        v = F.col(value_col).cast("double")
+        fresh = (
+            batch.filter(v.isNotNull())
+            .select(
+                F.least(
+                    F.greatest(
+                        F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+                        F.lit(0),
+                    ),
+                    F.lit(n_bins - 1),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if versions:
+            prior = read_snapshot(spark, hist_path)
+            merged = (
+                prior.unionByName(fresh)
+                .groupBy("bin")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = fresh
+        rows = merged.collect()
+        commit_snapshot(
+            spark.createDataFrame(rows, merged.schema).coalesce(1),
+            hist_path,
+            mode="overwrite",
+            meta={"batch_id": batch_id, "max_batch_id": max(batch_id, prev_max)},
+        )
+
+    return apply
+
+
 def foreach_batch_kmeans_assign(centroids_path: str, out_path: str):
     """Streaming semantic labeling: every micro-batch of embeddings is
     assigned to PRE-TRAINED k-means centroids (loaded once per batch

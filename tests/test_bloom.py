@@ -112,6 +112,76 @@ def test_streaming_bloom_fold_matches_batch_and_replays(spark, sf_dir, tmp_path)
     assert _words(read_snapshot(spark, bloom_path, versions[-2])) == streamed
 
 
+def test_streaming_hist_fold_matches_batch_and_skips_replay(
+    spark, sf_dir, tmp_path
+):
+    """SUM-merged micro-batch histogram == one-shot batch histogram of the
+    full table; a replayed batch is SKIPPED via the manifest batch-id
+    watermark (SUM is not idempotent — the algebra that protects the
+    HLL/Bloom folds cannot protect this one)."""
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.sources.versioning import read_snapshot
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_hist_merge
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    hist_path = str(tmp_path / "hist")
+    lo, hi, n_bins = 0.0, 1000.0, 20
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_hist_merge(hist_path, "value", lo, hi, n_bins)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["bin"], r["n"]) for r in read_snapshot(spark, hist_path).collect()
+    }
+    v = F.col("value").cast("double")
+    width = (hi - lo) / n_bins
+    batch = {
+        (r["bin"], r["n"])
+        for r in events.filter(v.isNotNull())
+        .select(
+            F.least(
+                F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
+                F.lit(n_bins - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
+
+    # Replay an old batch id: the manifest watermark must skip it —
+    # counts unchanged (double-counting would otherwise be silent).
+    foreach_batch_hist_merge(hist_path, "value", lo, hi, n_bins)(
+        events.limit(500), batch_id=0
+    )
+    assert {
+        (r["bin"], r["n"]) for r in read_snapshot(spark, hist_path).collect()
+    } == streamed
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        foreach_batch_hist_merge(hist_path, "value", 5.0, 5.0)
+
+
 def test_partition_invariance(spark):
     keys = spark.createDataFrame([(i,) for i in range(300)], ["k"])
     one = _words(bloom_build(keys.coalesce(1), "k", n_bits=1024, k=4))
