@@ -132,6 +132,7 @@ CURATION_FAMILY = [
     "media_resize_ppm",
     "dedup_jaccard_prefix",
     "quantiles_totalprice",
+    "quantiles_price_by_status",
 ]
 
 

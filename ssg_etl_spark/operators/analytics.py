@@ -601,6 +601,93 @@ def histogram_quantiles(
     )
 
 
+def histogram_quantiles_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-GROUP histogram quantiles — the distributed form of
+    :func:`histogram_quantiles` for group counts too large to collect.
+
+    Bins are computed over the GLOBAL [min, max] range (one tiny
+    broadcast), so every group's histogram is bin-aligned and the whole
+    computation stays one combinable groupBy + windows PARTITIONED BY
+    group (never single-partition): cumulative counts per group, then
+    the first qualifying bin per (group, q) with in-bin interpolation.
+    O(|groups| × n_bins) intermediate rows; same one-bin-width error
+    bound and partition-determinism as the global form.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use histogram_quantiles)")
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("_mn"), F.max(v).alias("_mx")
+    )
+    width = (F.col("_mx") - F.col("_mn")) / n_bins
+    bin_idx = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("_mn")) / width).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    hist = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *group_cols,
+            bin_idx.alias("bin"),
+            (F.col("_mn") + bin_idx * width).alias("bin_lo"),
+            (F.col("_mn") + (bin_idx + 1) * width).alias("bin_hi"),
+        )
+        .groupBy(*group_cols, "bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    w_cum = w_grp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "bin_lo",
+        "bin_hi",
+        "n",
+        F.sum("n").over(w_cum).alias("_cum"),
+        F.sum("n").over(w_grp).alias("_total"),
+    )
+    probes = cum.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(1).select(
+                F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+            )
+        )
+    ).filter(
+        F.col("_cum").cast("double") >= F.col("q") * F.col("_total").cast("double")
+    )
+    first = probes.groupBy(*group_cols, "q").agg(
+        F.min(F.struct("bin", "bin_lo", "bin_hi", "n", "_cum", "_total")).alias("s")
+    )
+    target = F.col("q") * F.col("s._total").cast("double")
+    return first.select(
+        *group_cols,
+        "q",
+        F.round(
+            F.col("s.bin_lo")
+            + (F.col("s.bin_hi") - F.col("s.bin_lo"))
+            * (
+                (target - (F.col("s._cum") - F.col("s.n")).cast("double"))
+                / F.col("s.n").cast("double")
+            ),
+            6,
+        ).alias("value"),
+        F.col("s.bin").alias("bin"),
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pearson correlation for every column pair in ONE scan + ONE
     aggregation — the profiling matrix ``df.stat.corr`` would need

@@ -944,3 +944,59 @@ def quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.histogram_quantiles(
         load_table(spark, sf_dir, "orders"), "o_totalprice", _Q_QS, _Q_BINS
     )
+
+
+@register(
+    "quantiles_price_by_status",
+    oracle=f"""
+WITH b AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+  FROM orders),
+hist AS (
+  SELECT o_orderstatus,
+    CASE WHEN mx = mn THEN 0
+         ELSE LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn)
+                               / ((mx - mn) / {_Q_BINS})) AS INT),
+                    {_Q_BINS - 1}) END AS bin,
+    mn, mx, COUNT(*) AS n
+  FROM orders, b WHERE o_totalprice IS NOT NULL
+  GROUP BY 1, 2, 3, 4),
+cum AS (
+  SELECT o_orderstatus, bin,
+    mn + bin * ((mx - mn) / {_Q_BINS}) AS bin_lo,
+    mn + (bin + 1) * ((mx - mn) / {_Q_BINS}) AS bin_hi,
+    n,
+    SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS c,
+    SUM(n) OVER (PARTITION BY o_orderstatus) AS total
+  FROM hist),
+probes AS (
+  SELECT CAST(q.q AS DOUBLE) AS q, cum.*
+  FROM cum, (VALUES {", ".join(f"({q})" for q in _Q_QS)}) q(q)
+  WHERE CAST(c AS DOUBLE) >= CAST(q.q AS DOUBLE) * CAST(total AS DOUBLE)),
+first AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus, q ORDER BY bin) AS rn
+  FROM probes)
+SELECT o_orderstatus, q,
+  round(bin_lo + (bin_hi - bin_lo)
+        * ((q * CAST(total AS DOUBLE) - CAST(c - n AS DOUBLE))
+           / CAST(n AS DOUBLE)), 6) AS value,
+  bin
+FROM first WHERE rn = 1
+""",
+    tags=("sketch", "quantile", "profile"),
+    extra=True,
+)
+def quantiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order-status price quantiles from globally-bin-aligned
+    histograms — the distributed grouped form (windows partitioned by
+    group, O(groups x bins) intermediate; operators/analytics.py:
+    histogram_quantiles_grouped). Extra registry: locally
+    oracle-verified."""
+    return analytics.histogram_quantiles_grouped(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        ["o_orderstatus"],
+        _Q_QS,
+        _Q_BINS,
+    )

@@ -299,6 +299,38 @@ def test_histogram_quantiles_bounds_and_determinism(spark):
         histogram_quantiles(df, "v", (0.0,))
 
 
+def test_histogram_quantiles_grouped_per_group_bounds(spark):
+    """Grouped quantiles: each group's p50 tracks ITS OWN distribution
+    (bins are globally aligned, counts per group), within one global bin
+    width; partition-invariant."""
+    from ssg_etl_spark.operators.analytics import histogram_quantiles_grouped
+
+    rows = [("a", float(i)) for i in range(1000)] + [
+        ("b", float(2000 + i)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.q): r.value
+        for r in histogram_quantiles_grouped(df, "v", ["g"], (0.5,), 20).collect()
+    }
+    width = 2999.0 / 20
+    assert abs(got[("a", 0.5)] - 499.5) <= width + 1e-6
+    assert abs(got[("b", 0.5)] - 2499.5) <= width + 1e-6
+
+    again = {
+        (r.g, r.q): r.value
+        for r in histogram_quantiles_grouped(
+            df.repartition(11), "v", ["g"], (0.5,), 20
+        ).collect()
+    }
+    assert again == got
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        histogram_quantiles_grouped(df, "v", [], (0.5,))
+
+
 def test_winsorize_preserves_nulls(spark):
     """NULL must stay NULL: least/greatest skip NULLs, so an unguarded
     clamp silently imputes missing values to the p_lo bound (advisor

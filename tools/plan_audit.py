@@ -112,6 +112,7 @@ AUDIT_DEFAULT = [
     "media_resize_ppm",
     "dedup_jaccard_prefix",
     "quantiles_totalprice",
+    "quantiles_price_by_status",
 ]
 
 
