@@ -781,6 +781,54 @@ def foreach_batch_hist_merge(
     return apply
 
 
+def foreach_batch_cms_merge(sketch_path: str, value_col: str):
+    """Streaming frequency sketch: each micro-batch's count-min cells ADD
+    into a persisted sketch (operators/sketches.cms_sketch) through
+    atomic snapshot commits. Like the histogram fold — and unlike the
+    HLL/Bloom folds — SUM is not replay-idempotent, so exactly-once
+    comes from the manifest's ``max_batch_id`` watermark. State is
+    ≤ depth × width = 1024 cells forever; ``cms_lookup`` probes the
+    latest snapshot for any key's frequency over the stream's whole
+    history. This completes the streaming-fold family: HLL (MAX,
+    idempotent), Bloom (OR, idempotent), histogram and CMS (SUM,
+    batch-id-guarded)."""
+    from ssg_etl_spark.operators.sketches import cms_merge, cms_sketch
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_meta,
+        snapshot_versions,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        prev_max = -1
+        versions = snapshot_versions(sketch_path)
+        if versions:
+            prev_max = int(
+                snapshot_meta(sketch_path, versions[-1]).get("max_batch_id", -1)
+            )
+            if batch_id <= prev_max:
+                return  # replayed micro-batch: adding again would double-count
+        fresh = cms_sketch(batch, [], value_col)
+        if versions:
+            prior = read_snapshot(spark, sketch_path)
+            merged = cms_merge([prior, fresh], [])
+        else:
+            merged = fresh
+        rows = merged.collect()
+        commit_snapshot(
+            spark.createDataFrame(rows, merged.schema).coalesce(1),
+            sketch_path,
+            mode="overwrite",
+            meta={"batch_id": batch_id, "max_batch_id": max(batch_id, prev_max)},
+        )
+
+    return apply
+
+
 def foreach_batch_kmeans_assign(centroids_path: str, out_path: str):
     """Streaming semantic labeling: every micro-batch of embeddings is
     assigned to PRE-TRAINED k-means centroids (loaded once per batch

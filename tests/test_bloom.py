@@ -182,6 +182,56 @@ def test_streaming_hist_fold_matches_batch_and_skips_replay(
         foreach_batch_hist_merge(hist_path, "value", 5.0, 5.0)
 
 
+def test_streaming_cms_fold_matches_batch_and_skips_replay(
+    spark, sf_dir, tmp_path
+):
+    """SUM-merged micro-batch count-min == one-shot batch sketch of the
+    full table; replayed batch skipped by the manifest watermark."""
+    from ssg_etl_spark.operators import sketches
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.sources.versioning import read_snapshot
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_cms_merge
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    sketch_path = str(tmp_path / "cms")
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_cms_merge(sketch_path, "user_id")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["row"], r["reg"], r["cnt"])
+        for r in read_snapshot(spark, sketch_path).collect()
+    }
+    batch = {
+        (r["row"], r["reg"], r["cnt"])
+        for r in sketches.cms_sketch(events, [], "user_id").collect()
+    }
+    assert streamed == batch
+
+    foreach_batch_cms_merge(sketch_path, "user_id")(
+        events.limit(400), batch_id=0
+    )
+    assert {
+        (r["row"], r["reg"], r["cnt"])
+        for r in read_snapshot(spark, sketch_path).collect()
+    } == streamed
+
+
 def test_partition_invariance(spark):
     keys = spark.createDataFrame([(i,) for i in range(300)], ["k"])
     one = _words(bloom_build(keys.coalesce(1), "k", n_bits=1024, k=4))
