@@ -114,6 +114,8 @@ def family(sf_dir: str, n_vectors: int):
     from pyspark.sql import functions as F
 
     from ssg_etl_spark.operators import (
+        analytics,
+        bloom,
         clustering,
         dedup,
         sampling,
@@ -310,6 +312,30 @@ def family(sf_dir: str, n_vectors: int):
             "lm_quality_cut",
             lambda s: text.lm_quality_cut(docs(s), 0.2),
             "",
+        ),
+        # Round 8: membership sketch (constant-size state, broadcast
+        # probe — build cost should track |keys| linearly, probe below
+        # it), grouped quantile sketch, prefix-filtered exact Jaccard.
+        (
+            "bloom_build_probe",
+            lambda s: bloom.bloom_probe(
+                bloom.bloom_build(docs(s).select("doc_id"), "doc_id"),
+                docs(s).select("doc_id"),
+                "doc_id",
+            ),
+            "n_bits=1024 k=4",
+        ),
+        (
+            "quantiles_grouped",
+            lambda s: analytics.histogram_quantiles_grouped(
+                docs(s), "n_chars", ["lang"]
+            ),
+            "20 bins x |langs| groups",
+        ),
+        (
+            "dedup_jaccard_prefix",
+            lambda s: dedup.ngram_jaccard_pairs_prefix(docs(s), 0.5),
+            "exact full-universe semantics",
         ),
     ]
 
