@@ -59,6 +59,39 @@ def auto_bits_per_table(
     return max(3, math.ceil(math.log2(max(2.0, n / float(target_occupancy)))))
 
 
+def auto_tables_for_recall(
+    bits_per_table: int,
+    target_recall: float = 0.9,
+    at_cosine: float = 0.7,
+    max_tables: int = 64,
+) -> int:
+    """Table count that HOLDS recall as ``auto_bits_per_table`` grows.
+
+    Sign-pattern LSH recall for a pair at cosine s is ``1-(1-p^b)^L``
+    with ``p = 1 - arccos(s)/π``: scaling b with the corpus (required —
+    see :func:`auto_bits_per_table`) shrinks ``p^b`` geometrically, so a
+    FIXED L silently loses recall as data grows (measured at sf0.1:
+    L=8 at auto-bits → 0.655 recall@10; L=16 → 0.88). Inverting the
+    formula, ``L = ceil(ln(1-R) / ln(1-p^b))`` holds recall R at the
+    design cosine. Candidate cost grows linearly in L while bucket
+    occupancy stays constant — the right trade at scale, bounded by
+    ``max_tables`` as a runaway guard (hit only at extreme b × R).
+    """
+    import math
+
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError("target_recall must be in (0, 1)")
+    if not (-1.0 < at_cosine < 1.0):
+        raise ValueError("at_cosine must be in (-1, 1)")
+    if bits_per_table < 1:
+        raise ValueError("bits_per_table must be positive")
+    p = 1.0 - math.acos(at_cosine) / math.pi
+    miss = 1.0 - p**bits_per_table
+    if miss <= 0.0:
+        return 1
+    return min(max_tables, max(1, math.ceil(math.log(1.0 - target_recall) / math.log(miss))))
+
+
 def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -651,7 +684,7 @@ def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_tables: int = 8,
+    n_tables: int | None = 8,
     bits_per_table: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: banded random-hyperplane LSH (OR-construction).
@@ -667,14 +700,21 @@ def lsh_bucketed_topk(
     (the default) auto-scales b with corpus size via
     :func:`auto_bits_per_table` so bucket occupancy — and with it the
     Σ occupancy² candidate cost — stays roughly constant as the corpus
-    grows; recall then rides the (L, b) formula at the scaled b, and
-    callers wanting a pinned recall point pass b explicitly. At 100 TB: the exploded
-    (table, bucket) corpus is the partitioning key, query signatures
-    broadcast, so each executor scores only its bucket-mates — work scales
-    with bucket occupancy, not corpus size.
+    grows. A FIXED L then loses recall as b climbs (measured r8, sf0.1:
+    L=8 → 0.655 recall@10; L=16 → 0.88): pass ``n_tables=None`` to pick
+    L from the recall formula at the scaled b
+    (:func:`auto_tables_for_recall`, 0.9 @ cosine 0.7 by default), the
+    recall-stable operational config. Callers wanting a pinned
+    bucketization (oracle replay, fixture tests) pass both explicitly.
+    At 100 TB: the exploded (table, bucket) corpus is the partitioning
+    key, query signatures broadcast, so each executor scores only its
+    bucket-mates — work scales with bucket occupancy × L, not corpus
+    size.
     """
     if bits_per_table is None:
         bits_per_table = auto_bits_per_table(embeddings)
+    if n_tables is None:
+        n_tables = auto_tables_for_recall(bits_per_table)
     anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
     emb_b = _bucketize(
         embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table

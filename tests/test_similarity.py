@@ -49,6 +49,75 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert len(approx & exact) / len(exact) > 0.2
 
 
+def test_lsh_auto_tables_recall_at_design_point(spark, sf_dir):
+    """The recall-stable auto config (n_tables=None picks L from the
+    (L, b) formula at the auto-scaled b): for PLANTED near-dup pairs —
+    cosine ≥ 0.9, the operational curation target, far above the 0.7
+    design cosine — the twin must appear in the query's LSH top-k for
+    ≥ 90% of pairs. Uniform-noise top-10 recall is NOT the contract
+    (those neighbors sit at cosine ~0.3, below the design point)."""
+    import math
+    import random
+
+    rng = random.Random(8)
+    dim = 16
+    base: list[tuple[int, list[float]]] = []
+    for i in range(400):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        base.append((i, v))
+    # 40 planted twins at high cosine: copy + small perturbation.
+    twins = []
+    for i in range(40):
+        vid, v = base[i]
+        noisy = [x + rng.uniform(-0.05, 0.05) for x in v]
+        twins.append((10_000 + vid, noisy))
+    rows = [(vid, [float(x) for x in v], 0) for vid, v in base + twins]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    want = {
+        (vid, vid - 10_000)
+        for vid, v in twins
+        if cos(v, dict(base)[vid - 10_000]) >= 0.9
+    }
+    assert len(want) >= 30  # small perturbation keeps most twins >= 0.9
+
+    queries = emb.filter("vec_id >= 10000").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_bucketed_topk(
+            emb, queries, k=10, n_tables=None
+        ).collect()
+    }
+    found = sum(1 for pair in want if pair in got)
+    assert found / len(want) >= 0.9, (found, len(want))
+
+
+def test_auto_tables_for_recall_grows_with_bits():
+    from ssg_etl_spark.operators.similarity import auto_tables_for_recall
+
+    ls = [auto_tables_for_recall(b) for b in (3, 4, 6, 8)]
+    assert ls == sorted(ls), ls
+    assert ls[-1] > ls[0]
+    # Tighter recall or farther design point → more tables.
+    assert auto_tables_for_recall(4, target_recall=0.99) > auto_tables_for_recall(4)
+    assert auto_tables_for_recall(4, at_cosine=0.5) > auto_tables_for_recall(4, at_cosine=0.9)
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        auto_tables_for_recall(0)
+    with _p.raises(ValueError):
+        auto_tables_for_recall(4, target_recall=1.0)
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {
