@@ -829,6 +829,82 @@ def foreach_batch_cms_merge(sketch_path: str, value_col: str):
     return apply
 
 
+def foreach_batch_quality_gate(
+    target_path: str,
+    quarantine_path: str,
+    row_rules: "dict[str, object]",
+):
+    """Quality-gated streaming ingest with a dead-letter side: each
+    micro-batch's rows are checked against named row-level predicates
+    (rule name → boolean Column, True = row passes); passing rows append
+    to the target as a new snapshot version, failing rows land in the
+    quarantine WITH the list of rules they failed — nothing is silently
+    dropped, and the reject stream is itself a queryable table (the
+    dead-letter pattern; the reference's Great-Expectations suites stop
+    the pipeline instead — at 100 TB/day a poison row must not halt
+    ingestion).
+
+    Both sinks are append-mode snapshot commits guarded by the manifest
+    ``max_batch_id`` watermark (appends are not idempotent), so a
+    replayed micro-batch re-lands in NEITHER table. Rule predicates must
+    be deterministic row functions — the same rows quarantine on every
+    engine and replay."""
+    if not row_rules:
+        raise ValueError("row_rules must be non-empty")
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        snapshot_meta,
+        snapshot_versions,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # One watermark decides both sinks: the target's (committed last —
+        # see below — so a crash between the two commits replays into an
+        # idempotent pair: quarantine is re-checked against ITS watermark).
+        def _max_bid(path: str) -> int:
+            versions = snapshot_versions(path)
+            if not versions:
+                return -1
+            return int(snapshot_meta(path, versions[-1]).get("max_batch_id", -1))
+
+        flags = []
+        for name, rule in row_rules.items():
+            passed = F.expr(rule) if isinstance(rule, str) else rule
+            # NULL verdicts FAIL the row (three-valued logic would
+            # otherwise silently pass e.g. `value > 0` on a NULL value —
+            # the quality engine's not-null discipline).
+            flags.append(
+                F.when(~F.coalesce(passed, F.lit(False)), F.lit(name))
+            )
+        checked = batch.withColumn(
+            "failed_rules",
+            F.array_compact(F.array(*flags)),
+        )
+        bad = checked.filter(F.size("failed_rules") > 0)
+        good = checked.filter(F.size("failed_rules") == 0).drop("failed_rules")
+
+        q_prev = _max_bid(quarantine_path)
+        if batch_id > q_prev and not bad.isEmpty():
+            commit_snapshot(
+                bad,
+                quarantine_path,
+                mode="append",
+                meta={"batch_id": batch_id, "max_batch_id": max(batch_id, q_prev)},
+            )
+        t_prev = _max_bid(target_path)
+        if batch_id > t_prev and not good.isEmpty():
+            commit_snapshot(
+                good,
+                target_path,
+                mode="append",
+                meta={"batch_id": batch_id, "max_batch_id": max(batch_id, t_prev)},
+            )
+
+    return apply
+
+
 def foreach_batch_kmeans_assign(centroids_path: str, out_path: str):
     """Streaming semantic labeling: every micro-batch of embeddings is
     assigned to PRE-TRAINED k-means centroids (loaded once per batch

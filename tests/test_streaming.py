@@ -178,6 +178,72 @@ def test_native_session_window_stream_matches_batch(
     assert not missing, sorted(missing)[:3]
 
 
+def test_quality_gate_stream_splits_and_replays_safely(spark, tmp_path):
+    """Dead-letter streaming ingest: rows failing any row rule land in
+    quarantine WITH the failing rule names; passing rows append to the
+    target; NULL rule verdicts fail the row; a replayed batch re-lands in
+    neither sink (manifest batch-id watermark)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.sources.versioning import read_snapshot
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_quality_gate
+
+    day = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, day, 7, "click", 1.0, None),
+        (2, day, 8, "view", -3.0, None),      # fails value_positive
+        (3, day, 9, "bogus", 2.0, None),      # fails known_type
+        (4, day, 10, "view", None, None),     # NULL value -> fails value_positive
+        (5, day, 11, "purchase", 5.0, None),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(src)
+
+    target = str(tmp_path / "target")
+    quarantine = str(tmp_path / "rejects")
+    rules = {
+        "value_positive": F.col("value") > 0,
+        "known_type": F.col("event_type").isin("click", "view", "purchase"),
+    }
+    gate = foreach_batch_quality_gate(target, quarantine, rules)
+
+    stream = (
+        spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    good = {r.event_id for r in read_snapshot(spark, target).collect()}
+    bad = {
+        r.event_id: sorted(r.failed_rules)
+        for r in read_snapshot(spark, quarantine).collect()
+    }
+    assert good == {1, 5}
+    assert bad == {
+        2: ["value_positive"],
+        3: ["known_type"],
+        4: ["value_positive"],
+    }
+
+    # Replay the same batch id: neither sink may grow.
+    gate(spark.createDataFrame(rows, EVENTS), batch_id=0)
+    assert {r.event_id for r in read_snapshot(spark, target).collect()} == good
+    assert len(read_snapshot(spark, quarantine).collect()) == 3
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        foreach_batch_quality_gate(target, quarantine, {})
+
+
 def test_kafka_option_plumbing():
     from ssg_etl_spark.streaming.pipeline import (
         kafka_sink_options,
