@@ -600,3 +600,49 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssg_etl_spark.operators.funnel import event_transitions
 
     return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "quality_gate_report",
+    oracle="""
+SELECT event_id,
+  CASE WHEN fails = '' THEN 'pass' ELSE 'quarantine' END AS status,
+  fails AS failed_rules
+FROM (
+  SELECT event_id,
+    concat_ws(',',
+      CASE WHEN NOT COALESCE(value > 0, FALSE) THEN 'value_positive' END,
+      CASE WHEN NOT COALESCE(event_type IN ('click','view','purchase','signup'),
+                             FALSE) THEN 'known_type' END
+    ) AS fails
+  FROM events) t
+""",
+    tags=("quality", "streaming", "gate"),
+    extra=True,
+)
+def quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dead-letter gate
+    (streaming/pipeline.py:foreach_batch_quality_gate): the same
+    row-rule semantics — NULL verdicts FAIL — as a per-row pass/
+    quarantine report with the failing rule names, oracle-checked.
+    The rule expressions are one projection; no shuffle at all. Extra
+    registry: locally oracle-verified."""
+    events = load_table(spark, sf_dir, "events")
+    rules = {
+        "value_positive": F.col("value") > 0,
+        "known_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup"
+        ),
+    }
+    flags = [
+        F.when(~F.coalesce(rule, F.lit(False)), F.lit(name))
+        for name, rule in rules.items()
+    ]
+    failed = F.array_compact(F.array(*flags))
+    return events.select(
+        "event_id",
+        F.when(F.size(failed) == 0, F.lit("pass"))
+        .otherwise(F.lit("quarantine"))
+        .alias("status"),
+        F.array_join(failed, ",").alias("failed_rules"),
+    )
