@@ -133,6 +133,8 @@ CURATION_FAMILY = [
     "dedup_jaccard_prefix",
     "quantiles_totalprice",
     "quantiles_price_by_status",
+    "quality_gate_report",
+    "token_mixture_plan",
 ]
 
 

@@ -114,6 +114,58 @@ def mixture_sample(
     )
 
 
+def plan_token_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Budget-constrained mix RECIPE: given target token PROPORTIONS per
+    source and a total token budget, derive each source's epoch rate —
+    ``rate_s = budget·w_s / tokens_s`` — and emit the sampled mix (the
+    composition every training-data recipe needs: "books at 15% of 1T
+    tokens" becomes "2.3 epochs of books" only after looking at how many
+    book tokens exist).
+
+    ``weights`` must be normalized (sum to 1) — the solver refuses to
+    renormalize silently, because addition order over the weights dict
+    would make the derived rates engine-dependent; with normalized
+    weights each rate is ONE multiply + ONE divide on the per-source
+    token total (exact BIGINT), bit-replayable in SQL. One k-row
+    aggregation to the driver; the sampling itself is
+    :func:`mixture_sample`'s zero-shuffle epoch explode. Sources above
+    1 epoch repeat data (upsampling); the output carries the rate so the
+    plan is auditable per row.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1 (pre-normalize explicitly)")
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    totals = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    missing = [s for s in weights if s not in totals or not totals[s]]
+    if missing:
+        raise ValueError(f"sources with no tokens in the corpus: {missing}")
+    rates = {s: budget_tokens * w / totals[s] for s, w in weights.items()}
+    rate_map = F.create_map(
+        *[x for s, r in rates.items() for x in (F.lit(s), F.lit(float(r)))]
+    )
+    return mixture_sample(df, rates, source_col, id_col, seed).withColumn(
+        "rate", F.round(rate_map[F.col(source_col)], 12)
+    )
+
+
 def _hash_uniform48(parts: list[Column], open_zero: bool = False) -> Column:
     """Deterministic hash-uniform: first 48 bits of md5(':'-joined parts)
     over 2^48 — [0, 1), or (0, 1] with ``open_zero`` (adds 1 before the

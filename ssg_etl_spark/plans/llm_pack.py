@@ -3601,3 +3601,42 @@ def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_silhouette(
         load_table(spark, sf_dir, "embeddings"), k=_KM_K, n_iter=2
     )
+
+
+@register(
+    "token_mixture_plan",
+    oracle="""
+WITH w AS (SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+                                 ('src2', 0.2), ('src3', 0.1)) t(source, w)),
+tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
+        FROM documents GROUP BY 1),
+r AS (SELECT w.source, (50000 * w.w) / toks AS rate
+      FROM w JOIN tot USING (source)),
+d AS (SELECT doc_id, documents.source, rate
+      FROM documents JOIN r ON documents.source = r.source),
+e AS (SELECT doc_id, source, rate, CAST(s AS INT) AS epoch
+      FROM d, range(0, 128) g(s) WHERE s <= CAST(FLOOR(rate) AS INT)),
+u AS (SELECT *,
+  CAST(('0x' || substr(md5(doc_id || ':' || epoch || ':42'), 1, 12))
+       AS BIGINT) / 281474976710656.0 AS uu
+  FROM e)
+SELECT doc_id, source, epoch, round(rate, 12) AS rate
+FROM u WHERE epoch < CAST(FLOOR(rate) AS INT) OR uu < rate - FLOOR(rate)
+""",
+    tags=("llm", "sampling", "recipe"),
+    extra=True,
+)
+def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained mix recipe solved end-to-end: 50k tokens split
+    40/30/20/10 over four sources — per-source epoch rates derived from
+    the corpus's actual token totals (one k-row aggregation), then the
+    zero-shuffle epoch-explode sample, rate carried per row for audit
+    (operators/sampling.py:plan_token_mixture). Extra registry: locally
+    oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.plan_token_mixture(
+        docs,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        budget_tokens=50_000,
+        token_col="n_chars",
+    ).select("doc_id", "source", "epoch", "rate")

@@ -531,6 +531,41 @@ def test_span_dedup_total_kept_equals_distinct_chunks(spark, sf_dir):
     assert agg.kept == agg.distinct_hashes
 
 
+def test_plan_token_mixture_hits_budget_proportions(spark):
+    """The recipe solver: sampled token mass per source lands near
+    budget*weight (exact in expectation — rate = budget*w/total, full
+    epochs exact, fractional epoch a hash Bernoulli); validation refuses
+    unnormalized weights, missing sources, empty budgets."""
+    import pytest as _pytest
+
+    from ssg_etl_spark.operators.sampling import plan_token_mixture
+
+    docs = spark.createDataFrame(
+        [
+            (i, "a" if i < 200 else "b", 100)
+            for i in range(400)
+        ],
+        "doc_id long, source string, n_tokens long",
+    )
+    # totals: a=20000, b=20000. budget 30000 at 2/3 vs 1/3:
+    # rate_a = 1.0 (exact epoch), rate_b = 0.5 (Bernoulli half).
+    out = plan_token_mixture(
+        docs, {"a": 2 / 3, "b": 1 / 3}, 30_000
+    ).collect()
+    tok = {}
+    for r in out:
+        tok[r.source] = tok.get(r.source, 0) + 100
+    assert tok["a"] == 20_000  # exactly one full epoch
+    assert 7_000 <= tok["b"] <= 13_000  # ~10k at p=0.5
+
+    with _pytest.raises(ValueError):
+        plan_token_mixture(docs, {"a": 0.5, "b": 0.2}, 1000)  # not normalized
+    with _pytest.raises(ValueError):
+        plan_token_mixture(docs, {"zz": 1.0}, 1000)  # unknown source
+    with _pytest.raises(ValueError):
+        plan_token_mixture(docs, {"a": 1.0}, 0)
+
+
 def test_mixture_sample_epochs_and_stability(spark):
     from ssg_etl_spark.operators.sampling import mixture_sample
 

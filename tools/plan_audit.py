@@ -113,6 +113,8 @@ AUDIT_DEFAULT = [
     "dedup_jaccard_prefix",
     "quantiles_totalprice",
     "quantiles_price_by_status",
+    "quality_gate_report",
+    "token_mixture_plan",
 ]
 
 
