@@ -135,6 +135,7 @@ CURATION_FAMILY = [
     "quantiles_price_by_status",
     "quality_gate_report",
     "token_mixture_plan",
+    "bloom_new_key_gate",
 ]
 
 

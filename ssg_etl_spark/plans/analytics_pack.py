@@ -1000,3 +1000,84 @@ def quantiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q_QS,
         _Q_BINS,
     )
+
+
+@register(
+    "bloom_new_key_gate",
+    oracle=f"""
+WITH base AS (SELECT DISTINCT o_custkey AS key FROM orders
+              WHERE o_orderkey % 10 != 0),
+delta AS (SELECT DISTINCT o_custkey AS key FROM orders
+          WHERE o_orderkey % 10 = 0),
+bpos AS (
+  SELECT CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' ||
+                CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS}
+         AS pos
+  FROM base, range(0, {_BLOOM_K}) r(i)),
+words AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM bpos GROUP BY 1),
+ppos AS (
+  SELECT d.key, r.i,
+    CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' ||
+          CAST(d.key AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS} AS pos
+  FROM delta d, range(0, {_BLOOM_K}) r(i)),
+probed AS (
+  SELECT p.key,
+    CAST(SUM(CASE WHEN (COALESCE(w.bits, 0)
+          & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) <> 0
+        THEN 1 ELSE 0 END) AS BIGINT) = {_BLOOM_K} AS maybe_seen
+  FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word
+  GROUP BY p.key)
+SELECT p.key AS cust_key, p.maybe_seen,
+  (p.maybe_seen AND b.key IS NOT NULL) AS confirmed_seen,
+  (NOT p.maybe_seen) OR b.key IS NULL AS is_new
+FROM probed p LEFT JOIN base b
+  ON p.maybe_seen AND p.key = b.key
+""",
+    tags=("sketch", "membership", "incremental"),
+    extra=True,
+)
+def bloom_new_key_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational bloom pattern: probe a DELTA's keys against the
+    base corpus's persisted filter — keys the filter rejects are
+    DEFINITELY new (no false negatives) and skip the exact check
+    entirely; only the maybe-seen minority pays the semi-join against
+    the base key set. At 100 TB the exact-check side shrinks from
+    |delta| to |delta|·(hit-rate + fp-rate) rows — the same
+    prefilter economics as the runtime-bloom incremental dedup, but
+    with a PERSISTED, mergeable filter the pipeline owns
+    (operators/bloom.py). Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators.bloom import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.filter(F.col("o_orderkey") % 10 != 0)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    delta = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    flt = bloom_build(base, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    probed = bloom_probe(
+        flt, delta, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K
+    ).withColumnRenamed("maybe_present", "maybe_seen")
+    # Exact check ONLY for the maybe-seen subset (the whole point).
+    maybes = probed.filter(F.col("maybe_seen")).join(
+        base.withColumn("_in_base", F.lit(True)), "key", "left"
+    )
+    news = probed.filter(~F.col("maybe_seen")).withColumn(
+        "_in_base", F.lit(None).cast("boolean")
+    )
+    return maybes.unionByName(news).select(
+        F.col("key").alias("cust_key"),
+        "maybe_seen",
+        (F.col("maybe_seen") & F.coalesce(F.col("_in_base"), F.lit(False))).alias(
+            "confirmed_seen"
+        ),
+        (~F.col("maybe_seen") | F.col("_in_base").isNull()).alias("is_new"),
+    )

@@ -115,6 +115,7 @@ AUDIT_DEFAULT = [
     "quantiles_price_by_status",
     "quality_gate_report",
     "token_mixture_plan",
+    "bloom_new_key_gate",
 ]
 
 
