@@ -136,6 +136,7 @@ CURATION_FAMILY = [
     "quality_gate_report",
     "token_mixture_plan",
     "bloom_new_key_gate",
+    "bloom_daily_rollup",
 ]
 
 

@@ -646,3 +646,47 @@ def quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         F.array_join(failed, ",").alias("failed_rules"),
     )
+
+
+# Bloom twin of hll_daily_rollup: per-day filters OR-merge into the
+# global filter. The oracle builds the global filter DIRECTLY from the
+# distinct keys — matching the Spark side's per-day-then-merge result
+# proves the OR-merge algebra (associativity over arbitrary day
+# partitions) holds cross-engine, the property that lets a 100 TB
+# deployment keep daily filters and fold them on demand.
+_BLM_BITS, _BLM_K = 1024, 4
+
+
+@register(
+    "bloom_daily_rollup",
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' ||
+          CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLM_BITS} AS p
+  FROM events, range(0, {_BLM_K}) r(i)
+  WHERE user_id IS NOT NULL)
+SELECT CAST(p // 32 AS INT) AS word,
+  bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+FROM pos GROUP BY 1
+""",
+    tags=("sketch", "membership", "rollup"),
+    extra=True,
+)
+def bloom_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-calendar-day Bloom filters over event users, OR-merged into
+    the global membership filter (operators/bloom.py:bloom_merge). The
+    oracle builds the global filter directly from the key set — equality
+    proves the day-partitioned merge is exact, not approximate. Extra
+    registry: locally oracle-verified."""
+    from ssg_etl_spark.operators.bloom import bloom_build, bloom_merge
+
+    events = load_table(spark, sf_dir, "events")
+    daily = bloom_build(
+        events.withColumn("day", F.col("ts").cast("date")),
+        "user_id",
+        group_cols=["day"],
+        n_bits=_BLM_BITS,
+        k=_BLM_K,
+    )
+    return bloom_merge([daily.drop("day")], group_cols=[])

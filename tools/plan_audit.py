@@ -116,6 +116,7 @@ AUDIT_DEFAULT = [
     "quality_gate_report",
     "token_mixture_plan",
     "bloom_new_key_gate",
+    "bloom_daily_rollup",
 ]
 
 
