@@ -74,6 +74,18 @@ def utc_ts_lit(value) -> Column:
     """
     import datetime as _dt
 
+    if isinstance(value, str):
+        # An ISO string CARRYING AN OFFSET names an instant, not a wall
+        # time — casting it straight to NTZ would silently discard the
+        # offset and keep the local wall fields (shifted UTC). Parse
+        # first and route aware values through the instant branch;
+        # naive / non-ISO strings keep the literal-wall-fields cast.
+        try:
+            parsed = _dt.datetime.fromisoformat(value)
+        except ValueError:
+            parsed = None
+        if parsed is not None and parsed.tzinfo is not None:
+            value = parsed
     if isinstance(value, _dt.datetime):
         if value.tzinfo is not None:
             value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)

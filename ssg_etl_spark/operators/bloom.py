@@ -103,7 +103,18 @@ def bloom_probe(
     are set. The filter side is W rows per group — broadcast; the keys
     side never shuffles. Guarantee: a key that was built in always probes
     true (no false negatives); a true probe may be a false positive at
-    the sized rate."""
+    the sized rate.
+
+    Output is one row per DISTINCT probe row (the verdict aggregation
+    groups by every probe column). Duplicate probe rows collapse into one
+    group and answer correctly: the all-bits-set test is ``min(hit) == 1``,
+    which is invariant to how many identical rows contributed probe bits
+    (the previous ``sum(hit) == k`` broke exactly there — d duplicates
+    summed to d*k and reported a built-in key as absent).
+
+    NULL-key policy (mirrors bloom_build's): NULL keys are never built
+    into the filter, so a NULL probe key answers ``maybe_present=false``
+    — "definitely not present" is exact, not a false negative."""
     group_cols = list(group_cols or [])
     key = F.col(key_col)
     key_group = list(keys.columns)
@@ -120,10 +131,13 @@ def bloom_probe(
         ).alias("_mask"),
     )
     joined = probes.join(F.broadcast(bloom), [*group_cols, "word"], "left")
+    # NULL key → NULL mask → NULL hit for every one of its probe rows;
+    # min over all-NULL is NULL, coalesced to false (exact: build skips
+    # NULLs). Non-NULL keys always have non-NULL hits (bits coalesced).
     hit = (
         F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0
     ).cast("int")
     return (
         joined.groupBy(*key_group)
-        .agg((F.sum(hit) == k).alias("maybe_present"))
+        .agg(F.coalesce(F.min(hit) == 1, F.lit(False)).alias("maybe_present"))
     )

@@ -218,11 +218,20 @@ def ngram_jaccard_pairs_prefix(
     sized = ranked.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    # prefix length = n - ceil(t*n) + 1, computed in exact integer math:
-    # ceil(t*n) = -floor(-t*n); t is a plan literal so Catalyst folds it.
-    prefix_len = F.col("_n") - F.ceil(F.col("_n") * F.lit(float(threshold))).cast(
-        "int"
-    ) + 1
+    # prefix length = n - ceil(t*n) + 1. ceil(t*n) must be EXACT or the
+    # prefix shrinks below the lemma's bound and drops qualifying pairs:
+    # double math rounds up for many thresholds (0.07*100 →
+    # 7.000000000000001, ceil 8). Derive t as an exact rational from its
+    # decimal literal and compute ceil(n*num/den) = (n*num + den-1) div den
+    # entirely in BIGINT (`div` is Spark's integer division).
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    ceil_tn = F.expr(
+        f"(CAST(_n AS BIGINT) * {num} + {den - 1}) div {den}"
+    ).cast("int")
+    prefix_len = F.col("_n") - ceil_tn + 1
     prefix = persist_tracked(
         sized.filter(F.col("_rk") <= prefix_len).select("doc_id", "shingle")
     )

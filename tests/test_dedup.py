@@ -37,6 +37,28 @@ def test_prefix_filter_equals_plain_exact(spark, sf_dir):
     assert pref_uncapped == exact_uncapped
 
 
+def test_prefix_filter_exact_ceil_at_float_hostile_threshold(spark):
+    """ceil(t*n) must be exact integer math: in doubles 0.07*100 =
+    7.000000000000001 → ceil 8, shortening the prefix by one and dropping
+    any qualifying pair whose first shared shingle sits exactly at the
+    lemma's boundary rank. Construct that pair: doc A has 100 shingles of
+    which exactly the 7 globally-rarest-LAST (df=2) are shared; doc B is
+    those 7 shingles alone. J = 7/100 = t, so the pair qualifies, and the
+    shared shingles occupy ranks 94..100 of A — rank 94 is inside the
+    exact prefix (p = 100 - 7 + 1 = 94) but outside the buggy one (93)."""
+    words_a = " ".join(f"a{i:03d}" for i in range(102))  # 100 shingles
+    words_b = " ".join(f"a{i:03d}" for i in range(93, 102))  # last 7
+    docs = spark.createDataFrame(
+        [(1, words_a), (2, words_b)], "doc_id long, text string"
+    )
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, 0.07, max_shingle_df=None))
+    pref = _pairs(
+        dedup.ngram_jaccard_pairs_prefix(docs, 0.07, max_shingle_df=None)
+    )
+    assert exact == {(1, 2)}
+    assert pref == exact
+
+
 def test_prefix_filter_prunes_template_corpus(spark):
     """The regime the prefix filter exists for: a shared template makes
     every all-token join quadratic in |docs| (df-capping avoids that only

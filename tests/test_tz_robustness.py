@@ -68,6 +68,23 @@ def _canon(df, zone: str) -> list[str]:
     return sorted("|".join(cell(r[c]) for c in cols) for r in rows)
 
 
+def test_utc_ts_lit_honors_string_offsets(spark):
+    """An ISO string with a UTC offset names an INSTANT: utc_ts_lit must
+    normalize it to UTC wall fields (r9 advisor fix — the bare
+    cast-to-NTZ route kept the local wall fields, shifting the cutoff by
+    the offset). Naive strings keep their wall fields verbatim."""
+    from ssg_etl_spark.functions.scalar import utc_ts_lit
+
+    row = spark.range(1).select(
+        utc_ts_lit("2024-01-01T05:00:00+05:00").alias("aware"),
+        utc_ts_lit("2024-01-01 05:00:00").alias("naive"),
+        utc_ts_lit("2024-06-02T00:30:00-02:30").alias("neg"),
+    ).first()
+    assert row["aware"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert row["naive"] == dt.datetime(2024, 1, 1, 5, 0, 0)
+    assert row["neg"] == dt.datetime(2024, 6, 2, 3, 0, 0)
+
+
 @pytest.mark.parametrize("name", TZ_SENSITIVE)
 def test_values_identical_across_session_zones(spark, sf_dir, name):
     from ssg_etl_spark.cache import release_tracked
