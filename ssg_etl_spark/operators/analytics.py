@@ -601,6 +601,122 @@ def histogram_quantiles(
     )
 
 
+def histogram_quantiles_refined(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    n_bins: int = 20,
+) -> DataFrame:
+    """Two-pass refined histogram quantiles: pass 1 locates each q's
+    containing bin exactly as :func:`histogram_quantiles`; pass 2 runs a
+    second ``n_bins``-bin histogram INSIDE only those bins (≤ len(qs) of
+    them) and interpolates in the sub-bin — error drops from one bin
+    width to ``(max-min)/n_bins²`` (at the default 20 bins: 400× tighter,
+    the p99-on-heavy-tailed-money-columns fix; reference analog: the
+    NUMERIC(18,2) GL amounts of create_general_ledger_table.sql:7-9
+    deserve better than (max-min)/20 at p99).
+
+    Same execution discipline as the one-pass form: each pass is one
+    min/max-style broadcast plus one map-side-combinable groupBy; the
+    walks run driver-side over metadata-sized collects (≤ n_bins rows,
+    then ≤ len(qs)·n_bins rows). Deterministic under any partitioning,
+    and every step is plain double arithmetic a SQL oracle replays
+    exactly. Returns ``(q, value, bin, sub_bin)`` rows.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    spark = df.sparkSession
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    v = F.col(value_col).cast("double")
+    b = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
+    if b["mn"] is None:
+        raise ValueError(f"{value_col} has no non-null values")
+    mn, mx = float(b["mn"]), float(b["mx"])
+    schema = "q double, value double, bin int, sub_bin int"
+    if mx == mn:
+        return spark.createDataFrame(
+            sorted((float(q), _round6(mn), 0, 0) for q in qs), schema
+        )
+    width = (mx - mn) / n_bins
+    bin_idx = F.least(
+        F.floor((v - F.lit(mn)) / F.lit(width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    hist = {
+        r["bin"]: r["n"]
+        for r in df.filter(v.isNotNull())
+        .select(bin_idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(hist.values())
+    # Pass-1 walk: per q, the containing bin and the count before it.
+    located: list[tuple[float, int, int]] = []  # (q, bin, cum_before)
+    for q in qs:
+        target = float(q) * float(total)
+        cum = 0
+        for bi in sorted(hist):
+            cum += hist[bi]
+            if float(cum) >= target:
+                located.append((float(q), bi, cum - hist[bi]))
+                break
+    need = sorted({bi for _, bi, _ in located})
+    # Pass 2: one scan, sub-binned only inside the located bins. The row→
+    # bin assignment re-evaluates the IDENTICAL pass-1 expression (clamped
+    # floor), so membership is consistent by construction; the sub index
+    # is clamped both ways because float division can land an edge value
+    # fractionally outside [bin_lo, bin_hi).
+    sub_w = width / n_bins
+    sub_idx = F.least(
+        F.greatest(
+            F.floor(
+                (v - (F.lit(mn) + F.col("bin") * F.lit(width))) / F.lit(sub_w)
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    sub_hist: dict[tuple[int, int], int] = {
+        (r["bin"], r["sub"]): r["n"]
+        for r in df.filter(v.isNotNull())
+        .select(v.alias(value_col), bin_idx.alias("bin"))
+        .filter(F.col("bin").isin([int(x) for x in need]))
+        .select("bin", sub_idx.alias("sub"))
+        .groupBy("bin", "sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out: list[tuple[float, float, int, int]] = []
+    for q, bi, cum_before in located:
+        target = float(q) * float(total)
+        bin_lo = mn + bi * width
+        cum = cum_before
+        for s in sorted(s for (b2, s) in sub_hist if b2 == bi):
+            n_s = sub_hist[(bi, s)]
+            cum += n_s
+            if float(cum) >= target:
+                sub_lo = bin_lo + s * sub_w
+                sub_hi = bin_lo + (s + 1) * sub_w
+                frac = (target - float(cum - n_s)) / float(n_s)
+                out.append(
+                    (q, _round6(sub_lo + (sub_hi - sub_lo) * frac), bi, s)
+                )
+                break
+    return spark.createDataFrame(sorted(out), schema)
+
+
 def histogram_quantiles_grouped(
     df: DataFrame,
     value_col: str,

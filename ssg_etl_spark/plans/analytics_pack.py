@@ -832,15 +832,15 @@ ppos AS (
   FROM customer c, range(0, {_BLOOM_K}) r(i)),
 probed AS (
   SELECT p.c_custkey,
-    CAST(SUM(CASE WHEN (COALESCE(w.bits, 0)
+    MIN(CASE WHEN (COALESCE(w.bits, 0)
           & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) <> 0
-        THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        THEN 1 ELSE 0 END) AS min_hit
   FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word
   GROUP BY 1)
 SELECT p.c_custkey AS c_custkey,
-  p.hits = {_BLOOM_K} AS maybe_present,
+  p.min_hit = 1 AS maybe_present,
   b.key IS NOT NULL AS exact_present,
-  (p.hits = {_BLOOM_K} AND b.key IS NULL) AS false_positive
+  (p.min_hit = 1 AND b.key IS NULL) AS false_positive
 FROM probed p LEFT JOIN built b ON p.c_custkey = b.key
 """,
     tags=("sketch", "membership", "bloom"),
@@ -1003,6 +1003,77 @@ def quantiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantiles_totalprice_refined",
+    oracle=f"""
+WITH b AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+  FROM orders),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn)
+                          / ((mx - mn) / {_Q_BINS})) AS INT),
+               {_Q_BINS - 1}) AS bin,
+         CAST(o_totalprice AS DOUBLE) AS val, mn, mx
+  FROM orders, b WHERE o_totalprice IS NOT NULL),
+h1 AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY 1),
+c1 AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS c,
+              SUM(n) OVER () AS total
+       FROM h1),
+q1 AS (
+  SELECT q, bin, c - n AS cum_before, total FROM (
+    SELECT CAST(qq.q AS DOUBLE) AS q, c1.*,
+      ROW_NUMBER() OVER (PARTITION BY qq.q ORDER BY bin) AS rn
+    FROM c1, (VALUES {", ".join(f"({q})" for q in _Q_QS)}) qq(q)
+    WHERE CAST(c AS DOUBLE) >= CAST(qq.q AS DOUBLE) * CAST(total AS DOUBLE)
+  ) WHERE rn = 1),
+sub AS (
+  SELECT q1.q, q1.bin, q1.cum_before, q1.total, bn.mn, bn.mx,
+    LEAST(GREATEST(CAST(FLOOR(
+        (bn.val - (bn.mn + q1.bin * ((bn.mx - bn.mn) / {_Q_BINS})))
+        / (((bn.mx - bn.mn) / {_Q_BINS}) / {_Q_BINS})) AS INT),
+      0), {_Q_BINS - 1}) AS sub,
+    COUNT(*) AS n
+  FROM binned bn JOIN q1 ON bn.bin = q1.bin
+  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+c2 AS (
+  SELECT *, CAST(cum_before AS BIGINT)
+            + SUM(n) OVER (PARTITION BY q ORDER BY sub) AS c
+  FROM sub),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY sub) AS rn
+  FROM c2
+  WHERE CAST(c AS DOUBLE) >= q * CAST(total AS DOUBLE))
+SELECT q,
+  round(
+    ((mn + bin * ((mx - mn) / {_Q_BINS}))
+       + sub * (((mx - mn) / {_Q_BINS}) / {_Q_BINS}))
+    + (((mn + bin * ((mx - mn) / {_Q_BINS}))
+          + (sub + 1) * (((mx - mn) / {_Q_BINS}) / {_Q_BINS}))
+       - ((mn + bin * ((mx - mn) / {_Q_BINS}))
+          + sub * (((mx - mn) / {_Q_BINS}) / {_Q_BINS})))
+      * ((q * CAST(total AS DOUBLE) - CAST(c - n AS DOUBLE))
+         / CAST(n AS DOUBLE)),
+    6) AS value,
+  bin, sub AS sub_bin
+FROM pick WHERE rn = 1
+""",
+    tags=("sketch", "quantile", "profile"),
+    extra=True,
+)
+def quantiles_totalprice_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass refined quantiles of order totals: pass 2 re-histograms
+    only each q's containing bin, cutting the error bound from
+    (max-min)/20 to (max-min)/400 — the p99 fix for heavy-tailed money
+    columns (operators/analytics.py:histogram_quantiles_refined). The
+    oracle replays both passes' double arithmetic exactly. Extra
+    registry: locally oracle-verified."""
+    return analytics.histogram_quantiles_refined(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", _Q_QS, _Q_BINS
+    )
+
+
+
+@register(
     "bloom_new_key_gate",
     oracle=f"""
 WITH base AS (SELECT DISTINCT o_custkey AS key FROM orders
@@ -1025,9 +1096,9 @@ ppos AS (
   FROM delta d, range(0, {_BLOOM_K}) r(i)),
 probed AS (
   SELECT p.key,
-    CAST(SUM(CASE WHEN (COALESCE(w.bits, 0)
+    MIN(CASE WHEN (COALESCE(w.bits, 0)
           & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) <> 0
-        THEN 1 ELSE 0 END) AS BIGINT) = {_BLOOM_K} AS maybe_seen
+        THEN 1 ELSE 0 END) = 1 AS maybe_seen
   FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word
   GROUP BY p.key)
 SELECT p.key AS cust_key, p.maybe_seen,

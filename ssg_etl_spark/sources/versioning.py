@@ -176,6 +176,70 @@ def read_snapshot(
     return spark.read.parquet(*files)
 
 
+def compact_snapshots(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    version: int | None = None,
+) -> dict:
+    """Bin-pack a version's data files into ~``target_file_bytes`` files,
+    committed as a NEW overwrite version with identical rows — the
+    OPTIMIZE step a minutes-cadence micro-batch committer needs: the
+    streaming folds and versioned appends add one (coalesced) file per
+    commit, and at 100 TB that open-file/footer overhead — not data
+    volume — becomes the first operational failure mode (the reference's
+    Postgres sinks never had this problem, so the engine owns it;
+    reference analog: the per-batch inserts of dags/ssg_gl_etl.py:441-463
+    rely on the database to keep storage compact).
+
+    Crash safety is inherited from the commit protocol: the rewrite lands
+    in a fresh data dir and becomes visible only via the atomic manifest
+    publish — a crash mid-compaction leaves unreferenced parquet files
+    (garbage for ``vacuum_snapshots``), never a torn or double-counted
+    version, and every pre-compaction version stays readable until
+    vacuumed. Single shuffle (``repartition``) so output files are
+    evenly sized; a no-op (already ≤ the target layout) returns without
+    committing. Returns ``{"compacted": bool, "version": committed-or-
+    source version, "files_before": n, "files_after": m}``.
+    """
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be positive")
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    files = _read_manifest(path, version)["files"]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    if len(files) <= n_out:
+        return {
+            "compacted": False,
+            "version": version,
+            "files_before": len(files),
+            "files_after": len(files),
+        }
+    df = spark.read.parquet(*files).repartition(n_out)
+    new_version = commit_snapshot(
+        df,
+        path,
+        mode="overwrite",
+        meta={
+            "compaction_of": version,
+            "files_before": len(files),
+        },
+    )
+    files_after = len(_read_manifest(path, new_version)["files"])
+    return {
+        "compacted": True,
+        "version": new_version,
+        "files_before": len(files),
+        "files_after": files_after,
+    }
+
+
 def vacuum_snapshots(path: str, keep_last: int = 1) -> dict:
     """Retention: drop all but the last ``keep_last`` versions and delete
     every data file no kept manifest references (including orphans from

@@ -299,6 +299,70 @@ def test_histogram_quantiles_bounds_and_determinism(spark):
         histogram_quantiles(df, "v", (0.0,))
 
 
+def test_histogram_quantiles_refined_error_bound(spark):
+    """The r9 two-pass refinement: error shrinks from one bin width to one
+    SUB-bin width ((max-min)/n_bins²) — checked on a heavy-tailed column
+    (squares: p99 sits in a sparse wide-value region where the one-pass
+    estimate is crudest), plus monotonicity, partition-invariance, the
+    all-equal edge, and argument validation."""
+    import pytest as _pytest
+
+    from ssg_etl_spark.operators.analytics import (
+        histogram_quantiles,
+        histogram_quantiles_refined,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i * i)) for i in range(2000)], "id long, v double"
+    )
+    lo, hi = 0.0, 1999.0 * 1999.0
+    qs = (0.25, 0.5, 0.9, 0.99)
+    refined = {
+        r.q: r.value
+        for r in histogram_quantiles_refined(df, "v", qs, 20).collect()
+    }
+    coarse = {
+        r.q: r.value for r in histogram_quantiles(df, "v", qs, 20).collect()
+    }
+    sub_width = (hi - lo) / 400
+    improved = 0
+    for q in qs:
+        # Exact histogram-cum quantile: the ceil(q*n)-th smallest value.
+        import math
+
+        exact = float((math.ceil(q * 2000) - 1) ** 2)
+        assert abs(refined[q] - exact) <= sub_width + 1e-6, (
+            q, refined[q], exact,
+        )
+        if abs(refined[q] - exact) < abs(coarse[q] - exact):
+            improved += 1
+    # On squares the coarse estimate is off by ~half a bin at the tail;
+    # refinement must actually win somewhere, not just tie.
+    assert improved >= 2, (refined, coarse)
+    vals = [refined[q] for q in sorted(qs)]
+    assert vals == sorted(vals)
+
+    again = {
+        r.q: r.value
+        for r in histogram_quantiles_refined(
+            df.repartition(17), "v", qs, 20
+        ).collect()
+    }
+    assert again == refined
+
+    const = spark.createDataFrame([(i, 5.0) for i in range(9)], "id long, v double")
+    crows = histogram_quantiles_refined(const, "v", (0.5,), 20).collect()
+    assert crows[0].value == 5.0 and crows[0].bin == 0
+
+    with _pytest.raises(ValueError):
+        histogram_quantiles_refined(df, "v", ())
+    with _pytest.raises(ValueError):
+        histogram_quantiles_refined(df, "v", (1.5,))
+    empty = spark.createDataFrame([], "id long, v double")
+    with _pytest.raises(ValueError):
+        histogram_quantiles_refined(empty, "v", (0.5,))
+
+
 def test_histogram_quantiles_grouped_per_group_bounds(spark):
     """Grouped quantiles: each group's p50 tracks ITS OWN distribution
     (bins are globally aligned, counts per group), within one global bin

@@ -140,3 +140,95 @@ def test_failed_publish_cleans_its_temp(spark, snap_dir):
     ]
     assert leftovers == []
     assert V.snapshot_versions(snap_dir) == []
+
+
+def _rows(spark, snap_dir, version=None):
+    return sorted(
+        (r.id, r.val)
+        for r in V.read_snapshot(spark, snap_dir, version).collect()
+    )
+
+
+def test_compact_snapshots_equality_and_file_count(spark, snap_dir):
+    """Bin-packing OPTIMIZE (r9): many per-commit small files rewrite to
+    the target-size layout as a NEW version with IDENTICAL rows; every
+    pre-compaction version stays readable until vacuumed; vacuum then
+    reclaims the small files."""
+    # Minutes-cadence committer shape: 8 appends, one file each.
+    for lo in range(0, 80, 10):
+        V.commit_snapshot(_df(spark, lo, lo + 10).coalesce(1), snap_dir)
+    before = _rows(spark, snap_dir)
+    files_before = len(V._read_manifest(snap_dir, 8)["files"])
+    assert files_before >= 8
+
+    stats = V.compact_snapshots(spark, snap_dir, target_file_bytes=1 << 30)
+    assert stats["compacted"] is True
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] == 1  # all rows fit one target-size file
+    assert V.snapshot_versions(snap_dir)[-1] == stats["version"] == 9
+
+    assert _rows(spark, snap_dir) == before  # equality pin
+    assert _rows(spark, snap_dir, version=8) == before  # history intact
+
+    # Idempotence: an already-compact store is a no-op, no new version.
+    again = V.compact_snapshots(spark, snap_dir, target_file_bytes=1 << 30)
+    assert again["compacted"] is False
+    assert V.snapshot_versions(snap_dir)[-1] == 9
+
+    # Retention completes the story: vacuum to the compacted version
+    # deletes every small pre-compaction file.
+    stats = V.vacuum_snapshots(snap_dir, keep_last=1)
+    assert stats["files_deleted"] >= files_before
+    assert _rows(spark, snap_dir) == before
+
+
+def test_compact_snapshots_crash_safety_mid_compaction(spark, snap_dir):
+    """A compactor that dies after rewriting data but BEFORE the manifest
+    publish leaves the store exactly as it was: same latest version, same
+    rows; the rewritten files are unreferenced garbage that vacuum sweeps."""
+    for lo in range(0, 30, 10):
+        V.commit_snapshot(_df(spark, lo, lo + 10).coalesce(1), snap_dir)
+    before = _rows(spark, snap_dir)
+
+    real_publish = V._publish_manifest
+
+    def exploding_publish(*a, **k):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    V._publish_manifest = exploding_publish
+    try:
+        with pytest.raises(RuntimeError):
+            V.compact_snapshots(spark, snap_dir, target_file_bytes=1 << 30)
+    finally:
+        V._publish_manifest = real_publish
+
+    assert V.snapshot_versions(snap_dir) == [1, 2, 3]
+    assert _rows(spark, snap_dir) == before
+    # The half-written rewrite is invisible garbage; a retry succeeds and
+    # claims the next version cleanly.
+    retry = V.compact_snapshots(spark, snap_dir, target_file_bytes=1 << 30)
+    assert retry["compacted"] is True and retry["version"] == 4
+    assert _rows(spark, snap_dir) == before
+
+
+def test_compact_snapshots_respects_target_size(spark, snap_dir):
+    """A target smaller than the data splits into multiple evenly-sized
+    files (ceil(total/target)), never one monolith."""
+    V.commit_snapshot(_df(spark, 0, 20000).repartition(16), snap_dir)
+    files = V._read_manifest(snap_dir, 1)["files"]
+    total = sum(os.path.getsize(f) for f in files)
+    target = total // 3  # expect ceil(total/target) = 4 (or 3) outputs
+    stats = V.compact_snapshots(spark, snap_dir, target_file_bytes=target)
+    assert stats["compacted"] is True
+    assert 3 <= stats["files_after"] < stats["files_before"]
+    assert _rows(spark, snap_dir) == _rows(spark, snap_dir, version=1)
+
+
+def test_compact_snapshots_errors(spark, snap_dir):
+    with pytest.raises(FileNotFoundError):
+        V.compact_snapshots(spark, snap_dir)
+    V.commit_snapshot(_df(spark, 0, 5), snap_dir)
+    with pytest.raises(ValueError):
+        V.compact_snapshots(spark, snap_dir, version=7)
+    with pytest.raises(ValueError):
+        V.compact_snapshots(spark, snap_dir, target_file_bytes=0)
