@@ -306,6 +306,62 @@ def load_ge_suite_file(path: str) -> list[Expectation]:
         return load_ge_suite(json.load(f))
 
 
+# GE's column-map expectation types — the ones with a per-ROW verdict a
+# dead-letter stream can gate on. GE row semantics: value expectations
+# evaluate NON-NULL values only (a NULL row is not "out of set"; nullness
+# is expect_column_values_to_not_be_null's job), so every predicate below
+# except not_be_null explicitly passes NULLs.
+_GE_ROW_PREDICATES = {
+    "expect_column_values_to_not_be_null": lambda k: F.col(
+        k["column"]
+    ).isNotNull(),
+    "expect_column_values_to_be_in_set": lambda k: F.col(k["column"]).isNull()
+    | F.col(k["column"]).isin(k["value_set"]),
+    "expect_column_values_to_be_between": lambda k: F.col(
+        k["column"]
+    ).isNull()
+    | F.col(k["column"]).between(k["min_value"], k["max_value"]),
+    "expect_column_values_to_match_regex": lambda k: F.col(
+        k["column"]
+    ).isNull()
+    | F.col(k["column"]).rlike(k["regex"]),
+}
+
+
+def ge_suite_split_row_rules(
+    suite: dict, suite_name: str
+) -> tuple[dict[str, Column], list[Expectation]]:
+    """Split a GE suite dict into the streaming dead-letter gate's two
+    halves: ``(row_rules, batch_expectations)``.
+
+    ``row_rules`` maps ``"<suite>/<type>(<column>)"`` → boolean Column for
+    every column-map expectation (the per-row verdicts that can quarantine
+    individual rows — quarantine rows then CARRY the suite/expectation
+    name). ``mostly`` is intentionally not applied at the row level: it is
+    a suite-verdict tolerance, while a dead-letter gate routes each
+    failing row — the suite-level ``mostly`` check still runs among
+    ``batch_expectations``. Everything without a row verdict (unique,
+    aggregates, row counts, structural checks) compiles to the normal
+    :class:`Expectation` list for per-batch :func:`run_suite` evaluation.
+    Unknown types raise, exactly as :func:`load_ge_suite`.
+    """
+    row_rules: dict[str, Column] = {}
+    batch_exps: list[Expectation] = []
+    for item in suite.get("expectations", []):
+        etype = item["expectation_type"]
+        kwargs = item.get("kwargs", {})
+        if etype in _GE_ROW_PREDICATES:
+            name = f"{suite_name}/{etype}({kwargs.get('column')})"
+            row_rules[name] = _GE_ROW_PREDICATES[etype](kwargs)
+        if etype not in _GE_BUILDERS:
+            raise ValueError(
+                f"unsupported expectation_type {etype!r}; supported: "
+                f"{sorted(_GE_BUILDERS)}"
+            )
+        batch_exps.append(_GE_BUILDERS[etype](kwargs))
+    return row_rules, batch_exps
+
+
 def profile_drift(
     current: DataFrame,
     baseline: DataFrame,

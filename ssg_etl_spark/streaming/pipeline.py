@@ -905,6 +905,133 @@ def foreach_batch_quality_gate(
     return apply
 
 
+def foreach_batch_ge_checkpoint_gate(
+    checkpoint_path: str,
+    suites_dir: str,
+    target_path: str,
+    quarantine_path: str,
+    audit_path: str | None = None,
+):
+    """The §5 expectation engine driving the streaming dead-letter gate:
+    a LITERAL Great-Expectations checkpoint YAML (reference:
+    …/great_expectations/checkpoints/adv_checkpoint.yml) is parsed once,
+    its suites' column-map expectations become per-row quarantine rules
+    (quarantine rows carry ``failed_rules`` =
+    ``["<suite>/<expectation_type>(<column>)", …]``), and every other
+    expectation (unique, aggregates, row counts, structural) is evaluated
+    per micro-batch with ``run_suite``'s single-scan pass and RECORDED to
+    ``audit_path`` — recorded, not enforced: a full-asset assertion like
+    ``expect_table_row_count_to_equal`` is not meaningful as a
+    micro-batch gate, and at 100 TB/day a failing aggregate must page an
+    operator, not halt ingestion (the reference's checkpoint raises and
+    stops the DAG instead).
+
+    All three sinks are watermark-guarded snapshot appends (manifest
+    ``max_batch_id``), so a replayed micro-batch re-lands in none of
+    them. The checkpoint's data-asset binding is the stream itself; a
+    checkpoint with zero validations raises at closure-build time.
+    """
+    import os
+
+    from ssg_etl_spark.operators.quality import (
+        ge_suite_split_row_rules,
+        load_ge_checkpoint_file,
+        run_suite,
+    )
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        snapshot_meta,
+        snapshot_versions,
+    )
+
+    cp = load_ge_checkpoint_file(checkpoint_path)
+    row_rules: dict[str, object] = {}
+    batch_suites: list[tuple[str, list]] = []
+    for v in cp["validations"]:
+        import json
+
+        with open(os.path.join(suites_dir, v["suite_name"] + ".json")) as f:
+            suite = json.load(f)
+        rules, exps = ge_suite_split_row_rules(suite, v["suite_name"])
+        row_rules.update(rules)
+        batch_suites.append((v["suite_name"], exps))
+
+    def _max_bid(path: str) -> int:
+        versions = snapshot_versions(path)
+        if not versions:
+            return -1
+        return int(snapshot_meta(path, versions[-1]).get("max_batch_id", -1))
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        flags = [
+            F.when(~F.coalesce(rule, F.lit(False)), F.lit(name))
+            for name, rule in row_rules.items()
+        ]
+        checked = batch.withColumn(
+            "failed_rules",
+            F.array_compact(F.array(*flags))
+            if flags
+            else F.array().cast("array<string>"),
+        )
+        bad = checked.filter(F.size("failed_rules") > 0)
+        good = checked.filter(F.size("failed_rules") == 0).drop("failed_rules")
+
+        q_prev = _max_bid(quarantine_path)
+        if batch_id > q_prev and not bad.isEmpty():
+            commit_snapshot(
+                bad,
+                quarantine_path,
+                mode="append",
+                meta={"batch_id": batch_id, "max_batch_id": max(batch_id, q_prev)},
+            )
+        t_prev = _max_bid(target_path)
+        if batch_id > t_prev and not good.isEmpty():
+            commit_snapshot(
+                good,
+                target_path,
+                mode="append",
+                meta={"batch_id": batch_id, "max_batch_id": max(batch_id, t_prev)},
+            )
+        if audit_path is not None:
+            a_prev = _max_bid(audit_path)
+            if batch_id > a_prev:
+                import json
+
+                rows = []
+                for suite_name, exps in batch_suites:
+                    for res in run_suite(batch, exps):
+                        rows.append(
+                            (
+                                str(cp["name"]),
+                                suite_name,
+                                res["name"],
+                                bool(res["passed"]),
+                                json.dumps(
+                                    res["metrics"], default=str, sort_keys=True
+                                ),
+                                int(batch_id),
+                            )
+                        )
+                audit = batch.sparkSession.createDataFrame(
+                    rows,
+                    "checkpoint string, suite string, expectation string, "
+                    "passed boolean, metrics string, batch_id long",
+                )
+                commit_snapshot(
+                    audit,
+                    audit_path,
+                    mode="append",
+                    meta={
+                        "batch_id": batch_id,
+                        "max_batch_id": max(batch_id, a_prev),
+                    },
+                )
+
+    return apply
+
+
 def foreach_batch_kmeans_assign(centroids_path: str, out_path: str):
     """Streaming semantic labeling: every micro-batch of embeddings is
     assigned to PRE-TRAINED k-means centroids (loaded once per batch
