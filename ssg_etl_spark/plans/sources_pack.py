@@ -347,7 +347,6 @@ from ssg_etl_spark.operators.zorder import zorder_key, zorder_oracle_sql  # noqa
         "orders", "o_orderkey", ["o_totalprice", "o_custkey"], bits=8
     ),
     tags=("scale", "export"),
-    extra=True,
 )
 def zorder_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over (o_totalprice, o_custkey) —
@@ -376,7 +375,6 @@ FROM orders WHERE year(o_orderdate) < 1998
 GROUP BY o_orderstatus
 """,
     tags=("sources", "versioning"),
-    extra=True,
 )
 def snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot versioning end-to-end: commit pre-1998 orders as v1,
@@ -405,5 +403,68 @@ def snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
             .cast("double")
             .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "snapshot_compaction",
+    # total_price is rounded to cents in BOTH engines: the exact decimal
+    # sums agree, but DuckDB's int128-decimal->double cast double-rounds
+    # (int128->double, then /10^10) and can sit 1 ulp off Spark's
+    # correctly-rounded BigDecimal conversion at year-group magnitudes.
+    oracle="""
+SELECT year(o_orderdate) AS order_year,
+  COUNT(*) AS n_orders,
+  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2)
+    AS total_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("sources", "versioning", "compaction"),
+    extra=True,
+)
+def snapshot_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packing OPTIMIZE end-to-end (r9): commit orders as SIX
+    per-year appends (the minutes-cadence committer shape — one small
+    file each), compact to target-size files as a new version, and
+    aggregate the COMPACTED read — the oracle checks the rewrite changed
+    zero rows. File-count reduction and history survival are asserted
+    in-query (a no-op compaction fails the query, not just a pytest);
+    crash-safety and vacuum reclaim are pinned in tests/
+    test_versioning.py. Extra registry: locally oracle-verified."""
+    import atexit
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap_dir = tempfile.mkdtemp(prefix="compact_")
+    atexit.register(shutil.rmtree, snap_dir, True)
+    years = [
+        r["y"]
+        for r in orders.select(F.year("o_orderdate").alias("y")).distinct().collect()
+    ]
+    for y in sorted(years):
+        versioning.commit_snapshot(
+            orders.filter(F.year(F.col("o_orderdate")) == y).coalesce(1),
+            snap_dir,
+        )
+    stats = versioning.compact_snapshots(
+        spark, snap_dir, target_file_bytes=512 * 1024 * 1024
+    )
+    assert stats["compacted"] and stats["files_after"] < stats["files_before"], stats
+    # Every pre-compaction version must stay readable until vacuumed.
+    assert len(versioning.snapshot_versions(snap_dir)) == len(years) + 1
+    return (
+        versioning.read_snapshot(spark, snap_dir, version=stats["version"])
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
         )
     )

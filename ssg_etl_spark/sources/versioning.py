@@ -119,6 +119,18 @@ def snapshot_meta(path: str, version: int) -> dict:
     return _read_manifest(path, version).get("meta", {})
 
 
+def snapshot_file_count(path: str, version: int | None = None) -> int:
+    """Data-file count of a version (default latest) — the signal
+    auto-compaction triggers on (one file accumulates per append
+    commit; compaction resets the count)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return 0
+    if version is None:
+        version = versions[-1]
+    return len(_read_manifest(path, version)["files"])
+
+
 def _data_files(data_dir: str) -> list[str]:
     return [
         os.path.join(data_dir, n)
@@ -199,8 +211,13 @@ def compact_snapshots(
     version, and every pre-compaction version stays readable until
     vacuumed. Single shuffle (``repartition``) so output files are
     evenly sized; a no-op (already ≤ the target layout) returns without
-    committing. Returns ``{"compacted": bool, "version": committed-or-
-    source version, "files_before": n, "files_after": m}``.
+    committing. The source version's commit meta is CARRIED FORWARD into
+    the compacted version (merged under the compaction keys): streaming
+    committers read their replay watermark (``max_batch_id``) from the
+    latest version's meta, and a compaction that dropped it would
+    silently re-admit replayed batches. Returns ``{"compacted": bool,
+    "version": committed-or-source version, "files_before": n,
+    "files_after": m}``.
     """
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be positive")
@@ -227,6 +244,7 @@ def compact_snapshots(
         path,
         mode="overwrite",
         meta={
+            **snapshot_meta(path, version),
             "compaction_of": version,
             "files_before": len(files),
         },

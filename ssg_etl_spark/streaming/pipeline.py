@@ -833,6 +833,8 @@ def foreach_batch_quality_gate(
     target_path: str,
     quarantine_path: str,
     row_rules: "dict[str, object]",
+    compact_every: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ):
     """Quality-gated streaming ingest with a dead-letter side: each
     micro-batch's rows are checked against named row-level predicates
@@ -848,11 +850,24 @@ def foreach_batch_quality_gate(
     ``max_batch_id`` watermark (appends are not idempotent), so a
     replayed micro-batch re-lands in NEITHER table. Rule predicates must
     be deterministic row functions — the same rows quarantine on every
-    engine and replay."""
+    engine and replay.
+
+    ``compact_every=N`` (r9): whenever the target's latest version
+    accumulates ≥ N data files (appends add one coalesced file per
+    batch; compaction resets the count), bin-pack it into
+    ``target_file_bytes`` files via ``compact_snapshots`` — inline
+    OPTIMIZE, the minutes-cadence committer's file-count fix. Safe with
+    the replay watermark because compaction carries the source version's
+    meta (incl. ``max_batch_id``) forward; a compaction crash leaves the
+    store exactly as committed (atomic manifest)."""
     if not row_rules:
         raise ValueError("row_rules must be non-empty")
+    if compact_every is not None and compact_every < 2:
+        raise ValueError("compact_every must be >= 2")
     from ssg_etl_spark.sources.versioning import (
         commit_snapshot,
+        compact_snapshots,
+        snapshot_file_count,
         snapshot_meta,
         snapshot_versions,
     )
@@ -901,6 +916,13 @@ def foreach_batch_quality_gate(
                 mode="append",
                 meta={"batch_id": batch_id, "max_batch_id": max(batch_id, t_prev)},
             )
+            if (
+                compact_every is not None
+                and snapshot_file_count(target_path) >= compact_every
+            ):
+                compact_snapshots(
+                    batch.sparkSession, target_path, target_file_bytes
+                )
 
     return apply
 
