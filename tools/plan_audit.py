@@ -117,6 +117,9 @@ AUDIT_DEFAULT = [
     "token_mixture_plan",
     "bloom_new_key_gate",
     "bloom_daily_rollup",
+    # Round 9: two-pass refined quantiles, snapshot OPTIMIZE path.
+    "quantiles_totalprice_refined",
+    "snapshot_compaction",
 ]
 
 
