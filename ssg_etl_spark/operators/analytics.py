@@ -804,6 +804,157 @@ def histogram_quantiles_grouped(
     )
 
 
+def histogram_quantiles_grouped_refined(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-group TWO-PASS refined quantiles — the grouped twin of
+    :func:`histogram_quantiles_refined`, fully distributed: the located
+    (group, q) → bin table stays a DataFrame (never collected — group
+    counts may be huge), pass-2 rows join to it on (group, bin), and
+    every window is partitioned by (group[, q]) — no single-partition
+    stage anywhere. Error ≤ one SUB-bin width, (max−min)/n_bins², on the
+    global bin grid. Returns ``(group_cols..., q, value, bin, sub_bin)``.
+
+    Plan shape at 100 TB: two scans (pass-1 histogram, pass-2 sub-
+    histogram of only the rows in located bins), both map-side
+    combinable; the located table is |groups|·|qs| rows — broadcast by
+    AQE when small, hash join on (group, bin) otherwise.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty (use histogram_quantiles_refined)"
+        )
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
+    width = (F.col("_mx") - F.col("_mn")) / n_bins
+    bin_idx = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("_mn")) / width).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    rows = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *group_cols,
+            bin_idx.alias("bin"),
+            (F.col("_mn") + bin_idx * width).alias("bin_lo"),
+            (F.col("_mn") + (bin_idx + 1) * width).alias("bin_hi"),
+            v.alias("_v"),
+        )
+    )
+    hist = rows.groupBy(*group_cols, "bin", "bin_lo", "bin_hi").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    w_cum = w_grp.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "bin_lo",
+        "bin_hi",
+        "n",
+        F.sum("n").over(w_cum).alias("_cum"),
+        F.sum("n").over(w_grp).alias("_total"),
+    )
+    probes = cum.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(1).select(
+                F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+            )
+        )
+    ).filter(
+        F.col("_cum").cast("double") >= F.col("q") * F.col("_total").cast("double")
+    )
+    located = (
+        probes.groupBy(*group_cols, "q")
+        .agg(F.min(F.struct("bin", "bin_lo", "bin_hi", "_cum", "n", "_total")).alias("s"))
+        .select(
+            *group_cols,
+            "q",
+            F.col("s.bin").alias("bin"),
+            F.col("s.bin_lo").alias("bin_lo"),
+            F.col("s.bin_hi").alias("bin_hi"),
+            (F.col("s._cum") - F.col("s.n")).alias("cum_before"),
+            F.col("s._total").alias("total"),
+        )
+    )
+    # Pass 2: sub-histogram of only the rows that fall in a located bin.
+    sub_w = (F.col("bin_hi") - F.col("bin_lo")) / n_bins
+    sub_idx = F.when(F.col("bin_hi") == F.col("bin_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("_v") - F.col("bin_lo")) / sub_w).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+    )
+    joined = rows.select(*group_cols, "bin", "_v").join(
+        located, [*group_cols, "bin"]
+    )
+    sub_hist = joined.groupBy(
+        *group_cols,
+        "q",
+        "bin",
+        "bin_lo",
+        "bin_hi",
+        "cum_before",
+        "total",
+        sub_idx.alias("sub"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum2 = (
+        Window.partitionBy(*group_cols, "q")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum2 = sub_hist.withColumn(
+        "_cum", F.col("cum_before") + F.sum("n").over(w_cum2)
+    )
+    picked = (
+        cum2.filter(
+            F.col("_cum").cast("double")
+            >= F.col("q") * F.col("total").cast("double")
+        )
+        .groupBy(*group_cols, "q")
+        .agg(
+            F.min(
+                F.struct(
+                    "sub", "bin", "bin_lo", "bin_hi", "cum_before", "total",
+                    "_cum", "n",
+                )
+            ).alias("s")
+        )
+    )
+    s = lambda c: F.col(f"s.{c}")  # noqa: E731
+    sw = (s("bin_hi") - s("bin_lo")) / n_bins
+    sub_lo = s("bin_lo") + s("sub") * sw
+    sub_hi = s("bin_lo") + (s("sub") + 1) * sw
+    target = F.col("q") * s("total").cast("double")
+    frac = (target - (s("_cum") - s("n")).cast("double")) / s("n").cast("double")
+    return picked.select(
+        *group_cols,
+        "q",
+        F.round(
+            F.when(s("bin_hi") == s("bin_lo"), s("bin_lo")).otherwise(
+                sub_lo + (sub_hi - sub_lo) * frac
+            ),
+            6,
+        ).alias("value"),
+        s("bin").alias("bin"),
+        s("sub").alias("sub_bin"),
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pearson correlation for every column pair in ONE scan + ONE
     aggregation — the profiling matrix ``df.stat.corr`` would need

@@ -31,6 +31,7 @@ ORDER BY revenue DESC, part_key ASC
 LIMIT 10
 """,
     tags=("O3", "J4", "A11"),
+    extra=True,
 )
 def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 products by discounted revenue (TakeOrderedAndProject plan)."""
@@ -97,6 +98,7 @@ SELECT COUNT(*) AS total_customers,
 FROM per_cust
 """,
     tags=("W1", "J6", "A10"),
+    extra=True,
 )
 def retention_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-vs-repeat split + retention rate (new_v_return_plus_retention_rate.sql)."""
@@ -117,6 +119,7 @@ SELECT COUNT(*) AS n_days,
 FROM daily
 """,
     tags=("A5", "A6"),
+    extra=True,
 )
 def avg_daily_orders_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level aggregate (avg_daily_orders_sales.sql:2-13)."""
@@ -131,7 +134,7 @@ def _pivot_cases() -> str:
     return f"SELECT o_orderstatus AS status,\n  {cols}\nFROM orders GROUP BY 1"
 
 
-@register("pivot_status_year", oracle=_pivot_cases(), tags=("A12",))
+@register("pivot_status_year", oracle=_pivot_cases(), tags=("A12",), extra=True)
 def pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: sales by status × year (pandas pivot_table twin)."""
     orders = analytics.prepare_pivot_input(load_table(spark, sf_dir, "orders"))
@@ -176,6 +179,7 @@ SELECT year(month_start) AS sales_year, month(month_start) AS sales_month,
 FROM filled
 """,
     tags=("W4", "W7"),
+    extra=True,
 )
 def yoy_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-month-last-year lag over a gap-filled monthly spine."""
@@ -299,6 +303,7 @@ SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS entry_no,
 FROM orders
 """,
     tags=("W2", "W3"),
+    extra=True,
 )
 def window_rownum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ROW_NUMBER for surrogate sequence numbers (ssg_erp_op.py:296).
@@ -786,7 +791,6 @@ from ssg_etl_spark.operators.analytics import (  # noqa: E402
         "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     ),
     tags=("analytics", "profiling"),
-    extra=True,
 )
 def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over the four lineitem measures in one
@@ -844,7 +848,6 @@ SELECT p.c_custkey AS c_custkey,
 FROM probed p LEFT JOIN built b ON p.c_custkey = b.key
 """,
     tags=("sketch", "membership", "bloom"),
-    extra=True,
 )
 def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-membership sketch end-to-end: build a Bloom filter over
@@ -934,7 +937,6 @@ SELECT q,
 FROM first WHERE rn = 1
 """,
     tags=("sketch", "quantile", "profile"),
-    extra=True,
 )
 def quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-sketch quantiles (p25/p50/p90/p99) of order totals —
@@ -985,7 +987,6 @@ SELECT o_orderstatus, q,
 FROM first WHERE rn = 1
 """,
     tags=("sketch", "quantile", "profile"),
-    extra=True,
 )
 def quantiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order-status price quantiles from globally-bin-aligned
@@ -1058,7 +1059,6 @@ SELECT q,
 FROM pick WHERE rn = 1
 """,
     tags=("sketch", "quantile", "profile"),
-    extra=True,
 )
 def quantiles_totalprice_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass refined quantiles of order totals: pass 2 re-histograms
@@ -1069,6 +1069,84 @@ def quantiles_totalprice_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry: locally oracle-verified."""
     return analytics.histogram_quantiles_refined(
         load_table(spark, sf_dir, "orders"), "o_totalprice", _Q_QS, _Q_BINS
+    )
+
+
+@register(
+    "quantiles_price_by_status_refined",
+    oracle=f"""
+WITH b AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+  FROM orders),
+binned AS (
+  SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS val, mn, mx,
+    CASE WHEN mx = mn THEN 0
+         ELSE LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn)
+                               / ((mx - mn) / {_Q_BINS})) AS INT),
+                    {_Q_BINS - 1}) END AS bin
+  FROM orders, b WHERE o_totalprice IS NOT NULL),
+rowsx AS (
+  SELECT g, val, bin,
+    mn + bin * ((mx - mn) / {_Q_BINS}) AS bin_lo,
+    mn + (bin + 1) * ((mx - mn) / {_Q_BINS}) AS bin_hi
+  FROM binned),
+h1 AS (SELECT g, bin, bin_lo, bin_hi, COUNT(*) AS n
+       FROM rowsx GROUP BY 1, 2, 3, 4),
+c1 AS (SELECT *, SUM(n) OVER (PARTITION BY g ORDER BY bin) AS c,
+              SUM(n) OVER (PARTITION BY g) AS total
+       FROM h1),
+q1 AS (
+  SELECT g, q, bin, bin_lo, bin_hi, c - n AS cum_before, total FROM (
+    SELECT CAST(qq.q AS DOUBLE) AS q, c1.*,
+      ROW_NUMBER() OVER (PARTITION BY g, qq.q ORDER BY bin) AS rn
+    FROM c1, (VALUES {", ".join(f"({q})" for q in _Q_QS)}) qq(q)
+    WHERE CAST(c AS DOUBLE) >= CAST(qq.q AS DOUBLE) * CAST(total AS DOUBLE)
+  ) WHERE rn = 1),
+sub AS (
+  SELECT q1.g, q1.q, q1.bin, q1.bin_lo, q1.bin_hi, q1.cum_before, q1.total,
+    CASE WHEN q1.bin_hi = q1.bin_lo THEN 0
+         ELSE LEAST(GREATEST(CAST(FLOOR((r.val - q1.bin_lo)
+                / ((q1.bin_hi - q1.bin_lo) / {_Q_BINS})) AS INT), 0),
+              {_Q_BINS - 1}) END AS sub,
+    COUNT(*) AS n
+  FROM rowsx r JOIN q1 ON r.g = q1.g AND r.bin = q1.bin
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+c2 AS (
+  SELECT *, CAST(cum_before AS BIGINT)
+            + SUM(n) OVER (PARTITION BY g, q ORDER BY sub) AS c
+  FROM sub),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g, q ORDER BY sub) AS rn
+  FROM c2
+  WHERE CAST(c AS DOUBLE) >= q * CAST(total AS DOUBLE))
+SELECT g AS o_orderstatus, q,
+  round(CASE WHEN bin_hi = bin_lo THEN bin_lo ELSE
+    (bin_lo + sub * ((bin_hi - bin_lo) / {_Q_BINS}))
+    + ((bin_lo + (sub + 1) * ((bin_hi - bin_lo) / {_Q_BINS}))
+       - (bin_lo + sub * ((bin_hi - bin_lo) / {_Q_BINS})))
+      * ((q * CAST(total AS DOUBLE) - CAST(c - n AS DOUBLE))
+         / CAST(n AS DOUBLE)) END,
+    6) AS value,
+  bin, sub AS sub_bin
+FROM pick WHERE rn = 1
+""",
+    tags=("sketch", "quantile", "profile"),
+    extra=True,
+)
+def quantiles_price_by_status_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status two-pass refined quantiles — the fully distributed
+    grouped twin (located-bin table never collected; windows partitioned
+    by (group, q) only; error one SUB-bin width on the global grid;
+    operators/analytics.py:histogram_quantiles_grouped_refined). The
+    oracle replays both passes exactly, group-partitioned. Extra
+    registry: locally oracle-verified."""
+    return analytics.histogram_quantiles_grouped_refined(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        ["o_orderstatus"],
+        _Q_QS,
+        _Q_BINS,
     )
 
 
@@ -1108,7 +1186,6 @@ FROM probed p LEFT JOIN base b
   ON p.maybe_seen AND p.key = b.key
 """,
     tags=("sketch", "membership", "incremental"),
-    extra=True,
 )
 def bloom_new_key_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operational bloom pattern: probe a DELTA's keys against the

@@ -24,6 +24,7 @@ SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """,
     tags=("streaming", "P6"),
+    extra=True,
 )
 def events_10min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute window aggregate — batch twin of the streaming
@@ -618,7 +619,6 @@ FROM (
   FROM events) t
 """,
     tags=("quality", "streaming", "gate"),
-    extra=True,
 )
 def quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming dead-letter gate
@@ -671,7 +671,6 @@ SELECT CAST(p // 32 AS INT) AS word,
 FROM pos GROUP BY 1
 """,
     tags=("sketch", "membership", "rollup"),
-    extra=True,
 )
 def bloom_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-calendar-day Bloom filters over event users, OR-merged into

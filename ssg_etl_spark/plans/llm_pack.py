@@ -63,13 +63,14 @@ SELECT content_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_duplicates
 FROM norm GROUP BY 1
 """,
     tags=("llm", "dedup"),
+    extra=True,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: normalized-content digest → hash groupBy."""
     return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_ngram_jaccard", oracle=JACCARD_SQL, tags=("llm", "dedup"))
+@register("dedup_ngram_jaccard", oracle=JACCARD_SQL, tags=("llm", "dedup"), extra=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard near-dup pairs (threshold 0.5)."""
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
@@ -79,7 +80,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_prefix",
     oracle=JACCARD_SQL,
     tags=("llm", "dedup"),
-    extra=True,
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard pairs via prefix filtering — LOSSLESS candidate
@@ -128,7 +128,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
 """
 
 
-@register("dedup_simhash", oracle=SIMHASH_SQL, tags=("llm", "dedup"))
+@register("dedup_simhash", oracle=SIMHASH_SQL, tags=("llm", "dedup"), extra=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 7 over 60-bit md5-derived
     signatures, 8-band candidate generation — lossless for that bound by
@@ -160,6 +160,7 @@ WHERE rank <= 10
     "embedding_cosine_topk",
     oracle=COSINE_TOPK_SQL,
     tags=("llm", "similarity"),
+    extra=True,
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id % 100 = 0)."""
@@ -234,7 +235,7 @@ WHERE rank <= 10
 """
 
 
-@register("ann_lsh_topk", oracle=ANN_LSH_SQL, tags=("llm", "similarity"))
+@register("ann_lsh_topk", oracle=ANN_LSH_SQL, tags=("llm", "similarity"), extra=True)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via anchor-hyperplane LSH buckets — the scale path.
     Deterministic anchors + sign-pattern buckets make the whole pipeline
@@ -276,7 +277,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_probe",
     oracle=COSINE_TOPK_SQL,
     tags=("llm", "similarity"),
-    extra=True,
 )
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OPERATIONAL IVF shape: build the index once, round-trip it
@@ -348,6 +348,7 @@ SELECT doc_id, n_chars, n_words,
 FROM m
 """,
     tags=("llm", "text"),
+    extra=True,
 )
 def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring (C4/Gopher-style heuristics)."""
@@ -363,6 +364,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("llm", "text"),
+    extra=True,
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting."""
@@ -394,7 +396,7 @@ FROM s
 """
 
 
-@register("lang_id", oracle=_langid_oracle(), tags=("llm", "text"))
+@register("lang_id", oracle=_langid_oracle(), tags=("llm", "text"), extra=True)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic n-gram/stopword language ID with deterministic argmax."""
     return text.lang_id(load_table(spark, sf_dir, "documents"))
@@ -411,6 +413,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("llm", "text"),
+    extra=True,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content + bag-of-words fingerprints (md5, engine-portable)."""
@@ -438,6 +441,7 @@ SELECT doc_id AS asset_id,
 FROM documents
 """,
     tags=("llm", "multimodal"),
+    extra=True,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload table → Arrow-batched feature
@@ -539,7 +543,6 @@ SELECT doc_id AS asset_id,
 FROM b GROUP BY doc_id
 """,
     tags=("llm", "multimodal"),
-    extra=True,
 )
 def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize UN-FAKED end-to-end: binary PPM assets through
@@ -1020,6 +1023,7 @@ WITH {_LSH_PAIRS_CORE}
 SELECT doc_a AS vec_a, doc_b AS vec_b, cosine_sim FROM lshpairs
 """,
     tags=("llm", "dedup", "similarity"),
+    extra=True,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs, scale path (PUBLIC since round 5 — was
@@ -2008,7 +2012,6 @@ LEFT JOIN bestc bc ON cl.cluster_id = bc.cluster_id
     "dedup_keep_list_longest",
     oracle=_KEEP_LIST_LONGEST_SQL,
     tags=("llm", "dedup", "pipeline"),
-    extra=True,
 )
 def dedup_keep_list_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_keep_list with keep-longest canonicals: each exact group and
@@ -2870,7 +2873,6 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("llm", "sampling"),
-    extra=True,
 )
 def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global corpus permutation (pre-training shuffle) by
@@ -2915,7 +2917,6 @@ SELECT query_id, rank, doc_id, bm25 FROM (
 WHERE rank <= 10
 """,
     tags=("llm", "text", "retrieval"),
-    extra=True,
 )
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 "more like this" retrieval: every doc_id % 100 = 0 document
@@ -2941,7 +2942,6 @@ WITH s AS (
 SELECT doc_id, weight, xi FROM s ORDER BY xi, doc_id LIMIT 500
 """,
     tags=("llm", "sampling"),
-    extra=True,
 )
 def weighted_sample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential Poisson weighted sampling (Ohlsson): 500 documents drawn
@@ -3624,7 +3624,6 @@ SELECT doc_id, source, epoch, round(rate, 12) AS rate
 FROM u WHERE epoch < CAST(FLOOR(rate) AS INT) OR uu < rate - FLOOR(rate)
 """,
     tags=("llm", "sampling", "recipe"),
-    extra=True,
 )
 def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-constrained mix recipe solved end-to-end: 50k tokens split

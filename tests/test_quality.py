@@ -395,6 +395,78 @@ def test_histogram_quantiles_grouped_per_group_bounds(spark):
         histogram_quantiles_grouped(df, "v", [], (0.5,))
 
 
+def test_histogram_quantiles_grouped_refined_per_group_bounds(spark):
+    """Grouped two-pass refinement: each group's quantiles track ITS OWN
+    distribution within one SUB-bin width of the global grid (the
+    one-pass grouped form only promises one full bin width); agrees with
+    the global refined form on a single-group frame; partition-invariant;
+    all-equal-bin edge returns the bin bound."""
+    import pytest as _pytest
+
+    from ssg_etl_spark.operators.analytics import (
+        histogram_quantiles_grouped_refined,
+        histogram_quantiles_refined,
+    )
+
+    rows = [("a", float(i)) for i in range(1000)] + [
+        ("b", float(2000 + i)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = (0.5, 0.99)
+    got = {
+        (r.g, r.q): r.value
+        for r in histogram_quantiles_grouped_refined(
+            df, "v", ["g"], qs, 20
+        ).collect()
+    }
+    sub_width = 2999.0 / 400
+    import math
+
+    for g, base in (("a", 0.0), ("b", 2000.0)):
+        for q in qs:
+            exact = base + float(math.ceil(q * 1000) - 1)
+            assert abs(got[(g, q)] - exact) <= sub_width + 1e-6, (
+                g, q, got[(g, q)], exact,
+            )
+
+    again = {
+        (r.g, r.q): r.value
+        for r in histogram_quantiles_grouped_refined(
+            df.repartition(11), "v", ["g"], qs, 20
+        ).collect()
+    }
+    assert again == got
+
+    # Single group == global refined form (same grid, same walks).
+    from pyspark.sql import functions as F
+
+    one = df.filter(F.col("g") == "a")
+    glob = {
+        r.q: r.value
+        for r in histogram_quantiles_refined(one, "v", qs, 20).collect()
+    }
+    grp = {
+        r.q: r.value
+        for r in histogram_quantiles_grouped_refined(
+            one, "v", ["g"], qs, 20
+        ).collect()
+    }
+    assert grp == glob
+
+    const = spark.createDataFrame(
+        [("x", 5.0)] * 7 + [("y", 5.0)] * 3, "g string, v double"
+    )
+    crows = histogram_quantiles_grouped_refined(
+        const, "v", ["g"], (0.5,), 20
+    ).collect()
+    assert all(r.value == 5.0 for r in crows) and len(crows) == 2
+
+    with _pytest.raises(ValueError):
+        histogram_quantiles_grouped_refined(df, "v", [], (0.5,))
+    with _pytest.raises(ValueError):
+        histogram_quantiles_grouped_refined(df, "v", ["g"], (0.0,))
+
+
 def test_winsorize_preserves_nulls(spark):
     """NULL must stay NULL: least/greatest skip NULLs, so an unguarded
     clamp silently imputes missing values to the p_lo bound (advisor

@@ -43,7 +43,7 @@ def events_dir(spark, sf_dir, tmp_path_factory):
 
 
 def test_stream_matches_batch_twin(spark, sf_dir, events_dir, tmp_path):
-    from ssg_etl_spark.plans.registry import queries
+    from ssg_etl_spark.plans.registry import load_all
 
     out = str(tmp_path / "agg")
     ckpt = str(tmp_path / "ckpt")
@@ -54,7 +54,9 @@ def test_stream_matches_batch_twin(spark, sf_dir, events_dir, tmp_path):
     }
     want = {
         (r.window_start, r.event_type): (r.n_events, r.total_value)
-        for r in queries()["events_10min_window"](spark, sf_dir).collect()
+        for r in load_all(include_extra=True)["events_10min_window"]
+        .builder(spark, sf_dir)
+        .collect()
     }
     # Append mode emits a window once the watermark (max ts - 30 min) passes
     # its end; later windows stay open in state. Everything emitted must

@@ -117,8 +117,10 @@ AUDIT_DEFAULT = [
     "token_mixture_plan",
     "bloom_new_key_gate",
     "bloom_daily_rollup",
-    # Round 9: two-pass refined quantiles, snapshot OPTIMIZE path.
+    # Round 9: two-pass refined quantiles (global + grouped), snapshot
+    # OPTIMIZE path.
     "quantiles_totalprice_refined",
+    "quantiles_price_by_status_refined",
     "snapshot_compaction",
 ]
 
