@@ -586,7 +586,10 @@ def run_snapshot_commit_stream(
 
 
 def foreach_batch_hll_merge(
-    registers_path: str, group_cols: list[str], value_col: str
+    registers_path: str,
+    group_cols: list[str],
+    value_col: str,
+    keep_versions: int | None = None,
 ):
     """Streaming distinct-count sketch: each micro-batch's HLL registers
     fold into a persisted register table by register-wise MAX
@@ -631,6 +634,8 @@ def foreach_batch_hll_merge(
             mode="overwrite",
             meta={"batch_id": batch_id},
         )
+        if keep_versions is not None:
+            vacuum_snapshots(registers_path, keep_last=keep_versions)
 
     return apply
 
@@ -665,7 +670,11 @@ def run_hll_stream(
 
 
 def foreach_batch_bloom_merge(
-    bloom_path: str, key_col: str, n_bits: int = 1024, k: int = 4
+    bloom_path: str,
+    key_col: str,
+    n_bits: int = 1024,
+    k: int = 4,
+    keep_versions: int | None = None,
 ):
     """Streaming membership index: each micro-batch's keys fold into a
     persisted Bloom word table by bitwise OR (operators/bloom.py). OR is
@@ -674,13 +683,18 @@ def foreach_batch_bloom_merge(
     and the state publishes through atomic snapshot commits, so a crash
     mid-write can never destroy accumulated bits. State is ≤ n_bits/32
     word rows forever; probing "have we ever seen this key?" needs only
-    the latest snapshot, never the stream's history."""
+    the latest snapshot, never the stream's history. ``keep_versions``:
+    inline retention, as in ``foreach_batch_hll_merge``."""
     from ssg_etl_spark.operators.bloom import bloom_build, bloom_merge
     from ssg_etl_spark.sources.versioning import (
         commit_snapshot,
         read_snapshot,
         snapshot_versions,
+        vacuum_snapshots,
     )
+
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -699,12 +713,19 @@ def foreach_batch_bloom_merge(
             mode="overwrite",
             meta={"batch_id": batch_id},
         )
+        if keep_versions is not None:
+            vacuum_snapshots(bloom_path, keep_last=keep_versions)
 
     return apply
 
 
 def foreach_batch_hist_merge(
-    hist_path: str, value_col: str, lo: float, hi: float, n_bins: int = 20
+    hist_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    keep_versions: int | None = None,
 ):
     """Streaming distribution profile: each micro-batch's fixed-range
     histogram counts ADD into a persisted bin table — the quantile
@@ -725,11 +746,14 @@ def foreach_batch_hist_merge(
         raise ValueError("hi must be greater than lo")
     if n_bins < 1:
         raise ValueError("n_bins must be positive")
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
     from ssg_etl_spark.sources.versioning import (
         commit_snapshot,
         read_snapshot,
         snapshot_meta,
         snapshot_versions,
+        vacuum_snapshots,
     )
 
     width = (hi - lo) / n_bins
@@ -777,11 +801,15 @@ def foreach_batch_hist_merge(
             mode="overwrite",
             meta={"batch_id": batch_id, "max_batch_id": max(batch_id, prev_max)},
         )
+        if keep_versions is not None:
+            vacuum_snapshots(hist_path, keep_last=keep_versions)
 
     return apply
 
 
-def foreach_batch_cms_merge(sketch_path: str, value_col: str):
+def foreach_batch_cms_merge(
+    sketch_path: str, value_col: str, keep_versions: int | None = None
+):
     """Streaming frequency sketch: each micro-batch's count-min cells ADD
     into a persisted sketch (operators/sketches.cms_sketch) through
     atomic snapshot commits. Like the histogram fold — and unlike the
@@ -791,14 +819,20 @@ def foreach_batch_cms_merge(sketch_path: str, value_col: str):
     latest snapshot for any key's frequency over the stream's whole
     history. This completes the streaming-fold family: HLL (MAX,
     idempotent), Bloom (OR, idempotent), histogram and CMS (SUM,
-    batch-id-guarded)."""
+    batch-id-guarded). ``keep_versions``: inline retention, as in
+    ``foreach_batch_hll_merge`` — safe because the replay watermark rides
+    the LATEST manifest, which vacuum always keeps."""
     from ssg_etl_spark.operators.sketches import cms_merge, cms_sketch
     from ssg_etl_spark.sources.versioning import (
         commit_snapshot,
         read_snapshot,
         snapshot_meta,
         snapshot_versions,
+        vacuum_snapshots,
     )
+
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -825,6 +859,8 @@ def foreach_batch_cms_merge(sketch_path: str, value_col: str):
             mode="overwrite",
             meta={"batch_id": batch_id, "max_batch_id": max(batch_id, prev_max)},
         )
+        if keep_versions is not None:
+            vacuum_snapshots(sketch_path, keep_last=keep_versions)
 
     return apply
 

@@ -252,6 +252,65 @@ def test_streaming_cms_fold_matches_batch_and_skips_replay(
     } == streamed
 
 
+def test_streaming_fold_inline_retention(spark, sf_dir, tmp_path):
+    """keep_versions (r9): the fold committers vacuum their own history
+    inline — a minutes-cadence stream otherwise accumulates one manifest
+    + one state file per batch forever. State correctness is untouched
+    (latest version carries everything, incl. the SUM folds' replay
+    watermark): folded filter == batch filter, replay still a no-op/skip,
+    and the version count stays bounded."""
+    import pytest as _p
+
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.sources.versioning import read_snapshot, snapshot_versions
+    from ssg_etl_spark.streaming.pipeline import (
+        foreach_batch_bloom_merge,
+        foreach_batch_cms_merge,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+
+    bloom_path = str(tmp_path / "bloom")
+    q = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            foreach_batch_bloom_merge(bloom_path, "user_id", keep_versions=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(snapshot_versions(bloom_path)) <= 2  # 4 batches folded
+    assert _words(read_snapshot(spark, bloom_path)) == _words(
+        bloom_build(events, "user_id")
+    )
+
+    # SUM fold: replay watermark must survive the vacuum.
+    cms_path = str(tmp_path / "cms")
+    gate = foreach_batch_cms_merge(cms_path, "user_id", keep_versions=1)
+    gate(events.limit(300), batch_id=0)
+    gate(events.limit(300), batch_id=1)
+    assert len(snapshot_versions(cms_path)) == 1
+    state = {
+        (r["row"], r["reg"], r["cnt"])
+        for r in read_snapshot(spark, cms_path).collect()
+    }
+    gate(events.limit(300), batch_id=1)  # replay: watermark says skip
+    assert {
+        (r["row"], r["reg"], r["cnt"])
+        for r in read_snapshot(spark, cms_path).collect()
+    } == state
+
+    with _p.raises(ValueError):
+        foreach_batch_cms_merge(cms_path, "user_id", keep_versions=0)
+
+
 def test_partition_invariance(spark):
     keys = spark.createDataFrame([(i,) for i in range(300)], ["k"])
     one = _words(bloom_build(keys.coalesce(1), "k", n_bits=1024, k=4))
