@@ -601,6 +601,60 @@ def histogram_quantiles(
     )
 
 
+def histogram_quantiles_from_bins(
+    spark,
+    bins: "DataFrame | list",
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantiles from a PERSISTED fixed-range ``(bin, n)`` histogram — the
+    read-time post-process of the streaming histogram fold
+    (streaming/pipeline.foreach_batch_hist_merge): the stream maintains
+    O(n_bins) mergeable state forever; any consumer turns the latest
+    snapshot into percentiles without touching the raw stream. Identical
+    interpolation arithmetic to :func:`histogram_quantiles` (cumulative
+    walk over ≤ n_bins collected rows, HALF_UP rounding), but over the
+    fold's FIXED [lo, hi) range instead of data min/max — required,
+    because per-batch ranges cannot be summed (the fold's own contract).
+    Returns ``(q, value, bin)``.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    if hi <= lo:
+        raise ValueError("hi must be greater than lo")
+    rows = bins if isinstance(bins, list) else bins.collect()
+    counts = {int(r["bin"]): int(r["n"]) for r in rows}
+    if not counts:
+        raise ValueError("histogram has no bins")
+    total = sum(counts.values())
+    width = (hi - lo) / n_bins
+    out: list[tuple[float, float, int]] = []
+    for q in qs:
+        target = float(q) * float(total)
+        cum = 0
+        for bi in sorted(counts):
+            cum += counts[bi]
+            if float(cum) >= target:
+                bin_lo = lo + bi * width
+                bin_hi = lo + (bi + 1) * width
+                frac = (target - float(cum - counts[bi])) / float(counts[bi])
+                raw = bin_lo + (bin_hi - bin_lo) * frac
+                value = float(
+                    Decimal(repr(raw)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                out.append((float(q), value, bi))
+                break
+    return spark.createDataFrame(sorted(out), "q double, value double, bin int")
+
+
 def histogram_quantiles_refined(
     df: DataFrame,
     value_col: str,

@@ -252,6 +252,84 @@ def test_streaming_cms_fold_matches_batch_and_skips_replay(
     } == streamed
 
 
+def test_quantiles_from_streamed_histogram_fold(spark, sf_dir, tmp_path):
+    """The fold→quantile read path (r9): percentiles computed from the
+    streaming histogram fold's latest snapshot equal those from the
+    identically-ranged batch histogram (stream bins == batch bins is
+    pinned separately), and sit within one bin width of the exact
+    quantile of the underlying column."""
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators.analytics import histogram_quantiles_from_bins
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.sources.versioning import read_snapshot
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_hist_merge
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+    hist_path = str(tmp_path / "hist")
+    lo, hi, n_bins = 0.0, 1000.0, 20
+    q = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            foreach_batch_hist_merge(hist_path, "value", lo, hi, n_bins)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    qs = (0.5, 0.9, 0.99)
+    streamed = {
+        r.q: r.value
+        for r in histogram_quantiles_from_bins(
+            spark, read_snapshot(spark, hist_path), lo, hi, n_bins, qs
+        ).collect()
+    }
+    # Batch twin over the same fixed range.
+    v = F.col("value").cast("double")
+    width = (hi - lo) / n_bins
+    batch_bins = (
+        events.filter(v.isNotNull())
+        .select(
+            F.least(
+                F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
+                F.lit(n_bins - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    batch = {
+        r.q: r.value
+        for r in histogram_quantiles_from_bins(
+            spark, batch_bins, lo, hi, n_bins, qs
+        ).collect()
+    }
+    assert streamed == batch
+    # Error bound vs the exact quantile of the column.
+    vals = sorted(
+        r[0] for r in events.filter(v.isNotNull()).select(v).collect()
+    )
+    import math
+
+    for qq in qs:
+        exact = vals[math.ceil(qq * len(vals)) - 1]
+        assert abs(streamed[qq] - exact) <= width + 1e-6, (qq, streamed[qq], exact)
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        histogram_quantiles_from_bins(spark, [], lo, hi, n_bins, qs)
+    with _p.raises(ValueError):
+        histogram_quantiles_from_bins(spark, batch_bins, 5.0, 5.0, n_bins, qs)
+
+
 def test_streaming_fold_inline_retention(spark, sf_dir, tmp_path):
     """keep_versions (r9): the fold committers vacuum their own history
     inline — a minutes-cadence stream otherwise accumulates one manifest
