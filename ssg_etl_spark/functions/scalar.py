@@ -80,8 +80,14 @@ def utc_ts_lit(value) -> Column:
         # offset and keep the local wall fields (shifted UTC). Parse
         # first and route aware values through the instant branch;
         # naive / non-ISO strings keep the literal-wall-fields cast.
+        # Trailing 'Z' normalizes to '+00:00' so the routing does not
+        # depend on the Python version (fromisoformat accepts 'Z' only
+        # from 3.11).
+        probe = value
+        if probe.endswith(("Z", "z")):
+            probe = probe[:-1] + "+00:00"
         try:
-            parsed = _dt.datetime.fromisoformat(value)
+            parsed = _dt.datetime.fromisoformat(probe)
         except ValueError:
             parsed = None
         if parsed is not None and parsed.tzinfo is not None:

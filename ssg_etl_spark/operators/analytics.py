@@ -544,6 +544,36 @@ def numeric_histogram(
     )
 
 
+def _round6_half_up(x: float) -> float:
+    """HALF_UP rounding at 6 decimals — matches SQL ``round(x, 6)`` in
+    both engines (Python's built-in round is HALF_EVEN and would drift on
+    exact .5 ties at the 6th decimal). The single rounding convention of
+    every driver-side quantile walk below."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _quantile_walk(bins, target: float, cum0: int = 0):
+    """Shared cumulative walk of the quantile family: ``bins`` is a
+    sorted list of ``(key, n, lo, hi)``; returns the HALF_UP-rounded
+    interpolated value and the picked key for the first bin where
+    ``cum0 + running count`` reaches ``target`` — ONE implementation, so
+    the cross-engine interpolation/rounding contract can never diverge
+    between the global, from-bins, and refined forms (r9 review
+    finding). Returns None if the target is never reached (cannot happen
+    for q <= 1 with consistent totals)."""
+    cum = cum0
+    for key, n, lo, hi in bins:
+        cum += n
+        if float(cum) >= target:
+            frac = (target - float(cum - n)) / float(n)
+            return _round6_half_up(lo + (hi - lo) * frac), key, cum - n
+    return None
+
+
 def histogram_quantiles(
     df: DataFrame,
     value_col: str,
@@ -570,32 +600,18 @@ def histogram_quantiles(
     if any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("each q must be in (0, 1]")
     spark = df.sparkSession
-    bins = sorted(
+    rows = sorted(
         numeric_histogram(df, value_col, n_bins).collect(),
         key=lambda r: r["bin"],
     )
-    total = sum(r["n"] for r in bins)
+    bins = [(int(r["bin"]), int(r["n"]), r["bin_lo"], r["bin_hi"]) for r in rows]
+    total = sum(n for _, n, _, _ in bins)
     out: list[tuple[float, float, int]] = []
     for q in qs:
-        target = float(q) * float(total)
-        cum = 0
-        for r in bins:
-            cum += r["n"]
-            if float(cum) >= target:
-                from decimal import ROUND_HALF_UP, Decimal
-
-                frac = (target - float(cum - r["n"])) / float(r["n"])
-                raw = r["bin_lo"] + (r["bin_hi"] - r["bin_lo"]) * frac
-                # HALF_UP to match SQL round(x, 6) in both engines —
-                # Python's built-in round is HALF_EVEN and would drift on
-                # exact .5 ties at the 6th decimal.
-                value = float(
-                    Decimal(repr(raw)).quantize(
-                        Decimal("0.000001"), rounding=ROUND_HALF_UP
-                    )
-                )
-                out.append((float(q), value, int(r["bin"])))
-                break
+        hit = _quantile_walk(bins, float(q) * float(total))
+        if hit is not None:
+            value, key, _ = hit
+            out.append((float(q), value, key))
     return spark.createDataFrame(
         sorted(out), "q double, value double, bin int"
     )
@@ -620,8 +636,6 @@ def histogram_quantiles_from_bins(
     because per-batch ranges cannot be summed (the fold's own contract).
     Returns ``(q, value, bin)``.
     """
-    from decimal import ROUND_HALF_UP, Decimal
-
     if not qs:
         raise ValueError("qs must be non-empty")
     if any(not (0.0 < q <= 1.0) for q in qs):
@@ -634,24 +648,16 @@ def histogram_quantiles_from_bins(
         raise ValueError("histogram has no bins")
     total = sum(counts.values())
     width = (hi - lo) / n_bins
+    walk = [
+        (bi, counts[bi], lo + bi * width, lo + (bi + 1) * width)
+        for bi in sorted(counts)
+    ]
     out: list[tuple[float, float, int]] = []
     for q in qs:
-        target = float(q) * float(total)
-        cum = 0
-        for bi in sorted(counts):
-            cum += counts[bi]
-            if float(cum) >= target:
-                bin_lo = lo + bi * width
-                bin_hi = lo + (bi + 1) * width
-                frac = (target - float(cum - counts[bi])) / float(counts[bi])
-                raw = bin_lo + (bin_hi - bin_lo) * frac
-                value = float(
-                    Decimal(repr(raw)).quantize(
-                        Decimal("0.000001"), rounding=ROUND_HALF_UP
-                    )
-                )
-                out.append((float(q), value, bi))
-                break
+        hit = _quantile_walk(walk, float(q) * float(total))
+        if hit is not None:
+            value, key, _ = hit
+            out.append((float(q), value, key))
     return spark.createDataFrame(sorted(out), "q double, value double, bin int")
 
 
@@ -677,21 +683,11 @@ def histogram_quantiles_refined(
     and every step is plain double arithmetic a SQL oracle replays
     exactly. Returns ``(q, value, bin, sub_bin)`` rows.
     """
-    from decimal import ROUND_HALF_UP, Decimal
-
     if not qs:
         raise ValueError("qs must be non-empty")
     if any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("each q must be in (0, 1]")
     spark = df.sparkSession
-
-    def _round6(x: float) -> float:
-        return float(
-            Decimal(repr(x)).quantize(
-                Decimal("0.000001"), rounding=ROUND_HALF_UP
-            )
-        )
-
     v = F.col(value_col).cast("double")
     b = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
     if b["mn"] is None:
@@ -700,7 +696,7 @@ def histogram_quantiles_refined(
     schema = "q double, value double, bin int, sub_bin int"
     if mx == mn:
         return spark.createDataFrame(
-            sorted((float(q), _round6(mn), 0, 0) for q in qs), schema
+            sorted((float(q), _round6_half_up(mn), 0, 0) for q in qs), schema
         )
     width = (mx - mn) / n_bins
     bin_idx = F.least(
@@ -716,16 +712,16 @@ def histogram_quantiles_refined(
         .collect()
     }
     total = sum(hist.values())
-    # Pass-1 walk: per q, the containing bin and the count before it.
+    # Pass-1 walk: per q, the containing bin and the count before it
+    # (shared _quantile_walk; its interpolated value is discarded — only
+    # the located bin and cum_before feed pass 2).
+    walk1 = [(bi, hist[bi], 0.0, 0.0) for bi in sorted(hist)]
     located: list[tuple[float, int, int]] = []  # (q, bin, cum_before)
     for q in qs:
-        target = float(q) * float(total)
-        cum = 0
-        for bi in sorted(hist):
-            cum += hist[bi]
-            if float(cum) >= target:
-                located.append((float(q), bi, cum - hist[bi]))
-                break
+        hit = _quantile_walk(walk1, float(q) * float(total))
+        if hit is not None:
+            _, bi, cum_before = hit
+            located.append((float(q), bi, cum_before))
     need = sorted({bi for _, bi, _ in located})
     # Pass 2: one scan, sub-binned only inside the located bins. The row→
     # bin assignment re-evaluates the IDENTICAL pass-1 expression (clamped
@@ -754,20 +750,15 @@ def histogram_quantiles_refined(
     }
     out: list[tuple[float, float, int, int]] = []
     for q, bi, cum_before in located:
-        target = float(q) * float(total)
         bin_lo = mn + bi * width
-        cum = cum_before
-        for s in sorted(s for (b2, s) in sub_hist if b2 == bi):
-            n_s = sub_hist[(bi, s)]
-            cum += n_s
-            if float(cum) >= target:
-                sub_lo = bin_lo + s * sub_w
-                sub_hi = bin_lo + (s + 1) * sub_w
-                frac = (target - float(cum - n_s)) / float(n_s)
-                out.append(
-                    (q, _round6(sub_lo + (sub_hi - sub_lo) * frac), bi, s)
-                )
-                break
+        walk2 = [
+            (s, sub_hist[(bi, s)], bin_lo + s * sub_w, bin_lo + (s + 1) * sub_w)
+            for s in sorted(s for (b2, s) in sub_hist if b2 == bi)
+        ]
+        hit = _quantile_walk(walk2, float(q) * float(total), cum0=cum_before)
+        if hit is not None:
+            value, s, _ = hit
+            out.append((q, value, bi, s))
     return spark.createDataFrame(sorted(out), schema)
 
 

@@ -223,13 +223,16 @@ def ngram_jaccard_pairs_prefix(
     # double math rounds up for many thresholds (0.07*100 →
     # 7.000000000000001, ceil 8). Derive t as an exact rational from its
     # decimal literal and compute ceil(n*num/den) = (n*num + den-1) div den
-    # entirely in BIGINT (`div` is Spark's integer division).
+    # with a DECIMAL(38,0) product: a float-repr threshold like 1/3 has
+    # den = 10^16, so the BIGINT product overflows (silently, ANSI off)
+    # for documents past ~2.7k shingles — DECIMAL keeps the integral
+    # `div` exact to n ~ 10^22 (r9 review finding).
     from fractions import Fraction
 
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
     ceil_tn = F.expr(
-        f"(CAST(_n AS BIGINT) * {num} + {den - 1}) div {den}"
+        f"(CAST(_n AS DECIMAL(38,0)) * {num} + {den - 1}) div {den}"
     ).cast("int")
     prefix_len = F.col("_n") - ceil_tn + 1
     prefix = persist_tracked(

@@ -71,8 +71,28 @@ def expect_in_set(col: str, values: list, mostly: float = 1.0) -> Expectation:
     )
 
 
+def _bounded(col: str, lo, hi) -> Column:
+    """GE one-sided-bound semantics: a NULL/absent bound means unbounded
+    on that side (``{"min_value": 0, "max_value": null}`` is GE's normal
+    way to say "at least 0"). ``col.between(lo, NULL)`` would instead be
+    three-valued NULL for every in-range value — which the dead-letter
+    gates coalesce to FAILED, quarantining 100% of rows (r9 review
+    finding)."""
+    conds = []
+    if lo is not None:
+        conds.append(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        conds.append(F.col(col) <= F.lit(hi))
+    if not conds:
+        return F.lit(True)
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred & c
+    return pred
+
+
 def expect_between(col: str, lo, hi, mostly: float = 1.0) -> Expectation:
-    hit = F.sum(F.col(col).between(lo, hi).cast("long"))
+    hit = F.sum(_bounded(col, lo, hi).cast("long"))
     a = {f"{col}__between": hit, f"{col}__nonnull": F.count(col)}
     return Expectation(
         f"between({col}, {lo}, {hi})",
@@ -86,12 +106,17 @@ def expect_between(col: str, lo, hi, mostly: float = 1.0) -> Expectation:
 # column (nonnull == 0), matching the mostly-style expectations above and
 # Great Expectations semantics — a no-rows input asserts nothing. A strict
 # "must have data" check composes as expect_row_count_between(1, ...).
+def _in_bounds(x, lo, hi) -> bool:
+    """Python twin of :func:`_bounded`: NULL/None bound = unbounded."""
+    return (lo is None or x >= lo) and (hi is None or x <= hi)
+
+
 def expect_max_between(col: str, lo, hi) -> Expectation:
     a = {f"{col}__max": F.max(col), f"{col}__nonnull": F.count(col)}
     return Expectation(
         f"max_between({col}, {lo}, {hi})",
         a,
-        lambda m: m[f"{col}__nonnull"] == 0 or lo <= m[f"{col}__max"] <= hi,
+        lambda m: m[f"{col}__nonnull"] == 0 or _in_bounds(m[f"{col}__max"], lo, hi),
     )
 
 
@@ -100,7 +125,8 @@ def expect_mean_between(col: str, lo, hi) -> Expectation:
     return Expectation(
         f"mean_between({col}, {lo}, {hi})",
         a,
-        lambda m: m[f"{col}__nonnull"] == 0 or lo <= m[f"{col}__mean"] <= hi,
+        lambda m: m[f"{col}__nonnull"] == 0
+        or _in_bounds(m[f"{col}__mean"], lo, hi),
     )
 
 
@@ -121,7 +147,8 @@ def expect_min_between(col: str, lo, hi) -> Expectation:
     return Expectation(
         f"min_between({col}, {lo}, {hi})",
         a,
-        lambda m: m[f"{col}__nonnull"] == 0 or lo <= m[f"{col}__min"] <= hi,
+        lambda m: m[f"{col}__nonnull"] == 0
+        or _in_bounds(m[f"{col}__min"], lo, hi),
     )
 
 
@@ -130,14 +157,16 @@ def expect_distinct_count_between(col: str, lo: int, hi: int) -> Expectation:
     return Expectation(
         f"distinct_count_between({col}, {lo}, {hi})",
         a,
-        lambda m: lo <= m[f"{col}__ndv"] <= hi,
+        lambda m: _in_bounds(m[f"{col}__ndv"], lo, hi),
     )
 
 
 def expect_row_count_between(lo: int, hi: int) -> Expectation:
     a = {"__rowcount": F.count(F.lit(1))}
     return Expectation(
-        f"row_count_between({lo}, {hi})", a, lambda m: lo <= m["__rowcount"] <= hi
+        f"row_count_between({lo}, {hi})",
+        a,
+        lambda m: _in_bounds(m["__rowcount"], lo, hi),
     )
 
 
@@ -247,7 +276,8 @@ _GE_BUILDERS = {
         k["column"], k["value_set"], k.get("mostly", 1.0)
     ),
     "expect_column_values_to_be_between": lambda k: expect_between(
-        k["column"], k["min_value"], k["max_value"], k.get("mostly", 1.0)
+        k["column"], k.get("min_value"), k.get("max_value"),
+        k.get("mostly", 1.0)
     ),
     "expect_column_values_to_match_regex": lambda k: expect_regex(
         k["column"], k["regex"], k.get("mostly", 1.0)
@@ -256,13 +286,13 @@ _GE_BUILDERS = {
         k["column"], k["type_list"]
     ),
     "expect_column_max_to_be_between": lambda k: expect_max_between(
-        k["column"], k["min_value"], k["max_value"]
+        k["column"], k.get("min_value"), k.get("max_value")
     ),
     "expect_column_min_to_be_between": lambda k: expect_min_between(
-        k["column"], k["min_value"], k["max_value"]
+        k["column"], k.get("min_value"), k.get("max_value")
     ),
     "expect_column_mean_to_be_between": lambda k: expect_mean_between(
-        k["column"], k["min_value"], k["max_value"]
+        k["column"], k.get("min_value"), k.get("max_value")
     ),
     "expect_column_unique_value_count_to_be_between": lambda k:
         expect_distinct_count_between(k["column"], k["min_value"], k["max_value"]),
@@ -320,7 +350,7 @@ _GE_ROW_PREDICATES = {
     "expect_column_values_to_be_between": lambda k: F.col(
         k["column"]
     ).isNull()
-    | F.col(k["column"]).between(k["min_value"], k["max_value"]),
+    | _bounded(k["column"], k.get("min_value"), k.get("max_value")),
     "expect_column_values_to_match_regex": lambda k: F.col(
         k["column"]
     ).isNull()

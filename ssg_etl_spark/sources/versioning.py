@@ -226,8 +226,19 @@ def compact_snapshots(
         raise FileNotFoundError(f"no committed versions under {path}")
     if version is None:
         version = versions[-1]
-    if version not in versions:
-        raise ValueError(f"version {version} not in {versions}")
+    # Only the LATEST version may be compacted: the rewrite is published
+    # as the new latest, so compacting an older version would silently
+    # roll the live table back to its rows AND regress the carried
+    # replay watermark, re-admitting already-committed batches (r9
+    # review finding). The explicit parameter exists so single-writer
+    # callers can pin which version they believe is latest and fail
+    # loudly on a race instead of compacting a surprise.
+    if version != versions[-1]:
+        raise ValueError(
+            f"version {version} is not the latest ({versions[-1]}); "
+            "compaction always publishes as the new latest, so only the "
+            "latest version may be compacted"
+        )
     files = _read_manifest(path, version)["files"]
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil

@@ -607,13 +607,25 @@ def foreach_batch_hll_merge(
     crash between delete and rewrite destroyed ALL accumulated state and
     the replay silently rebuilt the sketch from that one batch — the
     "exactly-once by algebra" claim only ever covered replays, not a
-    non-atomic state rewrite (r7 advisor finding)."""
+    non-atomic state rewrite (r7 advisor finding).
+
+    ``keep_versions=N`` (r9): retention inline — after each commit,
+    vacuum all but the last N versions. Every fold commits a fresh tiny
+    state file, so a minutes-cadence stream otherwise accumulates one
+    manifest + one file per batch forever; the latest version carries the
+    whole state (and, for the SUM folds, the replay watermark), so
+    vacuuming history never affects correctness — only time travel depth.
+    """
     from ssg_etl_spark.operators.sketches import hll_merge, hll_registers
     from ssg_etl_spark.sources.versioning import (
         commit_snapshot,
         read_snapshot,
         snapshot_versions,
+        vacuum_snapshots,
     )
+
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -969,6 +981,8 @@ def foreach_batch_ge_checkpoint_gate(
     target_path: str,
     quarantine_path: str,
     audit_path: str | None = None,
+    compact_every: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ):
     """The §5 expectation engine driving the streaming dead-letter gate:
     a LITERAL Great-Expectations checkpoint YAML (reference:
@@ -988,7 +1002,18 @@ def foreach_batch_ge_checkpoint_gate(
     ``max_batch_id``), so a replayed micro-batch re-lands in none of
     them. The checkpoint's data-asset binding is the stream itself; a
     checkpoint with zero validations raises at closure-build time.
+    ``compact_every``/``target_file_bytes`` pass through to the target's
+    inline compaction.
+
+    The dead-letter split/commit machinery DELEGATES to
+    :func:`foreach_batch_quality_gate` (one implementation of the
+    watermark-guarded split; r9 review finding — the first cut
+    copy-pasted it); this wrapper only compiles the checkpoint into row
+    rules and adds the audit sink. A checkpoint whose suites have zero
+    row-level expectations still ingests: every row passes to the
+    target, and the audit records the batch-level verdicts.
     """
+    import json
     import os
 
     from ssg_etl_spark.operators.quality import (
@@ -1006,13 +1031,21 @@ def foreach_batch_ge_checkpoint_gate(
     row_rules: dict[str, object] = {}
     batch_suites: list[tuple[str, list]] = []
     for v in cp["validations"]:
-        import json
-
         with open(os.path.join(suites_dir, v["suite_name"] + ".json")) as f:
             suite = json.load(f)
         rules, exps = ge_suite_split_row_rules(suite, v["suite_name"])
         row_rules.update(rules)
         batch_suites.append((v["suite_name"], exps))
+
+    # No row-level expectations → a vacuous pass-all rule keeps the
+    # delegate's contract (failed_rules is empty for every row).
+    gate = foreach_batch_quality_gate(
+        target_path,
+        quarantine_path,
+        row_rules or {"__ge_no_row_rules": F.lit(True)},
+        compact_every=compact_every,
+        target_file_bytes=target_file_bytes,
+    )
 
     def _max_bid(path: str) -> int:
         versions = snapshot_versions(path)
@@ -1023,40 +1056,10 @@ def foreach_batch_ge_checkpoint_gate(
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        flags = [
-            F.when(~F.coalesce(rule, F.lit(False)), F.lit(name))
-            for name, rule in row_rules.items()
-        ]
-        checked = batch.withColumn(
-            "failed_rules",
-            F.array_compact(F.array(*flags))
-            if flags
-            else F.array().cast("array<string>"),
-        )
-        bad = checked.filter(F.size("failed_rules") > 0)
-        good = checked.filter(F.size("failed_rules") == 0).drop("failed_rules")
-
-        q_prev = _max_bid(quarantine_path)
-        if batch_id > q_prev and not bad.isEmpty():
-            commit_snapshot(
-                bad,
-                quarantine_path,
-                mode="append",
-                meta={"batch_id": batch_id, "max_batch_id": max(batch_id, q_prev)},
-            )
-        t_prev = _max_bid(target_path)
-        if batch_id > t_prev and not good.isEmpty():
-            commit_snapshot(
-                good,
-                target_path,
-                mode="append",
-                meta={"batch_id": batch_id, "max_batch_id": max(batch_id, t_prev)},
-            )
+        gate(batch, batch_id)
         if audit_path is not None:
             a_prev = _max_bid(audit_path)
             if batch_id > a_prev:
-                import json
-
                 rows = []
                 for suite_name, exps in batch_suites:
                     for res in run_suite(batch, exps):

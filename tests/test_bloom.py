@@ -388,6 +388,28 @@ def test_streaming_fold_inline_retention(spark, sf_dir, tmp_path):
     with _p.raises(ValueError):
         foreach_batch_cms_merge(cms_path, "user_id", keep_versions=0)
 
+    # HLL fold retention too (the r9 review caught a missing import on
+    # exactly this path — keep it exercised).
+    from ssg_etl_spark.operators.sketches import hll_registers
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_hll_merge
+
+    hll_path = str(tmp_path / "hll")
+    hgate = foreach_batch_hll_merge(hll_path, [], "user_id", keep_versions=1)
+    hgate(events.limit(200), batch_id=0)
+    hgate(events.limit(400), batch_id=1)
+    assert len(snapshot_versions(hll_path)) == 1
+    folded = {
+        (r["reg"], r["max_rho"])
+        for r in read_snapshot(spark, hll_path).collect()
+    }
+    batch_regs = {
+        (r["reg"], r["max_rho"])
+        for r in hll_registers(events.limit(400), [], "user_id").collect()
+    }
+    assert folded == batch_regs  # 200-row batch ⊆ 400-row batch; MAX folds
+    with _p.raises(ValueError):
+        foreach_batch_hll_merge(hll_path, [], "user_id", keep_versions=0)
+
 
 def test_partition_invariance(spark):
     keys = spark.createDataFrame([(i,) for i in range(300)], ["k"])

@@ -59,6 +59,22 @@ def test_prefix_filter_exact_ceil_at_float_hostile_threshold(spark):
     assert pref == exact
 
 
+def test_prefix_filter_large_doc_float_repr_threshold(spark):
+    """r9 review finding: a float-repr threshold (1/3 → num/den =
+    3.3e15/1e16) made the BIGINT ceil product overflow silently (ANSI
+    off) for docs past ~2.7k shingles — negative prefix length, empty
+    prefix, duplicate pair silently dropped. The DECIMAL(38,0) product
+    must keep the pair."""
+    words = " ".join(f"w{i:04d}" for i in range(2802))  # 2800 shingles
+    docs = spark.createDataFrame(
+        [(1, words), (2, words)], "doc_id long, text string"
+    )
+    pref = _pairs(
+        dedup.ngram_jaccard_pairs_prefix(docs, 1 / 3, max_shingle_df=None)
+    )
+    assert pref == {(1, 2)}
+
+
 def test_prefix_filter_prunes_template_corpus(spark):
     """The regime the prefix filter exists for: a shared template makes
     every all-token join quadratic in |docs| (df-capping avoids that only

@@ -163,6 +163,56 @@ def test_ge_suite_json_loads_and_runs(spark, tmp_path):
         )
 
 
+def test_one_sided_ge_bounds(spark):
+    """r9 review finding: GE expresses 'at least 0' as
+    {"min_value": 0, "max_value": null}. between(lo, NULL) is three-valued
+    NULL for every in-range value — the suite verdict wrongly failed and
+    the dead-letter row rule quarantined 100% of rows. One-sided bounds
+    must mean unbounded on the missing side, in BOTH the aggregate
+    builders and the row predicates."""
+    from ssg_etl_spark.operators.quality import ge_suite_split_row_rules
+
+    df = spark.createDataFrame([(5,), (9,), (-3,)], "qty int")
+    results = {
+        r["name"]: r["passed"]
+        for r in Q.run_suite(
+            df,
+            [
+                Q.expect_between("qty", 0, None, mostly=0.6),
+                Q.expect_between("qty", None, 10),
+                Q.expect_max_between("qty", None, 9),
+                Q.expect_max_between("qty", 10, None),
+                Q.expect_min_between("qty", None, 0),
+                Q.expect_mean_between("qty", 0, None),
+                Q.expect_row_count_between(1, None),
+            ],
+        )
+    }
+    assert results["between(qty, 0, None)"] is True  # 2/3 >= 0.6
+    assert results["between(qty, None, 10)"] is True
+    assert results["max_between(qty, None, 9)"] is True
+    assert results["max_between(qty, 10, None)"] is False
+    assert results["min_between(qty, None, 0)"] is True
+    assert results["mean_between(qty, 0, None)"] is True
+    assert results["row_count_between(1, None)"] is True
+
+    # Row predicate: one-sided bound must NOT quarantine in-range rows.
+    suite = {
+        "expectations": [
+            {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {"column": "qty", "min_value": 0, "max_value": None},
+            }
+        ]
+    }
+    rules, _ = ge_suite_split_row_rules(suite, "s")
+    (rule,) = rules.values()
+    verdicts = [
+        r["ok"] for r in df.select(rule.alias("ok")).collect()
+    ]
+    assert verdicts == [True, True, False]
+
+
 def test_ge_structural_only_suite_needs_no_scan(spark):
     """A suite of only structural checks runs without any aggregation
     (merged agg dict empty — run_suite must not call df.agg())."""

@@ -79,10 +79,13 @@ def test_utc_ts_lit_honors_string_offsets(spark):
         utc_ts_lit("2024-01-01T05:00:00+05:00").alias("aware"),
         utc_ts_lit("2024-01-01 05:00:00").alias("naive"),
         utc_ts_lit("2024-06-02T00:30:00-02:30").alias("neg"),
+        utc_ts_lit("2024-01-01T05:00:00Z").alias("zulu"),
     ).first()
     assert row["aware"] == dt.datetime(2024, 1, 1, 0, 0, 0)
     assert row["naive"] == dt.datetime(2024, 1, 1, 5, 0, 0)
     assert row["neg"] == dt.datetime(2024, 6, 2, 3, 0, 0)
+    # 'Z' is an offset too (UTC) — wall fields kept, version-independent.
+    assert row["zulu"] == dt.datetime(2024, 1, 1, 5, 0, 0)
 
 
 @pytest.mark.parametrize("name", TZ_SENSITIVE)

@@ -232,3 +232,12 @@ def test_compact_snapshots_errors(spark, snap_dir):
         V.compact_snapshots(spark, snap_dir, version=7)
     with pytest.raises(ValueError):
         V.compact_snapshots(spark, snap_dir, target_file_bytes=0)
+    # r9 review finding: compacting a NON-latest version would publish its
+    # rows as the new latest (silent rollback) and regress the carried
+    # replay watermark — refuse loudly.
+    V.commit_snapshot(_df(spark, 5, 10), snap_dir)
+    with pytest.raises(ValueError, match="not the latest"):
+        V.compact_snapshots(spark, snap_dir, version=1)
+    before = _rows(spark, snap_dir)
+    assert V.snapshot_versions(snap_dir) == [1, 2]
+    assert _rows(spark, snap_dir) == before
