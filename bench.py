@@ -142,6 +142,7 @@ CURATION_FAMILY = [
     "quantiles_totalprice_refined",
     "quantiles_price_by_status_refined",
     "snapshot_compaction",
+    "ann_lsh_topk_auto",
 ]
 
 

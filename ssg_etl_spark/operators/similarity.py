@@ -52,11 +52,17 @@ def auto_bits_per_table(
     pass explicit bits and skip it entirely. The same scaling rule
     tools/scale_sweep.py applies manually per scale step.
     """
-    import math
-
     if n is None:
         n = embeddings.count()
-    return max(3, math.ceil(math.log2(max(2.0, n / float(target_occupancy)))))
+    # Integer-exact ceil(log2(n / occupancy)): ceil(log2(x)) ==
+    # ceil(log2(ceil(x))) (2^b is an integer, so 2^b >= x iff
+    # 2^b >= ceil(x)), and (m-1).bit_length() is ceil(log2(m)) for m >= 1.
+    # The float-log form this replaces could jitter ±1 bit when n sits at
+    # an exact power-of-two multiple of the occupancy — a SQL oracle
+    # replaying the same rule must never disagree by a whole bucket bit
+    # (r9; same value everywhere else).
+    m = max(2, -(-int(n) // int(target_occupancy)))
+    return max(3, (m - 1).bit_length())
 
 
 def auto_tables_for_recall(

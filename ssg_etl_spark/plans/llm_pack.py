@@ -252,6 +252,90 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The AUTO-BITS twin (r9): bits scale with corpus size exactly as the
+# operational path does (similarity.auto_bits_per_table — integer-exact
+# ceil(log2(ceil(n/occupancy))), floored at 3), so per-bucket occupancy —
+# and with it the candidate join's Σocc² cost — stays ~constant as the
+# corpus grows. This closes the sf1.0 finding that the PINNED-bits
+# registry query super-scales by construction (tools/sf1_embedding_r9:
+# 7.2× wall at 10× data): the auto form is the one a deployment runs.
+# The oracle computes the SAME bit count from COUNT(*) in pure integer
+# SQL (no float log — a 1-ulp libm disagreement would shift a whole
+# bucket bit) and replays the dynamic-width bucketization with string
+# bucket ids (equality is all a bucket id needs).
+from ssg_etl_spark.operators.similarity import AUTO_BITS_TARGET_OCCUPANCY  # noqa: E402
+
+_LSH_AUTO_TABLES = 8
+
+ANN_LSH_AUTO_SQL = f"""
+WITH bitsq AS (
+  SELECT MIN(b) AS bits
+  FROM range(3, 31) r(b), (SELECT COUNT(*) AS n FROM embeddings) c
+  WHERE (CAST(1 AS BIGINT) << b)
+        >= GREATEST(2, (c.n + {AUTO_BITS_TARGET_OCCUPANCY - 1})
+                       // {AUTO_BITS_TARGET_OCCUPANCY})),
+alist AS (
+  SELECT list(emb ORDER BY rn) AS anchors
+  FROM (
+    SELECT CAST(embedding AS DOUBLE[]) AS emb,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings) a, bitsq q
+  WHERE a.rn <= {_LSH_AUTO_TABLES} * q.bits),
+ebits AS (
+  SELECT e.vec_id,
+    list_transform(al.anchors,
+      x -> CASE WHEN list_dot_product(x, CAST(e.embedding AS DOUBLE[])) > 0
+           THEN '1' ELSE '0' END) AS sbits
+  FROM embeddings e, alist al),
+ebuckets AS (
+  SELECT s.vec_id, t.t AS tbl,
+    array_to_string(
+      array_slice(s.sbits, t.t * q.bits + 1, (t.t + 1) * q.bits), ''
+    ) AS bucket
+  FROM ebits s, bitsq q, range(0, {_LSH_AUTO_TABLES}) t(t)),
+qbuckets AS (
+  SELECT vec_id AS query_id, tbl, bucket FROM ebuckets WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, e.vec_id
+  FROM ebuckets e JOIN qbuckets q USING (tbl, bucket)
+  WHERE e.vec_id <> q.query_id),
+scored AS (
+  SELECT c.query_id, c.vec_id, {COSINE_SQL} AS cosine_sim
+  FROM cand c
+  JOIN embeddings a ON c.vec_id = a.vec_id
+  JOIN embeddings b ON c.query_id = b.vec_id)
+SELECT query_id, rank, vec_id, cosine_sim FROM (
+  SELECT query_id, vec_id, cosine_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id)
+      AS rank
+  FROM scored) t
+WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_lsh_topk_auto",
+    oracle=ANN_LSH_AUTO_SQL,
+    tags=("llm", "similarity", "scale"),
+    extra=True,
+)
+def ann_lsh_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-stable LSH top-k: bits auto-scale with corpus size
+    (similarity.auto_bits_per_table), holding per-bucket occupancy — the
+    candidate-cost driver — roughly constant across scale decades. The
+    oracle recomputes the identical integer bit count from COUNT(*) and
+    replays the dynamic-width bucketization, so the approximation itself
+    stays driver-checkable even though the bucket grid depends on the
+    data size. Extra registry: locally oracle-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_bucketed_topk(
+        emb, queries, k=10, n_tables=_LSH_AUTO_TABLES, bits_per_table=None
+    )
+
+
 @register(
     "ann_ivf_topk",
     oracle=COSINE_TOPK_SQL,

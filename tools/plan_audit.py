@@ -122,6 +122,7 @@ AUDIT_DEFAULT = [
     "quantiles_totalprice_refined",
     "quantiles_price_by_status_refined",
     "snapshot_compaction",
+    "ann_lsh_topk_auto",
 ]
 
 

@@ -51,6 +51,7 @@ STAGES = [
     "embedding_near_dup",
     "semantic_keep_list",
     "ann_lsh_topk",
+    "ann_lsh_topk_auto",
     "ann_ivf_probe",
     "kmeans_embeddings",
 ]
@@ -140,12 +141,16 @@ def main() -> int:
             .first()["med"]
         )
         exact = topk_sets(exact_df, k)
-        # Design-point recall set: true neighbors at cosine >= 0.7, the
-        # similarity the auto-tables formula targets (recall@10 over ALL
-        # kth neighbors is dominated by weak ~0.4-cosine pairs no LSH
-        # config promises anything about — report both).
+        # Strong-neighbor recall set: true top-k pairs at cosine >= 0.5.
+        # The fixture's embedding space is SMOOTH (measured: best pair
+        # 0.55, top-1 median 0.47, no pairs at the formula's 0.7 design
+        # point), so recall@10 over all kth neighbors is dominated by
+        # ~0.42-cosine pairs no sub-brute-force method promises anything
+        # about; the >=0.5 tail is the strongest structure that exists
+        # and the better proxy for the near-dup regime the family
+        # actually serves. Report both.
         exact_high = topk_sets(
-            exact_df.filter(F.col("cosine_sim") >= 0.7), k
+            exact_df.filter(F.col("cosine_sim") >= 0.5), k
         )
         exact_wall = round(time.time() - t0, 2)
         release_tracked()
@@ -191,14 +196,18 @@ def main() -> int:
             sets, wall = run(thunk)
             recall_report[name] = {
                 "recall_at_k": recall(exact, sets),
-                "recall_at_k_cos07": recall(exact_high, sets),
+                "recall_at_k_cos05": (
+                    recall(exact_high, sets)
+                    if any(s for s in exact_high.values())
+                    else None
+                ),
                 "wall_s": wall,
             }
         result["recall"] = {
             "k": k,
             "n_queries": n_queries,
             "median_kth_neighbor_cosine": round(float(kth), 4),
-            "n_queries_with_cos07_neighbors": len(
+            "n_queries_with_cos05_neighbors": len(
                 [q for q, s in exact_high.items() if s]
             ),
             "ivf_n_cells": n_cells,
