@@ -646,6 +646,15 @@ def histogram_quantiles_from_bins(
     counts = {int(r["bin"]): int(r["n"]) for r in rows}
     if not counts:
         raise ValueError("histogram has no bins")
+    # A persisted histogram read back with the wrong (lo, hi, n_bins) — or
+    # a corrupt bin row — would otherwise interpolate silently-wrong
+    # out-of-range values; fail loudly instead.
+    bad = [bi for bi in counts if not (0 <= bi < n_bins)]
+    if bad:
+        raise ValueError(
+            f"bin indices {sorted(bad)} outside [0, {n_bins}) — the "
+            "persisted histogram was not produced with this n_bins"
+        )
     total = sum(counts.values())
     width = (hi - lo) / n_bins
     walk = [

@@ -295,12 +295,14 @@ _GE_BUILDERS = {
         k["column"], k.get("min_value"), k.get("max_value")
     ),
     "expect_column_unique_value_count_to_be_between": lambda k:
-        expect_distinct_count_between(k["column"], k["min_value"], k["max_value"]),
+        expect_distinct_count_between(
+            k["column"], k.get("min_value"), k.get("max_value")
+        ),
     "expect_table_row_count_to_equal": lambda k: expect_row_count_between(
         k["value"], k["value"]
     ),
     "expect_table_row_count_to_be_between": lambda k: expect_row_count_between(
-        k["min_value"], k["max_value"]
+        k.get("min_value"), k.get("max_value")
     ),
 }
 

@@ -452,9 +452,15 @@ def snapshot_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = versioning.compact_snapshots(
         spark, snap_dir, target_file_bytes=512 * 1024 * 1024
     )
-    assert stats["compacted"] and stats["files_after"] < stats["files_before"], stats
+    # Explicit raises, not assert: these invariants must hold under
+    # ``python -O`` too (assert statements are stripped there).
+    if not (stats["compacted"] and stats["files_after"] < stats["files_before"]):
+        raise RuntimeError(f"compaction was a no-op: {stats}")
     # Every pre-compaction version must stay readable until vacuumed.
-    assert len(versioning.snapshot_versions(snap_dir)) == len(years) + 1
+    if len(versioning.snapshot_versions(snap_dir)) != len(years) + 1:
+        raise RuntimeError(
+            f"pre-compaction history lost: {versioning.snapshot_versions(snap_dir)}"
+        )
     return (
         versioning.read_snapshot(spark, snap_dir, version=stats["version"])
         .groupBy(F.year("o_orderdate").alias("order_year"))

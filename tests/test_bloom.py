@@ -328,6 +328,13 @@ def test_quantiles_from_streamed_histogram_fold(spark, sf_dir, tmp_path):
         histogram_quantiles_from_bins(spark, [], lo, hi, n_bins, qs)
     with _p.raises(ValueError):
         histogram_quantiles_from_bins(spark, batch_bins, 5.0, 5.0, n_bins, qs)
+    # r10 advice: a persisted histogram read back with a mismatched n_bins
+    # (bin index outside [0, n_bins)) must error, not silently interpolate
+    # out-of-range values.
+    with _p.raises(ValueError, match="outside"):
+        histogram_quantiles_from_bins(
+            spark, batch_bins, lo, hi, n_bins=4, qs=qs
+        )
 
 
 def test_streaming_fold_inline_retention(spark, sf_dir, tmp_path):

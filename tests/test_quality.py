@@ -213,6 +213,43 @@ def test_one_sided_ge_bounds(spark):
     assert verdicts == [True, True, False]
 
 
+def test_ge_omitted_bound_keys_mean_unbounded(spark):
+    """r10 advice: GE also allows OMITTING a bound key entirely (not just
+    null-valued) — the unique-count and row-count builders indexed
+    k['min_value'] directly and raised KeyError at suite load. An omitted
+    key must behave like an explicit null: unbounded on that side."""
+    df = spark.createDataFrame(
+        [("A",), ("B",), ("C",), (None,)], "code string"
+    )
+    exps = Q.load_ge_suite(
+        {
+            "expectations": [
+                {
+                    "expectation_type":
+                        "expect_column_unique_value_count_to_be_between",
+                    "kwargs": {"column": "code", "min_value": 2},
+                },
+                {
+                    "expectation_type":
+                        "expect_column_unique_value_count_to_be_between",
+                    "kwargs": {"column": "code", "max_value": 2},
+                },
+                {
+                    "expectation_type": "expect_table_row_count_to_be_between",
+                    "kwargs": {"min_value": 1},
+                },
+                {
+                    "expectation_type": "expect_table_row_count_to_be_between",
+                    "kwargs": {"max_value": 3},
+                },
+            ]
+        }
+    )
+    results = [r["passed"] for r in Q.run_suite(df, exps)]
+    # 3 distinct non-null codes, 4 rows.
+    assert results == [True, False, True, False]
+
+
 def test_ge_structural_only_suite_needs_no_scan(spark):
     """A suite of only structural checks runs without any aggregation
     (merged agg dict empty — run_suite must not call df.agg())."""
