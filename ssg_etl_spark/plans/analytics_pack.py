@@ -50,6 +50,7 @@ ORDER BY frequency DESC, item_a ASC, item_b ASC
 LIMIT 20
 """,
     tags=("J3", "A11", "O3", "P11"),
+    extra=True,
 )
 def product_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket self theta-join (Product_Association.sql:4-23)."""
@@ -203,6 +204,7 @@ SELECT nation_name, order_date, CAST(daily_sales AS DOUBLE) AS daily_sales,
 FROM daily
 """,
     tags=("W5",),
+    extra=True,
 )
 def running_total_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative sales per nation (pandas groupby().cumsum() twin)."""
@@ -224,6 +226,7 @@ SELECT part_key, supp_key, last_ship_date, last_price, last_quantity FROM (
 WHERE rn = 1
 """,
     tags=("J13", "W3"),
+    extra=True,
 )
 def asof_last_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of lookup: last row before cutoff per key (valuation :98-120)."""
@@ -450,6 +453,7 @@ def rollup_date_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_grouping_sets",
     oracle=rollups.GROUPING_SETS_SQL.format(table="events"),
     tags=("A1", "A2", "A3", "grouping-sets"),
+    extra=True,
 )
 def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three telemetry rollups in one pass (single scan + shuffle)."""
@@ -1132,7 +1136,6 @@ SELECT g AS o_orderstatus, q,
 FROM pick WHERE rn = 1
 """,
     tags=("sketch", "quantile", "profile"),
-    extra=True,
 )
 def quantiles_price_by_status_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status two-pass refined quantiles — the fully distributed

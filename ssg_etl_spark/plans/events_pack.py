@@ -110,6 +110,7 @@ SELECT COUNT(*) AS n_rows, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
 FROM batch
 """,
     tags=("M1", "M2", "M3", "M4", "P5"),
+    extra=True,
 )
 def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark protocol end-to-end: persisted max-event-time, strictly
@@ -508,6 +509,7 @@ FROM est
     "hll_daily_rollup",
     oracle=_hll_rollup_oracle(),
     tags=("events", "sketch", "rollup"),
+    extra=True,
 )
 def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-rollup algebra AS the correctness check: the query
@@ -551,6 +553,7 @@ FROM cells JOIN base ON cells.cp = base.cp
 GROUP BY 1
 """,
     tags=("events", "cohort", "journey"),
+    extra=True,
 )
 def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retention CURVE: the cohort matrix collapsed over cohorts —
@@ -593,6 +596,7 @@ SELECT p.from_type, p.to_type, p.n,
 FROM pairs p JOIN tot t ON p.from_type = t.from_type
 """,
     tags=("events", "journey", "markov"),
+    extra=True,
 )
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix (counts + row-normalized

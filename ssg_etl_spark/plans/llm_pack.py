@@ -93,7 +93,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=JACCARD_SQL, tags=("llm", "dedup"))
+@register("dedup_minhash_lsh", oracle=JACCARD_SQL, tags=("llm", "dedup"), extra=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates, exact-verified — equals the exact operator
     up to LSH recall (P(miss) ≈ (1-s²)^32: ~1e-40 at the data's s≈0.98),
@@ -317,7 +317,6 @@ WHERE rank <= 10
     "ann_lsh_topk_auto",
     oracle=ANN_LSH_AUTO_SQL,
     tags=("llm", "similarity", "scale"),
-    extra=True,
 )
 def ann_lsh_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Occupancy-stable LSH top-k: bits auto-scale with corpus size
@@ -696,7 +695,6 @@ SELECT doc_id, term_rank, term, tfidf FROM (
 WHERE term_rank <= 5
 """,
     tags=("llm", "text", "tfidf"),
-    extra=True,
 )
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (corpus characterization). Extra
@@ -793,7 +791,6 @@ SELECT doc_id, bucket,
 FROM b
 """,
     tags=("llm", "sampling"),
-    extra=True,
 )
 def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 80/10/10 train/val/test assignment by doc-id hash —
@@ -854,7 +851,6 @@ SELECT doc_id,
 FROM contactful
 """,
     tags=("llm", "text", "privacy"),
-    extra=True,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training privacy pass: email/phone scrubbing with match counts.
@@ -897,7 +893,6 @@ SELECT doc_id, chunk_id, chunk_words,
 FROM chunks
 """,
     tags=("llm", "text", "chunking"),
-    extra=True,
 )
 def chunk_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: chunks assigned to fixed 128-word training
@@ -1186,7 +1181,6 @@ FROM pairs
 WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
 """,
     tags=("llm", "dedup", "incremental"),
-    extra=True,
 )
 def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: near-dups of a NEW batch (doc_id % 10 = 0)
@@ -2232,7 +2226,6 @@ SELECT vec_id,
 FROM m
 """,
     tags=("llm", "similarity", "storage"),
-    extra=True,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
@@ -2282,7 +2275,6 @@ SELECT query_id, rank, vec_id, cosine_sim FROM (
 WHERE rank <= 10
 """,
     tags=("llm", "similarity", "storage"),
-    extra=True,
 )
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search over the int8-quantized corpus: float queries against
@@ -2325,7 +2317,6 @@ FROM nd JOIN src x ON nd.doc_a = x.doc_id
 GROUP BY 1, 2
 """,
     tags=("llm", "dedup", "profile"),
-    extra=True,
 )
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which sources mirror which: NEAR-duplicate pairs (3-gram Jaccard
@@ -2396,7 +2387,6 @@ scored AS (
 SELECT vec_new, vec_base, cosine_sim FROM scored WHERE cosine_sim >= 0.45
 """,
     tags=("llm", "dedup", "similarity", "incremental"),
-    extra=True,
 )
 def embedding_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup of a delta batch (vec_id % 10 = 0) against the
@@ -2434,7 +2424,6 @@ SELECT e.vec_id,
 FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
 """,
     tags=("llm", "dedup", "similarity", "pipeline"),
-    extra=True,
 )
 def semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding-space keep list: every vector keeps unless it sits in
@@ -2517,7 +2506,6 @@ ranked AS (
 SELECT domain, doc_id, cap_rank FROM ranked WHERE cap_rank <= 20
 """,
     tags=("llm", "curation", "web"),
-    extra=True,
 )
 def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (C4/RefinedWeb-style): parse_url host
@@ -2861,7 +2849,6 @@ SELECT doc_id, domain, bucket,
 FROM b
 """,
     tags=("llm", "sampling", "web"),
-    extra=True,
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-coherent train/val/test split keyed on the registrable
@@ -2891,7 +2878,6 @@ SELECT doc_id, quality_score, n_tokens,
 FROM c
 """,
     tags=("llm", "sampling", "quality"),
-    extra=True,
 )
 def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus selection under a token budget: documents in
@@ -3060,7 +3046,6 @@ SELECT doc_id, lang, epoch
 FROM u WHERE epoch < CAST(FLOOR(rate) AS INT) OR uu < rate - FLOOR(rate)
 """,
     tags=("llm", "sampling"),
-    extra=True,
 )
 def temperature_mixture_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha=0.5) language rebalancing: rare languages
@@ -3380,6 +3365,7 @@ SELECT tf.doc_id, tf.cell, tf.tf,
 FROM tf JOIN nrm ON tf.doc_id = nrm.doc_id
 """,
     tags=("llm", "text", "features"),
+    extra=True,
 )
 def hashed_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing vectorizer (hashing trick): tokens -> md5 cells ->
@@ -3434,7 +3420,6 @@ def hashed_tf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM embeddings",
     ),
     tags=("llm", "clustering", "serving"),
-    extra=True,
 )
 def kmeans_sample_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-on-sample / assign-everything: centroids fit on a 20%
@@ -3480,6 +3465,7 @@ FROM pts
     "random_projection_16",
     oracle=_rp_oracle(64, 16),
     tags=("llm", "similarity", "projection"),
+    extra=True,
 )
 def random_projection_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss signed random projection 64 -> 16 dims: the
@@ -3555,6 +3541,7 @@ SELECT doc_id, n_bigrams,
 FROM agg
 """,
     tags=("llm", "text", "quality"),
+    extra=True,
 )
 def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality score (lambda = 0.75, matching the
@@ -3675,6 +3662,7 @@ SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points,
 FROM sp GROUP BY 1
 """,
     tags=("llm", "clustering", "evaluation"),
+    extra=True,
 )
 def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified (centroid-based) silhouette per k-means cluster — the

@@ -51,6 +51,7 @@ SELECT COALESCE(s.cust_key, t.cust_key) AS cust_key,
 FROM target t FULL OUTER JOIN source s ON t.cust_key = s.cust_key
 """,
     tags=("M5", "M6", "M10", "J10"),
+    extra=True,
 )
 def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-rewrite merge: ON CONFLICT DO UPDATE semantics
@@ -143,6 +144,7 @@ SELECT cust_key, cust_name, acct_bal, DATE '2024-01-01', CAST(NULL AS DATE), TRU
 FROM changed
 """,
     tags=("M11",),
+    extra=True,
 )
 def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 expire-and-insert (dltproject/sql_product_scd.py:11-33).
@@ -296,7 +298,7 @@ def cdc_batch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("valuation_recompute", oracle=VALUATION_ORACLE, tags=("W6",))
+@register("valuation_recompute", oracle=VALUATION_ORACLE, tags=("W6",), extra=True)
 def valuation_recompute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful running weighted-average valuation via applyInPandas
     (item_valuation_update.py:160-243). Oracle: recursive CTE walking the

@@ -51,6 +51,7 @@ JOIN part p     ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 """,
     tags=("J2",),
+    extra=True,
 )
 def seven_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-way INNER equi-join: fact through six dimensions.
@@ -151,6 +152,7 @@ WHERE EXISTS (
 )
 """,
     tags=("P9",),
+    extra=True,
 )
 def tuple_in_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tuple-IN subquery as a composite-key LEFT SEMI join.

@@ -110,6 +110,7 @@ SELECT c_custkey AS cust_key, c_name AS cust_name, c_mktsegment AS segment,
 FROM customer WHERE c_custkey <= 1000
 """,
     tags=("sinks", "S2", "S4", "S6", "J11"),
+    extra=True,
 )
 def write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S4/S6/J11 driver-verified end-to-end: project a dim slice, stamp
@@ -238,7 +239,6 @@ SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
 FROM nation
 """,
     tags=("sources", "S7"),
-    extra=True,
 )
 def xlsx_folder_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 folder iteration: the reference loops a DIRECTORY of reference
@@ -422,7 +422,6 @@ FROM orders
 GROUP BY 1
 """,
     tags=("sources", "versioning", "compaction"),
-    extra=True,
 )
 def snapshot_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-packing OPTIMIZE end-to-end (r9): commit orders as SIX

@@ -16,7 +16,6 @@ def test_public_registry_contract():
     # Flagship relational queries lead the evaluation order.
     names = list(public)
     assert names[0] == "gl_enrichment"
-    assert names.index("seven_way_join") < 10
     # Every public query is hash-checkable against its oracle.
     no_oracle = {n for n, s in public.items() if not s.oracle}
     assert no_oracle == set()
