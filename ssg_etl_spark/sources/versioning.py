@@ -12,7 +12,10 @@ Design (deliberately minimal, single-writer):
   ``<path>/data/v<N>/`` and never touches previous files.
 * A commit is one JSON manifest ``<path>/_manifests/v<N>.json`` listing
   every data file visible in that version (append commits carry the
-  previous version's list plus the new files). The manifest directory
+  previous version's list plus the new files). Paths are stored RELATIVE
+  to the table root and resolved at read, so a committed table can be
+  moved or re-mounted wholesale (format 2, r10); legacy format-1
+  manifests with absolute paths stay readable. The manifest directory
   IS the log — versions are discovered by listing it, and a version is
   readable forever regardless of later commits.
 * Manifest publication is write-temp + ``os.replace`` (atomic on POSIX):
@@ -41,11 +44,41 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-FORMAT_VERSION = 1
+# Format 2 (r10): manifests store data-file paths RELATIVE to the table
+# root, so a committed table can be relocated (or mounted at a different
+# prefix on another box/object store) without rewriting its log — the
+# r9 portability finding. Readers resolve entries at read time and still
+# accept format-1 manifests (absolute paths) for tables committed before
+# the change.
+FORMAT_VERSION = 2
+_READABLE_FORMATS = (1, 2)
 
 
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
+
+
+def _resolve_file(root: str, entry: str) -> str:
+    """Resolve a manifest file entry against the table root. Relative
+    entries (format 2) attach to wherever the table lives NOW; absolute
+    entries (legacy format 1) pass through unchanged."""
+    if os.path.isabs(entry):
+        return entry
+    return os.path.join(os.path.abspath(root), entry)
+
+
+def _manifest_files(path: str, version: int) -> list[str]:
+    """A version's data files, resolved to readable paths."""
+    return [
+        _resolve_file(path, e) for e in _read_manifest(path, version)["files"]
+    ]
+
+
+def _file_size(resolved_path: str) -> int:
+    """Size of one data file — the single seam every byte-sizing call
+    goes through, so an object-store deployment swaps one function (a
+    listing/HEAD call), not call sites."""
+    return os.path.getsize(resolved_path)
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -70,7 +103,7 @@ def snapshot_versions(path: str) -> list[int]:
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as f:
         m = json.load(f)
-    if m.get("format_version") != FORMAT_VERSION:
+    if m.get("format_version") not in _READABLE_FORMATS:
         raise ValueError(
             f"unsupported manifest format {m.get('format_version')!r}"
         )
@@ -164,8 +197,15 @@ def commit_snapshot(
         prefix=f"v{version}-", dir=os.path.join(path, "data")
     )
     df.write.mode("overwrite").parquet(data_dir)
-    files = _data_files(data_dir)
+    root = os.path.abspath(path)
+    files = [
+        os.path.relpath(f, root)
+        for f in _data_files(os.path.abspath(data_dir))
+    ]
     if mode == "append" and versions:
+        # Carry prior entries AS STORED (a legacy-absolute entry stays
+        # absolute; rewriting it relative would break if it points
+        # outside the table root).
         files += _read_manifest(path, versions[-1])["files"]
     _publish_manifest(path, version, files, meta)
     return version
@@ -184,8 +224,7 @@ def read_snapshot(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    files = _read_manifest(path, version)["files"]
-    return spark.read.parquet(*files)
+    return spark.read.parquet(*_manifest_files(path, version))
 
 
 def compact_snapshots(
@@ -239,8 +278,8 @@ def compact_snapshots(
             "compaction always publishes as the new latest, so only the "
             "latest version may be compacted"
         )
-    files = _read_manifest(path, version)["files"]
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    files = _manifest_files(path, version)
+    total_bytes = sum(_file_size(f) for f in files)
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
     if len(files) <= n_out:
         return {
@@ -287,7 +326,9 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> dict:
     keep = versions[-keep_last:]
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(path, v)["files"])
+        referenced.update(
+            os.path.abspath(f) for f in _manifest_files(path, v)
+        )
     files_deleted = 0
     data_root = os.path.join(path, "data")
     if os.path.isdir(data_root):
@@ -296,7 +337,7 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> dict:
             if not os.path.isdir(d):
                 continue
             for name in os.listdir(d):
-                fp = os.path.join(d, name)
+                fp = os.path.abspath(os.path.join(d, name))
                 if name.endswith(".parquet") and fp not in referenced:
                     os.remove(fp)
                     files_deleted += 1

@@ -215,7 +215,7 @@ def test_compact_snapshots_respects_target_size(spark, snap_dir):
     """A target smaller than the data splits into multiple evenly-sized
     files (ceil(total/target)), never one monolith."""
     V.commit_snapshot(_df(spark, 0, 20000).repartition(16), snap_dir)
-    files = V._read_manifest(snap_dir, 1)["files"]
+    files = V._manifest_files(snap_dir, 1)
     total = sum(os.path.getsize(f) for f in files)
     target = total // 3  # expect ceil(total/target) = 4 (or 3) outputs
     stats = V.compact_snapshots(spark, snap_dir, target_file_bytes=target)
@@ -241,3 +241,80 @@ def test_compact_snapshots_errors(spark, snap_dir):
     before = _rows(spark, snap_dir)
     assert V.snapshot_versions(snap_dir) == [1, 2]
     assert _rows(spark, snap_dir) == before
+
+
+def test_table_relocation_and_legacy_manifest(spark, snap_dir):
+    """r10 (r9 portability finding): manifests store paths relative to the
+    table root, so a committed table survives a wholesale move — time
+    travel, compaction, meta, and vacuum all keep working at the new
+    location — and a legacy format-1 manifest (absolute paths) still
+    reads."""
+    import json
+
+    V.commit_snapshot(_df(spark, 0, 100).repartition(4), snap_dir)
+    V.commit_snapshot(_df(spark, 100, 150), snap_dir, meta={"batch": 7})
+    # Stored entries are relative: no leading separator, and the manifest
+    # contains no trace of the scratch prefix.
+    for v in (1, 2):
+        for e in V._read_manifest(snap_dir, v)["files"]:
+            assert not os.path.isabs(e), e
+            assert e.startswith("data" + os.sep), e
+
+    moved = snap_dir + "_moved"
+    shutil.move(snap_dir, moved)
+    try:
+        assert V.snapshot_versions(moved) == [1, 2]
+        got1 = {r.id for r in V.read_snapshot(spark, moved, version=1).collect()}
+        assert got1 == set(range(100))
+        latest = {r.id for r in V.read_snapshot(spark, moved).collect()}
+        assert latest == set(range(150))
+        assert V.snapshot_meta(moved, 2)["batch"] == 7
+        # Compaction sizes files through the resolve seam at the new root.
+        stats = V.compact_snapshots(spark, moved, target_file_bytes=1 << 30)
+        assert stats["compacted"] is True and stats["version"] == 3
+        assert {
+            r.id for r in V.read_snapshot(spark, moved).collect()
+        } == set(range(150))
+        # Vacuum resolves referenced files at the new root too: it must
+        # keep every file of the kept version.
+        V.vacuum_snapshots(moved, keep_last=1)
+        assert {
+            r.id for r in V.read_snapshot(spark, moved).collect()
+        } == set(range(150))
+    finally:
+        shutil.rmtree(moved, ignore_errors=True)
+
+
+def test_legacy_absolute_manifest_still_reads(spark, snap_dir):
+    """A format-1 manifest (absolute paths, pre-r10) reads unchanged, and
+    an append on top of it carries the absolute entries as stored."""
+    import json
+
+    V.commit_snapshot(_df(spark, 0, 30), snap_dir)
+    # Rewrite v1 as a legacy manifest with absolute paths.
+    m = V._read_manifest(snap_dir, 1)
+    legacy = {
+        "format_version": 1,
+        "version": 1,
+        "files": sorted(V._manifest_files(snap_dir, 1)),
+        "meta": {},
+    }
+    with open(V._manifest_path(snap_dir, 1), "w") as f:
+        json.dump(legacy, f)
+    assert {r.id for r in V.read_snapshot(spark, snap_dir).collect()} == set(
+        range(30)
+    )
+    V.commit_snapshot(_df(spark, 30, 40), snap_dir)
+    m2 = V._read_manifest(snap_dir, 2)
+    assert m2["format_version"] == 2
+    assert any(os.path.isabs(e) for e in m2["files"])  # carried as stored
+    assert any(not os.path.isabs(e) for e in m2["files"])  # new ones relative
+    assert {r.id for r in V.read_snapshot(spark, snap_dir).collect()} == set(
+        range(40)
+    )
+    # An unknown future format still refuses loudly.
+    bad = dict(m, format_version=99)
+    with open(V._manifest_path(snap_dir, 1), "w") as f:
+        json.dump(bad, f)
+    with pytest.raises(ValueError, match="unsupported manifest format"):
+        V.read_snapshot(spark, snap_dir, version=1)
