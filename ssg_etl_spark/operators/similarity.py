@@ -11,6 +11,22 @@ Scale design: brute-force is O(Q·N) — fine when the query set is small and
 broadcast; the banded LSH variant prunes N to bucket-mates, trading recall
 for a ~bucket-count speedup. At 100 TB, partition embeddings by bucket and
 broadcast the query signatures.
+
+OPERATIONAL DEFAULT (r9 sf1.0 sweep, tools/sf1_embedding_r9.json; decision
+table in COVERAGE.md "Decade conclusions"): use the INT8-QUANTIZED EXACT
+scan (``quantize_int8`` storage + ``dequantize`` into the brute-force
+top-k, the `ann_quantized_topk` composition) as the default ANN path —
+at 20k vectors it measured recall 0.990 (1.000 on cosine ≥ 0.5 pairs) at
+2× the speed of full-precision brute force, beating every index path
+(LSH auto-tables 0.47, IVF 0.46) outright. Index structures earn their
+keep only past brute-force scale: switch to the persisted IVF index
+(``build_ivf_index``/``ivf_topk_vs_index``) once per-executor quantized
+scan cost exceeds the probe cost — i.e. when N · d bytes (int8) outgrows
+what a scan can stream per query batch, roughly N ≳ 10⁷ at d=128 — and
+keep ``lsh_bucketed_topk_auto`` for the self-join (near-dup) shape where
+a query set never materializes. Sign-LSH cannot promise recall for
+weak-cosine (<0.5) neighbors at any config; treat its recall numbers as
+the honest cost of sublinearity, not a tuning failure.
 """
 
 from __future__ import annotations

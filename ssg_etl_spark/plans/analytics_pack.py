@@ -800,8 +800,7 @@ def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over the four lineitem measures in one
     scan + one aggregation (df.stat.corr would run a job per pair) —
     DECIMAL-exact sufficient statistics, so the oracle replays r to the
-    last rounded digit under any row order. Extra registry: locally
-    oracle-verified."""
+    last rounded digit under any row order. Public registry (driver-checked)."""
     return correlation_matrix(
         load_table(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
@@ -946,7 +945,7 @@ def quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-sketch quantiles (p25/p50/p90/p99) of order totals —
     deterministic mergeable alternative to percentile_approx, error
     bounded by one bin width (operators/analytics.py:
-    histogram_quantiles). Extra registry: locally oracle-verified."""
+    histogram_quantiles). Public registry (driver-checked)."""
     return analytics.histogram_quantiles(
         load_table(spark, sf_dir, "orders"), "o_totalprice", _Q_QS, _Q_BINS
     )
@@ -996,8 +995,7 @@ def quantiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order-status price quantiles from globally-bin-aligned
     histograms — the distributed grouped form (windows partitioned by
     group, O(groups x bins) intermediate; operators/analytics.py:
-    histogram_quantiles_grouped). Extra registry: locally
-    oracle-verified."""
+    histogram_quantiles_grouped). Public registry (driver-checked)."""
     return analytics.histogram_quantiles_grouped(
         load_table(spark, sf_dir, "orders"),
         "o_totalprice",
@@ -1069,8 +1067,7 @@ def quantiles_totalprice_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     only each q's containing bin, cutting the error bound from
     (max-min)/20 to (max-min)/400 — the p99 fix for heavy-tailed money
     columns (operators/analytics.py:histogram_quantiles_refined). The
-    oracle replays both passes' double arithmetic exactly. Extra
-    registry: locally oracle-verified."""
+    oracle replays both passes' double arithmetic exactly. Public registry (driver-checked)."""
     return analytics.histogram_quantiles_refined(
         load_table(spark, sf_dir, "orders"), "o_totalprice", _Q_QS, _Q_BINS
     )
@@ -1166,8 +1163,7 @@ def quantiles_price_by_status_refined(spark: SparkSession, sf_dir: str) -> DataF
     grouped twin (located-bin table never collected; windows partitioned
     by (group, q) only; error one SUB-bin width on the global grid;
     operators/analytics.py:histogram_quantiles_grouped_refined). The
-    oracle replays both passes exactly, group-partitioned. Extra
-    registry: locally oracle-verified."""
+    oracle replays both passes exactly, group-partitioned. Public registry (driver-checked)."""
     return analytics.histogram_quantiles_grouped_refined(
         load_table(spark, sf_dir, "orders"),
         "o_totalprice",
@@ -1223,7 +1219,7 @@ def bloom_new_key_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |delta| to |delta|·(hit-rate + fp-rate) rows — the same
     prefilter economics as the runtime-bloom incremental dedup, but
     with a PERSISTED, mergeable filter the pipeline owns
-    (operators/bloom.py). Extra registry: locally oracle-verified."""
+    (operators/bloom.py). Public registry (driver-checked)."""
     from ssg_etl_spark.operators.bloom import bloom_build, bloom_probe
 
     orders = load_table(spark, sf_dir, "orders")

@@ -629,8 +629,7 @@ def quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/pipeline.py:foreach_batch_quality_gate): the same
     row-rule semantics — NULL verdicts FAIL — as a per-row pass/
     quarantine report with the failing rule names, oracle-checked.
-    The rule expressions are one projection; no shuffle at all. Extra
-    registry: locally oracle-verified."""
+    The rule expressions are one projection; no shuffle at all. Public registry (driver-checked)."""
     events = load_table(spark, sf_dir, "events")
     rules = {
         "value_positive": F.col("value") > 0,
@@ -680,8 +679,7 @@ def bloom_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-calendar-day Bloom filters over event users, OR-merged into
     the global membership filter (operators/bloom.py:bloom_merge). The
     oracle builds the global filter directly from the key set — equality
-    proves the day-partitioned merge is exact, not approximate. Extra
-    registry: locally oracle-verified."""
+    proves the day-partitioned merge is exact, not approximate. Public registry (driver-checked)."""
     from ssg_etl_spark.operators.bloom import bloom_build, bloom_merge
 
     events = load_table(spark, sf_dir, "events")

@@ -86,8 +86,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning by the prefix-filter lemma (rarest-first global shingle
     order), then exact verification; identical result set to
     dedup_ngram_jaccard, hence the shared oracle
-    (operators/dedup.py:ngram_jaccard_pairs_prefix). Extra registry:
-    locally oracle-verified."""
+    (operators/dedup.py:ngram_jaccard_pairs_prefix). Public registry (driver-checked)."""
     return dedup.ngram_jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"), 0.5
     )
@@ -325,7 +324,7 @@ def ann_lsh_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the identical integer bit count from COUNT(*) and
     replays the dynamic-width bucketization, so the approximation itself
     stays driver-checkable even though the bucket grid depends on the
-    data size. Extra registry: locally oracle-verified."""
+    data size. Public registry (driver-checked)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -369,8 +368,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force, so the parquet round-trip is inside the exactness oracle:
     any serialization drift in centroids or cell assignment flips the
     hash. The probe-≪-build wall split is measured in bench.py; recall at
-    default n_probe is pinned by tests/test_similarity.py. Extra
-    registry: public surface at the 50-entry driver cap."""
+    default n_probe is pinned by tests/test_similarity.py. Public registry (driver-checked)."""
     import atexit
     import shutil
     import tempfile
@@ -631,8 +629,7 @@ def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize UN-FAKED end-to-end: binary PPM assets through
     the numpy nearest-neighbor resample inside the Arrow mapInPandas
     stage (fake=False), output bytes verified byte-for-byte by a DuckDB
-    replay of the integer index arithmetic. Extra registry: locally
-    oracle-verified."""
+    replay of the integer index arithmetic. Public registry (driver-checked)."""
     assets = multimodal.ppm_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -697,8 +694,7 @@ WHERE term_rank <= 5
     tags=("llm", "text", "tfidf"),
 )
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 TF-IDF terms per document (corpus characterization). Extra
-    registry: locally oracle-verified, off the 50-entry driver surface."""
+    """Top-5 TF-IDF terms per document (corpus characterization). Public registry (driver-checked)."""
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
 
 
@@ -796,7 +792,7 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 80/10/10 train/val/test assignment by doc-id hash —
     stable under repartition, re-run, and incremental appends (no RNG;
     Spark's randomSplit is partitioning-dependent and un-oracle-able).
-    Extra registry: locally oracle-verified."""
+    Public registry (driver-checked)."""
     return sampling.hash_split(load_table(spark, sf_dir, "documents"))
 
 
@@ -856,8 +852,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training privacy pass: email/phone scrubbing with match counts.
     The corpus is synthetic and PII-free, so the query plants one email and
     one phone per document (derived from doc_id — deterministic in both
-    engines) to prove the redaction actually fires. Extra registry:
-    locally oracle-verified."""
+    engines) to prove the redaction actually fires. Public registry (driver-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     contactful = docs.select(
         "doc_id",
@@ -897,8 +892,7 @@ FROM chunks
 def chunk_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: chunks assigned to fixed 128-word training
     windows by cumulative offset within each document — the declarative,
-    per-doc-parallel packing form. Extra registry: locally
-    oracle-verified."""
+    per-doc-parallel packing form. Public registry (driver-checked)."""
     chunks = text.chunk_documents(
         load_table(spark, sf_dir, "documents"),
         chunk_words=_CHUNK,
@@ -1187,7 +1181,7 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the EXISTING corpus (the rest) — bucket join is delta×base,
     so the quadratic base×base term never exists. This is how a daily
     crawl batch dedups against a 100 TB corpus whose signatures are a
-    precomputed table. Extra registry: locally oracle-verified.
+    precomputed table. Public registry (driver-checked).
 
     Oracle soundness: the oracle is the exact pairwise Jaccard restricted
     to mixed pairs, while the operator emits only LSH-colliding candidates
@@ -2100,7 +2094,7 @@ def dedup_keep_list_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a mega-duplicated page (10⁶ identical copies, one digest) reduces
     to one row per input partition instead of materializing the whole
     group in a single window partition — the same skew contract as
-    chunk_keep_list. Extra registry: locally oracle-verified."""
+    chunk_keep_list. Public registry (driver-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id",
@@ -2234,7 +2228,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (x / (amax/127), HALF-away rounding) so the codes hash-match
     exactly; the int8 codes are projected as a CSV string because the
     driver's schema compare is kind-strict and has no array kind.
-    Extra registry: locally oracle-verified."""
+    Public registry (driver-checked)."""
     q = similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
     return q.select(
         "vec_id",
@@ -2281,7 +2275,10 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequantized codes — proof the 4×-smaller storage form is usable
     end-to-end, with the oracle replaying quantize→dequantize→cosine→rank
     bit-for-bit. Recall vs the float corpus is pinned in
-    tests/test_similarity.py. Extra registry: locally oracle-verified."""
+    tests/test_similarity.py. THE DOCUMENTED ANN DEFAULT (r10): the r9
+    sf1.0 sweep measured recall 0.99 at 2x brute-force speed, beating
+    every index path at 20k vectors — see operators/similarity.py module
+    docstring for the brute-vs-IVF crossover rule."""
     emb = load_table(spark, sf_dir, "embeddings")
     deq = similarity.dequantize(similarity.quantize_int8(emb))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -2324,7 +2321,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups) counted per unordered source pair; the diagonal is within-source
     duplication. Pair generation is the df-capped shingle join, never
     all-pairs. The curation view that finds crawls copying each other.
-    Extra registry: locally oracle-verified."""
+    Public registry (driver-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, 0.5).select("doc_a", "doc_b")
     src = docs.select("doc_id", "source")
@@ -2393,8 +2390,7 @@ def embedding_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     base corpus: delta×base bucket join — the base×base term never exists,
     mirroring the MinHash incremental contract. Anchors from the base (at
     scale: part of a persisted index probed per batch). Deterministic →
-    the oracle replays buckets + verification. Extra registry: locally
-    oracle-verified."""
+    the oracle replays buckets + verification. Public registry (driver-checked)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_near_dup_pairs_incremental(
         emb.filter(F.col("vec_id") % 10 != 0),
@@ -2431,7 +2427,7 @@ def semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic twin of ``dedup_keep_list``'s text pipeline, one decision row
     per corpus vector (training set = reason 'kept'). Same corpus-linear
     stages as ``embedding_dup_clusters`` plus one left join back to the
-    full corpus. Extra registry: locally oracle-verified."""
+    full corpus. Public registry (driver-checked)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.lsh_near_dup_pairs(
         emb, 0.45, n_tables=8, bits_per_table=3
@@ -2513,7 +2509,7 @@ def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold into one domain) → keep the 20 hash-rank-first documents per
     domain. The rank window rides WindowGroupLimit (map-side k-per-
     stratum shedding), so a mega-domain never funnels one reducer.
-    Extra registry: locally oracle-verified."""
+    Public registry (driver-checked)."""
     return web.domain_cap(
         web.with_url_host(_docs_with_urls(spark, sf_dir)), 20
     )
@@ -2854,8 +2850,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-coherent train/val/test split keyed on the registrable
     domain: every page of a site lands in the same split, so near-dup
     and same-site correlations cannot leak between train and eval — the
-    guard a per-document split cannot give. Extra registry: locally
-    oracle-verified."""
+    guard a per-document split cannot give. Public registry (driver-checked)."""
     hosted = web.with_url_host(_docs_with_urls(spark, sf_dir))
     return sampling.group_split(hosted, "domain")
 
@@ -2884,7 +2879,7 @@ def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-descending order until 10k cumulative tokens — "train on the
     best N tokens". The global ordered cumsum runs on the two-level
     histogram scheme (W2's machinery); no single-partition window.
-    Extra registry: locally oracle-verified."""
+    Public registry (driver-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     m = text.text_metrics(docs).select(
         "doc_id",
@@ -2947,8 +2942,7 @@ FROM documents
 def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global corpus permutation (pre-training shuffle) by
     (md5(doc_id), doc_id) rank — W2's histogram-offset machinery on a
-    hash-prefix key, no single-partition window. Extra registry: locally
-    oracle-verified."""
+    hash-prefix key, no single-partition window. Public registry (driver-checked)."""
     return sampling.deterministic_shuffle(
         load_table(spark, sf_dir, "documents")
     )
@@ -2993,7 +2987,7 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries the corpus for its 10 most relevant documents — the inverted-
     index posting-list join expressed relationally, with retrieval-based
     decontamination and relevance curation as the downstream uses.
-    Extra registry: locally oracle-verified."""
+    Public registry (driver-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("query_id"), "text"
@@ -3019,7 +3013,7 @@ def weighted_sample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars — the quality/length-weighted corpus subsampling step, as a
     pure function of (id, weight): ξ = hash-uniform/weight, global
     smallest-k via TakeOrderedAndProject (per-partition partial top-k, no
-    global sort). Extra registry: locally oracle-verified."""
+    global sort). Public registry (driver-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.weighted_sample(docs, k=500, weight_col="n_chars")
 
@@ -3052,7 +3046,7 @@ def temperature_mixture_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsampled, dominant downsampled, expected corpus size preserved —
     per-group rates from one dimension-sized count aggregation with an
     exact DECIMAL normalizer, broadcast back, epochs via the shared
-    hash-threshold Bernoulli. Extra registry: locally oracle-verified."""
+    hash-threshold Bernoulli. Public registry (driver-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.temperature_mixture(docs, alpha=0.5, group_col="lang")
 
@@ -3427,8 +3421,7 @@ def kmeans_sample_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     `kmeans_assign_precomputed` — whose plan is a pure scan+project with
     ZERO shuffles (the model rides the expression as folded literals).
     This is the 100 TB serving shape: training touches a bounded sample;
-    labeling is one embarrassingly parallel map over everything. Extra
-    registry: locally oracle-verified."""
+    labeling is one embarrassingly parallel map over everything. Public registry (driver-checked)."""
     from ssg_etl_spark.operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3502,8 +3495,7 @@ FROM samp WHERE rn2 <= 25
 def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-balanced sample: 25 items from each of 4 k-means
     clusters, selected by deterministic md5 order — equal semantic
-    coverage for training mixtures (operators/clustering.py). Extra
-    registry: locally oracle-verified."""
+    coverage for training mixtures (operators/clustering.py). Public registry (driver-checked)."""
     from ssg_etl_spark.operators import clustering
 
     return clustering.cluster_balanced_sample(
@@ -3702,8 +3694,7 @@ def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     40/30/20/10 over four sources — per-source epoch rates derived from
     the corpus's actual token totals (one k-row aggregation), then the
     zero-shuffle epoch-explode sample, rate carried per row for audit
-    (operators/sampling.py:plan_token_mixture). Extra registry: locally
-    oracle-verified."""
+    (operators/sampling.py:plan_token_mixture). Public registry (driver-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.plan_token_mixture(
         docs,

@@ -246,7 +246,7 @@ def xlsx_folder_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes three workbooks (nation dim split by key mod 3) into a
     temp dir, reads the whole directory through one read_excel call with a
     lineage column, and oracles typed rows + originating basename against
-    the dim. Extra registry: locally oracle-verified."""
+    the dim. Public registry since the r10 rotation."""
     import hashlib
     import os
     import tempfile
@@ -354,7 +354,7 @@ def zorder_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     this key keeps per-file min-max stats tight on BOTH columns at once.
     One 1-row min/max aggregate broadcast back + pure bit-interleave
     column math; the oracle replays the identical IEEE quantization.
-    Extra registry: locally oracle-verified."""
+    Public registry (driver-checked)."""
     return zorder_key(
         load_table(spark, sf_dir, "orders"),
         ["o_totalprice", "o_custkey"],
@@ -381,7 +381,7 @@ def snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     append the rest as v2, then time-travel-read v1 — the pinned version
     must replay the original filter exactly even though the table has
     since grown (manifest-listed files only; later commits never touch
-    them). Extra registry: locally oracle-verified."""
+    them). Public registry (driver-checked)."""
     import atexit
     import shutil
     import tempfile
@@ -431,7 +431,7 @@ def snapshot_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero rows. File-count reduction and history survival are asserted
     in-query (a no-op compaction fails the query, not just a pytest);
     crash-safety and vacuum reclaim are pinned in tests/
-    test_versioning.py. Extra registry: locally oracle-verified."""
+    test_versioning.py. Public registry since the r10 rotation."""
     import atexit
     import shutil
     import tempfile
