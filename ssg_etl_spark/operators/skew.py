@@ -44,6 +44,18 @@ def salted_sum_count(
     ``n_salts`` reducers; stage 2 combines the ≤ n_salts partials per key.
     The second shuffle moves only ``|distinct keys| × n_salts`` rows.
     Decimal intermediates keep the sum order-independent (engine-portable).
+
+    MEASURED HONESTY (r10 skew sweep, tools/skew_sweep_r10.json, 30%-hot
+    -key fixture): for DECOMPOSABLE aggregates the naive single-shuffle
+    plan is already skew-protected — Spark's map-side partial aggregation
+    collapses the hot key to one partial row per task before the shuffle,
+    and the sweep measures naive ≈ salted wall with balanced tasks for
+    both. The salted form earns its keep where map-side combine is
+    ineffective: pair/EXPAND shapes between the rows and the aggregate
+    (``product_association_salted``, pinned by the megarow tests here) and
+    huge per-task group cardinality. Join skew has no such structural
+    absorption — see ``salted_join`` and the sweep's join_noaqe 10× task
+    imbalance.
     """
     stage1 = (
         df.withColumn("_salt", salt_col(spread, n_salts))

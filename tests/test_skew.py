@@ -287,3 +287,50 @@ def test_global_row_number_handles_null_prefix(spark):
         (dt.date(2021, 5, 1), 9),
     ]
     assert out.filter(F.col("d").isNull()).count() == 2
+
+
+def test_salted_plans_route_through_salt(spark):
+    """r10 skew-sweep companion (tools/skew_sweep.py): the salted forms
+    must actually ROUTE the shuffle through the salt — stage 1 of
+    salted_sum_count exchanges on (keys…, _salt) before the final
+    per-key exchange, and salted_join's equi-join keys include _salt with
+    the small side exploded n_salts×. Values on the hostile fixture are
+    pinned by the other tests; this pins the physical shape those wall/
+    shuffle numbers came from."""
+    import io
+    from contextlib import redirect_stdout
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    import re
+
+    df = _skewed(spark)
+    # Two shuffle rounds in order: first on (k, _salt) — the hot key's
+    # rows physically spread n_salts ways — then the per-key final.
+    agg_plan = plan_of(skew.salted_sum_count(df, ["k"], "v", spread="line_id"))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", agg_plan)
+    assert len(parts) == 2, agg_plan
+    assert "_salt" in parts[0] and "_salt" not in parts[1], agg_plan
+
+    dim = spark.createDataFrame(
+        [("HOT", "hot-dim"), ("cold", "cold-dim")], ["k", "label"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join_plan = plan_of(skew.salted_join(df, dim, "k", spread="line_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # Small side replicated n_salts× via explode; the join itself keys on
+    # (k, _salt): the hot key spreads 16 ways.
+    assert "explode(" in join_plan, join_plan
+    key_lines = [
+        ln
+        for ln in join_plan.splitlines()
+        if ln.startswith("Left keys") or ln.startswith("Right keys")
+    ]
+    assert key_lines and all("_salt" in ln for ln in key_lines), join_plan

@@ -1,0 +1,243 @@
+"""Hot-key skew sweep: MEASURED proof the salted forms and AQE skew-join
+hold task balance where the naive shapes degrade (r10; SURVEY §7.9).
+
+The registry's salted queries are oracle-checked on uniform TPC-H-ish
+data, which proves exactness but not the operational claim. This tool
+synthesizes the hostile fixture the operators were built for — a Zipf-ish
+events table where ONE key carries 30% of all rows (reference analog:
+per-lane hanger volumes, dags/hanger_lane.py — a physical lane is a hot
+key) — and measures, per execution shape:
+
+  wall_s            end-to-end wall of the consuming action
+  task_p50/p100_ms  median / max task duration of the heaviest shuffle
+                    stage (the skew signature: naive p100 >> p50)
+  sr_p50/p100_mb    per-task shuffle-read bytes at the same quantiles
+  balance           p100/p50 task duration — ~1 is balanced
+
+Shapes measured:
+  agg_naive      groupBy(k).agg(...)   — one reducer owns the hot key
+  agg_salted     skew.salted_sum_count — two-stage, hot key split 16 ways
+  join_noaqe     SMJ fact⋈dim, AQE skew-join OFF (what a plain engine does)
+  join_aqe       same join, AQE skew-join ON (runtime partition split)
+  join_salted    skew.salted_join      — explicit replicate-small-side
+
+Broadcast is disabled for the join shapes: at the 100 TB operating point
+the dim side exceeds any broadcast budget, and a broadcast join would
+dodge the shuffle this sweep exists to measure. Aggregation skew has no
+AQE mitigation at all — that is exactly why salted_sum_count exists.
+
+Usage: python tools/skew_sweep.py [n_rows]   (default 4,000,000)
+Writes tools/skew_sweep_r10.json when run from the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_TAIL_KEYS = 20_000
+N_SALTS = 16
+
+
+def _api(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/{path}") as r:
+        return json.loads(r.read())
+
+
+def _stages(spark) -> dict:
+    return {
+        (st["stageId"], st["attemptId"]): st
+        for st in _api(spark, "stages?status=complete")
+    }
+
+
+def _task_summary(spark, stage_id: int, attempt: int) -> dict:
+    return _api(
+        spark,
+        f"stages/{stage_id}/{attempt}/taskSummary?quantiles=0.5,1.0",
+    )
+
+
+def measure(spark, label: str, action) -> dict:
+    before = set(_stages(spark))
+    t0 = time.monotonic()
+    action()
+    wall = time.monotonic() - t0
+    time.sleep(0.4)  # listener-bus settle, same as shuffle_audit
+    new = {k: v for k, v in _stages(spark).items() if k not in before}
+    # The skew signature lives in the heaviest shuffle-READ stage (the
+    # reducer side); fall back to the longest stage for scan-only shapes.
+    key = max(
+        new,
+        key=lambda k: (new[k].get("shuffleReadBytes", 0), new[k].get("executorRunTime", 0)),
+    )
+    summ = _task_summary(spark, key[0], key[1])
+    dur = summ.get("duration", [0, 0])
+    sr = summ.get("shuffleReadMetrics", {}).get("readBytes", [0, 0])
+    mb = 1024.0 * 1024.0
+    out = {
+        "wall_s": round(wall, 2),
+        "task_p50_ms": round(dur[0], 1),
+        "task_p100_ms": round(dur[1], 1),
+        "balance": round(dur[1] / dur[0], 1) if dur[0] else None,
+        "sr_p50_mb": round(sr[0] / mb, 2),
+        "sr_p100_mb": round(sr[1] / mb, 2),
+        "spill_mb": round(
+            sum(s.get("diskBytesSpilled", 0) for s in new.values()) / mb, 1
+        ),
+    }
+    print(
+        f"{label:12s} wall={out['wall_s']:6.2f}s "
+        f"task p50/p100={out['task_p50_ms']:8.1f}/{out['task_p100_ms']:8.1f} ms "
+        f"(balance {out['balance']}) "
+        f"sr p50/p100={out['sr_p50_mb']:6.2f}/{out['sr_p100_mb']:6.2f} MB",
+        flush=True,
+    )
+    return out
+
+
+def build_fixture(spark, n_rows: int, path: str) -> None:
+    """Zipf-ish hot-key events: key 'K0' owns 30% of rows; the tail is
+    ~uniform over N_TAIL_KEYS keys. Deterministic (id-derived, no RNG);
+    written as 32 splits so the skew is a SHUFFLE property, not an input
+    layout accident."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, n_rows).select(
+        F.when(F.col("id") % 10 < 3, F.lit("K0"))
+        .otherwise(
+            F.concat(F.lit("K"), (F.pmod(F.xxhash64("id"), N_TAIL_KEYS) + 1))
+        )
+        .alias("k"),
+        F.col("id").alias("line_id"),
+        ((F.col("id") % 997).cast("double") / 7.0).alias("v"),
+    )
+    df.repartition(32, "id").write.mode("overwrite").parquet(path)
+
+
+def main() -> int:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators import skew
+    from ssg_etl_spark.session import get_spark
+
+    spark = get_spark("skew_sweep")
+    tmp = tempfile.mkdtemp(prefix="skew_sweep_")
+    fixture = os.path.join(tmp, "events")
+    build_fixture(spark, n_rows, fixture)
+    df = spark.read.parquet(fixture)
+    hot_share = df.filter(F.col("k") == "K0").count() / n_rows
+    print(f"fixture: {n_rows} rows, hot-key share {hot_share:.3f}", flush=True)
+
+    dim = (
+        spark.range(0, N_TAIL_KEYS + 1)
+        .select(
+            F.when(F.col("id") == 0, F.lit("K0"))
+            .otherwise(F.concat(F.lit("K"), F.col("id")))
+            .alias("k"),
+            (F.col("id") % 7).alias("grp"),
+        )
+    )
+    dim_path = os.path.join(tmp, "dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    dec = "decimal(28,6)"
+    results: dict[str, dict] = {"n_rows": n_rows, "hot_share": round(hot_share, 4)}
+
+    def agg_naive():
+        df.groupBy("k").agg(
+            F.sum(F.col("v").cast(dec)).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).collect()
+
+    def agg_salted():
+        skew.salted_sum_count(df, ["k"], "v", spread="line_id", n_salts=N_SALTS).collect()
+
+    # Aggregation shapes (AQE cannot mitigate agg skew; measure as-is).
+    results["agg_naive"] = measure(spark, "agg_naive", agg_naive)
+    results["agg_salted"] = measure(spark, "agg_salted", agg_salted)
+
+    # Join shapes: forbid broadcast (the 100 TB dim doesn't fit one) so
+    # the equi-join actually shuffles both sides.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    def run_join(j):
+        j.write.mode("overwrite").format("noop").save()
+
+    def join_naive():
+        run_join(df.join(dim, "k"))
+
+    def join_salted():
+        run_join(skew.salted_join(df, dim, "k", spread="line_id", n_salts=N_SALTS))
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    results["join_noaqe"] = measure(spark, "join_noaqe", join_naive)
+    # AQE's skew split triggers at skewedPartitionThresholdInBytes (256 MB
+    # default) — sized for cluster-scale partitions. The local fixture's
+    # hot partition is ~15 MB, so scale the trigger down proportionally to
+    # exercise the SAME mechanism a 100 TB hot partition would hit; the
+    # split factor (hot ≥ 5× median) is already satisfied either way.
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    results["join_aqe"] = measure(spark, "join_aqe", join_naive)
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    results["join_salted"] = measure(spark, "join_salted", join_salted)
+    results["note"] = (
+        "agg_naive ~ agg_salted is the honest expected result for "
+        "decomposable aggregates: Spark's map-side partial aggregation "
+        "collapses the hot key to one partial row per task before the "
+        "shuffle, so sum/count agg skew is absorbed structurally. "
+        "salted_sum_count exists for the shapes partial aggregation "
+        "cannot absorb (pair-expansion before the agg, e.g. "
+        "product_association_salted, where the EXPAND defeats map-side "
+        "combine). Join skew is the real killer: see join_noaqe's "
+        "sr_p100/sr_p50 task imbalance."
+    )
+
+    # Exactness cross-checks on the hostile fixture (values, not plans).
+    naive = {
+        r.k: (r.total_value, r.n_rows)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast(dec)).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.total_value, r.n_rows)
+        for r in skew.salted_sum_count(
+            df, ["k"], "v", spread="line_id", n_salts=N_SALTS
+        ).collect()
+    }
+    results["agg_exact_match"] = naive == salted
+    n_naive = df.join(dim, "k").count()
+    n_salted = skew.salted_join(df, dim, "k", spread="line_id").count()
+    results["join_exact_match"] = n_naive == n_salted
+
+    out_path = os.path.join(REPO, "tools", "skew_sweep_r10.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out_path}", flush=True)
+    ok = results["agg_exact_match"] and results["join_exact_match"]
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
