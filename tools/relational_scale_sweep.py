@@ -40,17 +40,23 @@ COPY_TABLES = ["nation", "region", "documents", "embeddings"]
 SHIFT = 100_000_000
 
 QUERIES = [
+    # The 12 bench-headline queries (bench.HEADLINE, r10 verdict #6) …
     "gl_enrichment",
     "seven_way_join",
     "top_products",
     "product_association",
-    "rollup_grouping_sets",
+    "retention_split",
+    "rollup_date_user",
     "running_total_by_nation",
     "yoy_monthly_sales",
     "asof_last_before",
     "agg_ratio_per_part",
-    "window_rownum_global",
     "events_10min_window",
+    "avg_daily_orders_sales",
+    # … plus the window/rollup/decorrelation shapes that stress the
+    # scale-sensitive machinery directly.
+    "rollup_grouping_sets",
+    "window_rownum_global",
     "correlated_scalar_max",
     # Round 7 event-side additions: user-keyed journeys and sketches.
     # The replica shift multiplies USERS (10x users, same events/user),
@@ -133,6 +139,26 @@ def main() -> int:
             flag = "  <-- SUPERLINEAR" if ratio > 2.5 * n_replicas else ""
             print(f"{name:28s} {s:8.2f} {b:9.2f} {ratio:6.1f}{flag}")
         print(f"\nlinear-ish bound = {n_replicas}x data; worst ratio {worst:.1f}")
+        import json
+
+        out_path = os.path.join(REPO, "tools", "sf1_relational_r10.json")
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "n_replicas": n_replicas,
+                    "trials": trials,
+                    "small_s": {n: round(small[n], 2) for n in QUERIES},
+                    "big_s": {n: round(big[n], 2) for n in QUERIES},
+                    "ratio": {
+                        n: round(big[n] / small[n], 2) if small[n] > 0 else None
+                        for n in QUERIES
+                    },
+                    "worst_ratio": round(worst, 2),
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
         return 0
     finally:
         shutil.rmtree(scaled_dir, ignore_errors=True)
