@@ -803,16 +803,21 @@ def quantiles_exact(
     Algorithm (the classic distributed exact-selection bisection, done
     with histograms instead of medians-of-medians): keep one active
     ``[lo, hi]`` range per q; each round, ONE shared scan histograms all
-    still-active ranges at n_bins resolution (map-side-combinable groupBy
-    over ≤ len(qs)·n_bins cells), the driver walks each histogram to the
-    bin containing the target rank, and the range narrows n_bins× — the
-    working span shrinks geometrically, so even a 10^308 outlier range
-    collapses to a collectable bin in O(log_bins(range/bulk)) rounds
-    (≈2-3 in practice). A q finishes when its located bin holds ≤
-    ``collect_threshold`` rows: those values are collected sorted and the
-    rank is read off exactly. Convergence guard: a bin too narrow to
-    subdivide in doubles contains ≤ a few hundred DISTINCT doubles by
-    construction (span/ulp), so the distinct-value collect is bounded.
+    still-active ranges at n_bins resolution and aggregates each cell's
+    count AND its members' actual min/max (map-side-combinable groupBy
+    over ≤ len(qs)·(n_bins+1) cells); the driver walks each histogram to
+    the bin containing the target rank and narrows the range to that
+    bin's MEMBER min/max — not its arithmetic edges — so one round
+    collapses any empty gap outright: a single 10^300 fat-finger outlier
+    next to a [0, 1000] bulk shrinks the working range to the bulk span
+    in ONE pass (the r10 review found the arithmetic-edge version needed
+    ~55 rounds at 1e100 and failed past 1e120; member-range narrowing
+    removed the dynamic-range dependence entirely). A q finishes when its
+    located bin holds ≤ ``collect_threshold`` rows: those values are
+    collected sorted and the rank is read off exactly. Convergence guard:
+    a bin too narrow to subdivide in doubles contains ≤ a few hundred
+    DISTINCT doubles by construction (span/ulp), so the distinct-value
+    collect is bounded.
 
     100 TB shape: per-round state is len(qs) ranges (driver-side, bytes);
     after round 1 the scan carries a pushed-down ``BETWEEN`` per range,
@@ -832,6 +837,10 @@ def quantiles_exact(
         raise ValueError("qs must be non-empty")
     if any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("each q must be in (0, 1]")
+    if len({float(q) for q in qs}) != len(qs):
+        # The engine would dedup through its per-q state while the SQL
+        # oracle emits one row per qs element — refuse the mismatch.
+        raise ValueError("qs must not contain duplicates")
     spark = df.sparkSession
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull() & ~F.isnan(v)).select(v.alias("_v"))
@@ -850,16 +859,18 @@ def quantiles_exact(
     if mx == mn:
         return spark.createDataFrame([(float(q), mn) for q in sorted(qs)], schema)
 
-    # Exactness discipline: FLOOR-binned counts only ever choose the next
-    # range (a heuristic); every count that enters rank arithmetic is
-    # COMPARISON-based (the v < lo side-cell, the finish-time v < lo2
-    # count, the collected [lo2, hi2] slice), so an ulp of disagreement
-    # between floor((v-lo)/w) and the v >= edge comparison can never
-    # shift a rank. Bin→range widening by one bin each side covers the
-    # ≤1-ulp straddle of floor binning; the target's membership in the
-    # widened range follows from monotonicity of rounded division.
-    def _finish(lo2: float, hi2: float, rank: int) -> float:
-        below = base.filter(F.col("_v") < lo2).count()
+    # Exactness discipline: the floor-binned CELL BOUNDARIES are only a
+    # splitting heuristic; everything entering rank arithmetic is exact
+    # by the monotone-binning total order. clamp(floor((v-lo)/w)) is
+    # monotone non-decreasing in v (rounded division and floor are
+    # monotone) and equal values always share a bin, so members of a
+    # strictly lower bin are strictly smaller than members of a higher
+    # bin. Hence (a) a bin's member min/max bracket exactly its members,
+    # (b) the cumulative count of lower bins IS the exact count of values
+    # below the located bin's member-min, and (c) a comparison-based
+    # collect of [member_min, member_max] returns exactly that bin's
+    # members — no other bin's value can lie inside.
+    def _finish(lo2: float, hi2: float, below: int, rank: int) -> float:
         vals = sorted(
             r[0]
             for r in base.filter(
@@ -886,8 +897,8 @@ def quantiles_exact(
         raise RuntimeError("rank outside collected range")  # unreachable
 
     # Active state per q: [lo, hi] is guaranteed to contain the target
-    # order statistic; ranges start at the full data range and narrow
-    # ~n_bins/3 × per round.
+    # order statistic; ranges start at the full data range and narrow to
+    # the located bin's member span each round.
     state: dict[float, tuple[float, float]] = {float(q): (mn, mx) for q in qs}
     ranks = {float(q): quantile_rank(q, total) for q in qs}
     done: dict[float, float] = {}
@@ -898,13 +909,12 @@ def quantiles_exact(
         # One shared scan: each row emits (qid, bin) per active range —
         # bin -1 is the exact comparison-based below-range count, bins
         # 0..n_bins-1 the floor-binned in-range histogram. Map-side
-        # combinable groupBy over ≤ len(qs)·(n_bins+1) cells.
+        # combinable groupBy over ≤ len(qs)·(n_bins+1) cells, each cell
+        # carrying count + its members' actual min/max.
         structs = []
-        widths: dict[float, float] = {}
         for qi, q in enumerate(active):
             lo, hi = state[q]
             w = (hi - lo) / n_bins
-            widths[q] = w
             if w <= 0.0:  # span below double resolution around lo
                 done[q] = _finish_distinct(
                     lo, hi, base.filter(F.col("_v") < lo).count(), ranks[q]
@@ -925,41 +935,47 @@ def quantiles_exact(
         if not structs:
             continue
         cells = (
-            base.select(F.explode(F.array(*structs)).alias("c"))
-            .select("c.qid", "c.bin")
+            base.select("_v", F.explode(F.array(*structs)).alias("c"))
+            .select("c.qid", "c.bin", "_v")
             .filter(F.col("bin").isNotNull())
             .groupBy("qid", "bin")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("_v").alias("vmin"),
+                F.max("_v").alias("vmax"),
+            )
             .collect()
         )
-        hist: dict[int, dict[int, int]] = {}
+        hist: dict[int, dict[int, tuple[int, float, float]]] = {}
         for r in cells:
-            hist.setdefault(int(r["qid"]), {})[int(r["bin"])] = int(r["n"])
+            hist.setdefault(int(r["qid"]), {})[int(r["bin"])] = (
+                int(r["n"]),
+                float(r["vmin"]),
+                float(r["vmax"]),
+            )
         for qi, q in enumerate(active):
             if q in done:
                 continue
             lo, hi = state[q]
-            w = widths[q]
             h = hist.get(qi, {})
-            below = h.get(-1, 0)
-            cum = below
+            cum = h.get(-1, (0, 0.0, 0.0))[0]
             for bi in sorted(k for k in h if k >= 0):
-                nbin = h[bi]
+                nbin, vmin, vmax = h[bi]
                 if cum + nbin >= ranks[q]:
-                    # Widen one bin each side: floor binning can straddle
-                    # an edge by ~1 ulp, never by a full bin width.
-                    lo2 = lo if bi <= 0 else lo + (bi - 1) * w
-                    hi2 = hi if bi >= n_bins - 2 else lo + (bi + 2) * w
-                    lo2, hi2 = max(lo, lo2), min(hi, hi2)
-                    wide_n = sum(h.get(j, 0) for j in (bi - 1, bi, bi + 1))
-                    if wide_n <= collect_threshold:
-                        done[q] = _finish(lo2, hi2, ranks[q])
-                    elif lo2 <= lo and hi2 >= hi:
+                    # Narrow to the bin's MEMBER span: cum is the exact
+                    # count of values < vmin (monotone binning), and any
+                    # outlier-empty gap inside the bin's arithmetic edges
+                    # vanishes immediately.
+                    if vmin == vmax:
+                        done[q] = vmin  # all bin members identical
+                    elif nbin <= collect_threshold:
+                        done[q] = _finish(vmin, vmax, cum, ranks[q])
+                    elif vmin <= lo and vmax >= hi:
                         # No numeric shrink possible: resolve by distinct
                         # values (few representable doubles in the span).
-                        done[q] = _finish_distinct(lo, hi, below, ranks[q])
+                        done[q] = _finish_distinct(lo, hi, cum, ranks[q])
                     else:
-                        state[q] = (lo2, hi2)
+                        state[q] = (vmin, vmax)
                     break
                 cum += nbin
     missing = [q for q in state if q not in done]

@@ -516,6 +516,28 @@ def test_quantiles_exact_outlier_dominated(spark):
     crows = quantiles_exact(const, "v", (0.5,)).collect()
     assert crows[0].value == 5.0
 
+    # r10 review repro: the arithmetic-edge narrowing needed ~55 rounds at
+    # a 1e100 outlier and failed (RuntimeError) past 1e120 — member-range
+    # narrowing must collapse ANY gap in one round, so a near-DBL_MAX
+    # outlier converges with default max_iters and stays exact.
+    extreme = spark.createDataFrame(
+        [(x,) for x in bulk] + [(1e300,)], "v double"
+    ).repartition(5)
+    sb = sorted(bulk + [1e300])
+    e = {
+        r.q: r.value
+        for r in quantiles_exact(
+            extreme, "v", (0.5, 0.99, 1.0), n_bins=16, collect_threshold=32
+        ).collect()
+    }
+    for q in (0.5, 0.99, 1.0):
+        assert e[q] == sb[quantile_rank(q, len(sb)) - 1], (q, e[q])
+
+    # Duplicate qs would desync the engine (dict-keyed state) from the
+    # oracle (one row per qs element) — refused up front.
+    with _pytest.raises(ValueError, match="duplicates"):
+        quantiles_exact(df, "v", (0.5, 0.5))
+
     # quantile_rank is integer-exact from the decimal literal (float
     # multiplication would make ceil(0.7 * 10) == 8).
     assert quantile_rank(0.7, 10) == 7

@@ -26,41 +26,25 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
-
-def _api(spark, path: str):
-    base = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/{path}") as r:
-        return json.loads(r.read())
-
-
-def _stage_metrics(spark) -> dict[int, dict]:
-    out = {}
-    for st in _api(spark, "stages?status=complete"):
-        out[(st["stageId"], st["attemptId"])] = st
-    return out
+from spark_rest import completed_stages, new_stages_since  # noqa: E402
 
 
 def audit_query(spark, builder, sf_dir: str) -> dict:
     from ssg_etl_spark.cache import release_tracked
 
-    before = set(_stage_metrics(spark))
+    before = set(completed_stages(spark))
     t0 = time.monotonic()
     try:
         builder(spark, sf_dir).collect()
     finally:
         release_tracked()
     wall = time.monotonic() - t0
-    # The status API is eventually consistent with the listener bus; give
-    # the final stages a moment to land.
-    time.sleep(0.3)
-    stages = _stage_metrics(spark)
-    new = [v for k, v in stages.items() if k not in before]
+    new = list(new_stages_since(spark, before).values())
     mb = 1024.0 * 1024.0
     inp = sum(s.get("inputBytes", 0) for s in new) / mb
     sw = sum(s.get("shuffleWriteBytes", 0) for s in new) / mb

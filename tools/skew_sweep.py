@@ -37,50 +37,35 @@ import os
 import sys
 import tempfile
 import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from spark_rest import completed_stages, new_stages_since, task_summary  # noqa: E402
 
 N_TAIL_KEYS = 20_000
 N_SALTS = 16
 
 
-def _api(spark, path: str):
-    base = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/{path}") as r:
-        return json.loads(r.read())
-
-
-def _stages(spark) -> dict:
-    return {
-        (st["stageId"], st["attemptId"]): st
-        for st in _api(spark, "stages?status=complete")
-    }
-
-
-def _task_summary(spark, stage_id: int, attempt: int) -> dict:
-    return _api(
-        spark,
-        f"stages/{stage_id}/{attempt}/taskSummary?quantiles=0.5,1.0",
-    )
-
-
 def measure(spark, label: str, action) -> dict:
-    before = set(_stages(spark))
+    before = set(completed_stages(spark))
     t0 = time.monotonic()
     action()
     wall = time.monotonic() - t0
-    time.sleep(0.4)  # listener-bus settle, same as shuffle_audit
-    new = {k: v for k, v in _stages(spark).items() if k not in before}
+    new = new_stages_since(spark, before)
+    if not new:
+        # Listener never surfaced the stages (or a fully-cached plan ran
+        # none): report the wall and say so instead of crashing the sweep.
+        print(f"{label:12s} wall={wall:6.2f}s (no new stages reported)", flush=True)
+        return {"wall_s": round(wall, 2), "stages_reported": False}
     # The skew signature lives in the heaviest shuffle-READ stage (the
     # reducer side); fall back to the longest stage for scan-only shapes.
     key = max(
         new,
         key=lambda k: (new[k].get("shuffleReadBytes", 0), new[k].get("executorRunTime", 0)),
     )
-    summ = _task_summary(spark, key[0], key[1])
+    summ = task_summary(spark, key[0], key[1])
     dur = summ.get("duration", [0, 0])
     sr = summ.get("shuffleReadMetrics", {}).get("readBytes", [0, 0])
     mb = 1024.0 * 1024.0

@@ -14,8 +14,10 @@ version history), then asserts the operational envelope:
     (compaction kept firing, not just once);
   * total on-disk files (data + manifests) are bounded by the retention
     window, not by batch count;
-  * per-batch wall is FLAT: median of the last 10 non-compaction batches
-    within 2.5× the median of the first 10 (no listing/manifest creep);
+  * per-batch wall is FLAT: median of the last 10 STEADY-STATE batches
+    (no inline compaction fired, no vacuum ran) within 2.5× the median of
+    the first 10 (no listing/manifest creep); compaction-batch walls are
+    reported separately (their rewrite cost is the feature, not creep);
   * zero rows lost: target + quarantine row counts == input rows, and
     the quarantine carries exactly the rule-failing rows.
 
@@ -88,9 +90,15 @@ def main() -> int:
         return {"data_files": data, "manifests": manifests}
 
     def timed_gate(batch, batch_id):
+        versions_before = len(versioning.snapshot_versions(target))
         t0 = time.monotonic()
         gate(batch, batch_id)
         wall = time.monotonic() - t0
+        # The gate commits one append version; a second new version in the
+        # same batch means inline compaction fired.
+        compacted = (
+            len(versioning.snapshot_versions(target)) - versions_before >= 2
+        )
         vacuumed = False
         # Deployment recipe: periodic retention bounds the version log.
         if (batch_id + 1) % VACUUM_EVERY == 0:
@@ -103,6 +111,7 @@ def main() -> int:
                 "batch_id": batch_id,
                 "wall_s": round(wall, 3),
                 "live_version_files": live,
+                "compacted": compacted,
                 "vacuumed": vacuumed,
                 **count_files(target, quarantine),
             }
@@ -132,7 +141,10 @@ def main() -> int:
         ~((F.col("value").isNotNull()) & (F.col("value") <= 300.0))
     ).count()
 
-    walls = [t["wall_s"] for t in timings if not t["vacuumed"]]
+    walls = [
+        t["wall_s"] for t in timings if not t["vacuumed"] and not t["compacted"]
+    ]
+    compact_walls = [t["wall_s"] for t in timings if t["compacted"]]
     first10 = statistics.median(walls[:10])
     last10 = statistics.median(walls[-10:])
     final_live = timings[-1]["live_version_files"]
@@ -149,6 +161,10 @@ def main() -> int:
         "wall_median_first10_s": round(first10, 3),
         "wall_median_last10_s": round(last10, 3),
         "wall_flatness": round(last10 / first10, 2),
+        "n_compaction_batches": len(compact_walls),
+        "compaction_wall_max_s": round(max(compact_walls), 3)
+        if compact_walls
+        else None,
         "final_live_version_files": final_live,
         "final_on_disk": {
             "data_files": final_files["data_files"],
@@ -164,6 +180,7 @@ def main() -> int:
         and target_rows + quar_rows == n_rows
         and quar_rows == expect_bad
         and final_live <= COMPACT_EVERY
+        and len(compact_walls) >= 2  # compaction kept firing, not just once
         and last10 <= 2.5 * first10
     )
     results["pass"] = ok
