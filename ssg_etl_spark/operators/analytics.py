@@ -1018,6 +1018,279 @@ ORDER BY q
 """
 
 
+def quantiles_exact_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    n_bins: int = 128,
+    collect_threshold: int = 8192,
+    max_iters: int = 64,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Per-GROUP exact quantiles via the same member-range histogram zoom
+    as :func:`quantiles_exact` — completes the family's matrix
+    (approx / refined / exact × global / grouped). Each round, the active
+    ``(group, q) → [lo, hi]`` ranges are BROADCAST-JOINED to the data
+    (null-safe on the group keys) instead of compiled into the plan, so
+    group cardinality widens a tiny build side rather than the expression
+    tree; one shared scan then histograms every active range at once
+    (count + member min/max per cell) and each located bin's member span
+    becomes the next range. All rank arithmetic is exact by the monotone
+    -binning total order, exactly as in the global form.
+
+    Bounded-groups contract (same as the grouped histogram walkers, made
+    explicit): per-group heads and per-round cells are collected —
+    O(|groups| · (n_bins+1) · len(qs)) rows — so the group count must be
+    control-plane sized; ``max_groups`` (default 10k) raises rather than
+    letting a high-cardinality key melt the driver. For per-key quantiles
+    over millions of keys, use ``histogram_quantiles_grouped`` (fully
+    distributed, one-bin-width error) instead — exactness per group is
+    what costs the collect.
+
+    Returns ``(*group_cols, q, value)``; values are exact order
+    statistics, so a PARTITION BY order-statistic SQL oracle replays them
+    bit-for-bit (see quantiles_exact_grouped_oracle_sql).
+    """
+    import math
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    if len({float(q) for q in qs}) != len(qs):
+        raise ValueError("qs must not contain duplicates")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use quantiles_exact)")
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *group_cols, v.alias("_v")
+    )
+    heads = (
+        base.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("mn"),
+            F.max("_v").alias("mx"),
+        )
+        .collect()
+    )
+    if len(heads) > max_groups:
+        raise ValueError(
+            f"{len(heads)} groups exceed max_groups={max_groups}; use "
+            "histogram_quantiles_grouped for high-cardinality keys"
+        )
+    gschema = base.select(*group_cols).schema
+
+    def _gcond(gvals) -> "F.Column":
+        cond = F.lit(True)
+        for c, val in zip(group_cols, gvals):
+            cond = cond & (
+                F.col(c).isNull() if val is None else (F.col(c) == F.lit(val))
+            )
+        return cond
+
+    qlist = [float(q) for q in qs]
+    state: dict[tuple, tuple[float, float]] = {}
+    ranks: dict[tuple, int] = {}
+    done: dict[tuple, float] = {}
+    groups: dict[tuple, tuple] = {}  # gkey -> raw group values
+    for r in heads:
+        gvals = tuple(r[c] for c in group_cols)
+        mn, mx = float(r["mn"]), float(r["mx"])
+        if not (math.isfinite(mn) and math.isfinite(mx)):
+            raise ValueError(f"{value_col} contains infinities in group {gvals}")
+        groups[gvals] = gvals
+        for q in qlist:
+            key = (gvals, q)
+            ranks[key] = quantile_rank(q, int(r["n"]))
+            if mx == mn:
+                done[key] = mn
+            else:
+                state[key] = (mn, mx)
+
+    def _finish(gvals, lo2, hi2, below, rank) -> float:
+        vals = sorted(
+            r[0]
+            for r in base.filter(
+                _gcond(gvals) & (F.col("_v") >= lo2) & (F.col("_v") <= hi2)
+            )
+            .select("_v")
+            .collect()
+        )
+        return vals[rank - below - 1]
+
+    def _finish_distinct(gvals, lo2, hi2, below, rank) -> float:
+        dv = sorted(
+            (float(r["_v"]), int(r["n"]))
+            for r in base.filter(
+                _gcond(gvals) & (F.col("_v") >= lo2) & (F.col("_v") <= hi2)
+            )
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        cum = below
+        for val, nv in dv:
+            cum += nv
+            if cum >= rank:
+                return val
+        raise RuntimeError("rank outside collected range")  # unreachable
+
+    rename = {c: f"_g{i}" for i, c in enumerate(group_cols)}
+    for _ in range(max_iters):
+        active = [k for k in state if k not in done]
+        if not active:
+            break
+        range_rows = []
+        key_of: dict[int, tuple] = {}
+        for idx, key in enumerate(active):
+            gvals, q = key
+            lo, hi = state[key]
+            if (hi - lo) / n_bins <= 0.0:  # span below double resolution
+                below = base.filter(
+                    _gcond(gvals) & (F.col("_v") < lo)
+                ).count()
+                done[key] = _finish_distinct(gvals, lo, hi, below, ranks[key])
+                continue
+            key_of[idx] = key
+            range_rows.append((*gvals, idx, lo, hi))
+        if not range_rows:
+            continue
+        from pyspark.sql import types as T
+
+        rschema = T.StructType(
+            [
+                T.StructField(rename[f.name], f.dataType)
+                for f in gschema.fields
+            ]
+            + [
+                T.StructField("_rid", T.IntegerType()),
+                T.StructField("_lo", T.DoubleType()),
+                T.StructField("_hi", T.DoubleType()),
+            ]
+        )
+        ranges = spark.createDataFrame(range_rows, rschema)
+        wcol = (F.col("_hi") - F.col("_lo")) / n_bins
+        bin_idx = F.least(
+            F.floor((F.col("_v") - F.col("_lo")) / wcol).cast("int"),
+            F.lit(n_bins - 1),
+        )
+        joined = base.join(
+            F.broadcast(ranges),
+            on=[
+                base[c].eqNullSafe(ranges[rename[c]]) for c in group_cols
+            ],
+        )
+        cells = (
+            joined.select(
+                "_rid",
+                F.when(F.col("_v") < F.col("_lo"), F.lit(-1))
+                .when(F.col("_v") <= F.col("_hi"), bin_idx)
+                .alias("bin"),
+                "_v",
+            )
+            .filter(F.col("bin").isNotNull())
+            .groupBy("_rid", "bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("_v").alias("vmin"),
+                F.max("_v").alias("vmax"),
+            )
+            .collect()
+        )
+        hist: dict[int, dict[int, tuple[int, float, float]]] = {}
+        for r in cells:
+            hist.setdefault(int(r["_rid"]), {})[int(r["bin"])] = (
+                int(r["n"]),
+                float(r["vmin"]),
+                float(r["vmax"]),
+            )
+        for idx, key in key_of.items():
+            gvals, q = key
+            lo, hi = state[key]
+            h = hist.get(idx, {})
+            cum = h.get(-1, (0, 0.0, 0.0))[0]
+            for bi in sorted(k for k in h if k >= 0):
+                nbin, vmin, vmax = h[bi]
+                if cum + nbin >= ranks[key]:
+                    if vmin == vmax:
+                        done[key] = vmin
+                    elif nbin <= collect_threshold:
+                        done[key] = _finish(gvals, vmin, vmax, cum, ranks[key])
+                    elif vmin <= lo and vmax >= hi:
+                        done[key] = _finish_distinct(
+                            gvals, lo, hi, cum, ranks[key]
+                        )
+                    else:
+                        state[key] = (vmin, vmax)
+                    break
+                cum += nbin
+    missing = [k for k in state if k not in done]
+    if missing:
+        raise RuntimeError(
+            f"grouped quantile zoom did not converge for {missing[:5]}"
+        )
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(gschema.fields)
+        + [
+            T.StructField("q", T.DoubleType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    rows = [
+        (*gvals, q, done[(gvals, q)])
+        for gvals in groups
+        for q in qlist
+        if (gvals, q) in done
+    ]
+    return spark.createDataFrame(rows, out_schema).orderBy(*group_cols, "q")
+
+
+def quantiles_exact_grouped_oracle_sql(
+    table: str,
+    value_col: str,
+    group_sql: dict[str, str],
+    qs: tuple[float, ...],
+) -> str:
+    """ANSI-SQL oracle for :func:`quantiles_exact_grouped`: per-group
+    order statistics via PARTITION BY ROW_NUMBER, ranks in the same
+    integer form as the engine. ``group_sql`` maps output alias → SQL
+    expression for each group column."""
+    from fractions import Fraction
+
+    rows = ", ".join(
+        f"(CAST({float(q)!r} AS DOUBLE), {Fraction(str(q)).numerator}, "
+        f"{Fraction(str(q)).denominator})"
+        for q in sorted(qs)
+    )
+    aliases = list(group_sql)
+    gsel = ", ".join(f"{expr} AS {a}" for a, expr in group_sql.items())
+    gnames = ", ".join(aliases)
+    return f"""
+WITH s AS (
+  SELECT {gsel}, CAST({value_col} AS DOUBLE) AS v FROM {table}
+  WHERE {value_col} IS NOT NULL AND NOT isnan(CAST({value_col} AS DOUBLE))
+),
+ranked AS (
+  SELECT {gnames}, v,
+         ROW_NUMBER() OVER (PARTITION BY {gnames} ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY {gnames}) AS n
+  FROM s
+),
+qq AS (SELECT * FROM (VALUES {rows}) t(q, num, den))
+SELECT {", ".join("r." + a + " AS " + a for a in aliases)}, qq.q AS q,
+       r.v AS value
+FROM qq
+JOIN ranked r
+  ON r.rn = CAST((qq.num * r.n + qq.den - 1) // qq.den AS BIGINT)
+ORDER BY {gnames}, q
+"""
+
+
 def histogram_quantiles_grouped(
     df: DataFrame,
     value_col: str,

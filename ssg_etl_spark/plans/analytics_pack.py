@@ -1098,6 +1098,34 @@ def quantiles_totalprice_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantiles_price_by_status_exact",
+    oracle=analytics.quantiles_exact_grouped_oracle_sql(
+        "orders",
+        "o_totalprice",
+        {"o_orderstatus": "o_orderstatus"},
+        (0.25, 0.5, 0.9, 0.99),
+    ),
+    tags=("sketch", "quantile", "profile", "robust"),
+    extra=True,
+)
+def quantiles_price_by_status_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status EXACT quantiles via the grouped member-range zoom
+    (operators/analytics.quantiles_exact_grouped): active (group, q)
+    ranges broadcast-join to the scan each round, so group cardinality
+    widens a tiny build side, not the expression tree. Completes the
+    quantile family's matrix — approx/refined/exact × global/grouped —
+    with the exact forms as the outlier-robust members. Oracle: PARTITION
+    BY order statistics at integer-exact ranks. Extra registry: locally
+    oracle-verified."""
+    return analytics.quantiles_exact_grouped(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        ["o_orderstatus"],
+        (0.25, 0.5, 0.9, 0.99),
+    )
+
+
+@register(
     "quantiles_price_by_status_refined",
     oracle=f"""
 WITH b AS (

@@ -556,6 +556,62 @@ def test_quantiles_exact_outlier_dominated(spark):
         quantiles_exact(inf, "v", (0.5,))
 
 
+def test_quantiles_exact_grouped(spark):
+    """Grouped member-range zoom: exact per-group order statistics under a
+    per-group outlier, null group keys routed null-safely, bounded-groups
+    contract enforced, duplicate qs refused."""
+    import random
+
+    import pytest as _pytest
+
+    from ssg_etl_spark.operators.analytics import (
+        quantile_rank,
+        quantiles_exact_grouped,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for g in ("a", "b", None):
+        for _ in range(700):
+            rows.append((g, rng.uniform(0.0, 1000.0)))
+    rows.append(("a", 1e300))  # group-a fat finger
+    rows.append(("b", 5.0))
+    df = spark.createDataFrame(rows, "g string, v double").repartition(9)
+    qs = (0.5, 0.99)
+    got = {
+        (r.g, r.q): r.value
+        for r in quantiles_exact_grouped(
+            df, "v", ["g"], qs, n_bins=16, collect_threshold=32
+        ).collect()
+    }
+    assert len(got) == 6
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, val in rows:
+        byg[g].append(val)
+    for g, vs in byg.items():
+        sv = sorted(vs)
+        for q in qs:
+            assert got[(g, q)] == sv[quantile_rank(q, len(sv)) - 1], (g, q)
+
+    # Partition invariance.
+    again = {
+        (r.g, r.q): r.value
+        for r in quantiles_exact_grouped(
+            df.repartition(2), "v", ["g"], qs, n_bins=16, collect_threshold=32
+        ).collect()
+    }
+    assert again == got
+
+    with _pytest.raises(ValueError, match="max_groups"):
+        quantiles_exact_grouped(df, "v", ["v"], (0.5,), max_groups=10)
+    with _pytest.raises(ValueError, match="duplicates"):
+        quantiles_exact_grouped(df, "v", ["g"], (0.5, 0.5))
+    with _pytest.raises(ValueError, match="group_cols"):
+        quantiles_exact_grouped(df, "v", [], (0.5,))
+
+
 def test_histogram_quantiles_grouped_per_group_bounds(spark):
     """Grouped quantiles: each group's p50 tracks ITS OWN distribution
     (bins are globally aligned, counts per group), within one global bin
