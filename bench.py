@@ -143,6 +143,10 @@ CURATION_FAMILY = [
     "quantiles_price_by_status_refined",
     "snapshot_compaction",
     "ann_lsh_topk_auto",
+    # Round 10: exact outlier-robust quantiles (member-range zoom),
+    # global + grouped.
+    "quantiles_totalprice_exact",
+    "quantiles_price_by_status_exact",
 ]
 
 

@@ -869,7 +869,12 @@ def quantiles_exact(
     # (b) the cumulative count of lower bins IS the exact count of values
     # below the located bin's member-min, and (c) a comparison-based
     # collect of [member_min, member_max] returns exactly that bin's
-    # members — no other bin's value can lie inside.
+    # members — no other bin's value can lie inside. The below-range
+    # count therefore CARRIES across rounds by induction (round 1 starts
+    # at 0; each narrowing sets below' = exact count below the new
+    # member-min), which is what lets every round scan ONLY the union of
+    # active ranges — a pushable OR-of-BETWEENs, so parquet row-group
+    # min/max pruning shrinks each subsequent pass's I/O with the spans.
     def _finish(lo2: float, hi2: float, below: int, rank: int) -> float:
         vals = sorted(
             r[0]
@@ -896,46 +901,52 @@ def quantiles_exact(
                 return val
         raise RuntimeError("rank outside collected range")  # unreachable
 
-    # Active state per q: [lo, hi] is guaranteed to contain the target
-    # order statistic; ranges start at the full data range and narrow to
-    # the located bin's member span each round.
-    state: dict[float, tuple[float, float]] = {float(q): (mn, mx) for q in qs}
+    # Active state per q: (lo, hi, below) — [lo, hi] is guaranteed to
+    # contain the target order statistic and ``below`` is the EXACT count
+    # of values < lo (carried across rounds by the induction above);
+    # ranges start at the full data range and narrow to the located bin's
+    # member span each round.
+    state: dict[float, tuple[float, float, int]] = {
+        float(q): (mn, mx, 0) for q in qs
+    }
     ranks = {float(q): quantile_rank(q, total) for q in qs}
     done: dict[float, float] = {}
     for _ in range(max_iters):
         active = [q for q in state if q not in done]
         if not active:
             break
-        # One shared scan: each row emits (qid, bin) per active range —
-        # bin -1 is the exact comparison-based below-range count, bins
-        # 0..n_bins-1 the floor-binned in-range histogram. Map-side
-        # combinable groupBy over ≤ len(qs)·(n_bins+1) cells, each cell
-        # carrying count + its members' actual min/max.
+        # One shared scan over ONLY the union of active ranges (the
+        # pushable OR-of-BETWEENs): each in-range row emits (qid, bin)
+        # per range it falls in; map-side combinable groupBy over
+        # ≤ len(qs)·n_bins cells, each carrying count + member min/max.
         structs = []
+        conds = []
         for qi, q in enumerate(active):
-            lo, hi = state[q]
+            lo, hi, below = state[q]
             w = (hi - lo) / n_bins
             if w <= 0.0:  # span below double resolution around lo
-                done[q] = _finish_distinct(
-                    lo, hi, base.filter(F.col("_v") < lo).count(), ranks[q]
-                )
+                done[q] = _finish_distinct(lo, hi, below, ranks[q])
                 continue
             bin_idx = F.least(
                 F.floor((F.col("_v") - F.lit(lo)) / F.lit(w)).cast("int"),
                 F.lit(n_bins - 1),
             )
+            in_range = (F.col("_v") >= lo) & (F.col("_v") <= hi)
+            conds.append(in_range)
             structs.append(
                 F.struct(
                     F.lit(qi).alias("qid"),
-                    F.when(F.col("_v") < lo, F.lit(-1))
-                    .when(F.col("_v") <= hi, bin_idx)
-                    .alias("bin"),
+                    F.when(in_range, bin_idx).alias("bin"),
                 )
             )
         if not structs:
             continue
+        scan_filter = conds[0]
+        for c in conds[1:]:
+            scan_filter = scan_filter | c
         cells = (
-            base.select("_v", F.explode(F.array(*structs)).alias("c"))
+            base.filter(scan_filter)
+            .select("_v", F.explode(F.array(*structs)).alias("c"))
             .select("c.qid", "c.bin", "_v")
             .filter(F.col("bin").isNotNull())
             .groupBy("qid", "bin")
@@ -956,10 +967,10 @@ def quantiles_exact(
         for qi, q in enumerate(active):
             if q in done:
                 continue
-            lo, hi = state[q]
+            lo, hi, below = state[q]
             h = hist.get(qi, {})
-            cum = h.get(-1, (0, 0.0, 0.0))[0]
-            for bi in sorted(k for k in h if k >= 0):
+            cum = below
+            for bi in sorted(h):
                 nbin, vmin, vmax = h[bi]
                 if cum + nbin >= ranks[q]:
                     # Narrow to the bin's MEMBER span: cum is the exact
@@ -975,7 +986,7 @@ def quantiles_exact(
                         # values (few representable doubles in the span).
                         done[q] = _finish_distinct(lo, hi, cum, ranks[q])
                     else:
-                        state[q] = (vmin, vmax)
+                        state[q] = (vmin, vmax, cum)
                     break
                 cum += nbin
     missing = [q for q in state if q not in done]
@@ -1092,7 +1103,10 @@ def quantiles_exact_grouped(
         return cond
 
     qlist = [float(q) for q in qs]
-    state: dict[tuple, tuple[float, float]] = {}
+    # (group, q) -> (lo, hi, below): below is the exact count of the
+    # group's values < lo, carried across rounds exactly as in the
+    # global form (monotone-binning induction).
+    state: dict[tuple, tuple[float, float, int]] = {}
     ranks: dict[tuple, int] = {}
     done: dict[tuple, float] = {}
     groups: dict[tuple, tuple] = {}  # gkey -> raw group values
@@ -1108,7 +1122,7 @@ def quantiles_exact_grouped(
             if mx == mn:
                 done[key] = mn
             else:
-                state[key] = (mn, mx)
+                state[key] = (mn, mx, 0)
 
     def _finish(gvals, lo2, hi2, below, rank) -> float:
         vals = sorted(
@@ -1145,16 +1159,15 @@ def quantiles_exact_grouped(
             break
         range_rows = []
         key_of: dict[int, tuple] = {}
+        env_lo, env_hi = float("inf"), float("-inf")
         for idx, key in enumerate(active):
             gvals, q = key
-            lo, hi = state[key]
+            lo, hi, below = state[key]
             if (hi - lo) / n_bins <= 0.0:  # span below double resolution
-                below = base.filter(
-                    _gcond(gvals) & (F.col("_v") < lo)
-                ).count()
                 done[key] = _finish_distinct(gvals, lo, hi, below, ranks[key])
                 continue
             key_of[idx] = key
+            env_lo, env_hi = min(env_lo, lo), max(env_hi, hi)
             range_rows.append((*gvals, idx, lo, hi))
         if not range_rows:
             continue
@@ -1177,18 +1190,26 @@ def quantiles_exact_grouped(
             F.floor((F.col("_v") - F.col("_lo")) / wcol).cast("int"),
             F.lit(n_bins - 1),
         )
-        joined = base.join(
+        # The envelope filter over all active ranges is group-independent
+        # and therefore pushable to the scan (row-group pruning); the
+        # per-range BETWEEN lives in the bin condition after the join.
+        pruned = base.filter(
+            (F.col("_v") >= env_lo) & (F.col("_v") <= env_hi)
+        )
+        joined = pruned.join(
             F.broadcast(ranges),
             on=[
-                base[c].eqNullSafe(ranges[rename[c]]) for c in group_cols
+                pruned[c].eqNullSafe(ranges[rename[c]]) for c in group_cols
             ],
         )
         cells = (
             joined.select(
                 "_rid",
-                F.when(F.col("_v") < F.col("_lo"), F.lit(-1))
-                .when(F.col("_v") <= F.col("_hi"), bin_idx)
-                .alias("bin"),
+                F.when(
+                    (F.col("_v") >= F.col("_lo"))
+                    & (F.col("_v") <= F.col("_hi")),
+                    bin_idx,
+                ).alias("bin"),
                 "_v",
             )
             .filter(F.col("bin").isNotNull())
@@ -1209,10 +1230,10 @@ def quantiles_exact_grouped(
             )
         for idx, key in key_of.items():
             gvals, q = key
-            lo, hi = state[key]
+            lo, hi, below = state[key]
             h = hist.get(idx, {})
-            cum = h.get(-1, (0, 0.0, 0.0))[0]
-            for bi in sorted(k for k in h if k >= 0):
+            cum = below
+            for bi in sorted(h):
                 nbin, vmin, vmax = h[bi]
                 if cum + nbin >= ranks[key]:
                     if vmin == vmax:
@@ -1224,7 +1245,7 @@ def quantiles_exact_grouped(
                             gvals, lo, hi, cum, ranks[key]
                         )
                     else:
-                        state[key] = (vmin, vmax)
+                        state[key] = (vmin, vmax, cum)
                     break
                 cum += nbin
     missing = [k for k in state if k not in done]
