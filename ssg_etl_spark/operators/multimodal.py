@@ -339,3 +339,148 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
         ).alias("sample_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (r10): REAL WAV codec end-to-end via the stdlib ``wave`` module —
+# the audio leg of the multimodal story, un-faked like the PPM image leg.
+# Waveforms are synthesized from a pure-integer formula of (asset_id, i),
+# so every derived feature is engine-independent and an ANSI-SQL oracle
+# replays the whole pipeline: formula → int16 PCM encode → wave-module
+# decode → integer feature aggregation.
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+WAV_BASE_SAMPLES = 2000
+
+WAV_ASSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def wav_sample_count(asset_id: int) -> int:
+    """Variable clip length, SQL-replayable: base + (id % 5)·32 frames."""
+    return WAV_BASE_SAMPLES + (int(asset_id) % 5) * 32
+
+
+def wav_samples(asset_id: int, n: int) -> "list[int]":
+    """Deterministic int16 waveform: s_i = ((id·31 + i·7919) mod 65536)
+    − 32768 — pure non-negative integer arithmetic, identical in Python
+    and SQL (7919 is prime to 65536, so the samples sweep the full int16
+    range with sign changes for the zero-crossing feature)."""
+    a = int(asset_id)
+    return [((a * 31 + i * 7919) % 65536) - 32768 for i in range(n)]
+
+
+def encode_wav(samples: "list[int]", sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """REAL RIFF/WAVE encode (mono, 16-bit PCM) through the stdlib
+    ``wave`` writer — genuine container bytes, not a stand-in."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> "tuple[int, 'object']":
+    """REAL WAV decode via the stdlib reader: returns (sample_rate,
+    int16 numpy array). Raises ValueError on anything but mono 16-bit
+    PCM — a poison payload must be inspectable, not mis-parsed."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"expected mono 16-bit PCM, got channels={w.getnchannels()} "
+                f"sampwidth={w.getsampwidth()}"
+            )
+        frames = w.readframes(w.getnframes())
+        return w.getframerate(), np.frombuffer(frames, dtype="<i2")
+
+
+def wav_assets_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL decodable audio assets: one mono 16-bit PCM WAV
+    per document, samples from :func:`wav_samples` — the audio twin of
+    :func:`ppm_assets_from_documents` (encode stage, Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(wav_samples(d, wav_sample_count(d)))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return fan_out(documents.select("doc_id")).mapInPandas(
+        run, WAV_ASSETS_SCHEMA
+    )
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over WAV payloads through
+    the REAL decoder: per asset, the integer sufficient statistics a
+    curation pipeline filters on — energy (Σ s²), peak amplitude,
+    zero-crossing count (the classic cheap voicing/noise discriminant),
+    duration. All features are exact integers, so the SQL oracle matches
+    hash-for-hash with no float discipline needed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                sr, s = decode_wav(payload)
+                s64 = s.astype(np.int64)
+                n = int(s64.shape[0])
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // sr,
+                        "sum_sq": int((s64 * s64).sum()),
+                        "peak": int(np.abs(s64).max()) if n else 0,
+                        "zero_crossings": int(
+                            ((s64[:-1] < 0) != (s64[1:] < 0)).sum()
+                        )
+                        if n > 1
+                        else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return fan_out(assets.select("asset_id", "payload")).mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )

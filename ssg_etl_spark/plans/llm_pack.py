@@ -643,6 +643,51 @@ def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_audio_wav_features",
+    oracle=f"""
+WITH params AS (
+  SELECT doc_id,
+         {multimodal.WAV_BASE_SAMPLES} + (doc_id % 5) * 32 AS n
+  FROM documents),
+idx AS (
+  SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM params),
+vals AS (
+  SELECT doc_id, n, i,
+    ((doc_id * 31 + i * 7919) % 65536) - 32768 AS s
+  FROM idx),
+lagged AS (
+  SELECT *, LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM vals)
+SELECT doc_id AS asset_id,
+  CAST({multimodal.WAV_SAMPLE_RATE} AS BIGINT) AS sample_rate,
+  CAST(MAX(n) AS BIGINT) AS n_samples,
+  CAST(MAX(n) * 1000 // {multimodal.WAV_SAMPLE_RATE} AS BIGINT)
+    AS duration_ms,
+  CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+  CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+  CAST(SUM(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (s < 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagged GROUP BY doc_id
+""",
+    tags=("llm", "multimodal", "audio"),
+    extra=True,
+)
+def media_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal story UN-FAKED end-to-end (r10): one
+    REAL mono 16-bit PCM WAV per document (stdlib ``wave`` encoder over a
+    pure-integer waveform of (doc_id, i)), decoded back through the real
+    reader inside the Arrow mapInPandas stage, then reduced to the
+    integer features a curation pipeline filters on — energy, peak,
+    zero-crossing count, duration. The oracle replays formula → features
+    directly (no WAV parsing in SQL), so a hash match proves the
+    encode→decode round-trip preserved every sample. Extra registry:
+    locally oracle-verified."""
+    assets = multimodal.wav_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.audio_features(assets)
+
+
 _CHUNK, _OVERLAP = 32, 8
 _STEP = _CHUNK - _OVERLAP
 

@@ -186,3 +186,61 @@ def test_resize_images_real_ppm_pipeline(spark, sf_dir):
         w, h, _, px = MM.decode_ppm(row.payload)
         assert (w, h, len(px)) == (8, 8, 192)
         assert row.payload_bytes == len(row.payload)
+
+
+def test_wav_roundtrip_and_malformed():
+    """r10 audio leg: the stdlib WAV codec round-trips every sample
+    bit-exactly, the container is genuine RIFF/WAVE, and non-mono-16-bit
+    payloads raise instead of mis-parsing."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from ssg_etl_spark.operators import multimodal as MM
+
+    samples = MM.wav_samples(7, MM.wav_sample_count(7))
+    payload = MM.encode_wav(samples)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    sr, decoded = MM.decode_wav(payload)
+    assert sr == MM.WAV_SAMPLE_RATE
+    assert decoded.tolist() == samples
+    # Sign changes exist (zero-crossing feature is non-degenerate).
+    s = np.asarray(samples)
+    assert ((s[:-1] < 0) != (s[1:] < 0)).sum() > 0
+
+    # Stereo payload refused.
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="mono 16-bit"):
+        MM.decode_wav(buf.getvalue())
+    with pytest.raises(wave.Error):
+        MM.decode_wav(b"not a wav at all")
+
+
+def test_wav_features_end_to_end(spark, sf_dir):
+    """Encode → Arrow decode → integer features equals a local numpy
+    replay of the same formula, including the variable clip lengths."""
+    import numpy as np
+
+    from ssg_etl_spark.operators import multimodal as MM
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(9)
+    feats = {
+        r.asset_id: r
+        for r in MM.audio_features(MM.wav_assets_from_documents(docs)).collect()
+    }
+    for aid, row in feats.items():
+        n = MM.wav_sample_count(aid)
+        s = np.asarray(MM.wav_samples(aid, n), dtype=np.int64)
+        assert row.n_samples == n
+        assert row.duration_ms == n * 1000 // MM.WAV_SAMPLE_RATE
+        assert row.sum_sq == int((s * s).sum())
+        assert row.peak == int(np.abs(s).max())
+        assert row.zero_crossings == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
