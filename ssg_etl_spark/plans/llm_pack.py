@@ -688,6 +688,44 @@ def media_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(assets)
 
 
+@register(
+    "media_video_y4m_frames",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, 2 + doc_id % 4 AS n FROM documents),
+sampled AS (
+  SELECT doc_id, text, n,
+         UNNEST(generate_series(0, n - 1, 2)) AS fi
+  FROM d)
+SELECT doc_id AS asset_id,
+  CAST(n AS BIGINT) AS n_frames,
+  CAST(fi AS BIGINT) AS frame_index,
+  CAST({len(multimodal.Y4M_HEADER)}
+       + n * {6 + multimodal.Y4M_FRAME_BYTES} AS BIGINT) AS payload_bytes,
+  md5(repeat(md5(text || '-f' || CAST(fi AS VARCHAR)),
+             {multimodal.Y4M_FRAME_BYTES // 16})) AS frame_digest
+FROM sampled
+""",
+    tags=("llm", "multimodal", "video"),
+    extra=True,
+)
+def media_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg UN-FAKED end-to-end (r10): one REAL YUV4MPEG2 clip per
+    document (uncompressed C444 frames — the mjpegtools/ffmpeg raw video
+    container), decoded and frame-sampled through the real parser inside
+    the Arrow mapInPandas stage (every 2nd frame incl. frame 0). The
+    oracle replays header arithmetic and per-frame digests from the
+    document text alone, so a hash match proves the container round-trip
+    preserved every raster byte. With PPM, WAV, and Y4M all running
+    fake=False, every UNcompressed modality is real; only codec-library
+    formats (JPEG/MP3/H.264) stay behind the documented
+    NotImplementedError. Extra registry: locally oracle-verified."""
+    assets = multimodal.y4m_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.sample_frames(assets, every_n=2)
+
+
 _CHUNK, _OVERLAP = 32, 8
 _STEP = _CHUNK - _OVERLAP
 

@@ -244,3 +244,64 @@ def test_wav_features_end_to_end(spark, sf_dir):
         assert row.sum_sq == int((s * s).sum())
         assert row.peak == int(np.abs(s).max())
         assert row.zero_crossings == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+
+
+def test_y4m_roundtrip_and_malformed():
+    """r10 video leg: genuine YUV4MPEG2 container round-trips every frame
+    byte-exactly; foreign signatures, wrong geometry, bad FRAME markers,
+    and truncated frames all raise."""
+    import pytest
+
+    from ssg_etl_spark.operators import multimodal as MM
+
+    frames = [MM.y4m_frame_raster("doc text", fi) for fi in range(4)]
+    payload = MM.encode_y4m(frames)
+    assert payload.startswith(b"YUV4MPEG2 W16 H8 ")
+    w, h, back = MM.decode_y4m(payload)
+    assert (w, h) == (MM.Y4M_W, MM.Y4M_H) and back == frames
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        MM.decode_y4m(b"RIFF....WAVE")
+    with pytest.raises(ValueError, match="geometry"):
+        MM.decode_y4m(b"YUV4MPEG2 W32 H8 F25:1\nFRAME\n" + b"x" * 768)
+    with pytest.raises(ValueError, match="FRAME marker"):
+        MM.decode_y4m(MM.Y4M_HEADER + b"BOGUS\n" + frames[0])
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_y4m(MM.Y4M_HEADER + b"FRAME\n" + frames[0][:100])
+    with pytest.raises(ValueError, match="frame must be"):
+        MM.encode_y4m([b"short"])
+
+
+def test_y4m_frame_sampling_end_to_end(spark, sf_dir):
+    """Encode → Arrow decode → sample every 2nd frame equals a local
+    replay: right indices (0, 2, …), right digests, right clip sizes."""
+    import hashlib
+
+    from ssg_etl_spark.operators import multimodal as MM
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    rows = MM.sample_frames(
+        MM.y4m_assets_from_documents(docs), every_n=2
+    ).collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == set(texts)
+    for aid, rs in by_asset.items():
+        n = 2 + aid % 4
+        assert all(r.n_frames == n for r in rs)
+        assert sorted(r.frame_index for r in rs) == list(range(0, n, 2))
+        expect_bytes = len(MM.Y4M_HEADER) + n * (6 + MM.Y4M_FRAME_BYTES)
+        assert all(r.payload_bytes == expect_bytes for r in rs)
+        for r in rs:
+            raster = MM.y4m_frame_raster(texts[aid], r.frame_index)
+            assert r.frame_digest == hashlib.md5(
+                raster.hex().encode("ascii")
+            ).hexdigest()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="every_n"):
+        MM.sample_frames(MM.y4m_assets_from_documents(docs), every_n=0)
