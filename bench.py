@@ -144,9 +144,11 @@ CURATION_FAMILY = [
     "snapshot_compaction",
     "ann_lsh_topk_auto",
     # Round 10: exact outlier-robust quantiles (member-range zoom),
-    # global + grouped.
+    # global + grouped; audio/video legs un-faked (WAV + Y4M codecs).
     "quantiles_totalprice_exact",
     "quantiles_price_by_status_exact",
+    "media_audio_wav_features",
+    "media_video_y4m_frames",
 ]
 
 
