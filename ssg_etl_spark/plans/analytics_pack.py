@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ssg_etl_spark.functions.scalar import null_profile_exprs, safe_ratio
-from ssg_etl_spark.operators import analytics, rollups
+from ssg_etl_spark.operators import analytics, rollups, sketches
 from ssg_etl_spark.operators.rollups import DEC
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table, load_tables
@@ -1280,3 +1280,51 @@ def bloom_new_key_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (~F.col("maybe_seen") | F.col("_in_base").isNull()).alias("is_new"),
     )
+
+
+# -------------------------------------------------- log-bucket quantiles
+
+_LB_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+@register(
+    "quantiles_logbucket_totalprice",
+    oracle=sketches.logbucket_quantiles_oracle_sql(
+        "orders", "o_totalprice", _LB_QS
+    ),
+    tags=("sketch", "quantile", "profile", "robust", "mergeable"),
+    extra=True,
+)
+def quantiles_logbucket_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-total quantiles from the MERGEABLE log-bucket sketch
+    (operators/sketches.logbucket_sketch): DDSketch-style significant-digit
+    buckets in exact integer arithmetic, one scan + one map-side-combinable
+    groupBy, relative error <= 0.5% of the TRUE value regardless of the
+    column's range — the data-robust single-pass member of the quantile
+    family (the exact zoom is error-zero but multi-scan; the uniform
+    histogram's contract is range-scaled). Bucket tables merge across
+    days/streams by addition — the 100 TB rollup shape. Oracle replays the
+    identical fixed-point floor mapping, string-built powers of ten, and
+    Fraction-exact ranks. Extra registry: locally oracle-verified."""
+    orders = load_table(spark, sf_dir, "orders")
+    sk = sketches.logbucket_sketch(orders, "o_totalprice")
+    return sketches.logbucket_quantiles(sk, _LB_QS)
+
+
+@register(
+    "quantiles_logbucket_by_status",
+    oracle=sketches.logbucket_quantiles_oracle_sql(
+        "orders", "o_totalprice", _LB_QS, {"o_orderstatus": "o_orderstatus"}
+    ),
+    tags=("sketch", "quantile", "profile", "robust", "mergeable"),
+    extra=True,
+)
+def quantiles_logbucket_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status log-bucket quantiles — the grouped form of the mergeable
+    sketch: bucket rows carry the group key, the cumulative walk windows
+    over the bounded bucket table per group. Completes the quantile family
+    matrix (approx/refined/exact/logbucket x global/grouped). Extra
+    registry: locally oracle-verified."""
+    orders = load_table(spark, sf_dir, "orders")
+    sk = sketches.logbucket_sketch(orders, "o_totalprice", ["o_orderstatus"])
+    return sketches.logbucket_quantiles(sk, _LB_QS, ["o_orderstatus"])
