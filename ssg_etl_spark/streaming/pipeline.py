@@ -877,6 +877,70 @@ def foreach_batch_cms_merge(
     return apply
 
 
+def foreach_batch_logbucket_merge(
+    sketch_path: str, value_col: str, keep_versions: int | None = None
+):
+    """Streaming quantile profile via the log-bucket sketch: each
+    micro-batch's significant-digit bucket counts ADD into a persisted
+    bucket table (operators/sketches.logbucket_sketch) through atomic
+    snapshot commits; ``logbucket_quantiles`` reads percentile estimates
+    off the latest snapshot at any time with the sketch's <=0.5%-of-value
+    error contract.
+
+    This supersedes the fixed-range histogram fold for columns whose
+    range is UNKNOWN or evolving: ``foreach_batch_hist_merge`` must pin
+    [lo, hi) up front (mis-aligned bins cannot be added), and one
+    out-of-range fat-finger clamps into an edge bin forever — log buckets
+    align by construction across batches, so there is nothing to
+    configure and nothing an outlier can distort. Like the other SUM
+    folds (histogram, CMS), replay safety comes from the manifest's
+    ``max_batch_id`` watermark, not algebra. State is bounded by occupied
+    buckets (~hundreds; capped by the value range's decades), never by
+    stream length. ``keep_versions``: inline retention, safe because the
+    watermark rides the LATEST manifest, which vacuum always keeps."""
+    from ssg_etl_spark.operators.sketches import logbucket_merge, logbucket_sketch
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_meta,
+        snapshot_versions,
+        vacuum_snapshots,
+    )
+
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        prev_max = -1
+        versions = snapshot_versions(sketch_path)
+        if versions:
+            prev_max = int(
+                snapshot_meta(sketch_path, versions[-1]).get("max_batch_id", -1)
+            )
+            if batch_id <= prev_max:
+                return  # replayed micro-batch: adding again would double-count
+        fresh = logbucket_sketch(batch, value_col)
+        if versions:
+            prior = read_snapshot(spark, sketch_path)
+            merged = logbucket_merge([prior, fresh])
+        else:
+            merged = fresh
+        rows = merged.collect()
+        commit_snapshot(
+            spark.createDataFrame(rows, merged.schema).coalesce(1),
+            sketch_path,
+            mode="overwrite",
+            meta={"batch_id": batch_id, "max_batch_id": max(batch_id, prev_max)},
+        )
+        if keep_versions is not None:
+            vacuum_snapshots(sketch_path, keep_last=keep_versions)
+
+    return apply
+
+
 def foreach_batch_quality_gate(
     target_path: str,
     quarantine_path: str,

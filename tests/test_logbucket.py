@@ -187,3 +187,70 @@ def test_partition_invariance(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_streaming_logbucket_fold_matches_batch_and_skips_replay(
+    spark, sf_dir, tmp_path
+):
+    """SUM-merged micro-batch log-bucket sketch == one-shot batch sketch
+    of the full table (no [lo, hi) to configure — buckets align by
+    construction); a replayed batch is skipped by the manifest watermark;
+    quantiles read off the streamed fold obey the relative-error contract
+    against the exact order statistic."""
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.sources.versioning import read_snapshot
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_logbucket_merge
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    sketch_path = str(tmp_path / "lb")
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_logbucket_merge(sketch_path, "value")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["blo"], r["bhi"], r["cnt"])
+        for r in read_snapshot(spark, sketch_path).collect()
+    }
+    batch = {
+        (r["blo"], r["bhi"], r["cnt"])
+        for r in sketches.logbucket_sketch(events, "value").collect()
+    }
+    assert streamed == batch
+
+    # Replay: folding an already-seen batch_id must be a no-op.
+    foreach_batch_logbucket_merge(sketch_path, "value")(
+        events.limit(300), batch_id=0
+    )
+    assert {
+        (r["blo"], r["bhi"], r["cnt"])
+        for r in read_snapshot(spark, sketch_path).collect()
+    } == streamed
+
+    # Read-time quantiles off the fold honor the error contract.
+    est = {
+        r["q"]: r["value_est"]
+        for r in sketches.logbucket_quantiles(
+            read_snapshot(spark, sketch_path), (0.5, 0.9)
+        ).collect()
+    }
+    vals = sorted(r["value"] for r in events.select("value").collect())
+    n = len(vals)
+    for q in (0.5, 0.9):
+        fq = Fraction(str(q))
+        true = vals[max(1, -((-fq.numerator * n) // fq.denominator)) - 1]
+        assert abs(est[q] - true) <= 0.005 * abs(true) + 0.005
