@@ -1091,3 +1091,87 @@ def merge_chunk_index(
             "n_occurrences",
         )
     )
+
+
+# ----------------------------------------------------------------- SemDeDup
+
+
+def semdedup_flags(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication via cluster-scoped cosine pruning — SemDeDup
+    (Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540): k-means partitions the
+    embedding space, then near-duplicate detection runs ONLY inside each
+    cluster, never across the corpus. Complexity is Σ|cluster|² instead of
+    N² — at 100 TB, k is chosen so the expected cluster size is bounded
+    (k ~ N / target_size), making the pairwise stage ~linear in N while
+    the clustering stage stays one k-row sufficient-stat shuffle per
+    Lloyd iteration (operators/clustering.py). This complements the LSH
+    near-dup (`embedding_near_dup`): LSH buckets by random hyperplane
+    signs and can miss moderate-similarity pairs; SemDeDup buckets by
+    LEARNED semantic regions, the published choice for diversity pruning
+    of web-scale training corpora (τ tuned to the target keep fraction —
+    aggressive low-τ settings prune merely-similar points, not only
+    verbatim near-dups).
+
+    Keep rule (deterministic, EXISTS-replayable): cluster members are
+    ranked by (d2 to final centroid, id) — centroid-nearest first; a
+    member is dropped iff some EARLIER-ranked member has cosine >= tau
+    with it. One row per input vector:
+    ``(id_col, cluster_id int, is_kept boolean)``.
+    """
+    from ssg_etl_spark.operators.clustering import kmeans_assign
+    from ssg_etl_spark.operators.similarity import _to_double, dot
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(embeddings, k, n_iter, id_col, vec_col)
+    vecs = embeddings.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy("d2", id_col)
+    )
+    members = persist_tracked(
+        assigned.join(vecs, id_col)
+        .withColumn("_rk", rk)
+        .withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    )
+    a = members.select(
+        F.col("cluster_id"),
+        F.col("_rk").alias("_rk_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = members.select(
+        F.col("cluster_id"),
+        F.col(id_col),
+        F.col("_rk").alias("_rk_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # Zero-norm vectors cannot be dup sources/targets (cosine undefined;
+    # NaN ordering differs across engines) but still appear in the output.
+    dup_ids = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_rk_a") < F.col("_rk_b"))
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .filter(cos >= F.lit(tau))
+        .select(id_col)
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        members.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -3785,3 +3785,66 @@ def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=50_000,
         token_col="n_chars",
     ).select("doc_id", "source", "epoch", "rate")
+
+
+# ------------------------------------------------------------- SemDeDup
+
+_SD_TAU = 0.3
+
+
+def _semdedup_oracle(k: int, n_iter: int, dim: int, tau: float) -> str:
+    """Replay SemDeDup end to end: the shared k-means CTE chain (fit +
+    final assignment in ``af``), then centroid-distance ranking inside
+    each cluster and the EXISTS-style earlier-ranked cosine probe. The
+    cosine folds left-to-right exactly as the DataFrame side's
+    similarity.dot; zero-norm vectors are excluded from PAIRING (NaN
+    ordering differs across engines) but stay in the output."""
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    ctes = _kmeans_ctes(k, n_iter, dim)
+    ctes += [
+        "mem AS (SELECT af.id, af.cid,"
+        " CASE WHEN round(af.d2, 6) = 0 THEN 0.0 ELSE round(af.d2, 6) END"
+        " AS d2 FROM af WHERE rn = 1)",
+        "rk AS (SELECT m.id, m.cid, p.v,"
+        " ROW_NUMBER() OVER (PARTITION BY m.cid ORDER BY m.d2, m.id) AS rk"
+        " FROM mem m JOIN pts p ON m.id = p.id)",
+        f"dup AS (SELECT DISTINCT b.id FROM rk a JOIN rk b"
+        f" ON a.cid = b.cid AND a.rk < b.rk"
+        f" WHERE sqrt(list_dot_product(a.v, a.v)) > 0"
+        f" AND sqrt(list_dot_product(b.v, b.v)) > 0"
+        f" AND {cos} >= {tau})",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT m.id AS vec_id, CAST(m.cid AS INT) AS cluster_id,\n"
+        "  (d.id IS NULL) AS is_kept\n"
+        "FROM mem m LEFT JOIN dup d ON m.id = d.id"
+    )
+
+
+@register(
+    "semdedup_embeddings",
+    oracle=_semdedup_oracle(_KM_K, _KM_ITER, _KM_DIM, _SD_TAU),
+    tags=("llm", "dedup", "clustering", "semantic"),
+    extra=True,
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): semantic dedup / diversity pruning by
+    cluster-scoped cosine — k-means partitions the embedding space, then
+    a member is dropped iff an earlier-ranked member of ITS OWN cluster
+    (centroid-nearest-first order) sits within cosine tau. Complexity
+    Σ|cluster|² — never corpus×corpus; at scale k rises with N to bound
+    cluster size, keeping the pair stage ~linear. Complements LSH
+    near-dup: buckets are LEARNED semantic regions, so moderate-cosine
+    redundancy is found (the published diversity-pruning use; tau here
+    is low because the synthetic corpus has no verbatim near-dups).
+    Extra registry: locally oracle-verified."""
+    return dedup.semdedup_flags(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_KM_K,
+        n_iter=_KM_ITER,
+        tau=_SD_TAU,
+    )

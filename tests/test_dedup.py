@@ -1581,3 +1581,34 @@ def test_semantic_decontamination_flags_only_near_benchmark(spark):
     hit_ids = {i for i, v in corpus_rows if v == v_hit}
     assert set(flagged) == hit_ids
     assert all(b == 100 for b in flagged.values())
+
+
+def test_semdedup_drops_intra_cluster_near_dups_only(spark):
+    """SemDeDup keep rule: inside a cluster, the earlier-ranked member of
+    a cosine>=tau pair survives and the later one is dropped; dissimilar
+    members survive; a zero-norm vector can never pair (cosine undefined)
+    but stays in the output; every cluster keeps its representative."""
+    from ssg_etl_spark.operators.dedup import semdedup_flags
+
+    rows = [
+        (0, [10.0, 0.0, 0.0, 0.0]),   # blob A seed
+        (1, [0.0, 10.0, 0.0, 0.0]),   # blob B seed
+        (2, [10.1, 0.05, 0.0, 0.0]),  # near-dup of 0 (cos ~ 1)
+        (3, [0.0, 9.9, 0.5, 0.0]),    # near-dup of 1 (cos ~ 0.999)
+        (4, [0.0, 0.0, 0.0, 0.0]),    # zero vector: unpaired, kept
+        (5, [-9.0, 0.1, 0.0, 0.0]),   # anti-aligned with blob A: kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["is_kept"])
+        for r in semdedup_flags(df, k=2, n_iter=2, tau=0.9).collect()
+    }
+    assert len(out) == len(rows)  # one row per input, nothing lost
+    # The near-dup pairs resolve to exactly one survivor each, and the
+    # pair really is intra-cluster.
+    assert out[0][0] == out[2][0] and out[0][1] != out[2][1]
+    assert out[1][0] == out[3][0] and out[1][1] != out[3][1]
+    assert out[4][1]  # zero vector kept
+    assert out[5][1]  # anti-aligned (cos ~ -1): kept
+    for cid in {c for c, _ in out.values()}:
+        assert any(k for c, k in out.values() if c == cid)
