@@ -149,6 +149,11 @@ CURATION_FAMILY = [
     "quantiles_price_by_status_exact",
     "media_audio_wav_features",
     "media_video_y4m_frames",
+    # Round 10 (cont.): mergeable log-bucket quantile sketch (global +
+    # grouped) and cluster-scoped semantic dedup (SemDeDup).
+    "quantiles_logbucket_totalprice",
+    "quantiles_logbucket_by_status",
+    "semdedup_embeddings",
 ]
 
 

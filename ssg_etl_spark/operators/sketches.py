@@ -353,14 +353,49 @@ def logbucket_quantiles(
     sig_digits=3 (exact when the bucket is a single fixed-point value,
     i.e. |m| < 10^sig).
 
-    The cumulative walk runs as a window over the BUCKET TABLE — bounded
-    by sketch capacity (<= ~35k rows per group, typically hundreds), not
-    by data size, the same bounded-state argument as the HLL register
-    collect. Returns ``(group_cols..., q, value_est)``."""
+    The cumulative walk is bounded by sketch capacity (<= ~35k rows per
+    group, typically hundreds), never by data size. Grouped: a window
+    PARTITIONed by the group key over the bucket table. Global: the walk
+    runs DRIVER-SIDE over the collected bucket table — metadata-sized by
+    construction, the same convention as histogram_quantiles / k-means
+    centroids / HLL registers, keeping the plan free of single-partition
+    windows. Both paths produce identical values (same integer rank and
+    midpoint arithmetic; the driver path rounds via shortest-repr
+    HALF_UP, the exact rule Spark's round applies to doubles).
+    Returns ``(group_cols..., q, value_est)``."""
     from fractions import Fraction
 
     group_cols = group_cols or []
     spark = sketch.sparkSession
+    if not group_cols:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        buckets = sorted(
+            (r["blo"], r["bhi"], r["cnt"]) for r in sketch.collect()
+        )
+        n = sum(c for _, _, c in buckets)
+        out: list[tuple[float, float]] = []
+        for q in qs:
+            fq = Fraction(str(q))
+            rank = max(1, -((-fq.numerator * n) // fq.denominator))
+            cum = 0
+            for blo, bhi, c in buckets:
+                cum += c
+                if cum >= rank:
+                    est = (blo + bhi - 1) / (2.0 * 10**scale)
+                    out.append(
+                        (
+                            float(q),
+                            float(
+                                Decimal(repr(est)).quantize(
+                                    Decimal("0.0001"),
+                                    rounding=ROUND_HALF_UP,
+                                )
+                            ),
+                        )
+                    )
+                    break
+        return spark.createDataFrame(out, "q double, value_est double")
     qrows = [
         (str(q), Fraction(str(q)).numerator, Fraction(str(q)).denominator)
         for q in qs

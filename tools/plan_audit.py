@@ -123,6 +123,11 @@ AUDIT_DEFAULT = [
     "quantiles_price_by_status_refined",
     "snapshot_compaction",
     "ann_lsh_topk_auto",
+    # Round 10 (cont.): grouped log-bucket sketch quantiles (the global
+    # form's read is a driver-side walk over the bounded bucket table —
+    # its plan is a LocalTableScan, nothing to audit), SemDeDup.
+    "quantiles_logbucket_by_status",
+    "semdedup_embeddings",
 ]
 
 
