@@ -154,6 +154,8 @@ CURATION_FAMILY = [
     "quantiles_logbucket_totalprice",
     "quantiles_logbucket_by_status",
     "semdedup_embeddings",
+    "kmv_sample_users",
+    "kmv_distinct_users",
 ]
 
 

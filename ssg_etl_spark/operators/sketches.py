@@ -494,3 +494,127 @@ SELECT {g_prefix}CAST(_qs AS DOUBLE) AS q,
          AS value_est
 FROM p
 """
+
+
+# ------------------------------------------------------------- bottom-k
+# KMV (k-minimum-values) sketch: the k smallest md5 hashes of a key
+# column's DISTINCT values (Bar-Yossef et al., "Counting distinct
+# elements in a data stream", RANDOM 2002; Beyer et al., SIGMOD 2007 for
+# the (k-1)/U_(k) estimator). One structure gives two things no other
+# sketch here provides together:
+#
+# * a STABLE UNIFORM SAMPLE of distinct keys — hash order is a uniform
+#   permutation, so the bottom-k set is a k-sample without replacement
+#   that is REPRODUCIBLE across engines, partitionings, days and streams
+#   (growing the corpus only ever shrinks membership monotonically);
+# * a cardinality estimate, (k-1) / U_(k) with U_(k) the k-th smallest
+#   normalized hash — cross-checkable against the HLL above.
+#
+# Merge law: bottom-k of a union = bottom-k of (union of bottom-k's) —
+# and the fold is IDEMPOTENT (re-merging the same sketch changes
+# nothing), so the streaming form is replay-safe by ALGEBRA, like the
+# HLL/Bloom folds and unlike the SUM folds (histogram/CMS/log-bucket).
+#
+# Scale shape, two regimes: for NEAR-UNIQUE keys (content hashes, doc
+# ids — the training-data case) the sketch never shuffles: candidates
+# come from a hash-ordered ``orderBy(h).limit(n)``, which Spark executes
+# as TakeOrderedAndProject (per-partition partial top-n, merged on the
+# driver), over-fetched and deduplicated driver-side with the fetch
+# doubling until the bottom-k DISTINCT hashes are provably complete.
+# For DUP-HEAVY keys (a user column with thousands of events each) the
+# over-fetch cannot win, so after ``max_rounds`` the build falls back to
+# the distinct-first plan — partial HashAggregate (map-side per-partition
+# dedup, so the exchange carries per-partition-DISTINCT keys, tiny for
+# exactly the dup-heavy inputs that reach this path) + TakeOrdered.
+# Either way the result is exact, never an error. The incremental shape
+# at 100 TB is neither: build per-day/per-source sketches and FOLD
+# (merge inputs are <= k rows each; the corpus is never re-scanned).
+
+BOTTOMK_K = 256
+BOTTOMK_HEX = 12  # 48 bits of normalized-hash material for the estimator
+_BOTTOMK_NORM = float(1 << (4 * BOTTOMK_HEX))
+
+
+def _key_hash(key: Column) -> Column:
+    return F.md5(key.cast("string").cast("binary"))
+
+
+def bottomk_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = BOTTOMK_K,
+    oversample: int = 8,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """The k lowest-hash DISTINCT keys: ``(h string, key)`` — a
+    driver-sized local table (like k-means centroids / histogram bins).
+    NULL keys are ignored (COUNT DISTINCT semantics).
+
+    Fast path (near-unique keys, zero shuffle): each round fetches the
+    ``n`` hash-lowest ROWS via TakeOrderedAndProject (duplicates
+    included); if they hold >= k distinct hashes — or the fetch drained
+    the input — the bottom-k distinct set is provably complete (every
+    unfetched row hashes above the fetch ceiling). Dup-heavy fallback
+    (after ``max_rounds`` doublings): distinct-first + TakeOrdered —
+    the map-side partial dedup means the exchange carries only
+    per-partition-distinct keys. Both paths are exact; the fetch is
+    bounded by k * oversample * 2^max_rounds rows (driver-sized)."""
+    if k < 1 or oversample < 1 or max_rounds < 1:
+        raise ValueError("k, oversample and max_rounds must be positive")
+    spark = df.sparkSession
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        _key_hash(F.col(key_col)).alias("h"), F.col(key_col)
+    )
+    n = k * oversample
+    for _ in range(max_rounds):
+        rows = base.orderBy("h").limit(n).collect()
+        seen: dict[str, object] = {}
+        for r in rows:
+            seen.setdefault(r["h"], r[key_col])
+        if len(seen) >= k or len(rows) < n:
+            picked = sorted(seen.items())[:k]
+            schema = base.select("h", key_col).schema
+            return spark.createDataFrame(
+                [(h, v) for h, v in picked], schema
+            )
+        n *= 2
+    rows = base.dropDuplicates(["h"]).orderBy("h").limit(k).collect()
+    schema = base.select("h", key_col).schema
+    return spark.createDataFrame(
+        sorted((r["h"], r[key_col]) for r in rows), schema
+    )
+
+
+def bottomk_merge(sketches: list[DataFrame], k: int = BOTTOMK_K) -> DataFrame:
+    """Bottom-k of the union of sketch tables (each <= k rows). DISTINCT
+    absorbs overlap, which is what makes the fold idempotent: re-merging
+    an already-folded sketch is a no-op."""
+    unioned = reduce(lambda a, b: a.unionByName(b), sketches).distinct()
+    return unioned.orderBy("h").limit(k)
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame, k: int = BOTTOMK_K
+) -> DataFrame:
+    """Cardinality estimate from a bottom-k sketch: ``(k-1) / U_(k)``
+    with ``U_(k)`` the k-th smallest hash normalized from its first 48
+    bits; when the sketch holds fewer than k rows the count is EXACT
+    (the sketch saw every distinct key). Returns one row
+    ``(n_sample bigint, approx_distinct double)``, rounded to 4 decimals
+    via shortest-repr HALF_UP (the rule Spark's round applies)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    spark = sketch.sparkSession
+    hashes = sorted(r["h"] for r in sketch.collect())
+    if len(hashes) < k:
+        est = float(len(hashes))
+    else:
+        hk = int(hashes[k - 1][:BOTTOMK_HEX], 16)
+        est = float(
+            Decimal(repr((k - 1) * _BOTTOMK_NORM / hk)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+    return spark.createDataFrame(
+        [(len(hashes), est)], "n_sample bigint, approx_distinct double"
+    )

@@ -691,3 +691,67 @@ def bloom_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_BLM_K,
     )
     return bloom_merge([daily.drop("day")], group_cols=[])
+
+
+# --------------------------------------------------------- bottom-k / KMV
+
+_KMV_K = 64
+_KMV_D_CTE = (
+    "d AS (SELECT DISTINCT user_id, md5(CAST(user_id AS VARCHAR)) AS h"
+    " FROM events WHERE user_id IS NOT NULL)"
+)
+
+
+@register(
+    "kmv_sample_users",
+    oracle=f"""
+WITH {_KMV_D_CTE},
+r AS (SELECT h, user_id, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM d)
+SELECT h, user_id FROM r WHERE rk <= {_KMV_K}
+""",
+    tags=("events", "sketch", "sample", "mergeable"),
+    extra=True,
+)
+def kmv_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sketch of distinct users: the k lowest-md5 distinct
+    keys — a REPRODUCIBLE uniform sample of the distinct-key space that
+    is stable across engines, partitionings, days and streams (growing
+    the corpus only shrinks membership monotonically), mergeable by
+    min-union, idempotent under refold. The global form never shuffles:
+    candidates come from TakeOrderedAndProject with driver-side
+    dedup-and-verify (exact-or-error) — operators/sketches.bottomk_sketch.
+    Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    return sketches.bottomk_sketch(events, "user_id", k=_KMV_K)
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=f"""
+WITH {_KMV_D_CTE},
+r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk,
+             COUNT(*) OVER () AS nd FROM d)
+SELECT CAST(LEAST(nd, {_KMV_K}) AS BIGINT) AS n_sample,
+  CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
+       ELSE ROUND(CAST({_KMV_K - 1} AS DOUBLE)
+                  * CAST(281474976710656 AS DOUBLE)
+                  / CAST(CAST(('0x' || substr(h, 1, 12)) AS BIGINT)
+                         AS DOUBLE), 4) END AS approx_distinct
+FROM r WHERE rk = LEAST({_KMV_K}, nd)
+""",
+    tags=("events", "sketch", "approx", "mergeable"),
+    extra=True,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality estimate from the bottom-k sketch: (k-1)/U_(k)
+    with U_(k) the k-th smallest 48-bit-normalized hash; EXACT when the
+    sketch holds fewer than k keys. The second distinct-count estimator
+    in the family — cross-checkable against hll_distinct_users from the
+    same scan. Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    sk = sketches.bottomk_sketch(events, "user_id", k=_KMV_K)
+    return sketches.kmv_distinct_estimate(sk, k=_KMV_K)

@@ -652,6 +652,61 @@ def foreach_batch_hll_merge(
     return apply
 
 
+def foreach_batch_bottomk_merge(
+    sketch_path: str,
+    key_col: str,
+    k: int | None = None,
+    keep_versions: int | None = None,
+):
+    """Streaming bottom-k (KMV) fold: each micro-batch's bottom-k distinct
+    hashes merge into a persisted sketch by min-union
+    (operators/sketches.bottomk_merge). Min-union is IDEMPOTENT — a
+    replayed micro-batch re-merges to the identical state — so, like the
+    HLL/Bloom folds and unlike the SUM folds, this sink is exactly-once
+    by algebra with no batch-id bookkeeping. The persisted state is the
+    stream-lifetime STABLE DISTINCT-KEY SAMPLE (membership only ever
+    shrinks as smaller hashes arrive) plus the KMV cardinality input —
+    state <= k rows forever. Same atomic snapshot-commit durability and
+    optional inline retention as the other folds."""
+    from ssg_etl_spark.operators.sketches import (
+        BOTTOMK_K,
+        bottomk_merge,
+        bottomk_sketch,
+    )
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+    )
+
+    k = BOTTOMK_K if k is None else k
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fresh = bottomk_sketch(batch, key_col, k=k)
+        if snapshot_versions(sketch_path):
+            prior = read_snapshot(spark, sketch_path)
+            merged = bottomk_merge([prior, fresh], k=k)
+        else:
+            merged = fresh
+        rows = merged.collect()
+        commit_snapshot(
+            spark.createDataFrame(rows, merged.schema).coalesce(1),
+            sketch_path,
+            mode="overwrite",
+            meta={"batch_id": batch_id},
+        )
+        if keep_versions is not None:
+            vacuum_snapshots(sketch_path, keep_last=keep_versions)
+
+    return apply
+
+
 def run_hll_stream(
     spark: SparkSession,
     source_path: str,

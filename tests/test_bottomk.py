@@ -1,0 +1,130 @@
+"""Bottom-k (KMV) sketch (operators/sketches.bottomk_*): the stable
+distinct-key sample + cardinality estimator. Pins both build regimes
+(zero-shuffle over-fetch for near-unique keys; distinct-first fallback
+for dup-heavy keys) against a brute-force reference, the min-union merge
+law with its idempotence (the replay-safety algebra of the streaming
+fold), and the estimator's exact-below-k contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+from ssg_etl_spark.operators import sketches
+
+
+def _md5(v) -> str:
+    return hashlib.md5(str(v).encode()).hexdigest()
+
+
+def _brute_bottomk(keys, k):
+    seen = {}
+    for key in keys:
+        if key is None:
+            continue
+        seen.setdefault(_md5(key), key)
+    return sorted(seen.items())[:k]
+
+
+def _collect(sk):
+    return sorted((r["h"], r[1]) for r in sk.collect())
+
+
+def test_fast_path_near_unique_keys_matches_brute(spark):
+    """Near-unique keys resolve in the first over-fetch round (no
+    fallback) and match the brute-force bottom-k exactly; NULLs are
+    ignored."""
+    keys = list(range(3000)) + [7, 42, None, None]
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "doc_id bigint"
+    )
+    got = _collect(sketches.bottomk_sketch(df, "doc_id", k=32))
+    assert got == _brute_bottomk(keys, 32)
+
+
+def test_fallback_dup_heavy_keys_matches_brute(spark):
+    """150 keys x ~67 duplicates each defeats the over-fetch (the r10
+    registry fixture shape); the distinct-first fallback still returns
+    the exact bottom-k."""
+    keys = [i % 150 for i in range(10_000)]
+    df = spark.createDataFrame([(k,) for k in keys], "user_id bigint")
+    got = _collect(sketches.bottomk_sketch(df, "user_id", k=64))
+    assert got == _brute_bottomk(keys, 64)
+    assert len(got) == 64
+
+
+def test_merge_law_and_idempotence(spark):
+    """Bottom-k of a union == bottom-k of the merged slice sketches, and
+    re-merging an already-folded sketch changes nothing (the exactly-once
+    algebra of the streaming fold)."""
+    all_keys = list(range(500))
+    slices = [all_keys[0:200], all_keys[200:350], all_keys[350:500]]
+    dfs = [
+        spark.createDataFrame([(k,) for k in s], "k bigint") for s in slices
+    ]
+    sks = [sketches.bottomk_sketch(d, "k", k=48) for d in dfs]
+    merged = sketches.bottomk_merge(sks, k=48)
+    whole = sketches.bottomk_sketch(
+        spark.createDataFrame([(k,) for k in all_keys], "k bigint"), "k", k=48
+    )
+    assert _collect(merged) == _collect(whole)
+    remerged = sketches.bottomk_merge([merged, sks[1]], k=48)
+    assert _collect(remerged) == _collect(whole)
+
+
+def test_estimate_exact_below_k_and_close_above(spark):
+    """Fewer distinct keys than k -> the estimate IS the exact count;
+    above k the KMV estimator lands within ~4/sqrt(k) of truth on a
+    uniform fixture."""
+    small = spark.createDataFrame([(i % 20,) for i in range(200)], "k bigint")
+    row = sketches.kmv_distinct_estimate(
+        sketches.bottomk_sketch(small, "k", k=64), k=64
+    ).collect()[0]
+    assert row["n_sample"] == 20 and row["approx_distinct"] == 20.0
+
+    big = spark.createDataFrame([(i,) for i in range(5000)], "k bigint")
+    row = sketches.kmv_distinct_estimate(
+        sketches.bottomk_sketch(big, "k", k=256), k=256
+    ).collect()[0]
+    assert row["n_sample"] == 256
+    assert abs(row["approx_distinct"] - 5000) / 5000 < 4 / (256 ** 0.5)
+
+
+def test_streaming_bottomk_fold_matches_batch_and_replays_safely(
+    spark, sf_dir, tmp_path
+):
+    """Micro-batch min-union fold == one-shot batch sketch; replaying a
+    batch through the fold leaves the state identical (idempotence, not
+    watermark bookkeeping)."""
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.sources.versioning import read_snapshot
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_bottomk_merge
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    sketch_path = str(tmp_path / "kmv")
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_bottomk_merge(sketch_path, "user_id", k=32)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = _collect(read_snapshot(spark, sketch_path))
+    batch = _collect(sketches.bottomk_sketch(events, "user_id", k=32))
+    assert streamed == batch
+
+    foreach_batch_bottomk_merge(sketch_path, "user_id", k=32)(
+        events.limit(500), batch_id=99
+    )
+    assert _collect(read_snapshot(spark, sketch_path)) == streamed

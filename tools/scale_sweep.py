@@ -337,12 +337,43 @@ def family(sf_dir: str, n_vectors: int):
             lambda s: dedup.ngram_jaccard_pairs_prefix(docs(s), 0.5),
             "exact full-universe semantics",
         ),
+        # Round 10: mergeable log-bucket quantile sketch (single scan +
+        # bounded bucket table — expected ~linear in the scan) and
+        # SemDeDup, whose scale lever is k: expected cluster size is held
+        # near ~150 vectors (k = N/150, the same occupancy discipline as
+        # the LSH bits above), so the intra-cluster pair stage stays
+        # ~linear in N instead of quadratic.
+        (
+            "logbucket_quantiles",
+            lambda s: sketches.logbucket_quantiles(
+                sketches.logbucket_sketch(docs(s), "n_chars", ["lang"]),
+                (0.25, 0.5, 0.9, 0.99),
+                ["lang"],
+            ),
+            "sig=3 x |langs| groups",
+        ),
+        (
+            "semdedup",
+            # Expected cluster size held near ~500 vectors (the model —
+            # k x dim literal doubles — rides the plan, so k also bounds
+            # expression size; 500 keeps it executor-friendly while still
+            # scaling k 10x across the decade).
+            lambda s: dedup.semdedup_flags(
+                emb(s), k=max(4, n_vectors // 500), n_iter=2, tau=0.3
+            ),
+            f"k={max(4, n_vectors // 500)} (occupancy-scaled) iters=2",
+        ),
     ]
 
 
 def main() -> int:
-    n_replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    for flag in [a for a in argv if a.startswith("--only=")]:
+        argv.remove(flag)
+        only = set(flag.split("=", 1)[1].split(","))
+    n_replicas = int(argv[0]) if len(argv) > 0 else 10
+    trials = int(argv[1]) if len(argv) > 1 else 2
 
     from ssg_etl_spark.cache import release_tracked
     from ssg_etl_spark.session import get_spark
@@ -367,8 +398,22 @@ def main() -> int:
 
         n_small = spark.read.parquet(f"{BASE_SF}/embeddings.parquet").count()
         n_big = n_small * n_replicas
-        small = {n: (run(f), note) for n, f, note in family(BASE_SF, n_small)}
-        big = {n: (run(f), note) for n, f, note in family(scaled_dir, n_big)}
+
+        def pick(fam):
+            if only is None:
+                return fam
+            unknown = only - {n for n, _, _ in fam}
+            if unknown:
+                raise SystemExit(f"unknown --only op(s): {sorted(unknown)}")
+            return [(n, f, note) for n, f, note in fam if n in only]
+
+        small = {
+            n: (run(f), note) for n, f, note in pick(family(BASE_SF, n_small))
+        }
+        big = {
+            n: (run(f), note)
+            for n, f, note in pick(family(scaled_dir, n_big))
+        }
 
         print(f"\n{'operator':32s} {'sf0.1':>8s} {'x' + str(n_replicas):>9s} "
               f"{'ratio':>6s}  params@big")
