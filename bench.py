@@ -156,6 +156,7 @@ CURATION_FAMILY = [
     "semdedup_embeddings",
     "kmv_sample_users",
     "kmv_distinct_users",
+    "kmv_user_overlap",
 ]
 
 

@@ -618,3 +618,64 @@ def kmv_distinct_estimate(
     return spark.createDataFrame(
         [(len(hashes), est)], "n_sample bigint, approx_distinct double"
     )
+
+
+def kmv_set_estimates(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = BOTTOMK_K
+) -> DataFrame:
+    """Theta-sketch-style set algebra over two bottom-k sketches (the
+    KMV/theta union-intersection trick — Dasgupta et al., "Theta-sketch
+    framework", 2016): cardinality estimates for A ∪ B, A ∩ B and the
+    Jaccard ratio WITHOUT rescanning either corpus — sketch-only math,
+    so yesterday's per-source sketches answer today's overlap question.
+
+    θ = min of the two sketches' k-th-smallest hashes (full 32-hex string
+    compare; a sketch holding fewer than k rows saw its whole key set and
+    contributes the max sentinel). Every hash strictly below θ is KNOWN
+    to both sketches (below a sketch's own threshold, membership in the
+    sketch IS membership in the underlying set), so on the window
+    W = {h in union of sketches : h < θ}:
+
+        union_est        = |W| * 2^48 / θ_48      (θ-normalized density)
+        intersection_est = |W ∩ A ∩ B| * 2^48 / θ_48
+        jaccard_est      = |W ∩ A ∩ B| / |W|
+
+    When BOTH sketches are exhaustive the estimates collapse to exact
+    counts. Driver-side math over <= 2k rows; returns one row
+    ``(n_window bigint, union_est double, intersection_est double,
+    jaccard_est double)`` rounded to 4 decimals (shortest-repr HALF_UP,
+    the rule Spark's round applies)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    spark = sketch_a.sparkSession
+    ha = sorted(r["h"] for r in sketch_a.collect())
+    hb = sorted(r["h"] for r in sketch_b.collect())
+    # 'g' sorts above any hex digit: the exhaustive-side sentinel.
+    theta = min(
+        ha[k - 1] if len(ha) >= k else "g",
+        hb[k - 1] if len(hb) >= k else "g",
+    )
+    sa, sb = set(ha), set(hb)
+    if theta == "g":
+        window = sorted(sa | sb)
+        both = [h for h in window if h in sa and h in sb]
+        est_u, est_i = float(len(window)), float(len(both))
+    else:
+        window = sorted(h for h in (sa | sb) if h < theta)
+        both = [h for h in window if h in sa and h in sb]
+        theta_48 = max(1, int(theta[:BOTTOMK_HEX], 16))
+        est_u = _r4(len(window) * _BOTTOMK_NORM / theta_48)
+        est_i = _r4(len(both) * _BOTTOMK_NORM / theta_48)
+    jac = _r4(len(both) / len(window)) if window else 0.0
+    return spark.createDataFrame(
+        [(len(window), est_u, est_i, jac)],
+        "n_window bigint, union_est double, intersection_est double,"
+        " jaccard_est double",
+    )

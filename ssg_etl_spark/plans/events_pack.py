@@ -755,3 +755,85 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     sk = sketches.bottomk_sketch(events, "user_id", k=_KMV_K)
     return sketches.kmv_distinct_estimate(sk, k=_KMV_K)
+
+
+@register(
+    "kmv_user_overlap",
+    oracle=f"""
+WITH ea AS (SELECT DISTINCT user_id, md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 0),
+eb AS (SELECT DISTINCT user_id, md5(CAST(user_id AS VARCHAR)) AS h
+       FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 1),
+ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk,
+              COUNT(*) OVER () AS n FROM ea),
+rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk,
+              COUNT(*) OVER () AS n FROM eb),
+sa AS (SELECT h FROM ra WHERE rk <= {_KMV_K}),
+sb AS (SELECT h FROM rb WHERE rk <= {_KMV_K}),
+th AS (SELECT LEAST(
+  (SELECT CASE WHEN MAX(n) >= {_KMV_K}
+               THEN MAX(CASE WHEN rk = {_KMV_K} THEN h END)
+               ELSE 'g' END FROM ra),
+  (SELECT CASE WHEN MAX(n) >= {_KMV_K}
+               THEN MAX(CASE WHEN rk = {_KMV_K} THEN h END)
+               ELSE 'g' END FROM rb)) AS theta),
+u AS (SELECT h FROM sa UNION SELECT h FROM sb),
+w AS (SELECT u.h FROM u, th WHERE th.theta = 'g' OR u.h < th.theta),
+bth AS (SELECT w.h FROM w
+        WHERE w.h IN (SELECT h FROM sa) AND w.h IN (SELECT h FROM sb)),
+m AS (SELECT (SELECT COUNT(*) FROM w) AS nw,
+             (SELECT COUNT(*) FROM bth) AS nb,
+             (SELECT theta FROM th) AS theta)
+SELECT CAST(nw AS BIGINT) AS n_window,
+  CASE WHEN theta = 'g' THEN CAST(nw AS DOUBLE)
+       ELSE ROUND(CAST(nw AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS union_est,
+  CASE WHEN theta = 'g' THEN CAST(nb AS DOUBLE)
+       ELSE ROUND(CAST(nb AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS intersection_est,
+  CASE WHEN nw = 0 THEN 0.0
+       ELSE ROUND(CAST(nb AS DOUBLE) / CAST(nw AS DOUBLE), 4)
+       END AS jaccard_est,
+  (SELECT COUNT(*) FROM
+     (SELECT user_id FROM ea UNION SELECT user_id FROM eb)) AS exact_union,
+  (SELECT COUNT(*) FROM
+     (SELECT user_id FROM ea INTERSECT SELECT user_id FROM eb))
+    AS exact_intersection
+FROM m
+""",
+    tags=("events", "sketch", "approx", "setop", "mergeable"),
+    extra=True,
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style audience overlap from two bottom-k sketches
+    (operators/sketches.kmv_set_estimates): union / intersection /
+    Jaccard of the even-event and odd-event user populations, estimated
+    from SKETCHES ALONE — the shape that answers cross-source overlap
+    questions from yesterday's per-source sketches without rescanning
+    either corpus. Exact counts ride along as the demo yardstick.
+    Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    est = sketches.kmv_set_estimates(
+        sketches.bottomk_sketch(even, "user_id", k=_KMV_K),
+        sketches.bottomk_sketch(odd, "user_id", k=_KMV_K),
+        k=_KMV_K,
+    )
+    ua = even.filter(F.col("user_id").isNotNull()).select("user_id").distinct()
+    ub = odd.filter(F.col("user_id").isNotNull()).select("user_id").distinct()
+    ex_u = (
+        ua.unionByName(ub)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    ex_i = ua.join(ub, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    return est.crossJoin(F.broadcast(ex_u)).crossJoin(F.broadcast(ex_i))

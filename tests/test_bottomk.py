@@ -128,3 +128,42 @@ def test_streaming_bottomk_fold_matches_batch_and_replays_safely(
         events.limit(500), batch_id=99
     )
     assert _collect(read_snapshot(spark, sketch_path)) == streamed
+
+
+def _ests(spark, a_keys, b_keys, k):
+    ska = sketches.bottomk_sketch(
+        spark.createDataFrame([(x,) for x in a_keys], "k bigint"), "k", k=k
+    )
+    skb = sketches.bottomk_sketch(
+        spark.createDataFrame([(x,) for x in b_keys], "k bigint"), "k", k=k
+    )
+    return sketches.kmv_set_estimates(ska, skb, k=k).collect()[0]
+
+
+def test_set_estimates_exact_when_both_exhaustive(spark):
+    """Both sketches below capacity -> union/intersection are exact counts
+    and Jaccard is the exact ratio."""
+    row = _ests(spark, list(range(30)), list(range(20, 50)), k=64)
+    assert row["union_est"] == 50.0
+    assert row["intersection_est"] == 10.0
+    assert row["jaccard_est"] == 0.2
+    assert row["n_window"] == 50
+
+
+def test_set_estimates_disjoint_sets(spark):
+    """Disjoint key spaces -> intersection and Jaccard estimate 0 in the
+    sketch-estimation regime too."""
+    row = _ests(spark, list(range(0, 3000)), list(range(10000, 13000)), k=128)
+    assert row["intersection_est"] == 0.0 and row["jaccard_est"] == 0.0
+    assert abs(row["union_est"] - 6000) / 6000 < 4 / (128 ** 0.5)
+
+
+def test_set_estimates_overlap_accuracy(spark):
+    """Half-overlapping 3000-key sets, k=256: union/intersection estimates
+    land within the ~1/sqrt(k) KMV error envelope of truth."""
+    a = list(range(0, 3000))
+    b = list(range(1500, 4500))
+    row = _ests(spark, a, b, k=256)
+    assert abs(row["union_est"] - 4500) / 4500 < 4 / (256 ** 0.5)
+    assert abs(row["intersection_est"] - 1500) / 1500 < 8 / (256 ** 0.5)
+    assert abs(row["jaccard_est"] - 1500 / 4500) < 0.1
