@@ -157,6 +157,7 @@ CURATION_FAMILY = [
     "kmv_sample_users",
     "kmv_distinct_users",
     "kmv_user_overlap",
+    "logbucket_daily_rollup",
 ]
 
 

@@ -837,3 +837,38 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_intersection")
     )
     return est.crossJoin(F.broadcast(ex_u)).crossJoin(F.broadcast(ex_i))
+
+
+from ssg_etl_spark.operators.sketches import logbucket_quantiles_oracle_sql
+
+
+@register(
+    "logbucket_daily_rollup",
+    oracle=logbucket_quantiles_oracle_sql(
+        "events", "value", (0.5, 0.9, 0.99), {"event_type": "event_type"}
+    ),
+    tags=("events", "sketch", "quantile", "rollup", "mergeable"),
+    extra=True,
+)
+def logbucket_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-bucket rollup algebra AS the correctness check (parity
+    with hll_daily_rollup / bloom_daily_rollup): the query builds
+    per-(event_type, DAY) bucket tables and SUM-merges them into
+    per-type quantile estimates; the oracle computes the estimates
+    DIRECTLY from raw rows. They hash-match precisely because bucket
+    counts form a commutative monoid under addition with buckets aligned
+    by construction — the property that lets a 100 TB warehouse keep
+    tiny daily quantile sketches and answer any date-range percentile by
+    folding them. Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_day", F.col("ts").cast("date")
+    )
+    daily = sketches.logbucket_sketch(events, "value", ["event_type", "_day"])
+    merged = daily.groupBy("event_type", "blo", "bhi").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return sketches.logbucket_quantiles(
+        merged, (0.5, 0.9, 0.99), ["event_type"]
+    )
