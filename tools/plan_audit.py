@@ -128,6 +128,12 @@ AUDIT_DEFAULT = [
     # its plan is a LocalTableScan, nothing to audit), SemDeDup.
     "quantiles_logbucket_by_status",
     "semdedup_embeddings",
+    # Round 10 (cont. 2): theta-overlap (broadcast scalar joins) and the
+    # day-partitioned log-bucket rollup (grouped windows only). The KMV
+    # sample/estimate queries return driver-computed local tables —
+    # nothing to audit.
+    "kmv_user_overlap",
+    "logbucket_daily_rollup",
 ]
 
 
