@@ -287,12 +287,17 @@ def logbucket_sketch(
     decade, ~35k worst case over the whole BIGINT range, typically a few
     hundred) — NOT by data size. The aggregation is COUNT -> SUM:
     map-side combinable, and sketches from disjoint inputs merge by
-    addition (:func:`logbucket_merge`). NULLs are ignored, matching the
-    order-statistic semantics this sketch approximates."""
+    addition (:func:`logbucket_merge`). NULLs, NaNs and ±Infinity are
+    ignored — none has a place on the value line, and a NaN would
+    otherwise corrupt the fixed-point cast (non-ANSI folds it to bucket
+    [0,1); ANSI crashes the job; the oracle can match neither)."""
     group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
     m = _fixed_point(F.col(value_col), scale)
     b = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+        )
         .select(*group_cols, m.alias("_m"))
         .withColumn("_a", F.abs(F.col("_m")))
         .withColumn(
@@ -462,7 +467,9 @@ def logbucket_quantiles_oracle_sql(
 WITH fx AS (
   SELECT {sel_g}
          CAST(FLOOR(CAST({value_col} AS DOUBLE) * {mul} + 0.5) AS BIGINT) AS m
-  FROM {table} WHERE {value_col} IS NOT NULL),
+  FROM {table} WHERE {value_col} IS NOT NULL
+    AND NOT isnan(CAST({value_col} AS DOUBLE))
+    AND NOT isinf(CAST({value_col} AS DOUBLE))),
 mag AS (
   SELECT {g_prefix}m, ABS(m) AS a,
          CAST('1' || REPEAT('0', GREATEST(LENGTH(CAST(ABS(m) AS VARCHAR))
@@ -558,7 +565,8 @@ def bottomk_sketch(
     (after ``max_rounds`` doublings): distinct-first + TakeOrdered —
     the map-side partial dedup means the exchange carries only
     per-partition-distinct keys. Both paths are exact; the fetch is
-    bounded by k * oversample * 2^max_rounds rows (driver-sized)."""
+    bounded by k * oversample * 2^(max_rounds-1) rows — the final
+    doubling happens after the last fetch (driver-sized either way)."""
     if k < 1 or oversample < 1 or max_rounds < 1:
         raise ValueError("k, oversample and max_rounds must be positive")
     spark = df.sparkSession
@@ -609,7 +617,9 @@ def kmv_distinct_estimate(
     if len(hashes) < k:
         est = float(len(hashes))
     else:
-        hk = int(hashes[k - 1][:BOTTOMK_HEX], 16)
+        # max(1, ...) guards the 2^-48 (but adversarially constructible)
+        # all-zero-prefix k-th hash — same guard as kmv_set_estimates.
+        hk = max(1, int(hashes[k - 1][:BOTTOMK_HEX], 16))
         est = float(
             Decimal(repr((k - 1) * _BOTTOMK_NORM / hk)).quantize(
                 Decimal("0.0001"), rounding=ROUND_HALF_UP

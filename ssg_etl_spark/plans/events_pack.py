@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ssg_etl_spark.operators import incremental
 from ssg_etl_spark.operators.rollups import DEC
+from ssg_etl_spark.operators.sketches import logbucket_quantiles_oracle_sql
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table
 
@@ -737,8 +738,9 @@ SELECT CAST(LEAST(nd, {_KMV_K}) AS BIGINT) AS n_sample,
   CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
        ELSE ROUND(CAST({_KMV_K - 1} AS DOUBLE)
                   * CAST(281474976710656 AS DOUBLE)
-                  / CAST(CAST(('0x' || substr(h, 1, 12)) AS BIGINT)
-                         AS DOUBLE), 4) END AS approx_distinct
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(h, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS approx_distinct
 FROM r WHERE rk = LEAST({_KMV_K}, nd)
 """,
     tags=("events", "sketch", "approx", "mergeable"),
@@ -837,9 +839,6 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_intersection")
     )
     return est.crossJoin(F.broadcast(ex_u)).crossJoin(F.broadcast(ex_i))
-
-
-from ssg_etl_spark.operators.sketches import logbucket_quantiles_oracle_sql
 
 
 @register(

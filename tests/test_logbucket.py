@@ -254,3 +254,27 @@ def test_streaming_logbucket_fold_matches_batch_and_skips_replay(
         fq = Fraction(str(q))
         true = vals[max(1, -((-fq.numerator * n) // fq.denominator)) - 1]
         assert abs(est[q] - true) <= 0.005 * abs(true) + 0.005
+
+
+def test_nan_and_infinity_excluded_like_null(spark):
+    """NaN and ±Infinity have no place on the value line: they are
+    excluded like NULLs (review finding — a NaN would otherwise fold to
+    bucket [0,1) non-ANSI, crash ANSI, and never match the oracle), and
+    the finite rows' sketch is unchanged by their presence."""
+    finite = [1.25, -7.5, 300.0, 300.0]
+    df_dirty = spark.createDataFrame(
+        [(v,) for v in finite]
+        + [(float("nan"),), (float("inf"),), (float("-inf"),), (None,)],
+        "x double",
+    )
+    df_clean = spark.createDataFrame([(v,) for v in finite], "x double")
+    dirty = {
+        (r["blo"], r["bhi"]): r["cnt"]
+        for r in sketches.logbucket_sketch(df_dirty, "x").collect()
+    }
+    clean = {
+        (r["blo"], r["bhi"]): r["cnt"]
+        for r in sketches.logbucket_sketch(df_clean, "x").collect()
+    }
+    assert dirty == clean
+    assert sum(dirty.values()) == len(finite)

@@ -371,7 +371,8 @@ def main() -> int:
     only: set[str] | None = None
     for flag in [a for a in argv if a.startswith("--only=")]:
         argv.remove(flag)
-        only = set(flag.split("=", 1)[1].split(","))
+        picked = set(flag.split("=", 1)[1].split(","))
+        only = picked if only is None else only | picked
     n_replicas = int(argv[0]) if len(argv) > 0 else 10
     trials = int(argv[1]) if len(argv) > 1 else 2
 
