@@ -325,3 +325,52 @@ def test_mixture_sample_integer_part_is_exact(spark, k, frac_kind, n_docs):
         assert epochs <= set(range(k + 1))
         if frac_kind == 0.0:
             assert epochs == set(range(k))
+
+
+# ------------------------------------------------------------- log-bucket
+
+_MONEY = st.one_of(
+    st.decimals(
+        min_value=-10**9, max_value=10**9, places=2, allow_nan=False,
+        allow_infinity=False,
+    ).map(float),
+    st.sampled_from([0.0, -0.01, 0.01, 999999.0, -999999.99]),
+)
+_MONEY_LISTS = st.lists(_MONEY, min_size=1, max_size=40)
+_QS = st.lists(
+    st.sampled_from([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+    min_size=1, max_size=4, unique=True,
+)
+
+
+@given(vals=_MONEY_LISTS, qs=_QS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_logbucket_quantiles_match_reference_on_random_money(spark, vals, qs):
+    """Property: for any finite money-scale column and any quantile set,
+    the distributed log-bucket sketch reproduces the pure-Python replay
+    of its documented arithmetic exactly (the same claim the SQL oracle
+    makes cross-engine), and every estimate obeys the relative-error
+    contract against the true order statistic of the fixed-point domain."""
+    import math
+    from fractions import Fraction
+
+    from ssg_etl_spark.operators import sketches
+    from tests.test_logbucket import _ref_quantiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    sk = sketches.logbucket_sketch(df, "x")
+    got = {
+        r["q"]: r["value_est"]
+        for r in sketches.logbucket_quantiles(sk, tuple(sorted(qs))).collect()
+    }
+    assert got == _ref_quantiles(vals, tuple(sorted(qs)))
+
+    fixed = sorted(math.floor(v * 100 + 0.5) / 100.0 for v in vals)
+    for q in qs:
+        fq = Fraction(str(q))
+        true = fixed[max(1, -((-fq.numerator * len(fixed)) // fq.denominator)) - 1]
+        assert abs(got[q] - true) <= 0.005 * abs(true) + 0.005
