@@ -158,6 +158,7 @@ CURATION_FAMILY = [
     "kmv_distinct_users",
     "kmv_user_overlap",
     "logbucket_daily_rollup",
+    "kmv_sample_by_type",
 ]
 
 

@@ -689,3 +689,45 @@ def kmv_set_estimates(
         "n_window bigint, union_est double, intersection_est double,"
         " jaccard_est double",
     )
+
+
+def bottomk_sketch_grouped(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """Per-group bottom-k distinct keys: ``(group_cols..., h, key)``, at
+    most k rows per group — the grouped form of the KMV sketch (stable
+    per-source / per-domain distinct samples, per-group (k-1)/U_(k)
+    cardinality inputs). Unlike the global form's TakeOrdered path, the
+    grouped build shuffles the distinct (group, key) pairs once
+    (map-side partial dedup first), then ranks within each group — the
+    same shuffle class as a grouped COUNT DISTINCT; Spark plans the
+    rank<=k filter as WindowGroupLimit, so only k rows per group survive
+    each task before the final window. At 100 TB, build per-day grouped
+    sketches and fold them (:func:`bottomk_merge_grouped` inputs are
+    <= k rows per group; the corpus is never re-scanned)."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    base = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, _key_hash(F.col(key_col)).alias("h"), F.col(key_col))
+        .dropDuplicates([*group_cols, "h"])
+    )
+    rk = F.row_number().over(Window.partitionBy(*group_cols).orderBy("h"))
+    return base.withColumn("_rk", rk).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def bottomk_merge_grouped(
+    sketches: list[DataFrame],
+    group_cols: list[str],
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """Per-group min-union of grouped sketch tables — idempotent, like
+    the global merge: dedup absorbs overlap, the re-rank keeps k."""
+    unioned = reduce(lambda a, b: a.unionByName(b), sketches).dropDuplicates(
+        [*group_cols, "h"]
+    )
+    rk = F.row_number().over(Window.partitionBy(*group_cols).orderBy("h"))
+    return unioned.withColumn("_rk", rk).filter(F.col("_rk") <= k).drop("_rk")

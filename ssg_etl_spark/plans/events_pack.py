@@ -871,3 +871,34 @@ def logbucket_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.logbucket_quantiles(
         merged, (0.5, 0.9, 0.99), ["event_type"]
     )
+
+
+@register(
+    "kmv_sample_by_type",
+    oracle="""
+WITH d AS (SELECT DISTINCT event_type, user_id,
+                  md5(CAST(user_id AS VARCHAR)) AS h
+           FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM d)
+SELECT event_type, h, user_id FROM r WHERE rk <= 16
+""",
+    tags=("events", "sketch", "sample", "mergeable"),
+    extra=True,
+)
+def kmv_sample_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped bottom-k sketch: a stable 16-user distinct sample PER
+    EVENT TYPE (operators/sketches.bottomk_sketch_grouped) — per-source
+    reproducible samples, the per-group twin of kmv_sample_users. The
+    build shuffles distinct (group, key) pairs once (map-side partial
+    dedup; WindowGroupLimit caps each task at k rows per group before
+    the final window); per-day grouped sketches fold via
+    bottomk_merge_grouped without re-scanning. Extra registry: locally
+    oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    return sketches.bottomk_sketch_grouped(
+        events, "user_id", ["event_type"], k=16
+    )

@@ -167,3 +167,37 @@ def test_set_estimates_overlap_accuracy(spark):
     assert abs(row["union_est"] - 4500) / 4500 < 4 / (256 ** 0.5)
     assert abs(row["intersection_est"] - 1500) / 1500 < 8 / (256 ** 0.5)
     assert abs(row["jaccard_est"] - 1500 / 4500) < 0.1
+
+
+def test_grouped_sketch_matches_per_group_brute_and_merges(spark):
+    """Grouped bottom-k == per-group brute force; per-group min-union
+    merge is idempotent and equals the whole-data grouped sketch."""
+    rows = [(("a" if i % 3 else "b"), i % 40) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, k bigint")
+
+    def per_group(sk):
+        out = {}
+        for r in sk.collect():
+            out.setdefault(r["g"], []).append((r["h"], r["k"]))
+        return {g: sorted(v) for g, v in out.items()}
+
+    got = per_group(sketches.bottomk_sketch_grouped(df, "k", ["g"], k=8))
+    want = {
+        g: _brute_bottomk([k for gg, k in rows if gg == g], 8)
+        for g in ("a", "b")
+    }
+    assert got == want
+
+    halves = [
+        sketches.bottomk_sketch_grouped(
+            spark.createDataFrame(rows[i::2], "g string, k bigint"),
+            "k",
+            ["g"],
+            k=8,
+        )
+        for i in range(2)
+    ]
+    merged = sketches.bottomk_merge_grouped(halves, ["g"], k=8)
+    assert per_group(merged) == want
+    remerged = sketches.bottomk_merge_grouped([merged, halves[0]], ["g"], k=8)
+    assert per_group(remerged) == want
