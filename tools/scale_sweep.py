@@ -363,6 +363,22 @@ def family(sf_dir: str, n_vectors: int):
             ),
             f"k={max(4, n_vectors // 500)} (occupancy-scaled) iters=2",
         ),
+        # Bottom-k over near-unique document text: the global form's
+        # TakeOrdered fast path should be scan-bound (~linear); the
+        # grouped form's distinct-pair shuffle grows with distinct keys
+        # (also ~linear here since text is near-unique).
+        (
+            "bottomk_global",
+            lambda s: sketches.bottomk_sketch(docs(s), "text", k=256),
+            "TakeOrdered fast path",
+        ),
+        (
+            "bottomk_grouped",
+            lambda s: sketches.bottomk_sketch_grouped(
+                docs(s), "text", ["lang"], k=256
+            ),
+            "k=256 x |langs|, distinct-pair shuffle",
+        ),
     ]
 
 
