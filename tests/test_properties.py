@@ -374,3 +374,73 @@ def test_logbucket_quantiles_match_reference_on_random_money(spark, vals, qs):
         fq = Fraction(str(q))
         true = fixed[max(1, -((-fq.numerator * len(fixed)) // fq.denominator)) - 1]
         assert abs(got[q] - true) <= 0.005 * abs(true) + 0.005
+
+
+# --------------------------------------------------------------- bottom-k
+
+_KEYSETS = st.lists(
+    st.one_of(st.integers(min_value=0, max_value=60), st.none()),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(keys=_KEYSETS, k=st.sampled_from([1, 4, 16]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bottomk_matches_brute_on_random_multisets(spark, keys, k):
+    """Property: for any key multiset (duplicates, NULLs) and any k, the
+    sketch equals the brute-force bottom-k of the distinct non-null
+    keys — regardless of which build regime (fast path or dup-heavy
+    fallback) the input lands in."""
+    from ssg_etl_spark.operators import sketches
+    from tests.test_bottomk import _brute_bottomk
+
+    df = spark.createDataFrame([(x,) for x in keys], "k bigint")
+    got = sorted(
+        (r["h"], r["k"])
+        for r in sketches.bottomk_sketch(df, "k", k=k, oversample=2,
+                                         max_rounds=2).collect()
+    )
+    assert got == _brute_bottomk(keys, k)
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    b=st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmv_set_estimates_exact_in_exhaustive_regime(spark, a, b):
+    """Property: whenever both sketches hold their whole key set (k above
+    both cardinalities), the set-algebra estimates ARE the exact union /
+    intersection / Jaccard — no estimator error leaks into the
+    exhaustive regime."""
+    from ssg_etl_spark.operators import sketches
+
+    k = 64  # > max_size of either set
+    ska = sketches.bottomk_sketch(
+        spark.createDataFrame([(x,) for x in sorted(a)], "k bigint"), "k", k=k
+    )
+    skb = sketches.bottomk_sketch(
+        spark.createDataFrame([(x,) for x in sorted(b)], "k bigint"), "k", k=k
+    )
+    row = sketches.kmv_set_estimates(ska, skb, k=k).collect()[0]
+    u, i = len(a | b), len(a & b)
+    assert row["union_est"] == float(u)
+    assert row["intersection_est"] == float(i)
+    assert row["n_window"] == u
+    # Same shortest-repr HALF_UP rounding the implementation uses —
+    # Python's round() is banker's and differs at exact 4-decimal ties.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = float(
+        Decimal(repr(i / u)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )
+    assert row["jaccard_est"] == want
