@@ -159,6 +159,7 @@ CURATION_FAMILY = [
     "kmv_user_overlap",
     "logbucket_daily_rollup",
     "kmv_sample_by_type",
+    "quantiles_logbucket_weighted",
 ]
 
 

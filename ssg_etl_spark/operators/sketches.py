@@ -279,6 +279,7 @@ def logbucket_sketch(
     group_cols: list[str] | None = None,
     sig_digits: int = LOGBUCKET_SIG,
     scale: int = LOGBUCKET_SCALE,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sketch state per group: ``(group_cols..., blo, bhi, cnt)`` — one row
     per OCCUPIED significant-digit bucket covering the half-open integer
@@ -290,15 +291,27 @@ def logbucket_sketch(
     addition (:func:`logbucket_merge`). NULLs, NaNs and ±Infinity are
     ignored — none has a place on the value line, and a NaN would
     otherwise corrupt the fixed-point cast (non-ANSI folds it to bucket
-    [0,1); ANSI crashes the job; the oracle can match neither)."""
+    [0,1); ANSI crashes the job; the oracle can match neither).
+
+    ``weight_col`` (optional): POSITIVE-INTEGER row weights — e.g. token
+    counts, giving token-weighted quantiles ("the document length the
+    median token lives in"). Bucket counts become weight sums; the
+    quantile read's ranks run over total weight unchanged. Rows with
+    NULL or non-positive weight are excluded (a negative weight would
+    corrupt the cumulative walk)."""
     group_cols = group_cols or []
     v = F.col(value_col).cast("double")
     m = _fixed_point(F.col(value_col), scale)
-    b = (
-        df.filter(
-            v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    keep = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    wcols = []
+    if weight_col is not None:
+        keep = keep & F.col(weight_col).isNotNull() & (
+            F.col(weight_col).cast("bigint") > 0
         )
-        .select(*group_cols, m.alias("_m"))
+        wcols = [F.col(weight_col).cast("bigint").alias("_w")]
+    b = (
+        df.filter(keep)
+        .select(*group_cols, m.alias("_m"), *wcols)
         .withColumn("_a", F.abs(F.col("_m")))
         .withColumn(
             "_drop",
@@ -323,10 +336,14 @@ def logbucket_sketch(
         .otherwise(-F.col("_lo_mag") + 1)
         .alias("bhi")
     )
+    cnt = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col("_w"))
+    ).alias("cnt")
+    extra = [] if weight_col is None else [F.col("_w")]
     return (
-        b.select(*group_cols, blo, bhi)
+        b.select(*group_cols, blo, bhi, *extra)
         .groupBy(*group_cols, "blo", "bhi")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(cnt)
     )
 
 
@@ -442,11 +459,13 @@ def logbucket_quantiles_oracle_sql(
     group_map: dict[str, str] | None = None,
     sig_digits: int = LOGBUCKET_SIG,
     scale: int = LOGBUCKET_SCALE,
+    weight_col: str | None = None,
 ) -> str:
     """DuckDB oracle replaying the sketch bit-for-bit: same fixed-point
     floor mapping, same string-built power of ten, same integer bucket
     arithmetic, same Fraction-exact ranks, same midpoint division.
-    ``group_map`` maps output alias -> source expression (None = global)."""
+    ``group_map`` maps output alias -> source expression (None = global);
+    ``weight_col`` mirrors the sketch's positive-integer weighting."""
     from fractions import Fraction
 
     group_map = group_map or {}
@@ -463,27 +482,42 @@ def logbucket_quantiles_oracle_sql(
         for q in qs
     )
     mul = float(10**scale)
+    w_sel = ""
+    w_filter = ""
+    w_carry = ""
+    cnt_expr = "COUNT(*)"
+    if weight_col is not None:
+        w_sel = f", CAST({weight_col} AS BIGINT) AS w"
+        w_filter = (
+            f"\n    AND {weight_col} IS NOT NULL"
+            f" AND CAST({weight_col} AS BIGINT) > 0"
+        )
+        w_carry = ", w"
+        cnt_expr = "SUM(w)"
     return f"""
 WITH fx AS (
   SELECT {sel_g}
          CAST(FLOOR(CAST({value_col} AS DOUBLE) * {mul} + 0.5) AS BIGINT) AS m
+         {w_sel}
   FROM {table} WHERE {value_col} IS NOT NULL
     AND NOT isnan(CAST({value_col} AS DOUBLE))
-    AND NOT isinf(CAST({value_col} AS DOUBLE))),
+    AND NOT isinf(CAST({value_col} AS DOUBLE)){w_filter}),
 mag AS (
-  SELECT {g_prefix}m, ABS(m) AS a,
+  SELECT {g_prefix}m{w_carry}, ABS(m) AS a,
          CAST('1' || REPEAT('0', GREATEST(LENGTH(CAST(ABS(m) AS VARCHAR))
                                           - {sig_digits}, 0)) AS BIGINT) AS dv
   FROM fx),
 ed AS (
-  SELECT {g_prefix}m, (a // dv) * dv AS lo_mag, (a // dv) * dv + dv AS hi_mag
+  SELECT {g_prefix}m{w_carry}, (a // dv) * dv AS lo_mag,
+         (a // dv) * dv + dv AS hi_mag
   FROM mag),
 bk AS (
   SELECT {g_prefix}
          CASE WHEN m >= 0 THEN lo_mag ELSE -hi_mag + 1 END AS blo,
          CASE WHEN m >= 0 THEN hi_mag ELSE -lo_mag + 1 END AS bhi
+         {w_carry}
   FROM ed),
-h AS (SELECT {g_prefix}blo, bhi, COUNT(*) AS cnt FROM bk
+h AS (SELECT {g_prefix}blo, bhi, {cnt_expr} AS cnt FROM bk
       GROUP BY {g_prefix}blo, bhi),
 c AS (
   SELECT *, SUM(cnt) OVER ({part}ORDER BY blo) AS cum,

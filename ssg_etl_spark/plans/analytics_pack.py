@@ -1328,3 +1328,31 @@ def quantiles_logbucket_by_status(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = load_table(spark, sf_dir, "orders")
     sk = sketches.logbucket_sketch(orders, "o_totalprice", ["o_orderstatus"])
     return sketches.logbucket_quantiles(sk, _LB_QS, ["o_orderstatus"])
+
+
+@register(
+    "quantiles_logbucket_weighted",
+    oracle=sketches.logbucket_quantiles_oracle_sql(
+        "documents",
+        "n_chars",
+        _LB_QS,
+        {"lang": "lang"},
+        weight_col="n_chars",
+    ),
+    tags=("sketch", "quantile", "llm", "weighted", "mergeable"),
+    extra=True,
+)
+def quantiles_logbucket_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED log-bucket quantiles: per-language document-length
+    percentiles weighted by length itself — "the document length the
+    median CHARACTER lives in", the curation view that tells you where
+    the token mass sits rather than where the document count sits
+    (a corpus can be 90% tiny docs by count yet 90% long-doc by tokens).
+    Bucket counts become weight sums; ranks run over total weight; the
+    merge/rollup/streaming algebra is unchanged (weighted counts still
+    add). Extra registry: locally oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = sketches.logbucket_sketch(
+        docs, "n_chars", ["lang"], weight_col="n_chars"
+    )
+    return sketches.logbucket_quantiles(sk, _LB_QS, ["lang"])

@@ -278,3 +278,41 @@ def test_nan_and_infinity_excluded_like_null(spark):
     }
     assert dirty == clean
     assert sum(dirty.values()) == len(finite)
+
+
+def test_weighted_sketch_equals_expanded_multiset(spark):
+    """Weighted bucket counts == unweighted counts of the row-expanded
+    multiset (the defining identity of integer weights), and NULL /
+    non-positive weights are excluded."""
+    rows = [(10.0, 3), (10.0, 2), (250.0, 1), (999.0, 4)]
+    df = spark.createDataFrame(
+        rows + [(5.0, None), (7.0, 0), (8.0, -2)], "x double, w bigint"
+    )
+    expanded = spark.createDataFrame(
+        [(v,) for v, w in rows for _ in range(w)], "x double"
+    )
+    weighted = {
+        (r["blo"], r["bhi"]): r["cnt"]
+        for r in sketches.logbucket_sketch(df, "x", weight_col="w").collect()
+    }
+    plain = {
+        (r["blo"], r["bhi"]): r["cnt"]
+        for r in sketches.logbucket_sketch(expanded, "x").collect()
+    }
+    assert weighted == plain
+
+    # Quantiles over the weighted sketch == quantiles of the expanded
+    # multiset (ranks run over total weight).
+    wq = {
+        r["q"]: r["value_est"]
+        for r in sketches.logbucket_quantiles(
+            sketches.logbucket_sketch(df, "x", weight_col="w"), (0.5, 0.9)
+        ).collect()
+    }
+    eq = {
+        r["q"]: r["value_est"]
+        for r in sketches.logbucket_quantiles(
+            sketches.logbucket_sketch(expanded, "x"), (0.5, 0.9)
+        ).collect()
+    }
+    assert wq == eq
