@@ -160,6 +160,7 @@ CURATION_FAMILY = [
     "logbucket_daily_rollup",
     "kmv_sample_by_type",
     "quantiles_logbucket_weighted",
+    "kmv_daily_rollup",
 ]
 
 

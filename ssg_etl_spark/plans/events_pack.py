@@ -902,3 +902,42 @@ def kmv_sample_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.bottomk_sketch_grouped(
         events, "user_id", ["event_type"], k=16
     )
+
+
+@register(
+    "kmv_daily_rollup",
+    oracle=f"""
+WITH {_KMV_D_CTE},
+r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk,
+             COUNT(*) OVER () AS nd FROM d)
+SELECT CAST(LEAST(nd, {_KMV_K}) AS BIGINT) AS n_sample,
+  CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
+       ELSE ROUND(CAST({_KMV_K - 1} AS DOUBLE)
+                  * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(h, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS approx_distinct
+FROM r WHERE rk = LEAST({_KMV_K}, nd)
+""",
+    tags=("events", "sketch", "approx", "rollup", "mergeable"),
+    extra=True,
+)
+def kmv_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV rollup algebra AS the correctness check (completing the
+    rollup-proof family: hll MAX, bloom OR, logbucket SUM, kmv
+    MIN-UNION): per-DAY bottom-k sketches merge into the stream-lifetime
+    estimate; the oracle computes the estimate DIRECTLY from raw rows.
+    They hash-match because min-union over aligned hash order is exactly
+    set union followed by bottom-k — and, unlike the SUM rollups, the
+    fold is idempotent, so daily re-delivery cannot double-count.
+    Extra registry: locally oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_day", F.col("ts").cast("date")
+    )
+    daily = sketches.bottomk_sketch_grouped(
+        events, "user_id", ["_day"], k=_KMV_K
+    )
+    merged = sketches.bottomk_merge([daily.select("h", "user_id")], k=_KMV_K)
+    return sketches.kmv_distinct_estimate(merged, k=_KMV_K)
