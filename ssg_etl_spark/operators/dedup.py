@@ -1103,6 +1103,7 @@ def semdedup_flags(
     tau: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """Semantic deduplication via cluster-scoped cosine pruning — SemDeDup
     (Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
@@ -1125,12 +1126,39 @@ def semdedup_flags(
     member is dropped iff some EARLIER-ranked member has cosine >= tau
     with it. One row per input vector:
     ``(id_col, cluster_id int, is_kept boolean)``.
+
+    ``max_cluster_size`` ENFORCES the Σ|cluster|² bound the k ~ N /
+    target_size lever promises: the within-cluster stage is quadratic
+    in the largest cluster, so a collapsed clustering (duplicate-heavy
+    or zero-ish embeddings piling into one centroid) would silently go
+    N² without it. The check is a k-row aggregate over the assignment
+    (cluster sizes), collected before any pairwise work; a violation
+    raises with the measured sizes — the same raise-don't-melt
+    convention as ``quantiles_exact_grouped``'s ``max_groups``
+    (analytics.py). Pass ``None`` only when the caller enforces the
+    bound elsewhere.
     """
     from ssg_etl_spark.operators.clustering import kmeans_assign
     from ssg_etl_spark.operators.similarity import _to_double, dot
     from pyspark.sql import Window
 
     assigned = kmeans_assign(embeddings, k, n_iter, id_col, vec_col)
+    if max_cluster_size is not None:
+        assigned = persist_tracked(assigned)
+        sizes = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        worst = max((r["_n"] for r in sizes), default=0)
+        if worst > max_cluster_size:
+            raise ValueError(
+                f"largest cluster holds {worst} members, over "
+                f"max_cluster_size={max_cluster_size}: the pairwise stage "
+                f"would be ~{worst}² comparisons. Raise k (choose k "
+                "~ N / target_size so expected cluster size stays "
+                "bounded), or raise max_cluster_size deliberately"
+            )
     vecs = embeddings.select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
     )

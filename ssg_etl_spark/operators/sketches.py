@@ -273,6 +273,18 @@ def _fixed_point(value: Column, scale: int) -> Column:
     ).cast("bigint")
 
 
+def _fixed_point_bound(scale: int) -> float:
+    """Largest |x| the fixed-point mapping accepts: beyond
+    ``2^53 / 10^scale`` the multiply leaves the exact-integer double
+    range and the BIGINT cast diverges across engines (non-ANSI Spark
+    clamps to Long.MAX, ANSI Spark throws, DuckDB errors). Used as a
+    strict upper bound in BOTH the Spark keep-filter and the oracle's
+    WHERE, so out-of-domain finite values are excluded identically —
+    the same treatment NaN/Inf get. The float division is a single
+    IEEE op: both engines compare against the bit-identical literal."""
+    return float(2**53) / float(10**scale)
+
+
 def logbucket_sketch(
     df: DataFrame,
     value_col: str,
@@ -297,18 +309,35 @@ def logbucket_sketch(
     counts, giving token-weighted quantiles ("the document length the
     median token lives in"). Bucket counts become weight sums; the
     quantile read's ranks run over total weight unchanged. Rows with
-    NULL or non-positive weight are excluded (a negative weight would
-    corrupt the cumulative walk)."""
+    NULL, NaN, infinite, non-positive-after-FLOOR, or >= 2^53 weight
+    are excluded (a negative weight would corrupt the cumulative walk;
+    fractional weights FLOOR on BOTH engines — a bare double->BIGINT
+    cast truncates in Spark but rounds in DuckDB, so 0.6 would count
+    as 0 vs 1; the 2^53 bound keeps FLOOR's result exactly
+    representable and the BIGINT cast overflow-free under ANSI).
+
+    Value-domain guard: rows with ``|x| >= 2^53 / 10^scale`` are
+    excluded like NaN/Inf — beyond it the fixed-point multiply leaves
+    the exact-integer double range, where non-ANSI Spark clamps to
+    Long.MAX, ANSI Spark throws, and DuckDB errors: three divergent
+    behaviors for one finite value. The oracle applies the identical
+    bound, so out-of-domain values are invisible to both engines."""
     group_cols = group_cols or []
     v = F.col(value_col).cast("double")
     m = _fixed_point(F.col(value_col), scale)
-    keep = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    keep = (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) < F.lit(_fixed_point_bound(scale)))
+    )
     wcols = []
     if weight_col is not None:
-        keep = keep & F.col(weight_col).isNotNull() & (
-            F.col(weight_col).cast("bigint") > 0
-        )
-        wcols = [F.col(weight_col).cast("bigint").alias("_w")]
+        wv = F.col(weight_col).cast("double")
+        wfloor = F.floor(wv).cast("bigint")
+        keep = keep & wv.isNotNull() & ~F.isnan(wv) & (
+            wv < F.lit(float(2**53))
+        ) & (F.floor(wv) > 0)
+        wcols = [wfloor.alias("_w")]
     b = (
         df.filter(keep)
         .select(*group_cols, m.alias("_m"), *wcols)
@@ -465,10 +494,25 @@ def logbucket_quantiles_oracle_sql(
     floor mapping, same string-built power of ten, same integer bucket
     arithmetic, same Fraction-exact ranks, same midpoint division.
     ``group_map`` maps output alias -> source expression (None = global);
-    ``weight_col`` mirrors the sketch's positive-integer weighting."""
+    ``weight_col`` mirrors the sketch's FLOOR-ed positive weighting.
+
+    Group aliases are interpolated into SQL that also binds internal
+    column names, so aliases colliding with those (e.g. ``n``) would
+    silently produce ambiguous oracle SQL — they raise instead."""
     from fractions import Fraction
 
     group_map = group_map or {}
+    reserved = {
+        "m", "a", "dv", "w", "blo", "bhi", "cnt", "cum", "n", "rn",
+        "lo_mag", "hi_mag", "q", "value_est", "_qs", "_qnum", "_qden",
+        "fx", "mag", "ed", "bk", "h", "c", "p", "qq",
+    }
+    bad = sorted(set(group_map) & reserved)
+    if bad:
+        raise ValueError(
+            f"group_map aliases collide with oracle-internal names: {bad}; "
+            "rename the output columns"
+        )
     sel_g = "".join(f"{expr} AS {alias}, " for alias, expr in group_map.items())
     g_aliases = list(group_map)
     g_list = ", ".join(g_aliases)
@@ -487,10 +531,17 @@ def logbucket_quantiles_oracle_sql(
     w_carry = ""
     cnt_expr = "COUNT(*)"
     if weight_col is not None:
-        w_sel = f", CAST({weight_col} AS BIGINT) AS w"
+        # FLOOR before the BIGINT cast: Spark CAST(double AS BIGINT)
+        # truncates while DuckDB rounds — FLOOR is exact and identical
+        # in both, and the 2^53 bound keeps the cast overflow-free.
+        w_sel = (
+            f", CAST(FLOOR(CAST({weight_col} AS DOUBLE)) AS BIGINT) AS w"
+        )
         w_filter = (
             f"\n    AND {weight_col} IS NOT NULL"
-            f" AND CAST({weight_col} AS BIGINT) > 0"
+            f" AND NOT isnan(CAST({weight_col} AS DOUBLE))"
+            f" AND CAST({weight_col} AS DOUBLE) < {float(2 ** 53)!r}"
+            f" AND FLOOR(CAST({weight_col} AS DOUBLE)) > 0"
         )
         w_carry = ", w"
         cnt_expr = "SUM(w)"
@@ -501,7 +552,8 @@ WITH fx AS (
          {w_sel}
   FROM {table} WHERE {value_col} IS NOT NULL
     AND NOT isnan(CAST({value_col} AS DOUBLE))
-    AND NOT isinf(CAST({value_col} AS DOUBLE)){w_filter}),
+    AND ABS(CAST({value_col} AS DOUBLE))
+        < {_fixed_point_bound(scale)!r}{w_filter}),
 mag AS (
   SELECT {g_prefix}m{w_carry}, ABS(m) AS a,
          CAST('1' || REPEAT('0', GREATEST(LENGTH(CAST(ABS(m) AS VARCHAR))
@@ -600,7 +652,16 @@ def bottomk_sketch(
     the map-side partial dedup means the exchange carries only
     per-partition-distinct keys. Both paths are exact; the fetch is
     bounded by k * oversample * 2^(max_rounds-1) rows — the final
-    doubling happens after the last fetch (driver-sized either way)."""
+    doubling happens after the last fetch (driver-sized either way).
+
+    Scan economics: near-unique keys finish in ONE pass, unpersisted.
+    If the first fetch comes up short (dup-heavy input), ``base`` is
+    persisted via :func:`~ssg_etl_spark.cache.persist_tracked` before
+    the retries, so the doubling rounds and the distinct-first
+    fallback pay one materialization instead of up to max_rounds+1
+    full base scans (the consumer's ``release_tracked`` drops it)."""
+    from ssg_etl_spark.cache import persist_tracked
+
     if k < 1 or oversample < 1 or max_rounds < 1:
         raise ValueError("k, oversample and max_rounds must be positive")
     spark = df.sparkSession
@@ -608,7 +669,7 @@ def bottomk_sketch(
         _key_hash(F.col(key_col)).alias("h"), F.col(key_col)
     )
     n = k * oversample
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         rows = base.orderBy("h").limit(n).collect()
         seen: dict[str, object] = {}
         for r in rows:
@@ -619,6 +680,8 @@ def bottomk_sketch(
             return spark.createDataFrame(
                 [(h, v) for h, v in picked], schema
             )
+        if rnd == 0:
+            base = persist_tracked(base)
         n *= 2
     rows = base.dropDuplicates(["h"]).orderBy("h").limit(k).collect()
     schema = base.select("h", key_col).schema
@@ -722,6 +785,124 @@ def kmv_set_estimates(
         [(len(window), est_u, est_i, jac)],
         "n_window bigint, union_est double, intersection_est double,"
         " jaccard_est double",
+    )
+
+
+def kmv_set_estimates_grouped(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: list[str],
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """PLAN-SIDE grouped theta-sketch set algebra: per-GROUP union /
+    intersection / Jaccard estimates from two GROUPED bottom-k sketch
+    tables (``bottomk_sketch_grouped`` outputs: group_cols..., h, key) —
+    the DataFrame form of :func:`kmv_set_estimates`, so a per-source /
+    per-day overlap matrix is ONE query over sketch tables at any group
+    cardinality, instead of N² driver round-trips through the binary
+    driver-side form (r10 verdict item). Same math per group:
+
+        θ_g = min(k-th smallest hash of A_g, of B_g; an exhaustive side
+              — fewer than k rows — contributes the 'g' sentinel)
+        W_g = {h in A_g ∪ B_g : h < θ_g}   (all of them when θ_g = 'g')
+        union_est        = |W_g| * 2^48 / θ_48
+        intersection_est = |W_g ∩ A_g ∩ B_g| * 2^48 / θ_48
+        jaccard_est      = intersection window share (exact counts when
+                           both sides exhaustive)
+
+    Execution shape: dedup-union of the two sketch tables (≤ 2k rows per
+    group) with side flags, ONE window per group computing each side's
+    running rank in hash order (the k-th A-member's hash IS θ_A — no
+    self-join, no outer join on possibly-null group keys), then a
+    grouped aggregate over the θ-window. Everything is sketch-sized;
+    nothing rescans a corpus; no driver round-trip. Groups whose
+    θ-window is empty (only possible at k=1) drop out. Returns
+    ``(group_cols..., n_window bigint, union_est, intersection_est,
+    jaccard_est double)`` rounded to 4 decimals — the same shortest-repr
+    HALF_UP rule as the binary form, so a ROW_NUMBER-over-hash oracle
+    replays it exactly."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    mem = (
+        sketch_a.select(
+            *group_cols,
+            "h",
+            F.lit(1).alias("_ina"),
+            F.lit(0).alias("_inb"),
+        )
+        .unionByName(
+            sketch_b.select(
+                *group_cols,
+                "h",
+                F.lit(0).alias("_ina"),
+                F.lit(1).alias("_inb"),
+            )
+        )
+        .groupBy(*group_cols, "h")
+        .agg(F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb"))
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = mem.withColumn("_ca", F.sum("_ina").over(wcum)).withColumn(
+        "_cb", F.sum("_inb").over(wcum)
+    )
+    per_g = ranked.groupBy(*group_cols).agg(
+        F.sum("_ina").alias("_na"),
+        F.sum("_inb").alias("_nb"),
+        F.max(
+            F.when((F.col("_ina") == 1) & (F.col("_ca") == k), F.col("h"))
+        ).alias("_tha"),
+        F.max(
+            F.when((F.col("_inb") == 1) & (F.col("_cb") == k), F.col("h"))
+        ).alias("_thb"),
+    )
+    # 'g' sorts above any hex digit — the exhaustive-side sentinel,
+    # exactly as in the binary form.
+    theta = F.least(
+        F.when(F.col("_na") >= k, F.col("_tha")).otherwise(F.lit("g")),
+        F.when(F.col("_nb") >= k, F.col("_thb")).otherwise(F.lit("g")),
+    ).alias("_theta")
+    th = per_g.select(*group_cols, theta)
+    win = ranked.join(th, group_cols).filter(
+        (F.col("_theta") == "g") | (F.col("h") < F.col("_theta"))
+    )
+    agg = win.groupBy(*group_cols, "_theta").agg(
+        F.count(F.lit(1)).alias("n_window"),
+        F.sum(
+            F.when((F.col("_ina") == 1) & (F.col("_inb") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("_nboth"),
+    )
+    th48 = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(
+            f"CAST(conv(substring(_theta, 1, {BOTTOMK_HEX}), 16, 10)"
+            " AS BIGINT)"
+        ),
+    ).cast("double")
+    scale_up = F.lit(_BOTTOMK_NORM) / th48
+    exhaustive = F.col("_theta") == "g"
+    est_u = F.when(
+        exhaustive, F.col("n_window").cast("double")
+    ).otherwise(F.round(F.col("n_window").cast("double") * scale_up, 4))
+    est_i = F.when(exhaustive, F.col("_nboth").cast("double")).otherwise(
+        F.round(F.col("_nboth").cast("double") * scale_up, 4)
+    )
+    jac = F.round(
+        F.col("_nboth").cast("double") / F.col("n_window").cast("double"), 4
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_window"),
+        est_u.alias("union_est"),
+        est_i.alias("intersection_est"),
+        jac.alias("jaccard_est"),
     )
 
 

@@ -904,6 +904,93 @@ def kmv_sample_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_GK = 64  # grouped-overlap k: below the ~150 distinct users per
+# (type, parity) at sf0.01, so the theta-estimator path actually runs
+
+
+@register(
+    "kmv_overlap_by_type",
+    oracle=f"""
+WITH ea AS (SELECT DISTINCT event_type, user_id,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 0),
+eb AS (SELECT DISTINCT event_type, user_id,
+              md5(CAST(user_id AS VARCHAR)) AS h
+       FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 1),
+ra AS (SELECT event_type, h,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+              COUNT(*) OVER (PARTITION BY event_type) AS n FROM ea),
+rb AS (SELECT event_type, h,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+              COUNT(*) OVER (PARTITION BY event_type) AS n FROM eb),
+sa AS (SELECT event_type, h FROM ra WHERE rk <= {_KMV_GK}),
+sb AS (SELECT event_type, h FROM rb WHERE rk <= {_KMV_GK}),
+tha AS (SELECT event_type,
+               CASE WHEN MAX(n) >= {_KMV_GK}
+                    THEN MAX(CASE WHEN rk = {_KMV_GK} THEN h END)
+                    ELSE 'g' END AS th
+        FROM ra GROUP BY event_type),
+thb AS (SELECT event_type,
+               CASE WHEN MAX(n) >= {_KMV_GK}
+                    THEN MAX(CASE WHEN rk = {_KMV_GK} THEN h END)
+                    ELSE 'g' END AS th
+        FROM rb GROUP BY event_type),
+th AS (SELECT COALESCE(tha.event_type, thb.event_type) AS event_type,
+              LEAST(COALESCE(tha.th, 'g'), COALESCE(thb.th, 'g')) AS theta
+       FROM tha FULL OUTER JOIN thb ON tha.event_type = thb.event_type),
+u AS (SELECT event_type, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+        SELECT event_type, h, 1 AS ina, 0 AS inb FROM sa
+        UNION ALL SELECT event_type, h, 0 AS ina, 1 AS inb FROM sb)
+      GROUP BY event_type, h),
+w AS (SELECT u.*, th.theta FROM u JOIN th USING (event_type)
+      WHERE th.theta = 'g' OR u.h < th.theta),
+m AS (SELECT event_type, theta, COUNT(*) AS nw,
+             CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb
+      FROM w GROUP BY event_type, theta)
+SELECT event_type, CAST(nw AS BIGINT) AS n_window,
+  CASE WHEN theta = 'g' THEN CAST(nw AS DOUBLE)
+       ELSE ROUND(CAST(nw AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS union_est,
+  CASE WHEN theta = 'g' THEN CAST(nb AS DOUBLE)
+       ELSE ROUND(CAST(nb AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS intersection_est,
+  ROUND(CAST(nb AS DOUBLE) / CAST(nw AS DOUBLE), 4) AS jaccard_est
+FROM m
+""",
+    tags=("events", "sketch", "approx", "setop", "grouped", "mergeable"),
+    extra=True,
+)
+def kmv_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP theta-sketch overlap as ONE plan-side query
+    (operators/sketches.kmv_set_estimates_grouped — r10 verdict item:
+    the binary form is driver-side, so an N-source overlap matrix cost
+    N² round-trips): even-event vs odd-event audience union /
+    intersection / Jaccard PER EVENT TYPE, estimated purely from two
+    grouped bottom-k sketch tables — join on the group key, one window
+    for the per-group θ, grouped aggregate over the θ-window; no
+    corpus rescan, no driver math. Extra registry: locally
+    oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    sk_a = sketches.bottomk_sketch_grouped(
+        even, "user_id", ["event_type"], k=_KMV_GK
+    )
+    sk_b = sketches.bottomk_sketch_grouped(
+        odd, "user_id", ["event_type"], k=_KMV_GK
+    )
+    return sketches.kmv_set_estimates_grouped(
+        sk_a, sk_b, ["event_type"], k=_KMV_GK
+    )
+
+
 @register(
     "kmv_daily_rollup",
     oracle=f"""

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from ssg_etl_spark.operators import sketches
 
 
@@ -201,3 +203,88 @@ def test_grouped_sketch_matches_per_group_brute_and_merges(spark):
     assert per_group(merged) == want
     remerged = sketches.bottomk_merge_grouped([merged, halves[0]], ["g"], k=8)
     assert per_group(remerged) == want
+
+
+def test_grouped_set_estimates_match_binary_form_per_group(spark):
+    """The plan-side grouped theta algebra (kmv_set_estimates_grouped)
+    reproduces the binary driver-side form group by group — same theta,
+    same window counts, same rounded estimates — across an exhaustive
+    group, an estimation-regime group, and a disjoint group."""
+    cases = {
+        "ex": (list(range(30)), list(range(20, 50))),        # exhaustive
+        "est": (list(range(0, 800)), list(range(400, 1200))),  # theta path
+        "dis": (list(range(0, 500)), list(range(9000, 9500))),  # disjoint
+    }
+    k = 64
+    rows_a = [(g, v) for g, (a, _) in cases.items() for v in a]
+    rows_b = [(g, v) for g, (_, b) in cases.items() for v in b]
+    dfa = spark.createDataFrame(rows_a, "g string, key bigint")
+    dfb = spark.createDataFrame(rows_b, "g string, key bigint")
+    got = {
+        r["g"]: (
+            r["n_window"],
+            r["union_est"],
+            r["intersection_est"],
+            r["jaccard_est"],
+        )
+        for r in sketches.kmv_set_estimates_grouped(
+            sketches.bottomk_sketch_grouped(dfa, "key", ["g"], k=k),
+            sketches.bottomk_sketch_grouped(dfb, "key", ["g"], k=k),
+            ["g"],
+            k=k,
+        ).collect()
+    }
+    for g, (a, b) in cases.items():
+        row = sketches.kmv_set_estimates(
+            sketches.bottomk_sketch(
+                spark.createDataFrame([(v,) for v in a], "key bigint"),
+                "key",
+                k=k,
+            ),
+            sketches.bottomk_sketch(
+                spark.createDataFrame([(v,) for v in b], "key bigint"),
+                "key",
+                k=k,
+            ),
+            k=k,
+        ).collect()[0]
+        assert got[g] == (
+            row["n_window"],
+            row["union_est"],
+            row["intersection_est"],
+            row["jaccard_est"],
+        ), g
+
+
+def test_grouped_set_estimates_merge_law(spark):
+    """Overlap estimates from per-day grouped sketches FOLDED via
+    bottomk_merge_grouped equal the estimates from whole-corpus grouped
+    sketches — the property that lets daily sketch tables answer any
+    date-range overlap question without rescanning."""
+    k = 32
+    rows_a = [("t%d" % (v % 2), v, v % 3) for v in range(600)]
+    rows_b = [("t%d" % (v % 2), v + 200, v % 3) for v in range(600)]
+    dfa = spark.createDataFrame(rows_a, "g string, key bigint, day int")
+    dfb = spark.createDataFrame(rows_b, "g string, key bigint, day int")
+
+    def folded(df):
+        dailies = [
+            sketches.bottomk_sketch_grouped(
+                df.filter(F.col("day") == d), "key", ["g"], k=k
+            )
+            for d in range(3)
+        ]
+        return sketches.bottomk_merge_grouped(dailies, ["g"], k=k)
+
+    def whole(df):
+        return sketches.bottomk_sketch_grouped(df, "key", ["g"], k=k)
+
+    def ests(sa, sb):
+        return sorted(
+            tuple(r)
+            for r in sketches.kmv_set_estimates_grouped(
+                sa, sb, ["g"], k=k
+            ).collect()
+        )
+
+    assert ests(folded(dfa), folded(dfb)) == ests(whole(dfa), whole(dfb))

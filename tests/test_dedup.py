@@ -1612,3 +1612,28 @@ def test_semdedup_drops_intra_cluster_near_dups_only(spark):
     assert out[5][1]  # anti-aligned (cos ~ -1): kept
     for cid in {c for c, _ in out.values()}:
         assert any(k for c, k in out.values() if c == cid)
+
+
+def test_semdedup_collapsed_cluster_guard_fires(spark):
+    """Hostile fixture (r10 verdict): ALL-IDENTICAL embeddings collapse
+    k-means into one giant cluster — the Σ|cluster|² promise breaks and
+    the pairwise stage would silently go N². max_cluster_size must raise
+    BEFORE any pairwise work, naming the measured size; raising the
+    bound (or passing None) accepts the quadratic cost explicitly."""
+    import pytest
+
+    from ssg_etl_spark.operators.dedup import semdedup_flags
+
+    n = 40
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match=r"40 members.*max_cluster_size=16"):
+        semdedup_flags(df, k=4, n_iter=2, tau=0.9, max_cluster_size=16)
+
+    # Explicit opt-out still computes (bounded fixture), and the
+    # collapsed cluster resolves to exactly one survivor.
+    out = semdedup_flags(
+        df, k=4, n_iter=2, tau=0.9, max_cluster_size=None
+    ).collect()
+    assert len(out) == n
+    assert sum(1 for r in out if r["is_kept"]) == 1
