@@ -1664,3 +1664,123 @@ def correlation_matrix_oracle_sql(table: str, cols: list[str]) -> str:
         f"WITH agg AS (SELECT COUNT(*) AS n, {sums}, {prods}\n"
         f"FROM {table} WHERE {where})\n{union}"
     )
+
+
+# ----------------------------------------------------- quantile dispatcher
+# The family has four members because no single quantile structure wins
+# on all three axes a deployment cares about; this is the decision rule
+# AT THE CALL SITE (the r10 verdict item — the matrix lived in COVERAGE
+# prose where no deployer reads it; same move as the ANN default in
+# similarity.py:16-31):
+#
+# | member                        | error contract        | scans | mergeable |
+# |-------------------------------|-----------------------|-------|-----------|
+# | histogram_quantiles[_grouped] | (max-min)/n_bins      | 1     | yes (SUM) |
+# | ..._refined                   | (max-min)/n_bins^2    | 2     | no        |
+# | logbucket (sketches.py)       | <=0.5% RELATIVE       | 1     | yes (SUM) |
+# | quantiles_exact[_grouped]     | ZERO                  | ~log  | no        |
+#
+# Routing, in decreasing strictness of the caller's demands:
+# * mergeable=True        -> the answer must be a reusable SKETCH (daily
+#   rollups, streaming folds): logbucket — the only member whose error
+#   is range-independent AND whose state SUM-merges. (The uniform
+#   histogram also merges but its error is range-scaled; callers who
+#   want bin-aligned histograms build them directly.) Exact + mergeable
+#   is impossible (an exact distributed quantile needs adaptive passes;
+#   no fixed-size mergeable summary can promise it) — raise.
+# * error_contract="exact"-> the iterative zoom; needs an unbounded (in
+#   practice ~log(range)) scan budget, so scan_budget=1 raises.
+# * error_contract="relative" (default) -> logbucket: one scan, 0.5% of
+#   the true value, outlier-immune.
+# * error_contract="range_scaled" -> the uniform histogram (cheapest
+#   arithmetic, bin-aligned output): refined two-pass when the scan
+#   budget allows, one-pass otherwise.
+
+
+def quantiles_route(
+    mergeable: bool = False,
+    error_contract: str = "relative",
+    scan_budget: int | None = None,
+    grouped: bool = False,
+) -> str:
+    """Pure routing decision — returns the family member's function name
+    (testable without a SparkSession; :func:`quantiles` executes it)."""
+    if error_contract not in ("exact", "relative", "range_scaled"):
+        raise ValueError(
+            "error_contract must be 'exact', 'relative' or 'range_scaled',"
+            f" got {error_contract!r}"
+        )
+    if mergeable:
+        if error_contract == "exact":
+            raise ValueError(
+                "no mergeable exact-quantile structure exists (exactness "
+                "needs adaptive re-scans; mergeable state is fixed before "
+                "the data is seen): nearest is the logbucket sketch at "
+                "<=0.5% relative error — call with error_contract="
+                "'relative'"
+            )
+        return "logbucket"
+    if error_contract == "exact":
+        if scan_budget is not None and scan_budget < 2:
+            raise ValueError(
+                f"exact quantiles are multi-scan (~log(range) passes); "
+                f"scan_budget={scan_budget} cannot hold. Single-scan "
+                "options: 'relative' (logbucket, 0.5%) or 'range_scaled' "
+                "(histogram, one bin width)"
+            )
+        return "quantiles_exact_grouped" if grouped else "quantiles_exact"
+    if error_contract == "relative":
+        return "logbucket"
+    if scan_budget is not None and scan_budget < 2:
+        return (
+            "histogram_quantiles_grouped" if grouped else "histogram_quantiles"
+        )
+    return (
+        "histogram_quantiles_grouped_refined"
+        if grouped
+        else "histogram_quantiles_refined"
+    )
+
+
+def quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    group_cols: list[str] | None = None,
+    mergeable: bool = False,
+    error_contract: str = "relative",
+    scan_budget: int | None = None,
+) -> DataFrame:
+    """ONE entry point for the quantile family: picks the member by
+    (mergeable?, error_contract, scan_budget) per the routing table
+    above and runs it. ``error_contract``: ``"exact"`` (zero error,
+    multi-scan), ``"relative"`` (logbucket sketch, <=0.5% of the true
+    value, one scan — the default), ``"range_scaled"`` (uniform
+    histogram, error a fraction of the column RANGE — cheapest, but one
+    outlier stretches it). ``mergeable=True`` demands SUM-mergeable
+    sketch state (rollups/streaming). ``scan_budget`` caps full passes
+    over the data (None = unconstrained).
+
+    Output schema is the chosen member's native one (exact: ``value``;
+    logbucket: ``value_est``; histograms: ``value`` + bin columns) —
+    the contracts differ, so the dispatcher does not paper over which
+    member answered."""
+    from ssg_etl_spark.operators import sketches
+
+    route = quantiles_route(
+        mergeable, error_contract, scan_budget, grouped=bool(group_cols)
+    )
+    if route == "logbucket":
+        sk = sketches.logbucket_sketch(df, value_col, group_cols)
+        return sketches.logbucket_quantiles(sk, qs, group_cols)
+    if route == "quantiles_exact":
+        return quantiles_exact(df, value_col, qs)
+    if route == "quantiles_exact_grouped":
+        return quantiles_exact_grouped(df, value_col, group_cols, qs)
+    if route == "histogram_quantiles":
+        return histogram_quantiles(df, value_col, qs)
+    if route == "histogram_quantiles_grouped":
+        return histogram_quantiles_grouped(df, value_col, group_cols, qs)
+    if route == "histogram_quantiles_refined":
+        return histogram_quantiles_refined(df, value_col, qs)
+    return histogram_quantiles_grouped_refined(df, value_col, group_cols, qs)
