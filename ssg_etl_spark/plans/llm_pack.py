@@ -688,6 +688,51 @@ def media_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(assets)
 
 
+# PNG round-trip oracle (r11): raster = text md5 digest cycled to
+# 3·16·h whole-digest repeats (like the PPM twin), so integer pixel
+# stats are digest stats scaled by 3h, and the decoded-raster digest is
+# md5 over the digest hex repeated 3h times. A hash match proves the
+# stdlib DEFLATE compress → inflate → unfilter path returned every
+# original byte — the first genuinely COMPRESSED codec in the family.
+@register(
+    "media_png_features",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(text), 2*i+1, 2)) AS INTEGER) AS byte
+  FROM documents, range(0, 16) g(i)),
+s AS (SELECT doc_id, SUM(byte) AS sb, MIN(byte) AS mn, MAX(byte) AS mx
+      FROM b GROUP BY 1)
+SELECT s.doc_id AS asset_id,
+  CAST(16 AS INT) AS width,
+  CAST(s.doc_id % 4 + 1 AS INT) AS height,
+  CAST(16 * (s.doc_id % 4 + 1) AS INT) AS n_pixels,
+  CAST(3 * (s.doc_id % 4 + 1) * sb AS BIGINT) AS sum_byte,
+  CAST(mn AS INT) AS min_byte,
+  CAST(mx AS INT) AS max_byte,
+  md5(repeat(md5(d.text), 3 * (s.doc_id % 4 + 1))) AS raster_digest
+FROM s JOIN documents d ON s.doc_id = d.doc_id
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED image codec UN-FAKED end-to-end (r11): one real 8-bit
+    RGB PNG per document (stdlib zlib/struct encoder — genuine IHDR/
+    IDAT/IEND chunks with CRCs), decoded back through the real
+    inflate+unfilter path inside the Arrow mapInPandas stage
+    (operators/multimodal.decode_png), emitting exact integer pixel
+    statistics plus an md5 over the decoded raster. The oracle replays
+    stats and digest from the document text alone, so a hash match
+    proves the compression round-trip preserved every pixel — removing
+    the 'uncompressed-only' qualifier from the multimodal story; only
+    codec-LIBRARY formats (JPEG/MP3/H.264) remain behind the documented
+    NotImplementedError. Extra registry: locally oracle-verified."""
+    assets = multimodal.png_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.png_roundtrip(assets)
+
+
 @register(
     "media_video_y4m_frames",
     oracle=f"""
