@@ -241,7 +241,6 @@ SELECT o.o_orderkey AS order_key, o.o_totalprice AS total_price,
 FROM orders o
 """,
     tags=("J12",),
-    extra=True,
 )
 def correlated_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery, decorrelated to agg+join (valuation :488-493)."""
@@ -306,7 +305,6 @@ SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS entry_no,
 FROM orders
 """,
     tags=("W2", "W3"),
-    extra=True,
 )
 def window_rownum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ROW_NUMBER for surrogate sequence numbers (ssg_erp_op.py:296).
@@ -795,6 +793,7 @@ from ssg_etl_spark.operators.analytics import (  # noqa: E402
         "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     ),
     tags=("analytics", "profiling"),
+    extra=True,
 )
 def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over the four lineitem measures in one
@@ -851,6 +850,7 @@ SELECT p.c_custkey AS c_custkey,
 FROM probed p LEFT JOIN built b ON p.c_custkey = b.key
 """,
     tags=("sketch", "membership", "bloom"),
+    extra=True,
 )
 def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-membership sketch end-to-end: build a Bloom filter over
@@ -940,6 +940,7 @@ SELECT q,
 FROM first WHERE rn = 1
 """,
     tags=("sketch", "quantile", "profile"),
+    extra=True,
 )
 def quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-sketch quantiles (p25/p50/p90/p99) of order totals —
@@ -990,6 +991,7 @@ SELECT o_orderstatus, q,
 FROM first WHERE rn = 1
 """,
     tags=("sketch", "quantile", "profile"),
+    extra=True,
 )
 def quantiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order-status price quantiles from globally-bin-aligned
@@ -1061,6 +1063,7 @@ SELECT q,
 FROM pick WHERE rn = 1
 """,
     tags=("sketch", "quantile", "profile"),
+    extra=True,
 )
 def quantiles_totalprice_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass refined quantiles of order totals: pass 2 re-histograms
@@ -1079,7 +1082,6 @@ def quantiles_totalprice_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders", "o_totalprice", (0.25, 0.5, 0.9, 0.99)
     ),
     tags=("sketch", "quantile", "profile", "robust"),
-    extra=True,
 )
 def quantiles_totalprice_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT quantiles of order totals via the iterative histogram zoom
@@ -1106,7 +1108,6 @@ def quantiles_totalprice_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.25, 0.5, 0.9, 0.99),
     ),
     tags=("sketch", "quantile", "profile", "robust"),
-    extra=True,
 )
 def quantiles_price_by_status_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status EXACT quantiles via the grouped member-range zoom
@@ -1237,6 +1238,7 @@ FROM probed p LEFT JOIN base b
   ON p.maybe_seen AND p.key = b.key
 """,
     tags=("sketch", "membership", "incremental"),
+    extra=True,
 )
 def bloom_new_key_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operational bloom pattern: probe a DELTA's keys against the
@@ -1293,7 +1295,6 @@ _LB_QS = (0.25, 0.5, 0.9, 0.99)
         "orders", "o_totalprice", _LB_QS
     ),
     tags=("sketch", "quantile", "profile", "robust", "mergeable"),
-    extra=True,
 )
 def quantiles_logbucket_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-total quantiles from the MERGEABLE log-bucket sketch
@@ -1317,7 +1318,6 @@ def quantiles_logbucket_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
         "orders", "o_totalprice", _LB_QS, {"o_orderstatus": "o_orderstatus"}
     ),
     tags=("sketch", "quantile", "profile", "robust", "mergeable"),
-    extra=True,
 )
 def quantiles_logbucket_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status log-bucket quantiles — the grouped form of the mergeable
@@ -1340,7 +1340,6 @@ def quantiles_logbucket_by_status(spark: SparkSession, sf_dir: str) -> DataFrame
         weight_col="n_chars",
     ),
     tags=("sketch", "quantile", "llm", "weighted", "mergeable"),
-    extra=True,
 )
 def quantiles_logbucket_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED log-bucket quantiles: per-language document-length

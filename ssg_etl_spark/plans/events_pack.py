@@ -168,6 +168,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions_native",
     oracle=sessionize_batch_oracle(30),
     tags=("streaming", "sessionization"),
+    extra=True,
 )
 def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via the built-in session_window aggregation —
@@ -261,6 +262,7 @@ SELECT
 FROM cells JOIN base ON cells.cp = base.cp
 """,
     tags=("events", "cohort", "journey"),
+    extra=True,
 )
 def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort-retention matrix (cohort = date of first event; cells
@@ -331,6 +333,7 @@ FROM ap JOIN ex ON ap.event_type = ex.event_type
     "hll_distinct_users",
     oracle=_hll_oracle(),
     tags=("events", "sketch", "approx"),
+    extra=True,
 )
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user estimate per event type,
@@ -395,6 +398,7 @@ FROM est JOIN ex ON est.user_id = ex.user_id
     "cms_user_frequencies",
     oracle=_cms_oracle(),
     tags=("events", "sketch", "approx"),
+    extra=True,
 )
 def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimate per user vs the exact count (the
@@ -455,6 +459,7 @@ SELECT CAST(3 AS INT), 'purchase', n3,
 FROM n
 """,
     tags=("events", "funnel", "journey"),
+    extra=True,
 )
 def funnel_conversion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-step funnel conversion table (view -> click -> purchase):
@@ -624,6 +629,7 @@ FROM (
   FROM events) t
 """,
     tags=("quality", "streaming", "gate"),
+    extra=True,
 )
 def quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming dead-letter gate
@@ -675,6 +681,7 @@ SELECT CAST(p // 32 AS INT) AS word,
 FROM pos GROUP BY 1
 """,
     tags=("sketch", "membership", "rollup"),
+    extra=True,
 )
 def bloom_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-calendar-day Bloom filters over event users, OR-merged into
@@ -711,7 +718,6 @@ r AS (SELECT h, user_id, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM d)
 SELECT h, user_id FROM r WHERE rk <= {_KMV_K}
 """,
     tags=("events", "sketch", "sample", "mergeable"),
-    extra=True,
 )
 def kmv_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k (KMV) sketch of distinct users: the k lowest-md5 distinct
@@ -744,7 +750,6 @@ SELECT CAST(LEAST(nd, {_KMV_K}) AS BIGINT) AS n_sample,
 FROM r WHERE rk = LEAST({_KMV_K}, nd)
 """,
     tags=("events", "sketch", "approx", "mergeable"),
-    extra=True,
 )
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality estimate from the bottom-k sketch: (k-1)/U_(k)
@@ -808,7 +813,6 @@ SELECT CAST(nw AS BIGINT) AS n_window,
 FROM m
 """,
     tags=("events", "sketch", "approx", "setop", "mergeable"),
-    extra=True,
 )
 def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch-style audience overlap from two bottom-k sketches
@@ -847,7 +851,6 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events", "value", (0.5, 0.9, 0.99), {"event_type": "event_type"}
     ),
     tags=("events", "sketch", "quantile", "rollup", "mergeable"),
-    extra=True,
 )
 def logbucket_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The log-bucket rollup algebra AS the correctness check (parity
@@ -885,7 +888,6 @@ r AS (SELECT event_type, h, user_id,
 SELECT event_type, h, user_id FROM r WHERE rk <= 16
 """,
     tags=("events", "sketch", "sample", "mergeable"),
-    extra=True,
 )
 def kmv_sample_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped bottom-k sketch: a stable 16-user distinct sample PER
@@ -963,7 +965,6 @@ SELECT event_type, CAST(nw AS BIGINT) AS n_window,
 FROM m
 """,
     tags=("events", "sketch", "approx", "setop", "grouped", "mergeable"),
-    extra=True,
 )
 def kmv_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP theta-sketch overlap as ONE plan-side query
@@ -1007,7 +1008,6 @@ SELECT CAST(LEAST(nd, {_KMV_K}) AS BIGINT) AS n_sample,
 FROM r WHERE rk = LEAST({_KMV_K}, nd)
 """,
     tags=("events", "sketch", "approx", "rollup", "mergeable"),
-    extra=True,
 )
 def kmv_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KMV rollup algebra AS the correctness check (completing the

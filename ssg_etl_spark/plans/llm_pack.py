@@ -670,7 +670,6 @@ SELECT doc_id AS asset_id,
 FROM lagged GROUP BY doc_id
 """,
     tags=("llm", "multimodal", "audio"),
-    extra=True,
 )
 def media_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio leg of the multimodal story UN-FAKED end-to-end (r10): one
@@ -713,7 +712,6 @@ SELECT s.doc_id AS asset_id,
 FROM s JOIN documents d ON s.doc_id = d.doc_id
 """,
     tags=("llm", "multimodal"),
-    extra=True,
 )
 def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED image codec UN-FAKED end-to-end (r11): one real 8-bit
@@ -752,7 +750,6 @@ SELECT doc_id AS asset_id,
 FROM sampled
 """,
     tags=("llm", "multimodal", "video"),
-    extra=True,
 )
 def media_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video leg UN-FAKED end-to-end (r10): one REAL YUV4MPEG2 clip per
@@ -2304,6 +2301,7 @@ WHERE m.quality_score >= 0.53
     "training_manifest",
     oracle=_MANIFEST_SQL.format(quality_expr=_QUALITY_EXPR),
     tags=("llm", "pipeline", "dedup", "quality", "sampling"),
+    extra=True,
 )
 def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline's end deliverable in one plan: documents that
@@ -3271,6 +3269,7 @@ FROM corpus c
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON c.vec_id = b.vec_base
 """,
     tags=("llm", "similarity", "decontamination", "pipeline"),
+    extra=True,
 )
 def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level benchmark decontamination — the semantic twin of
@@ -3448,6 +3447,7 @@ def _kmeans_oracle(
     "kmeans_embeddings",
     oracle=_kmeans_oracle(_KM_K, _KM_ITER, _KM_DIM),
     tags=("llm", "clustering", "iterative"),
+    extra=True,
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus (semantic
@@ -3516,6 +3516,7 @@ _HTF_PTS = (
         4, 2, _HTF_DIM, pts_select=_HTF_PTS, pre_ctes=_HTF_CTES, out_id="doc_id"
     ),
     tags=("llm", "text", "clustering", "pipeline"),
+    extra=True,
 )
 def hashed_tf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end text clustering with zero model state: raw documents ->
@@ -3619,6 +3620,7 @@ SELECT id AS vec_id, CAST(cid AS INT) AS cluster_id
 FROM samp WHERE rn2 <= 25
 """,
     tags=("llm", "clustering", "sampling", "pipeline"),
+    extra=True,
 )
 def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-balanced sample: 25 items from each of 4 k-means
@@ -3693,6 +3695,7 @@ SELECT doc_id, mean_logprob,
 FROM scored
 """,
     tags=("llm", "text", "quality", "pipeline"),
+    extra=True,
 )
 def lm_quality_cut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-head cut: keep the top 20% of documents by
@@ -3816,6 +3819,7 @@ SELECT doc_id, source, epoch, round(rate, 12) AS rate
 FROM u WHERE epoch < CAST(FLOOR(rate) AS INT) OR uu < rate - FLOOR(rate)
 """,
     tags=("llm", "sampling", "recipe"),
+    extra=True,
 )
 def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-constrained mix recipe solved end-to-end: 50k tokens split
@@ -3874,7 +3878,6 @@ def _semdedup_oracle(k: int, n_iter: int, dim: int, tau: float) -> str:
     "semdedup_embeddings",
     oracle=_semdedup_oracle(_KM_K, _KM_ITER, _KM_DIM, _SD_TAU),
     tags=("llm", "dedup", "clustering", "semantic"),
-    extra=True,
 )
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): semantic dedup / diversity pruning by
