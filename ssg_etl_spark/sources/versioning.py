@@ -61,9 +61,15 @@ def _manifest_dir(path: str) -> str:
 def _resolve_file(root: str, entry: str) -> str:
     """Resolve a manifest file entry against the table root. Relative
     entries (format 2) attach to wherever the table lives NOW; absolute
-    entries (legacy format 1) pass through unchanged."""
-    if os.path.isabs(entry):
+    and scheme-prefixed entries (legacy format 1) pass through
+    unchanged. A SCHEME-PREFIXED root (``s3a://bucket/table``) joins
+    with plain '/' — ``os.path.abspath`` would mangle the scheme into a
+    local path (r11 seam test), and object-store URIs are not local
+    paths to normalize."""
+    if os.path.isabs(entry) or "://" in entry:
         return entry
+    if "://" in root:
+        return root.rstrip("/") + "/" + entry
     return os.path.join(os.path.abspath(root), entry)
 
 
