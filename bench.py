@@ -168,6 +168,47 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# ------------------------------------------------- calibration probe (r11)
+# Fixed-work probe run at the START and END of every bench invocation, so
+# each BENCH_r* artifact carries its own host-contention measurement and
+# round-over-round drift attribution is arithmetic instead of an offline
+# antagonist study (the r9/r10 drift episodes both burned a verdict cycle
+# proving "the box was busy"). Two legs:
+#   * py_wall — a pure-Python single-core integer loop: the cleanest
+#     co-tenancy signal (no JVM, no allocator, no I/O);
+#   * spark_wall — one tiny canonical Spark job (range→sum) on the SAME
+#     session the bench uses: scheduler/JVM-side contention.
+# The work constants are FROZEN; comparability across rounds depends on
+# them never changing. PROBE_REF holds the quiet-box reference walls
+# (min-of-5, measured r11 on the 32-core driver box); load_factor =
+# observed/reference per leg, and *_calibrated totals divide the raw
+# totals by the python-leg factor (single-core co-tenancy is what the
+# r10 contention study showed scales query walls ~uniformly).
+
+_PROBE_PY_N = 2_000_000
+_PROBE_SPARK_ROWS = 2_000_000
+PROBE_REF = {"py_wall": 0.127, "spark_wall": 0.164}
+
+
+def _probe_py() -> float:
+    t0 = time.time()
+    acc = 0
+    for i in range(_PROBE_PY_N):
+        acc = (acc * 31 + i) % 1000003
+    assert acc >= 0  # keep the loop un-eliminable
+    return time.time() - t0
+
+
+def calibration_probe(spark) -> dict[str, float]:
+    py_wall = _probe_py()
+    t0 = time.time()
+    spark.range(_PROBE_SPARK_ROWS).selectExpr("sum(id % 7) AS s").collect()
+    return {
+        "py_wall": round(py_wall, 4),
+        "spark_wall": round(time.time() - t0, 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -189,8 +230,13 @@ def main() -> None:
     # must stay comparable round-over-round (rollup_date_user is extra now).
     qs = {name: spec.builder for name, spec in load_all(include_extra=True).items()}
 
-    # Untimed warm-up: spin up executors, JIT the scan path.
+    # Untimed warm-up: spin up executors, JIT the scan path — and the
+    # probe's own range→sum path (its first execution pays codegen/JIT
+    # that would read as 3× phantom contention in probe_start).
     force(qs["kpi_totals"](spark, sf_dir))
+    calibration_probe(spark)
+
+    probe_start = calibration_probe(spark)
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     # Since r6 the LLM/curation groups run 3 trials and record BOTH the
@@ -304,6 +350,27 @@ def main() -> None:
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
+    probe_end = calibration_probe(spark)
+    load_factor = round(
+        (probe_start["py_wall"] + probe_end["py_wall"])
+        / (2 * PROBE_REF["py_wall"]),
+        4,
+    )
+    probe = {
+        "start": probe_start,
+        "end": probe_end,
+        "ref": PROBE_REF,
+        "load_factor": load_factor,
+        "load_factor_spark": round(
+            (probe_start["spark_wall"] + probe_end["spark_wall"])
+            / (2 * PROBE_REF["spark_wall"]),
+            4,
+        ),
+    }
+
+    def _cal(x: float) -> float:
+        return round(x / max(load_factor, 1e-9), 3)
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total_wall",
@@ -320,6 +387,10 @@ def main() -> None:
         "curation_total": round(sum(curation_timings.values()), 3),
         "curation_queries_min": curation_mins,
         "curation_total_min": round(sum(curation_mins.values()), 3),
+        "probe": probe,
+        "value_calibrated": _cal(total),
+        "llm_total_calibrated": _cal(sum(llm_timings.values())),
+        "curation_total_calibrated": _cal(sum(curation_timings.values())),
         "sf": sf,
     }
     # Artifact reliability, round-8 form. The BENCH_r* capture keeps only a
@@ -365,6 +436,12 @@ def main() -> None:
                 "llm_total_min": round(sum(llm_mins.values()), 3),
                 "curation_total": round(sum(curation_timings.values()), 3),
                 "curation_total_min": round(sum(curation_mins.values()), 3),
+                "probe": probe,
+                "value_calibrated": _cal(total),
+                "llm_total_calibrated": _cal(sum(llm_timings.values())),
+                "curation_total_calibrated": _cal(
+                    sum(curation_timings.values())
+                ),
                 "sf": sf,
             }
         )
