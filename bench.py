@@ -161,6 +161,10 @@ CURATION_FAMILY = [
     "kmv_sample_by_type",
     "quantiles_logbucket_weighted",
     "kmv_daily_rollup",
+    # Round 11: plan-side grouped theta-sketch overlap and the stdlib
+    # PNG round-trip (first genuinely compressed codec).
+    "kmv_overlap_by_type",
+    "media_png_features",
 ]
 
 

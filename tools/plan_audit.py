@@ -134,6 +134,12 @@ AUDIT_DEFAULT = [
     # nothing to audit.
     "kmv_user_overlap",
     "logbucket_daily_rollup",
+    # Round 11: plan-side grouped theta overlap (grouped windows + one
+    # grouped aggregate — the whole point is that it is NOT driver-side,
+    # so its plan IS the artifact to pin) and the PNG round-trip
+    # (mapInPandas over the fan-out scan, like the other media legs).
+    "kmv_overlap_by_type",
+    "media_png_features",
 ]
 
 

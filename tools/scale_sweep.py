@@ -379,6 +379,56 @@ def family(sf_dir: str, n_vectors: int):
             ),
             "k=256 x |langs|, distinct-pair shuffle",
         ),
+        # Round 11: the last unmeasured r10 additions. Weighted logbucket
+        # adds only a per-row FLOOR+SUM to the unweighted sketch —
+        # expected scan-bound like logbucket_quantiles. The KMV rollup is
+        # the full registry shape (per-group daily sketches → min-union
+        # fold → estimate): the daily grouped build is the distinct-pair
+        # shuffle; the fold inputs are ≤ k rows per day. Grouped exact
+        # quantiles at HIGH cardinality (~1000 groups vs |langs|≈5)
+        # stress the broadcast range table and the per-group collect
+        # bounds — the r10 pin only covered low cardinality.
+        (
+            "logbucket_weighted",
+            lambda s: sketches.logbucket_quantiles(
+                sketches.logbucket_sketch(
+                    docs(s), "n_chars", ["lang"], weight_col="n_chars"
+                ),
+                (0.25, 0.5, 0.9, 0.99),
+                ["lang"],
+            ),
+            "weight=n_chars (token-mass percentiles)",
+        ),
+        (
+            "kmv_daily_rollup",
+            lambda s: sketches.kmv_distinct_estimate(
+                sketches.bottomk_merge(
+                    [
+                        sketches.bottomk_sketch_grouped(
+                            docs(s).withColumn(
+                                "_day", F.col("doc_id") % 30
+                            ),
+                            "text",
+                            ["_day"],
+                            k=256,
+                        ).select("h", "text")
+                    ],
+                    k=256,
+                ),
+                k=256,
+            ),
+            "30 daily sketches -> min-union -> estimate",
+        ),
+        (
+            "quantiles_exact_grouped_hi",
+            lambda s: analytics.quantiles_exact_grouped(
+                docs(s).withColumn("_g", F.col("doc_id") % 1000),
+                "n_chars",
+                ["_g"],
+                (0.5, 0.9),
+            ),
+            "~1000 groups x 2 qs, member-range zoom",
+        ),
     ]
 
 
