@@ -841,6 +841,18 @@ def kmv_set_estimates_grouped(
         .groupBy(*group_cols, "h")
         .agg(F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb"))
     )
+    return _kmv_theta_estimates(mem, group_cols, k)
+
+
+def _kmv_theta_estimates(
+    mem: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Shared theta-window core: from flagged distinct-member rows
+    ``(group_cols..., h, _ina, _inb)`` — one row per (group, hash), flag
+    = hash present in that side's sketch — compute the per-group θ via
+    running side-ranks in hash order, then the window counts and
+    estimates. Used by the binary-tables form above and the N-source
+    matrix form below."""
     wcum = (
         Window.partitionBy(*group_cols)
         .orderBy("h")
@@ -904,6 +916,63 @@ def kmv_set_estimates_grouped(
         est_i.alias("intersection_est"),
         jac.alias("jaccard_est"),
     )
+
+
+def kmv_overlap_matrix(
+    sketch: DataFrame,
+    source_col: str,
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """ALL-PAIRS theta-sketch overlap from ONE grouped sketch table —
+    the full answer to "overlap matrix across N sources per day" (the
+    r10 verdict's motivating shape): every (source_a < source_b) pair's
+    union / intersection / Jaccard estimate in one plan, from sketches
+    alone. Input is a ``bottomk_sketch_grouped(df, key, [source_col])``
+    table (or a fold of daily ones); per pair the math is identical to
+    :func:`kmv_set_estimates_grouped`.
+
+    Execution shape: the distinct source list (sketch-derived, tiny) is
+    crossed into ordered pairs and BROADCAST back onto the sketch table
+    twice (once per pair side), tagging each sketch row into every pair
+    containing its source — |S|·(|S|−1)·k/... ≤ |S|²·k rows, sketch-
+    bounded, never corpus-bounded — then the shared theta core runs with
+    group key (src_a, src_b). For |S| sources the driver-side binary
+    form costs |S|²/2 collect round-trips; this is ONE job. Returns
+    ``(src_a, src_b, n_window, union_est, intersection_est,
+    jaccard_est)`` for every pair with a non-empty θ-window."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    src = F.col(source_col)
+    sources = sketch.select(src.alias("_s")).distinct()
+    pairs = (
+        sources.select(F.col("_s").alias("src_a"))
+        .crossJoin(sources.select(F.col("_s").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    rows_a = sketch.join(
+        F.broadcast(pairs), src == F.col("src_a")
+    ).select(
+        "src_a",
+        "src_b",
+        "h",
+        F.lit(1).alias("_ina"),
+        F.lit(0).alias("_inb"),
+    )
+    rows_b = sketch.join(
+        F.broadcast(pairs), src == F.col("src_b")
+    ).select(
+        "src_a",
+        "src_b",
+        "h",
+        F.lit(0).alias("_ina"),
+        F.lit(1).alias("_inb"),
+    )
+    mem = (
+        rows_a.unionByName(rows_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb"))
+    )
+    return _kmv_theta_estimates(mem, ["src_a", "src_b"], k)
 
 
 def bottomk_sketch_grouped(

@@ -993,6 +993,73 @@ def kmv_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_overlap_matrix_types",
+    oracle=f"""
+WITH d AS (SELECT DISTINCT event_type, user_id,
+                  md5(CAST(user_id AS VARCHAR)) AS h
+           FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+s AS (SELECT event_type, h FROM r WHERE rk <= {_KMV_GK}),
+t AS (SELECT event_type,
+             CASE WHEN MAX(n) >= {_KMV_GK}
+                  THEN MAX(CASE WHEN rk = {_KMV_GK} THEN h END)
+                  ELSE 'g' END AS th
+      FROM r GROUP BY event_type),
+p AS (SELECT ta.event_type AS src_a, tb.event_type AS src_b,
+             LEAST(ta.th, tb.th) AS theta
+      FROM t ta, t tb WHERE ta.event_type < tb.event_type),
+u AS (SELECT p.src_a, p.src_b, s.h,
+             MAX(CASE WHEN s.event_type = p.src_a THEN 1 ELSE 0 END) AS ina,
+             MAX(CASE WHEN s.event_type = p.src_b THEN 1 ELSE 0 END) AS inb
+      FROM p JOIN s ON s.event_type IN (p.src_a, p.src_b)
+      GROUP BY p.src_a, p.src_b, s.h),
+w AS (SELECT u.*, p.theta FROM u
+      JOIN p ON u.src_a = p.src_a AND u.src_b = p.src_b
+      WHERE p.theta = 'g' OR u.h < p.theta),
+m AS (SELECT src_a, src_b, theta, COUNT(*) AS nw,
+             CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb
+      FROM w GROUP BY src_a, src_b, theta)
+SELECT src_a, src_b, CAST(nw AS BIGINT) AS n_window,
+  CASE WHEN theta = 'g' THEN CAST(nw AS DOUBLE)
+       ELSE ROUND(CAST(nw AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS union_est,
+  CASE WHEN theta = 'g' THEN CAST(nb AS DOUBLE)
+       ELSE ROUND(CAST(nb AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS intersection_est,
+  ROUND(CAST(nb AS DOUBLE) / CAST(nw AS DOUBLE), 4) AS jaccard_est
+FROM m
+""",
+    tags=("events", "sketch", "approx", "setop", "matrix", "mergeable"),
+    extra=True,
+)
+def kmv_overlap_matrix_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL overlap matrix in one plan
+    (operators/sketches.kmv_overlap_matrix): every event-type PAIR's
+    audience union / intersection / Jaccard estimated from ONE grouped
+    bottom-k sketch table — the "overlap matrix across N sources" shape
+    the r10 verdict motivated the grouped algebra with. 5 types → all
+    10 pairs in one job; the driver-side binary form would cost 10
+    collect round-trips, and at N sources N²/2. The sketch table folds
+    from dailies (bottomk_merge_grouped), so yesterday's sketches
+    answer today's matrix without rescanning. Extra registry: locally
+    oracle-verified."""
+    from ssg_etl_spark.operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    sk = sketches.bottomk_sketch_grouped(
+        events, "user_id", ["event_type"], k=_KMV_GK
+    )
+    return sketches.kmv_overlap_matrix(sk, "event_type", k=_KMV_GK)
+
+
+@register(
     "kmv_daily_rollup",
     oracle=f"""
 WITH {_KMV_D_CTE},

@@ -288,3 +288,78 @@ def test_grouped_set_estimates_merge_law(spark):
         )
 
     assert ests(folded(dfa), folded(dfb)) == ests(whole(dfa), whole(dfb))
+
+
+def test_overlap_matrix_matches_binary_form_per_pair(spark):
+    """kmv_overlap_matrix == the binary driver-side form run on every
+    source pair: same windows, same estimates — so the one-plan matrix
+    is a pure cost optimization, not a semantic variant."""
+    k = 32
+    universes = {
+        "s1": list(range(0, 300)),
+        "s2": list(range(150, 450)),       # overlaps s1
+        "s3": list(range(10_000, 10_020)),  # tiny, exhaustive side
+    }
+    rows = [(s, v) for s, vals in universes.items() for v in vals]
+    df = spark.createDataFrame(rows, "src string, key bigint")
+    sk = sketches.bottomk_sketch_grouped(df, "key", ["src"], k=k)
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["n_window"],
+            r["union_est"],
+            r["intersection_est"],
+            r["jaccard_est"],
+        )
+        for r in sketches.kmv_overlap_matrix(sk, "src", k=k).collect()
+    }
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    for a, b in got:
+        row = sketches.kmv_set_estimates(
+            sketches.bottomk_sketch(
+                spark.createDataFrame(
+                    [(v,) for v in universes[a]], "key bigint"
+                ),
+                "key",
+                k=k,
+            ),
+            sketches.bottomk_sketch(
+                spark.createDataFrame(
+                    [(v,) for v in universes[b]], "key bigint"
+                ),
+                "key",
+                k=k,
+            ),
+            k=k,
+        ).collect()[0]
+        assert got[(a, b)] == (
+            row["n_window"],
+            row["union_est"],
+            row["intersection_est"],
+            row["jaccard_est"],
+        ), (a, b)
+
+
+def test_overlap_matrix_from_folded_dailies(spark):
+    """The matrix computed from per-day grouped sketches FOLDED via
+    bottomk_merge_grouped equals the matrix from whole-corpus sketches:
+    daily sketch tables answer any date-range overlap matrix."""
+    k = 16
+    rows = [
+        ("s%d" % (v % 3), v * 7 % 500, v % 4) for v in range(900)
+    ]
+    df = spark.createDataFrame(rows, "src string, key bigint, day int")
+    whole = sketches.bottomk_sketch_grouped(df, "key", ["src"], k=k)
+    dailies = [
+        sketches.bottomk_sketch_grouped(
+            df.filter(F.col("day") == d), "key", ["src"], k=k
+        )
+        for d in range(4)
+    ]
+    folded = sketches.bottomk_merge_grouped(dailies, ["src"], k=k)
+
+    def m(sk):
+        return sorted(
+            tuple(r) for r in sketches.kmv_overlap_matrix(sk, "src", k=k).collect()
+        )
+
+    assert m(folded) == m(whole)
