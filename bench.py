@@ -161,9 +161,11 @@ CURATION_FAMILY = [
     "kmv_sample_by_type",
     "quantiles_logbucket_weighted",
     "kmv_daily_rollup",
-    # Round 11: plan-side grouped theta-sketch overlap and the stdlib
-    # PNG round-trip (first genuinely compressed codec).
+    # Round 11: plan-side grouped theta-sketch overlap, the all-pairs
+    # overlap matrix, and the stdlib PNG round-trip (first genuinely
+    # compressed codec).
     "kmv_overlap_by_type",
+    "kmv_overlap_matrix_types",
     "media_png_features",
 ]
 

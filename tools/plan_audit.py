@@ -140,6 +140,11 @@ AUDIT_DEFAULT = [
     # (mapInPandas over the fan-out scan, like the other media legs).
     "kmv_overlap_by_type",
     "media_png_features",
+    # Round 11 (cont.): the all-pairs overlap matrix — pair expansion
+    # must stay two BROADCAST joins over the sketch table; a plan drift
+    # to a shuffled or nested-loop pair join is exactly what this pin
+    # would catch.
+    "kmv_overlap_matrix_types",
 ]
 
 
