@@ -707,6 +707,71 @@ def foreach_batch_bottomk_merge(
     return apply
 
 
+def foreach_batch_bottomk_merge_grouped(
+    sketch_path: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int | None = None,
+    keep_versions: int | None = None,
+):
+    """Streaming PER-GROUP bottom-k fold — the grouped twin of
+    :func:`foreach_batch_bottomk_merge`: each micro-batch's per-group
+    bottom-k (operators/sketches.bottomk_sketch_grouped) min-unions into
+    a persisted grouped sketch table via ``bottomk_merge_grouped``.
+    Idempotent by the same algebra (per-group dedup + re-rank), so
+    replays are exactly-once with no batch-id bookkeeping; state is
+    ≤ k rows PER GROUP forever. This is the maintenance side of the
+    overlap machinery: the persisted table feeds
+    ``kmv_set_estimates_grouped`` / ``kmv_overlap_matrix`` directly, so
+    a live stream keeps per-source distinct samples whose cross-source
+    overlap matrix is one query at any time — no corpus rescan ever."""
+    from ssg_etl_spark.operators.sketches import (
+        BOTTOMK_K,
+        bottomk_merge_grouped,
+        bottomk_sketch_grouped,
+    )
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+    )
+
+    k = BOTTOMK_K if k is None else k
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty (use foreach_batch_bottomk_merge"
+            " for the global sketch)"
+        )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fresh = bottomk_sketch_grouped(batch, key_col, group_cols, k=k)
+        if snapshot_versions(sketch_path):
+            prior = read_snapshot(spark, sketch_path)
+            merged = bottomk_merge_grouped([prior, fresh], group_cols, k=k)
+        else:
+            merged = fresh
+        # Group-bounded tiny (<= k rows per group); materialize before
+        # the commit so the snapshot write does not re-read the version
+        # it replaces.
+        rows = merged.collect()
+        commit_snapshot(
+            spark.createDataFrame(rows, merged.schema).coalesce(1),
+            sketch_path,
+            mode="overwrite",
+            meta={"batch_id": batch_id},
+        )
+        if keep_versions is not None:
+            vacuum_snapshots(sketch_path, keep_last=keep_versions)
+
+    return apply
+
+
 def run_hll_stream(
     spark: SparkSession,
     source_path: str,

@@ -363,3 +363,68 @@ def test_overlap_matrix_from_folded_dailies(spark):
         )
 
     assert m(folded) == m(whole)
+
+
+def test_streaming_grouped_bottomk_fold_matches_batch_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Per-group micro-batch min-union fold == one-shot grouped batch
+    sketch; a replayed batch leaves state identical (idempotence); and
+    the persisted table feeds the overlap matrix directly — the live
+    maintenance side of the r11 overlap machinery."""
+    from ssg_etl_spark.schemas import EVENTS
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.sources.versioning import read_snapshot
+    from ssg_etl_spark.streaming.pipeline import (
+        foreach_batch_bottomk_merge_grouped,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    sketch_path = str(tmp_path / "kmvg")
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_bottomk_merge_grouped(
+                sketch_path, "user_id", ["event_type"], k=16
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def per_group(sk):
+        out = {}
+        for r in sk.collect():
+            out.setdefault(r["event_type"], []).append(
+                (r["h"], r["user_id"])
+            )
+        return {g: sorted(v) for g, v in out.items()}
+
+    streamed = per_group(read_snapshot(spark, sketch_path))
+    batch = per_group(
+        sketches.bottomk_sketch_grouped(
+            events, "user_id", ["event_type"], k=16
+        )
+    )
+    assert streamed == batch
+
+    # Replay: identical state (idempotent algebra, no batch-id guard).
+    foreach_batch_bottomk_merge_grouped(
+        sketch_path, "user_id", ["event_type"], k=16
+    )(events.limit(500), batch_id=99)
+    assert per_group(read_snapshot(spark, sketch_path)) == streamed
+
+    # The persisted table IS matrix input: pairs come out estimable.
+    mat = sketches.kmv_overlap_matrix(
+        read_snapshot(spark, sketch_path), "event_type", k=16
+    ).collect()
+    assert len(mat) == 10  # C(5,2) event-type pairs
