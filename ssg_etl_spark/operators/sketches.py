@@ -922,6 +922,7 @@ def kmv_overlap_matrix(
     sketch: DataFrame,
     source_col: str,
     k: int = BOTTOMK_K,
+    max_sources: int = 1000,
 ) -> DataFrame:
     """ALL-PAIRS theta-sketch overlap from ONE grouped sketch table —
     the full answer to "overlap matrix across N sources per day" (the
@@ -939,11 +940,30 @@ def kmv_overlap_matrix(
     group key (src_a, src_b). For |S| sources the driver-side binary
     form costs |S|²/2 collect round-trips; this is ONE job. Returns
     ``(src_a, src_b, n_window, union_est, intersection_est,
-    jaccard_est)`` for every pair with a non-empty θ-window."""
+    jaccard_est)`` for every pair with a non-empty θ-window.
+
+    ``max_sources`` ENFORCES the |S|²·k expansion bound in code (the
+    same raise-don't-melt discipline as SemDeDup's max_cluster_size and
+    ``quantiles_exact_grouped``'s max_groups): the pair tagging is
+    quadratic in the SOURCE count, so an unexpectedly high-cardinality
+    source column (someone passes a URL column instead of a domain
+    column) would silently explode. The check is one distinct-count
+    over the sketch table (already sketch-sized). At the default 1000
+    sources × k=256 the expansion is ≤ ~128M tagged rows — deliberate
+    territory; raise the bound consciously for more."""
     if k < 1:
         raise ValueError("k must be positive")
     src = F.col(source_col)
     sources = sketch.select(src.alias("_s")).distinct()
+    n_sources = sources.count()
+    if n_sources > max_sources:
+        raise ValueError(
+            f"{n_sources} distinct sources exceed max_sources="
+            f"{max_sources}: the pair expansion is ~|S|^2*k = "
+            f"{n_sources * n_sources * k} tagged rows. Bucket sources "
+            "first (e.g. by domain instead of URL), or raise "
+            "max_sources deliberately"
+        )
     pairs = (
         sources.select(F.col("_s").alias("src_a"))
         .crossJoin(sources.select(F.col("_s").alias("src_b")))

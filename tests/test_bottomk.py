@@ -428,3 +428,18 @@ def test_streaming_grouped_bottomk_fold_matches_batch_and_replays(
         read_snapshot(spark, sketch_path), "event_type", k=16
     ).collect()
     assert len(mat) == 10  # C(5,2) event-type pairs
+
+
+def test_overlap_matrix_source_cardinality_guard(spark):
+    """max_sources enforces the |S|^2 pair-expansion bound in code
+    before any tagging work: 12 sources over a bound of 8 raises naming
+    the measured count; raising the bound computes all C(12,2) pairs."""
+    import pytest
+
+    rows = [("s%02d" % (v % 12), v) for v in range(240)]
+    df = spark.createDataFrame(rows, "src string, key bigint")
+    sk = sketches.bottomk_sketch_grouped(df, "key", ["src"], k=8)
+    with pytest.raises(ValueError, match="12 distinct sources.*max_sources=8"):
+        sketches.kmv_overlap_matrix(sk, "src", k=8, max_sources=8)
+    out = sketches.kmv_overlap_matrix(sk, "src", k=8, max_sources=12).collect()
+    assert len(out) == 12 * 11 // 2
