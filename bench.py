@@ -167,6 +167,7 @@ CURATION_FAMILY = [
     "kmv_overlap_by_type",
     "kmv_overlap_matrix_types",
     "media_png_features",
+    "media_resize_png",
 ]
 
 

@@ -514,6 +514,36 @@ def _ppm_resize(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(width, height, arr[rows][:, cols].tobytes())
 
 
+def _png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resample of a compressed image: PNG decode (inflate +
+    unfilter) → the same exact-integer nearest-neighbor gather as
+    :func:`_ppm_resize` → PNG re-encode (DEFLATE). The decoded OUTPUT
+    raster is engine-replayable byte-for-byte (the payload bytes are
+    not — they depend on the zlib encoder — which is why the registered
+    query digests the decoded raster, not the container)."""
+    import numpy as np
+
+    w0, h0, pixels = decode_png(payload)
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h0, w0, 3)
+    rows = (2 * np.arange(height, dtype=np.int64) + 1) * h0 // (2 * height)
+    cols = (2 * np.arange(width, dtype=np.int64) + 1) * w0 // (2 * width)
+    return encode_png(width, height, arr[rows][:, cols].tobytes())
+
+
+def _real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Codec-dispatching real resample: PPM and PNG payloads route to
+    their stdlib codecs; anything else raises the documented
+    NotImplementedError (substitute Pillow at deployment)."""
+    if payload[:2] == b"P6":
+        return _ppm_resize(payload, width, height)
+    if payload[:8] == PNG_SIG:
+        return _png_resize(payload, width, height)
+    raise NotImplementedError(
+        "no resample codec for this payload (real path supports binary "
+        "PPM and 8-bit RGB PNG); use fake=True for the stub"
+    )
+
+
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for an image resample: a digest-seeded byte
     stream sized ~3 bytes/pixel (RGB), so downstream size accounting and
@@ -532,8 +562,9 @@ def resize_images(
     Same plumbing contract as :func:`extract_features`: mapInPandas over
     (asset_id, payload) record batches, binary in → binary out, executor
     memory bounded by batch size × payload size. ``fake=False`` runs the
-    REAL pure-stdlib path — binary PPM in, nearest-neighbor-resampled
-    binary PPM out (:func:`_ppm_resize`); other raster codecs substitute
+    REAL pure-stdlib path — binary PPM or 8-bit RGB PNG in,
+    nearest-neighbor-resampled same-format out (:func:`_real_resize`
+    dispatches by magic bytes); other raster codecs substitute
     PIL/Pillow-SIMD at deployment behind the same batch signature.
     ``fake=True`` keeps the digest-seeded stand-in for corpora whose
     formats this environment cannot decode. NULL payloads pass through as
@@ -541,7 +572,7 @@ def resize_images(
     """
     if width <= 0 or height <= 0:
         raise ValueError("target dimensions must be positive")
-    resample = _fake_resize if fake else _ppm_resize
+    resample = _fake_resize if fake else _real_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -731,6 +731,53 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_roundtrip(assets)
 
 
+# PNG resize oracle (r11): the COMPRESSED twin of media_resize_ppm —
+# same exact-integer nearest-neighbor index arithmetic over the
+# digest-cycled source raster, but the digest is over the DECODED
+# resized raster (PNG payload bytes depend on the zlib encoder; the
+# pixels do not). A match proves decode → resample → re-encode →
+# re-decode preserved every target pixel through DEFLATE twice.
+@register(
+    "media_resize_png",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS hx, doc_id % 4 + 1 AS h FROM documents),
+b AS (
+  SELECT d.doc_id, p.p,
+    substr(d.hx,
+      2 * ((((((2 * (p.p // 24) + 1) * d.h) // 16) * 16
+            + (2 * ((p.p % 24) // 3) + 1)) * 3 + p.p % 3) % 16) + 1,
+      2) AS hb
+  FROM d, range(0, {_RP_RASTER}) p(p))
+SELECT doc_id AS asset_id,
+  CAST({_RPW} AS INT) AS width, CAST({_RPH} AS INT) AS height,
+  CAST({_RPW * _RPH} AS INT) AS n_pixels,
+  CAST(SUM(CAST(('0x' || hb) AS INTEGER)) AS BIGINT) AS sum_byte,
+  CAST(MIN(CAST(('0x' || hb) AS INTEGER)) AS INT) AS min_byte,
+  CAST(MAX(CAST(('0x' || hb) AS INTEGER)) AS INT) AS max_byte,
+  md5(string_agg(hb, '' ORDER BY p)) AS raster_digest
+FROM b GROUP BY doc_id
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-image resize UN-FAKED end-to-end: PNG assets through
+    decode (inflate+unfilter) → exact-integer nearest-neighbor gather →
+    PNG re-encode inside the Arrow mapInPandas stage (fake=False), then
+    decoded AGAIN by png_roundtrip to emit pixel stats + the raster
+    digest the DuckDB oracle replays from document text alone. The
+    resample arithmetic is byte-identical to media_resize_ppm's — what
+    this adds is proof the whole pipeline survives a genuinely
+    compressed container in both directions. Extra registry: locally
+    oracle-verified."""
+    assets = multimodal.png_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    resized = multimodal.resize_images(assets, _RPW, _RPH, fake=False)
+    return multimodal.png_roundtrip(resized)
+
+
 @register(
     "media_video_y4m_frames",
     oracle=f"""

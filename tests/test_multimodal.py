@@ -432,3 +432,27 @@ def test_png_pipeline_end_to_end(spark, sf_dir):
         assert r["raster_digest"] == hashlib.md5(
             raster.hex().encode()
         ).hexdigest()
+
+
+def test_png_resize_matches_ppm_resize_pixels():
+    """The PNG resample produces the exact same target pixels as the PPM
+    resample on the same source raster — the codec changes, the
+    arithmetic does not — and the result survives the double DEFLATE
+    round-trip."""
+    from ssg_etl_spark.operators import multimodal as mm
+
+    pixels = bytes((i * 31 + 7) % 256 for i in range(3 * 16 * 4))
+    ppm_out = mm._ppm_resize(mm.encode_ppm(16, 4, pixels), 8, 8)
+    png_out = mm._png_resize(mm.encode_png(16, 4, pixels), 8, 8)
+    _, _, _, ppm_px = mm.decode_ppm(ppm_out)
+    w, h, png_px = mm.decode_png(png_out)
+    assert (w, h) == (8, 8)
+    assert png_px == ppm_px
+
+    # The dispatching real path routes by magic bytes.
+    assert mm._real_resize(mm.encode_png(16, 4, pixels), 8, 8) == png_out
+    assert mm._real_resize(mm.encode_ppm(16, 4, pixels), 8, 8) == ppm_out
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm._real_resize(b"\xff\xd8\xff\xe0 jpeg-ish", 8, 8)
