@@ -745,13 +745,19 @@ def kmv_set_estimates(
 
         union_est        = |W| * 2^48 / θ_48      (θ-normalized density)
         intersection_est = |W ∩ A ∩ B| * 2^48 / θ_48
+        a_only_est       = |W ∩ A \\ B| * 2^48 / θ_48   (set DIFFERENCE)
+        b_only_est       = |W ∩ B \\ A| * 2^48 / θ_48
         jaccard_est      = |W ∩ A ∩ B| / |W|
 
     When BOTH sketches are exhaustive the estimates collapse to exact
-    counts. Driver-side math over <= 2k rows; returns one row
-    ``(n_window bigint, union_est double, intersection_est double,
-    jaccard_est double)`` rounded to 4 decimals (shortest-repr HALF_UP,
-    the rule Spark's round applies)."""
+    counts. The difference estimates answer the curation question "how
+    many keys does A have that B doesn't" (e.g. what a source uniquely
+    contributes to a corpus) from the same window — union =
+    intersection + a_only + b_only by construction, exactly. Driver-side
+    math over <= 2k rows; returns one row ``(n_window bigint, union_est,
+    intersection_est, a_only_est, b_only_est, jaccard_est double)``
+    rounded to 4 decimals (shortest-repr HALF_UP, the rule Spark's
+    round applies)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     def _r4(x: float) -> float:
@@ -772,19 +778,26 @@ def kmv_set_estimates(
     sa, sb = set(ha), set(hb)
     if theta == "g":
         window = sorted(sa | sb)
-        both = [h for h in window if h in sa and h in sb]
-        est_u, est_i = float(len(window)), float(len(both))
     else:
         window = sorted(h for h in (sa | sb) if h < theta)
-        both = [h for h in window if h in sa and h in sb]
+    both = [h for h in window if h in sa and h in sb]
+    a_only = [h for h in window if h in sa and h not in sb]
+    b_only = [h for h in window if h in sb and h not in sa]
+    if theta == "g":
+        est_u, est_i = float(len(window)), float(len(both))
+        est_a, est_b = float(len(a_only)), float(len(b_only))
+    else:
         theta_48 = max(1, int(theta[:BOTTOMK_HEX], 16))
-        est_u = _r4(len(window) * _BOTTOMK_NORM / theta_48)
-        est_i = _r4(len(both) * _BOTTOMK_NORM / theta_48)
+        scale = _BOTTOMK_NORM / theta_48
+        est_u = _r4(len(window) * scale)
+        est_i = _r4(len(both) * scale)
+        est_a = _r4(len(a_only) * scale)
+        est_b = _r4(len(b_only) * scale)
     jac = _r4(len(both) / len(window)) if window else 0.0
     return spark.createDataFrame(
-        [(len(window), est_u, est_i, jac)],
+        [(len(window), est_u, est_i, est_a, est_b, jac)],
         "n_window bigint, union_est double, intersection_est double,"
-        " jaccard_est double",
+        " a_only_est double, b_only_est double, jaccard_est double",
     )
 
 
@@ -818,7 +831,10 @@ def kmv_set_estimates_grouped(
     nothing rescans a corpus; no driver round-trip. Groups whose
     θ-window is empty (only possible at k=1) drop out. Returns
     ``(group_cols..., n_window bigint, union_est, intersection_est,
-    jaccard_est double)`` rounded to 4 decimals — the same shortest-repr
+    a_only_est, b_only_est, jaccard_est double)`` — the difference
+    estimates answer "what does A uniquely contribute", and union =
+    intersection + a_only + b_only exactly by construction — rounded
+    to 4 decimals — the same shortest-repr
     HALF_UP rule as the binary form, so a ROW_NUMBER-over-hash oracle
     replays it exactly."""
     if k < 1:
@@ -890,6 +906,20 @@ def _kmv_theta_estimates(
         )
         .cast("bigint")
         .alias("_nboth"),
+        F.sum(
+            F.when((F.col("_ina") == 1) & (F.col("_inb") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("_naonly"),
+        F.sum(
+            F.when((F.col("_ina") == 0) & (F.col("_inb") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("_nbonly"),
     )
     th48 = F.greatest(
         F.lit(1).cast("bigint"),
@@ -900,20 +930,21 @@ def _kmv_theta_estimates(
     ).cast("double")
     scale_up = F.lit(_BOTTOMK_NORM) / th48
     exhaustive = F.col("_theta") == "g"
-    est_u = F.when(
-        exhaustive, F.col("n_window").cast("double")
-    ).otherwise(F.round(F.col("n_window").cast("double") * scale_up, 4))
-    est_i = F.when(exhaustive, F.col("_nboth").cast("double")).otherwise(
-        F.round(F.col("_nboth").cast("double") * scale_up, 4)
-    )
+
+    def _est(col: str):
+        c = F.col(col).cast("double")
+        return F.when(exhaustive, c).otherwise(F.round(c * scale_up, 4))
+
     jac = F.round(
         F.col("_nboth").cast("double") / F.col("n_window").cast("double"), 4
     )
     return agg.select(
         *group_cols,
         F.col("n_window"),
-        est_u.alias("union_est"),
-        est_i.alias("intersection_est"),
+        _est("n_window").alias("union_est"),
+        _est("_nboth").alias("intersection_est"),
+        _est("_naonly").alias("a_only_est"),
+        _est("_nbonly").alias("b_only_est"),
         jac.alias("jaccard_est"),
     )
 
@@ -939,8 +970,9 @@ def kmv_overlap_matrix(
     bounded, never corpus-bounded — then the shared theta core runs with
     group key (src_a, src_b). For |S| sources the driver-side binary
     form costs |S|²/2 collect round-trips; this is ONE job. Returns
-    ``(src_a, src_b, n_window, union_est, intersection_est,
-    jaccard_est)`` for every pair with a non-empty θ-window.
+    ``(src_a, src_b, n_window, union_est, intersection_est, a_only_est,
+    b_only_est, jaccard_est)`` for every pair with a non-empty
+    θ-window.
 
     ``max_sources`` ENFORCES the |S|²·k expansion bound in code (the
     same raise-don't-melt discipline as SemDeDup's max_cluster_size and

@@ -788,8 +788,14 @@ u AS (SELECT h FROM sa UNION SELECT h FROM sb),
 w AS (SELECT u.h FROM u, th WHERE th.theta = 'g' OR u.h < th.theta),
 bth AS (SELECT w.h FROM w
         WHERE w.h IN (SELECT h FROM sa) AND w.h IN (SELECT h FROM sb)),
+aon AS (SELECT w.h FROM w
+        WHERE w.h IN (SELECT h FROM sa) AND w.h NOT IN (SELECT h FROM sb)),
+bon AS (SELECT w.h FROM w
+        WHERE w.h IN (SELECT h FROM sb) AND w.h NOT IN (SELECT h FROM sa)),
 m AS (SELECT (SELECT COUNT(*) FROM w) AS nw,
              (SELECT COUNT(*) FROM bth) AS nb,
+             (SELECT COUNT(*) FROM aon) AS nao,
+             (SELECT COUNT(*) FROM bon) AS nbo,
              (SELECT theta FROM th) AS theta)
 SELECT CAST(nw AS BIGINT) AS n_window,
   CASE WHEN theta = 'g' THEN CAST(nw AS DOUBLE)
@@ -802,6 +808,16 @@ SELECT CAST(nw AS BIGINT) AS n_window,
                   / CAST(GREATEST(
                       CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
                       1) AS DOUBLE), 4) END AS intersection_est,
+  CASE WHEN theta = 'g' THEN CAST(nao AS DOUBLE)
+       ELSE ROUND(CAST(nao AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS a_only_est,
+  CASE WHEN theta = 'g' THEN CAST(nbo AS DOUBLE)
+       ELSE ROUND(CAST(nbo AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS b_only_est,
   CASE WHEN nw = 0 THEN 0.0
        ELSE ROUND(CAST(nb AS DOUBLE) / CAST(nw AS DOUBLE), 4)
        END AS jaccard_est,
@@ -948,7 +964,11 @@ w AS (SELECT u.*, th.theta FROM u JOIN th USING (event_type)
       WHERE th.theta = 'g' OR u.h < th.theta),
 m AS (SELECT event_type, theta, COUNT(*) AS nw,
              CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS nb
+                  AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nao,
+             CAST(SUM(CASE WHEN ina = 0 AND inb = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nbo
       FROM w GROUP BY event_type, theta)
 SELECT event_type, CAST(nw AS BIGINT) AS n_window,
   CASE WHEN theta = 'g' THEN CAST(nw AS DOUBLE)
@@ -961,6 +981,16 @@ SELECT event_type, CAST(nw AS BIGINT) AS n_window,
                   / CAST(GREATEST(
                       CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
                       1) AS DOUBLE), 4) END AS intersection_est,
+  CASE WHEN theta = 'g' THEN CAST(nao AS DOUBLE)
+       ELSE ROUND(CAST(nao AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS a_only_est,
+  CASE WHEN theta = 'g' THEN CAST(nbo AS DOUBLE)
+       ELSE ROUND(CAST(nbo AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS b_only_est,
   ROUND(CAST(nb AS DOUBLE) / CAST(nw AS DOUBLE), 4) AS jaccard_est
 FROM m
 """,
@@ -1020,7 +1050,11 @@ w AS (SELECT u.*, p.theta FROM u
       WHERE p.theta = 'g' OR u.h < p.theta),
 m AS (SELECT src_a, src_b, theta, COUNT(*) AS nw,
              CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS nb
+                  AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nao,
+             CAST(SUM(CASE WHEN ina = 0 AND inb = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nbo
       FROM w GROUP BY src_a, src_b, theta)
 SELECT src_a, src_b, CAST(nw AS BIGINT) AS n_window,
   CASE WHEN theta = 'g' THEN CAST(nw AS DOUBLE)
@@ -1033,6 +1067,16 @@ SELECT src_a, src_b, CAST(nw AS BIGINT) AS n_window,
                   / CAST(GREATEST(
                       CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
                       1) AS DOUBLE), 4) END AS intersection_est,
+  CASE WHEN theta = 'g' THEN CAST(nao AS DOUBLE)
+       ELSE ROUND(CAST(nao AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS a_only_est,
+  CASE WHEN theta = 'g' THEN CAST(nbo AS DOUBLE)
+       ELSE ROUND(CAST(nbo AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                  / CAST(GREATEST(
+                      CAST(('0x' || substr(theta, 1, 12)) AS BIGINT),
+                      1) AS DOUBLE), 4) END AS b_only_est,
   ROUND(CAST(nb AS DOUBLE) / CAST(nw AS DOUBLE), 4) AS jaccard_est
 FROM m
 """,

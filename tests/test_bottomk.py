@@ -225,6 +225,8 @@ def test_grouped_set_estimates_match_binary_form_per_group(spark):
             r["n_window"],
             r["union_est"],
             r["intersection_est"],
+            r["a_only_est"],
+            r["b_only_est"],
             r["jaccard_est"],
         )
         for r in sketches.kmv_set_estimates_grouped(
@@ -252,6 +254,8 @@ def test_grouped_set_estimates_match_binary_form_per_group(spark):
             row["n_window"],
             row["union_est"],
             row["intersection_est"],
+            row["a_only_est"],
+            row["b_only_est"],
             row["jaccard_est"],
         ), g
 
@@ -308,6 +312,8 @@ def test_overlap_matrix_matches_binary_form_per_pair(spark):
             r["n_window"],
             r["union_est"],
             r["intersection_est"],
+            r["a_only_est"],
+            r["b_only_est"],
             r["jaccard_est"],
         )
         for r in sketches.kmv_overlap_matrix(sk, "src", k=k).collect()
@@ -335,6 +341,8 @@ def test_overlap_matrix_matches_binary_form_per_pair(spark):
             row["n_window"],
             row["union_est"],
             row["intersection_est"],
+            row["a_only_est"],
+            row["b_only_est"],
             row["jaccard_est"],
         ), (a, b)
 
@@ -443,3 +451,22 @@ def test_overlap_matrix_source_cardinality_guard(spark):
         sketches.kmv_overlap_matrix(sk, "src", k=8, max_sources=8)
     out = sketches.kmv_overlap_matrix(sk, "src", k=8, max_sources=12).collect()
     assert len(out) == 12 * 11 // 2
+
+
+def test_set_estimates_difference_identity(spark):
+    """union = intersection + a_only + b_only EXACTLY (same window, same
+    scale factor — the identity holds in both regimes), and the
+    difference estimates land near truth on the half-overlap fixture."""
+    a = list(range(0, 3000))
+    b = list(range(1500, 4500))
+    row = _ests(spark, a, b, k=256)
+    assert abs(
+        row["union_est"]
+        - (row["intersection_est"] + row["a_only_est"] + row["b_only_est"])
+    ) < 1e-6
+    assert abs(row["a_only_est"] - 1500) / 1500 < 8 / (256 ** 0.5)
+    assert abs(row["b_only_est"] - 1500) / 1500 < 8 / (256 ** 0.5)
+
+    # Exhaustive regime: exact counts.
+    row = _ests(spark, list(range(30)), list(range(20, 50)), k=64)
+    assert (row["a_only_est"], row["b_only_est"]) == (20.0, 20.0)
