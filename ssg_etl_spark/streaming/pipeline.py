@@ -998,7 +998,10 @@ def foreach_batch_cms_merge(
 
 
 def foreach_batch_logbucket_merge(
-    sketch_path: str, value_col: str, keep_versions: int | None = None
+    sketch_path: str,
+    value_col: str,
+    keep_versions: int | None = None,
+    weight_col: str | None = None,
 ):
     """Streaming quantile profile via the log-bucket sketch: each
     micro-batch's significant-digit bucket counts ADD into a persisted
@@ -1017,7 +1020,12 @@ def foreach_batch_logbucket_merge(
     ``max_batch_id`` watermark, not algebra. State is bounded by occupied
     buckets (~hundreds; capped by the value range's decades), never by
     stream length. ``keep_versions``: inline retention, safe because the
-    watermark rides the LATEST manifest, which vacuum always keeps."""
+    watermark rides the LATEST manifest, which vacuum always keeps.
+    ``weight_col``: optional positive row weights (token counts) — the
+    weighted sketch's bucket table has the identical (blo, bhi, cnt)
+    schema and the identical SUM-merge algebra, so the fold, the replay
+    watermark, and the quantile read are unchanged; the stream then
+    maintains token-mass percentiles instead of row percentiles."""
     from ssg_etl_spark.operators.sketches import logbucket_merge, logbucket_sketch
     from ssg_etl_spark.sources.versioning import (
         commit_snapshot,
@@ -1042,7 +1050,7 @@ def foreach_batch_logbucket_merge(
             )
             if batch_id <= prev_max:
                 return  # replayed micro-batch: adding again would double-count
-        fresh = logbucket_sketch(batch, value_col)
+        fresh = logbucket_sketch(batch, value_col, weight_col=weight_col)
         if versions:
             prior = read_snapshot(spark, sketch_path)
             merged = logbucket_merge([prior, fresh])

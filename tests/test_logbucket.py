@@ -316,3 +316,59 @@ def test_weighted_sketch_equals_expanded_multiset(spark):
         ).collect()
     }
     assert wq == eq
+
+
+def test_streaming_weighted_logbucket_fold_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """The streaming fold with weight_col maintains the token-mass
+    percentile sketch: folded per-file micro-batches == the one-shot
+    weighted batch sketch, bucket for bucket, and the quantile read off
+    the persisted state equals the batch weighted quantiles."""
+    from ssg_etl_spark.sources.tables import load_table
+    from ssg_etl_spark.sources.versioning import read_snapshot
+    from ssg_etl_spark.streaming.pipeline import (
+        foreach_batch_logbucket_merge,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+
+    sketch_path = str(tmp_path / "lbw")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_logbucket_merge(
+                sketch_path, "n_chars", weight_col="n_chars"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["blo"], r["bhi"]): r["cnt"]
+        for r in read_snapshot(spark, sketch_path).collect()
+    }
+    batch_sk = sketches.logbucket_sketch(docs, "n_chars", weight_col="n_chars")
+    batch = {(r["blo"], r["bhi"]): r["cnt"] for r in batch_sk.collect()}
+    assert streamed == batch
+
+    got = {
+        r["q"]: r["value_est"]
+        for r in sketches.logbucket_quantiles(
+            read_snapshot(spark, sketch_path), (0.5, 0.9)
+        ).collect()
+    }
+    want = {
+        r["q"]: r["value_est"]
+        for r in sketches.logbucket_quantiles(batch_sk, (0.5, 0.9)).collect()
+    }
+    assert got == want
