@@ -444,3 +444,56 @@ def test_kmv_set_estimates_exact_in_exhaustive_regime(spark, a, b):
         Decimal(repr(i / u)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
     )
     assert row["jaccard_est"] == want
+
+
+# ------------------------------------------------------ PNG codec (r11)
+# Pure-Python properties — no SparkSession involved, so hypothesis can
+# run many examples cheaply.
+
+_DIMS = st.integers(min_value=1, max_value=9)
+
+
+@given(
+    w=_DIMS,
+    h=_DIMS,
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    a=st.integers(min_value=1, max_value=255),
+    b=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_is_lossless(w, h, seed, a, b):
+    """decode(encode(pixels)) == pixels for arbitrary dims and an LCG
+    byte stream — the DEFLATE round-trip may not lose or reorder a
+    single byte."""
+    from ssg_etl_spark.operators import multimodal as mm
+
+    n = 3 * w * h
+    x, out = seed, bytearray()
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (2**31)
+        out.append((x >> 7 + (a % 3)) * a + b & 0xFF)
+    pixels = bytes(out)
+    assert mm.decode_png(mm.encode_png(w, h, pixels)) == (w, h, pixels)
+
+
+@given(
+    w=_DIMS,
+    h=_DIMS,
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_and_ppm_resample_agree(w, h, seed):
+    """On any source raster, the PNG resample's decoded pixels equal the
+    PPM resample's — one arithmetic, two containers."""
+    from ssg_etl_spark.operators import multimodal as mm
+
+    n = 3 * w * h
+    x, out = seed, bytearray()
+    for _ in range(n):
+        x = (x * 48271) % 2147483647
+        out.append(x & 0xFF)
+    pixels = bytes(out)
+    tw, th = max(1, w // 2), h
+    png_out = mm._png_resize(mm.encode_png(w, h, pixels), tw, th)
+    ppm_out = mm._ppm_resize(mm.encode_ppm(w, h, pixels), tw, th)
+    assert mm.decode_png(png_out)[2] == mm.decode_ppm(ppm_out)[3]
