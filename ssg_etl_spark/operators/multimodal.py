@@ -3,16 +3,19 @@ with decode/feature-extraction as Arrow-batched mapInPandas stages
 (BASELINE.json north-star extension).
 
 The container has no image/audio codec LIBRARIES, so library-bound
-compressed formats (JPEG/MP3/H.264) stay stubbed: ``decode_media`` raises
+compressed formats (MP3/H.264) stay stubbed: ``decode_media`` raises
 NotImplementedError for them unless ``fake=True``, in which case a
 deterministic fake decoder (seeded by the payload digest) produces feature
 vectors with the real schema, partitioning, and batch shape. Everything
-the stdlib can genuinely cover runs FOR REAL end-to-end: binary PPM (P6)
-images (header parse + pixel stats + numpy nearest-neighbor resample),
-8-bit truecolor PNG (r11 — zlib IS the PNG compressor: real chunk CRCs,
-DEFLATE, and all five scanline filters, :func:`decode_png`), RIFF/WAVE
-audio through the stdlib ``wave`` module, and YUV4MPEG2 video — real
-bytes in, real pixels out, including one genuinely COMPRESSED format.
+numpy + the stdlib can genuinely cover runs FOR REAL end-to-end: binary
+PPM (P6) images (header parse + pixel stats + numpy nearest-neighbor
+resample), 8-bit truecolor PNG (r11 — zlib IS the PNG compressor: real
+chunk CRCs, DEFLATE, and all five scanline filters, :func:`decode_png`),
+baseline JPEG (r12 — a genuine T.81 SOF0 codec: canonical Huffman entropy
+coding both directions, numpy-vectorized DCT/IDCT, JFIF color transform,
+:func:`decode_jpeg`), RIFF/WAVE audio through the stdlib ``wave`` module,
+and YUV4MPEG2 video — real bytes in, real pixels out, including two
+genuinely COMPRESSED formats (one lossless, one lossy).
 
 Scale design: payloads stay opaque binary through the plan (never parsed by
 Catalyst, never a join key); metadata columns are the pruned/filtered
@@ -239,6 +242,8 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length
     if ihdr is None or not seen_iend or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
+    if len(ihdr) != 13:
+        raise ValueError(f"PNG IHDR must be 13 bytes, got {len(ihdr)}")
     width, height, depth, ctype_i, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
@@ -247,13 +252,30 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             "unsupported PNG subset: need 8-bit truecolor non-interlaced, "
             f"got depth={depth} color={ctype_i} interlace={interlace}"
         )
-    raw = zlib.decompress(b"".join(idat))
+    if width <= 0 or height <= 0 or width * height > 1 << 28:
+        raise ValueError(f"PNG dimensions out of range: {width}x{height}")
     stride = 3 * width
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # Bounded inflate: the exact raster size is known from IHDR, so a
+    # decompression bomb (tiny IDAT inflating to gigabytes) is rejected
+    # after at most expected+1 bytes of output, never materialized.
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if len(raw) > expected or dec.unconsumed_tail:
         raise ValueError(
-            f"PNG raster size mismatch: expected {height * (stride + 1)}"
+            f"PNG raster overflow: IDAT inflates past the {expected}-byte"
+            " raster declared by IHDR (decompression bomb?)"
+        )
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG raster size mismatch: expected {expected}"
             f" bytes, got {len(raw)}"
         )
+    if not dec.eof:
+        raise ValueError("PNG IDAT deflate stream is truncated")
     out = bytearray()
     prev = bytes(stride)
     bpp = 3
@@ -308,12 +330,601 @@ def _png_features(payload: bytes) -> list[float]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# JPEG (r12): REAL baseline lossy codec on numpy + the stdlib — the last
+# realistically-reachable modality gap (r11 verdict #5). Everything here
+# is public knowledge: ITU-T T.81 baseline sequential DCT (SOF0), the
+# Annex K example quantization + Huffman tables, canonical Huffman code
+# construction (T.81 C.2), and the JFIF 1.02 YCbCr color space. The
+# encoder exists to synthesize genuine streams for the decoder to prove
+# itself on; the decoder handles the general baseline subset: 8-bit, 1 or
+# 3 components, 4:4:4 (no subsampling), no restart markers, no
+# progressive — raising ValueError (never mis-parsing) outside it.
+# Per-symbol Huffman decoding is a Python loop (bounded by block count);
+# the IDCT, dequantization, and color transform are numpy-vectorized over
+# ALL blocks at once — the per-asset work mapInPandas batches across
+# executors, the same scale story as the PNG codec (substitute
+# libjpeg-turbo via Pillow at deployment for raw throughput; the Spark
+# plumbing — schema, batching, partitioning — is what this proves).
+# ---------------------------------------------------------------------------
+
+JPEG_QUANT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+JPEG_QUANT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+# DC-exact variants for oracle fixtures: q[0]=8 makes the DC coefficient
+# of a CONSTANT 8x8 block quantize losslessly (DC = 8*(v-128), AC all
+# zero), so a raster built from constant blocks round-trips bit-exactly
+# through the full lossy pipeline and a SQL oracle can replay the decoded
+# bytes. The rest of the table stays Annex K — the stream is an ordinary
+# conforming JPEG.
+JPEG_QUANT_LUMA_DCEXACT = (8,) + JPEG_QUANT_LUMA[1:]
+JPEG_QUANT_CHROMA_DCEXACT = (8,) + JPEG_QUANT_CHROMA[1:]
+
+JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K.3-K.6 example Huffman specs: (bits per code length 1..16, then
+# the symbol values in code order).
+_JPEG_DC_LUMA = ((0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+                 tuple(range(12)))
+_JPEG_DC_CHROMA = ((0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+                   tuple(range(12)))
+_JPEG_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+_JPEG_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II basis (T.81 A.3.3 scaling): row 0 is
+    1/(2*sqrt(2)), rows 1-7 are cos((2j+1)*i*pi/16)/2; forward DCT of a
+    block B is T @ B @ T.T, inverse is T.T @ F @ T."""
+    import math
+
+    import numpy as np
+
+    t = np.empty((8, 8))
+    for i in range(8):
+        scale = math.sqrt(1 / 8) if i == 0 else math.sqrt(2 / 8)
+        for j in range(8):
+            t[i, j] = scale * math.cos((2 * j + 1) * i * math.pi / 16)
+    return t
+
+
+def _jpeg_huff_codes(bits, vals):
+    """Canonical code assignment (T.81 C.2): {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_decode_table(bits, vals):
+    """{(length, code): symbol} for the bit-serial decoder."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF00 byte stuffing (T.81 B.1.1.5)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _jpeg_entropy_encode(comp_coefs, table_ids) -> bytes:
+    """Huffman-encode zigzagged quantized blocks (interleaved MCU order;
+    4:4:4 => one block per component per MCU). ``table_ids[ci]`` selects
+    luma (0) or chroma (1) Huffman tables for component ci."""
+    import numpy as np
+
+    dc_tabs = [_jpeg_huff_codes(*_JPEG_DC_LUMA), _jpeg_huff_codes(*_JPEG_DC_CHROMA)]
+    ac_tabs = [_jpeg_huff_codes(*_JPEG_AC_LUMA), _jpeg_huff_codes(*_JPEG_AC_CHROMA)]
+    bw = _JpegBitWriter()
+    pred = [0] * len(comp_coefs)
+    for bi in range(comp_coefs[0].shape[0]):
+        for ci, blk_all in enumerate(comp_coefs):
+            ti = table_ids[ci]
+            blk = blk_all[bi]
+            diff = int(blk[0]) - pred[ci]
+            pred[ci] = int(blk[0])
+            cat = _jpeg_category(diff) if diff else 0
+            code, ln = dc_tabs[ti][cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            nz = np.nonzero(blk[1:])[0]
+            last_nz = (int(nz[-1]) + 1) if len(nz) else 0
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tabs[ti][0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat = _jpeg_category(v)
+                code, ln = ac_tabs[ti][(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_tabs[ti][0x00]  # EOB
+                bw.write(code, ln)
+    return bw.flush()
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant_luma=JPEG_QUANT_LUMA,
+    quant_chroma=JPEG_QUANT_CHROMA,
+    gray: bool = False,
+) -> bytes:
+    """REAL baseline JPEG encode (T.81 SOF0): JFIF color transform (RGB
+    in, unless ``gray``), edge-replicated padding to 8x8 blocks,
+    numpy-vectorized forward DCT over all blocks at once, quantization,
+    zigzag, and canonical Huffman entropy coding with the Annex K
+    tables. ``pixels`` is interleaved RGB (3*w*h bytes) or, with
+    ``gray=True``, a single luminance plane (w*h bytes) written as a
+    1-component stream."""
+    import struct
+
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("JPEG dimensions must be positive")
+    ncomp = 1 if gray else 3
+    if len(pixels) != ncomp * width * height:
+        raise ValueError(
+            f"JPEG pixel buffer must be {ncomp}*{width}*{height}="
+            f"{ncomp * width * height} bytes, got {len(pixels)}"
+        )
+    if gray:
+        planes = [
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        ]
+    else:
+        rgb = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width, 3)
+            .astype(np.float64)
+        )
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [np.rint(p).clip(0, 255) for p in (y, cb, cr)]
+
+    t = _jpeg_dct_matrix()
+    qts = [
+        np.asarray(quant_luma, dtype=np.float64).reshape(8, 8),
+        np.asarray(quant_chroma, dtype=np.float64).reshape(8, 8),
+    ]
+    zz = np.asarray(JPEG_ZIGZAG)
+    table_ids = [0] if gray else [0, 1, 1]
+    comp_coefs = []
+    for ci, plane in enumerate(planes):
+        h0, w0 = plane.shape
+        ph, pw = -(-h0 // 8) * 8, -(-w0 // 8) * 8
+        if (ph, pw) != (h0, w0):
+            plane = np.pad(plane, ((0, ph - h0), (0, pw - w0)), mode="edge")
+        blocks = (
+            plane.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        ) - 128.0
+        coefs = np.einsum("ij,njk,lk->nil", t, blocks, t)
+        q = np.rint(coefs / qts[table_ids[ci]]).astype(np.int64)
+        comp_coefs.append(q.reshape(-1, 64)[:, zz])
+    entropy = _jpeg_entropy_encode(comp_coefs, table_ids)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table) -> bytes:
+        ordered = np.asarray(table, dtype=np.int64).reshape(64)[zz]
+        return seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in ordered))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    comp_spec = (
+        bytes([1, 0x11, 0])
+        if gray
+        else bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, ncomp) + comp_spec)
+    scan_spec = (
+        bytes([1, 1, 0x00])
+        if gray
+        else bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
+    )
+    sos = seg(0xFFDA, scan_spec + bytes([0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out = b"\xff\xd8" + app0 + dqt(0, quant_luma)
+    if not gray:
+        out += dqt(1, quant_chroma)
+    out += sof + dht(0, 0, _JPEG_DC_LUMA) + dht(1, 0, _JPEG_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, _JPEG_DC_CHROMA) + dht(1, 1, _JPEG_AC_CHROMA)
+    return out + sos + entropy + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        import numpy as np
+
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if self.pos + n > len(self.bits):
+            raise ValueError("JPEG entropy stream is truncated")
+        v = 0
+        for b in self.bits[self.pos : self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+
+def _jpeg_read_huff(br: _JpegBitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``cat`` magnitude bits to a signed value."""
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline JPEG decode: marker walk, canonical Huffman entropy
+    decode (DC prediction, AC run-length with ZRL/EOB), dequantization,
+    numpy-vectorized IDCT over all blocks at once, JFIF YCbCr->RGB.
+
+    Supported subset (raises ValueError outside it — a poison payload
+    must be inspectable, never mis-parsed): baseline sequential DCT
+    (SOF0), 8-bit precision, 1 or 3 components, 4:4:4 (all sampling
+    factors 1x1), one interleaved scan, no restart intervals, no
+    progressive/arithmetic coding. Returns ``(width, height,
+    n_components, pixels)`` with pixels interleaved (RGB for 3
+    components, luminance bytes for 1)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables = {}
+    htables = {}
+    sof = None
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF or pos + 1 >= len(payload):
+            raise ValueError("truncated or malformed JPEG marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("JPEG has no scan data before EOI")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no segment
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment length")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated JPEG segment body")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0xF
+                bp += 1
+                if pq != 0:
+                    raise ValueError("unsupported 16-bit quantization table")
+                if bp + 64 > len(body):
+                    raise ValueError("truncated JPEG DQT")
+                zzvals = np.frombuffer(body[bp : bp + 64], dtype=np.uint8)
+                tab = np.empty(64, dtype=np.float64)
+                tab[np.asarray(JPEG_ZIGZAG)] = zzvals
+                qtables[tq] = tab.reshape(8, 8)
+                bp += 64
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0xF
+                bp += 1
+                if bp + 16 > len(body):
+                    raise ValueError("truncated JPEG DHT")
+                bits = list(body[bp : bp + 16])
+                bp += 16
+                n = sum(bits)
+                if bp + n > len(body):
+                    raise ValueError("truncated JPEG DHT values")
+                htables[(tc, th)] = _jpeg_huff_decode_table(
+                    bits, list(body[bp : bp + n])
+                )
+                bp += n
+        elif marker == 0xC0:  # SOF0: baseline sequential
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF")
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("unsupported JPEG precision (8-bit only)")
+            if nc not in (1, 3):
+                raise ValueError("unsupported JPEG component count")
+            if w <= 0 or h <= 0 or w * h > 1 << 28:
+                raise ValueError(f"JPEG dimensions out of range: {w}x{h}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF components")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("unsupported JPEG subsampling (4:4:4 only)")
+                comps.append((cid, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG process (baseline SOF0 only)")
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2 or struct.unpack(">H", body[:2])[0] != 0:
+                raise ValueError("unsupported JPEG restart interval")
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            if not body:
+                raise ValueError("truncated JPEG SOS")
+            ns = body[0]
+            if ns != len(sof[2]) or len(body) < 1 + 2 * ns:
+                raise ValueError("JPEG scan must cover all components")
+            sel = {}
+            for si in range(ns):
+                sel[body[1 + 2 * si]] = (
+                    body[2 + 2 * si] >> 4,
+                    body[2 + 2 * si] & 0xF,
+                )
+            scan = (sel, pos)
+            break
+        # remaining markers (APPn, COM): skipped
+
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = sof
+    sel, data_start = scan
+
+    # Entropy segment runs to the next real marker; 0xFF00 is stuffing.
+    end = data_start
+    while True:
+        nxt = payload.find(b"\xff", end)
+        if nxt < 0 or nxt + 1 >= len(payload):
+            raise ValueError("JPEG entropy stream missing EOI")
+        m = payload[nxt + 1]
+        if m == 0x00:
+            end = nxt + 2
+            continue
+        if 0xD0 <= m <= 0xD7:
+            raise ValueError("unexpected JPEG restart marker (DRI is 0)")
+        if m != 0xD9:
+            raise ValueError("unexpected marker inside JPEG scan")
+        end = nxt
+        break
+    br = _JpegBitReader(payload[data_start:end].replace(b"\xff\x00", b"\xff"))
+
+    nbx, nby = -(-w // 8), -(-h // 8)
+    n_blocks = nbx * nby
+    zz = np.asarray(JPEG_ZIGZAG)
+    coef = [np.zeros((n_blocks, 64), dtype=np.float64) for _ in comps]
+    pred = [0] * len(comps)
+    for bi in range(n_blocks):
+        for ci, (cid, _tq) in enumerate(comps):
+            if cid not in sel:
+                raise ValueError("JPEG scan references unknown component")
+            tdc, tac = sel[cid]
+            dct = htables.get((0, tdc))
+            act = htables.get((1, tac))
+            if dct is None or act is None:
+                raise ValueError("JPEG scan references missing Huffman table")
+            cat = _jpeg_read_huff(br, dct)
+            if cat > 11:
+                raise ValueError("invalid JPEG DC category")
+            pred[ci] += _jpeg_extend(br.read(cat), cat) if cat else 0
+            row = coef[ci][bi]
+            row[0] = pred[ci]
+            k = 1
+            while k <= 63:
+                sym = _jpeg_read_huff(br, act)
+                if sym == 0x00:  # EOB
+                    break
+                run, cat = sym >> 4, sym & 0xF
+                if cat == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run overflows the block")
+                row[k] = _jpeg_extend(br.read(cat), cat)
+                k += 1
+
+    t = _jpeg_dct_matrix()
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("JPEG component references missing quant table")
+        dez = np.empty_like(coef[ci])
+        dez[:, zz] = coef[ci]  # undo zigzag
+        dq = dez.reshape(-1, 8, 8) * qtables[tq][None, :, :]
+        blocks = np.einsum("ji,njk,kl->nil", t, dq, t) + 128.0
+        plane = (
+            blocks.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        planes.append(plane[:h, :w])
+
+    if len(comps) == 1:
+        return w, h, 1, np.rint(planes[0]).clip(0, 255).astype(np.uint8).tobytes()
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([np.rint(c).clip(0, 255) for c in (r, g, b)], axis=-1)
+    return w, h, 3, rgb.astype(np.uint8).tobytes()
+
+
+def _jpeg_features(payload: bytes) -> list[float]:
+    """REAL decode: SOF dims + whole-raster pixel statistics after the
+    full entropy-decode + IDCT + color-transform path, shaped to the same
+    FEATURE_DIM vector as PPM/PNG with codec id 3.0 (JPEG)."""
+    width, height, _nc, pixels = decode_jpeg(payload)
+    return [
+        float(width),
+        float(height),
+        float(width * height),
+        sum(pixels) / len(pixels),
+        float(min(pixels)),
+        float(max(pixels)),
+        255.0,
+        3.0,
+    ]
+
+
 def decode_media(payload: bytes, media_type: str, fake: bool = False) -> list[float]:
     """Decode one payload into a feature vector.
 
-    The REAL branches handle binary PPM and 8-bit truecolor PNG images
-    (pure-stdlib decodes — zlib IS the PNG compressor); remaining
-    compressed formats (JPEG, MP3, H.264) need PIL/librosa/ffmpeg,
+    The REAL branches handle binary PPM, 8-bit truecolor PNG, and
+    baseline JPEG images (pure numpy/stdlib codecs — zlib IS the PNG
+    compressor, and the JPEG path is a genuine Huffman + IDCT decoder);
+    the remaining compressed formats (MP3, H.264) need librosa/ffmpeg,
     unavailable in this environment, and stay intentionally
     unimplemented — substitute the library call at deployment time.
     """
@@ -323,10 +934,12 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> list[fl
         return _ppm_features(payload)
     if media_type == "image" and payload[:8] == PNG_SIG:
         return _png_features(payload)
+    if media_type == "image" and payload[:2] == b"\xff\xd8":
+        return _jpeg_features(payload)
     raise NotImplementedError(
         "no codec for this payload in this environment (real decode "
-        "supports binary PPM and 8-bit RGB PNG images); use fake=True "
-        "for the stub"
+        "supports binary PPM, 8-bit RGB PNG, and baseline JPEG images); "
+        "use fake=True for the stub"
     )
 
 
@@ -427,6 +1040,97 @@ def png_roundtrip(assets: DataFrame) -> DataFrame:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 w, h, px = decode_png(payload)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": w,
+                        "height": h,
+                        "n_pixels": w * h,
+                        "sum_byte": sum(px),
+                        "min_byte": min(px),
+                        "max_byte": max(px),
+                        "raster_digest": hashlib.md5(
+                            px.hex().encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return fan_out(assets.select("asset_id", "payload")).mapInPandas(
+        run, PNG_ROUNDTRIP_SCHEMA
+    )
+
+
+JPEG_FIXTURE_WIDTH = 125  # 15 full blocks + a 5px partial (crop coverage)
+
+
+def jpeg_fixture_dims(doc_id: int) -> tuple[int, int]:
+    """Fixture geometry: width 125 (16 blocks with the last cropped to 5
+    columns), height 8*(doc_id%2+1)-3 (5 or 13 — cropped vertically too,
+    so the encoder's edge padding and the decoder's crop both run)."""
+    return JPEG_FIXTURE_WIDTH, 8 * (doc_id % 2 + 1) - 3
+
+
+def jpeg_fixture_raster(text: str, height: int) -> bytes:
+    """Gray RGB raster of CONSTANT 8x8-aligned columns: md5 byte i fills
+    pixel columns [8i, 8i+8) (the 16th byte only 5 columns), every row
+    identical. Constant blocks + gray pixels make the lossy pipeline
+    exact: R=G=B => Y=v, Cb=Cr=128 under JFIF, and with the DC-exact
+    quant tables the DC quantizes losslessly while every AC is zero —
+    so a SQL oracle replays the DECODED raster from the text digest."""
+    digest = hashlib.md5(str(text).encode("utf-8")).digest()
+    row = b"".join(
+        bytes([digest[i]]) * (3 * (5 if i == 15 else 8)) for i in range(16)
+    )
+    return row * height
+
+
+def jpeg_assets_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL lossy-codec image assets: one baseline JPEG per
+    document through the full encoder (color transform, DCT,
+    quantization, Huffman), shaped so decoding is bit-exact and therefore
+    engine-independently oracle-checkable (see
+    :func:`jpeg_fixture_raster`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h = jpeg_fixture_dims(int(doc_id))
+                payloads.append(
+                    encode_jpeg(
+                        w,
+                        h,
+                        jpeg_fixture_raster(text, h),
+                        quant_luma=JPEG_QUANT_LUMA_DCEXACT,
+                        quant_chroma=JPEG_QUANT_CHROMA_DCEXACT,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return fan_out(documents.select("doc_id", "text")).mapInPandas(
+        run, PPM_ASSETS_SCHEMA
+    )
+
+
+def jpeg_roundtrip(assets: DataFrame) -> DataFrame:
+    """Arrow-batched JPEG decode proof: per asset, SOF dims, exact
+    integer pixel statistics, and md5 over the lowercase-hex DECODED
+    raster — the same digest convention as the PNG/PPM/Y4M oracles, so a
+    hash match proves Huffman decode + dequant + IDCT + color transform
+    returned every expected byte."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, _nc, px = decode_jpeg(payload)
                 rows.append(
                     {
                         "asset_id": int(aid),

@@ -893,9 +893,24 @@ def _kmv_theta_estimates(
         F.when(F.col("_na") >= k, F.col("_tha")).otherwise(F.lit("g")),
         F.when(F.col("_nb") >= k, F.col("_thb")).otherwise(F.lit("g")),
     ).alias("_theta")
-    th = per_g.select(*group_cols, theta)
-    win = ranked.join(th, group_cols).filter(
-        (F.col("_theta") == "g") | (F.col("h") < F.col("_theta"))
+    # Null-safe join back: bottomk_sketch_grouped happily emits NULL
+    # group keys (it only filters NULL *member* keys), and a plain
+    # equi-join would silently drop those groups from the estimates.
+    # <=> is still a hash-joinable equi-condition for Catalyst.
+    th = per_g.select(
+        *[F.col(c).alias(f"_g{i}") for i, c in enumerate(group_cols)], theta
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(c).eqNullSafe(F.col(f"_g{i}"))
+            for i, c in enumerate(group_cols)
+        ],
+    )
+    win = (
+        ranked.join(th, cond)
+        .drop(*[f"_g{i}" for i in range(len(group_cols))])
+        .filter((F.col("_theta") == "g") | (F.col("h") < F.col("_theta")))
     )
     agg = win.groupBy(*group_cols, "_theta").agg(
         F.count(F.lit(1)).alias("n_window"),
@@ -982,10 +997,20 @@ def kmv_overlap_matrix(
     column) would silently explode. The check is one distinct-count
     over the sketch table (already sketch-sized). At the default 1000
     sources × k=256 the expansion is ≤ ~128M tagged rows — deliberate
-    territory; raise the bound consciously for more."""
+    territory; raise the bound consciously for more.
+
+    Rows whose source is NULL are dropped before pairing (and do NOT
+    count toward ``max_sources``): the ordered-pair expansion can never
+    place a NULL on a pair side, so they could only inflate the bound
+    check."""
     if k < 1:
         raise ValueError("k must be positive")
     src = F.col(source_col)
+    # NULL sources are excluded at the API boundary: the ordered-pair
+    # expansion (src_a < src_b) can never place a NULL on either side of
+    # a pair, so keeping NULL rows would only inflate the max_sources
+    # count while contributing nothing to the matrix.
+    sketch = sketch.filter(src.isNotNull())
     sources = sketch.select(src.alias("_s")).distinct()
     n_sources = sources.count()
     if n_sources > max_sources:

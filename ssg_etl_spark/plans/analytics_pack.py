@@ -241,6 +241,7 @@ SELECT o.o_orderkey AS order_key, o.o_totalprice AS total_price,
 FROM orders o
 """,
     tags=("J12",),
+    extra=True,
 )
 def correlated_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery, decorrelated to agg+join (valuation :488-493)."""
@@ -305,6 +306,7 @@ SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS entry_no,
 FROM orders
 """,
     tags=("W2", "W3"),
+    extra=True,
 )
 def window_rownum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ROW_NUMBER for surrogate sequence numbers (ssg_erp_op.py:296).
@@ -695,7 +697,6 @@ SELECT o_orderkey, o_totalprice,
 FROM orders, b
 """,
     tags=("quality", "cleaning"),
-    extra=True,
 )
 def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile capping of order totals at [p01, p99] — the defensive
@@ -770,7 +771,6 @@ SELECT bin,
 FROM binned GROUP BY 1, 2, 3
 """,
     tags=("quality", "profile"),
-    extra=True,
 )
 def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-bin equal-width histogram of order totals — two passes (min/max

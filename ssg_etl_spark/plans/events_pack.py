@@ -191,7 +191,6 @@ FROM events a JOIN events b
  AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
 """,
     tags=("rangejoin", "events"),
-    extra=True,
 )
 def event_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, scale-safe: same-user event pairs within 10 minutes via
@@ -226,7 +225,6 @@ SELECT s1.u AS user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
 FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
 """,
     tags=("events", "funnel", "journey"),
-    extra=True,
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order conversion funnel view -> click -> purchase: earliest
@@ -1081,7 +1079,6 @@ SELECT src_a, src_b, CAST(nw AS BIGINT) AS n_window,
 FROM m
 """,
     tags=("events", "sketch", "approx", "setop", "matrix", "mergeable"),
-    extra=True,
 )
 def kmv_overlap_matrix_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL overlap matrix in one plan

@@ -39,7 +39,6 @@ WITH f AS (
 SELECT * FROM f
 """,
     tags=("features", "window", "llm"),
-    extra=True,
 )
 def order_sequence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-history features: sequence position, days since
@@ -75,7 +74,6 @@ SELECT c_mktsegment, n_rows,
 FROM per_cat, g
 """,
     tags=("features", "encoding", "llm"),
-    extra=True,
 )
 def segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed mean target encoding of market segment against order
@@ -119,7 +117,6 @@ SELECT c_custkey, c_mktsegment, c_acctbal, robust_z,
 FROM z
 """,
     tags=("features", "quality", "cleaning"),
-    extra=True,
 )
 def robust_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD modified z-score outlier flags on account balances per

@@ -32,6 +32,7 @@ SELECT o_orderkey AS order_key,
 FROM orders
 """,
     tags=("F2", "F3", "F4", "F5", "F6", "F7", "F8"),
+    extra=True,
 )
 def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One projection exercising the reference's scalar-function surface:

@@ -48,6 +48,7 @@ QUALIFY row_number() OVER (
   PARTITION BY c_custkey ORDER BY edit_dist, crm_id) = 1
 """,
     tags=("linkage", "dedup", "llm"),
+    extra=True,
 )
 def fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage: customers vs a typo-perturbed CRM

@@ -80,6 +80,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_jaccard_prefix",
     oracle=JACCARD_SQL,
     tags=("llm", "dedup"),
+    extra=True,
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard pairs via prefix filtering — LOSSLESS candidate
@@ -338,7 +339,6 @@ def ann_lsh_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=COSINE_TOPK_SQL,
     tags=("llm", "similarity"),
-    extra=True,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN exactness query: with n_probe == n_cells
@@ -359,6 +359,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_probe",
     oracle=COSINE_TOPK_SQL,
     tags=("llm", "similarity"),
+    extra=True,
 )
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OPERATIONAL IVF shape: build the index once, round-trip it
@@ -568,7 +569,6 @@ SELECT doc_id AS asset_id,
 FROM s
 """,
     tags=("llm", "multimodal"),
-    extra=True,
 )
 def media_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline UN-FAKED end-to-end: synthesize binary PPM
@@ -624,6 +624,7 @@ SELECT doc_id AS asset_id,
 FROM b GROUP BY doc_id
 """,
     tags=("llm", "multimodal"),
+    extra=True,
 )
 def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize UN-FAKED end-to-end: binary PPM assets through
@@ -731,6 +732,63 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_roundtrip(assets)
 
 
+# JPEG round-trip oracle (r12): the LOSSY-codec leg. The fixture raster
+# is gray (R=G=B) constant 8x8-aligned columns from the text digest, and
+# the encoder uses the DC-exact quant tables (q[0]=8), which together
+# make the whole lossy pipeline bit-exact (see jpeg_fixture_raster) — so
+# the oracle replays the DECODED raster digest and exact pixel stats
+# from document text alone. Width 125 and heights 5/13 force encoder
+# edge-padding and decoder cropping on both axes. A hash match proves
+# Huffman coding, quantization, DCT/IDCT, and the JFIF color transform
+# all inverted exactly where the math says they must.
+@register(
+    "media_jpeg_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, md5(text) AS hx, 8 * (doc_id % 2 + 1) - 3 AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, h, i, substr(hx, 2*i+1, 2) AS bh,
+         CASE WHEN i = 15 THEN 5 ELSE 8 END AS npx
+  FROM d, range(0, 16) g(i)),
+s AS (
+  SELECT doc_id, h,
+    SUM(npx * CAST(('0x' || bh) AS INTEGER)) AS wsum,
+    MIN(CAST(('0x' || bh) AS INTEGER)) AS mn,
+    MAX(CAST(('0x' || bh) AS INTEGER)) AS mx,
+    string_agg(repeat(bh, 3*npx), '' ORDER BY i) AS row_hex
+  FROM b GROUP BY doc_id, h)
+SELECT doc_id AS asset_id,
+  CAST(125 AS INT) AS width,
+  CAST(h AS INT) AS height,
+  CAST(125 * h AS INT) AS n_pixels,
+  CAST(3 * h * wsum AS BIGINT) AS sum_byte,
+  CAST(mn AS INT) AS min_byte,
+  CAST(mx AS INT) AS max_byte,
+  md5(repeat(row_hex, h)) AS raster_digest
+FROM s
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY image codec UN-FAKED end-to-end (r12): one real baseline
+    JPEG per document through the full T.81 encoder (JFIF color
+    transform, vectorized DCT, quantization, canonical Huffman), decoded
+    back through the real entropy-decode + IDCT path inside the Arrow
+    mapInPandas stage (operators/multimodal.decode_jpeg), emitting exact
+    integer pixel statistics plus an md5 over the decoded raster. The
+    fixtures are constructed where lossy == lossless (constant blocks ×
+    DC-exact tables), so the DuckDB oracle replays every decoded byte
+    from the text digest alone; only MP3/H.264 now remain behind the
+    documented NotImplementedError. Extra registry: locally
+    oracle-verified."""
+    assets = multimodal.jpeg_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.jpeg_roundtrip(assets)
+
+
 # PNG resize oracle (r11): the COMPRESSED twin of media_resize_ppm —
 # same exact-integer nearest-neighbor index arithmetic over the
 # digest-cycled source raster, but the digest is over the DECODED
@@ -759,7 +817,6 @@ SELECT doc_id AS asset_id,
 FROM b GROUP BY doc_id
 """,
     tags=("llm", "multimodal"),
-    extra=True,
 )
 def media_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-image resize UN-FAKED end-to-end: PNG assets through
@@ -864,6 +921,7 @@ SELECT doc_id, term_rank, term, tfidf FROM (
 WHERE term_rank <= 5
 """,
     tags=("llm", "text", "tfidf"),
+    extra=True,
 )
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (corpus characterization). Public registry (driver-checked)."""
@@ -959,6 +1017,7 @@ SELECT doc_id, bucket,
 FROM b
 """,
     tags=("llm", "sampling"),
+    extra=True,
 )
 def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 80/10/10 train/val/test assignment by doc-id hash —
@@ -1019,6 +1078,7 @@ SELECT doc_id,
 FROM contactful
 """,
     tags=("llm", "text", "privacy"),
+    extra=True,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training privacy pass: email/phone scrubbing with match counts.
@@ -1060,6 +1120,7 @@ SELECT doc_id, chunk_id, chunk_words,
 FROM chunks
 """,
     tags=("llm", "text", "chunking"),
+    extra=True,
 )
 def chunk_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: chunks assigned to fixed 128-word training
@@ -1175,7 +1236,6 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
     "dedup_clusters",
     oracle=_CLUSTERS_SQL,
     tags=("llm", "dedup", "graph"),
-    extra=True,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the exact-Jaccard
@@ -1298,7 +1358,6 @@ reach AS (
 SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """,
     tags=("llm", "dedup", "similarity", "graph"),
-    extra=True,
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical semantic dedup pipeline (LSH-routed since round 5 —
@@ -1456,7 +1515,6 @@ SELECT d.doc_id AS doc_id, d.content_hash AS content_hash,
 FROM delta d LEFT JOIN base b USING (content_hash)
 """,
     tags=("llm", "dedup", "incremental"),
-    extra=True,
 )
 def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (digest-level) delta-vs-corpus dedup: probe the precomputed
@@ -1546,7 +1604,6 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= 3
 """,
     tags=("llm", "dedup", "contamination"),
-    extra=True,
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination pass: training-corpus documents that share ≥ 3
@@ -1850,7 +1907,6 @@ SELECT m.vec_id AS vec_id, m.label AS label, m.majority_label,
 FROM majority m JOIN agree a ON m.vec_id = a.vec_id
 """,
     tags=("llm", "similarity", "quality"),
-    extra=True,
 )
 def knn_label_agreement_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path noisy-label detection (r4 verdict item 2): the SAME vote
@@ -2256,6 +2312,7 @@ LEFT JOIN bestc bc ON cl.cluster_id = bc.cluster_id
     "dedup_keep_list_longest",
     oracle=_KEEP_LIST_LONGEST_SQL,
     tags=("llm", "dedup", "pipeline"),
+    extra=True,
 )
 def dedup_keep_list_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_keep_list with keep-longest canonicals: each exact group and
@@ -2393,6 +2450,7 @@ SELECT vec_id,
 FROM m
 """,
     tags=("llm", "similarity", "storage"),
+    extra=True,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
@@ -2883,7 +2941,6 @@ SELECT doc_id, line_id, line,
 FROM v
 """,
     tags=("llm", "text", "curation"),
-    extra=True,
 )
 def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning verdicts over a synthesized multi-line
@@ -2943,7 +3000,6 @@ SELECT doc_id,
 FROM corrupt
 """,
     tags=("llm", "text", "curation"),
-    extra=True,
 )
 def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-quality stage: plant UTF-8-read-as-cp1252 corruption on
@@ -3111,6 +3167,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("llm", "sampling"),
+    extra=True,
 )
 def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global corpus permutation (pre-training shuffle) by
@@ -3154,6 +3211,7 @@ SELECT query_id, rank, doc_id, bm25 FROM (
 WHERE rank <= 10
 """,
     tags=("llm", "text", "retrieval"),
+    extra=True,
 )
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 "more like this" retrieval: every doc_id % 100 = 0 document
@@ -3179,6 +3237,7 @@ WITH s AS (
 SELECT doc_id, weight, xi FROM s ORDER BY xi, doc_id LIMIT 500
 """,
     tags=("llm", "sampling"),
+    extra=True,
 )
 def weighted_sample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential Poisson weighted sampling (Ohlsson): 500 documents drawn
@@ -3388,7 +3447,6 @@ SELECT rank, pair, pair_count FROM (
 WHERE rank <= 50
 """,
     tags=("llm", "text", "tokenizer"),
-    extra=True,
 )
 def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer induction over the corpus: ranked adjacent character-pair
@@ -3771,7 +3829,6 @@ SELECT t.cid AS cluster_id, tot.n_points, t.majority_label,
 FROM top t JOIN tot ON t.cid = tot.cid WHERE t.rn = 1
 """,
     tags=("llm", "clustering", "evaluation"),
-    extra=True,
 )
 def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering evaluation: per-cluster label purity (majority-label

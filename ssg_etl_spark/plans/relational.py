@@ -216,6 +216,7 @@ SELECT s_name AS entity_name, s_acctbal AS acct_bal, 'supplier' AS source_connec
 FROM supplier
 """,
     tags=("U1",),
+    extra=True,
 )
 def union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-all consolidation of per-source extracts with a lineage tag.

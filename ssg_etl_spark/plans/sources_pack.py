@@ -239,6 +239,7 @@ SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
 FROM nation
 """,
     tags=("sources", "S7"),
+    extra=True,
 )
 def xlsx_folder_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 folder iteration: the reference loops a DIRECTORY of reference
@@ -347,6 +348,7 @@ from ssg_etl_spark.operators.zorder import zorder_key, zorder_oracle_sql  # noqa
         "orders", "o_orderkey", ["o_totalprice", "o_custkey"], bits=8
     ),
     tags=("scale", "export"),
+    extra=True,
 )
 def zorder_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over (o_totalprice, o_custkey) —
@@ -375,6 +377,7 @@ FROM orders WHERE year(o_orderdate) < 1998
 GROUP BY o_orderstatus
 """,
     tags=("sources", "versioning"),
+    extra=True,
 )
 def snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot versioning end-to-end: commit pre-1998 orders as v1,

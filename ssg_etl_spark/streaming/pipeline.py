@@ -590,6 +590,7 @@ def foreach_batch_hll_merge(
     group_cols: list[str],
     value_col: str,
     keep_versions: int | None = None,
+    max_groups: int = 10_000,
 ):
     """Streaming distinct-count sketch: each micro-batch's HLL registers
     fold into a persisted register table by register-wise MAX
@@ -626,6 +627,8 @@ def foreach_batch_hll_merge(
 
     if keep_versions is not None and keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    if max_groups < 1:
+        raise ValueError("max_groups must be positive")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -637,9 +640,28 @@ def foreach_batch_hll_merge(
             merged = hll_merge([prior, fresh], group_cols)
         else:
             merged = fresh
-        # Registers are group-bounded tiny; materialize before the commit
-        # so the snapshot write does not re-read the version it replaces.
-        rows = merged.collect()
+        # Registers are group-bounded tiny per group (<= 256 rows), but
+        # the driver collect below is registers*|groups|: a
+        # high-cardinality group column accumulating across batches
+        # would melt the driver silently. Same max_groups
+        # raise-don't-melt guard as the grouped bottom-k fold (r11
+        # verdict); persist so the bound check and the collect share
+        # one computation.
+        merged = merged.persist()
+        try:
+            if group_cols:
+                n_groups = merged.select(*group_cols).distinct().count()
+                if n_groups > max_groups:
+                    raise ValueError(
+                        f"HLL fold state holds {n_groups} groups,"
+                        f" exceeding max_groups={max_groups}: the"
+                        " per-batch driver collect is registers*|groups|"
+                        " rows. Bucket the group column, or raise"
+                        " max_groups deliberately"
+                    )
+            rows = merged.collect()
+        finally:
+            merged.unpersist()
         commit_snapshot(
             spark.createDataFrame(rows, merged.schema).coalesce(1),
             registers_path,
@@ -713,6 +735,7 @@ def foreach_batch_bottomk_merge_grouped(
     group_cols: list[str],
     k: int | None = None,
     keep_versions: int | None = None,
+    max_groups: int = 10_000,
 ):
     """Streaming PER-GROUP bottom-k fold — the grouped twin of
     :func:`foreach_batch_bottomk_merge`: each micro-batch's per-group
@@ -724,7 +747,20 @@ def foreach_batch_bottomk_merge_grouped(
     overlap machinery: the persisted table feeds
     ``kmv_set_estimates_grouped`` / ``kmv_overlap_matrix`` directly, so
     a live stream keeps per-source distinct samples whose cross-source
-    overlap matrix is one query at any time — no corpus rescan ever."""
+    overlap matrix is one query at any time — no corpus rescan ever.
+
+    ``max_groups`` ENFORCES the k×|groups| driver-collect bound in code
+    (r11 verdict: the same raise-don't-melt discipline as
+    ``kmv_overlap_matrix``'s max_sources and SemDeDup's
+    max_cluster_size): per micro-batch the fold collects the merged
+    grouped sketch to the driver, so a caller passing a
+    high-cardinality group column (per-URL instead of per-domain)
+    would melt the driver silently as groups accumulate across
+    batches. One distinct-count over the (persisted) merged sketch
+    table runs BEFORE the collect and raises with the measured
+    cardinality; at the default 10 000 groups × k=256 the collect is
+    ≤ ~2.6M sketch rows — deliberate territory. Raise the bound
+    consciously, or bucket the group column first."""
     from ssg_etl_spark.operators.sketches import (
         BOTTOMK_K,
         bottomk_merge_grouped,
@@ -740,6 +776,8 @@ def foreach_batch_bottomk_merge_grouped(
     k = BOTTOMK_K if k is None else k
     if keep_versions is not None and keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    if max_groups < 1:
+        raise ValueError("max_groups must be positive")
     if not group_cols:
         raise ValueError(
             "group_cols must be non-empty (use foreach_batch_bottomk_merge"
@@ -756,10 +794,24 @@ def foreach_batch_bottomk_merge_grouped(
             merged = bottomk_merge_grouped([prior, fresh], group_cols, k=k)
         else:
             merged = fresh
-        # Group-bounded tiny (<= k rows per group); materialize before
-        # the commit so the snapshot write does not re-read the version
-        # it replaces.
-        rows = merged.collect()
+        # Persist so the bound check and the collect share one
+        # computation; the distinct-count runs DISTRIBUTED and fires
+        # before any driver materialization (raise-don't-melt).
+        merged = merged.persist()
+        try:
+            n_groups = merged.select(*group_cols).distinct().count()
+            if n_groups > max_groups:
+                raise ValueError(
+                    f"grouped bottom-k fold state holds {n_groups} groups,"
+                    f" exceeding max_groups={max_groups}: the per-batch"
+                    f" driver collect is k*|groups| ~="
+                    f" {n_groups * k} sketch rows. Bucket the group"
+                    " column (e.g. domain instead of URL), or raise"
+                    " max_groups deliberately"
+                )
+            rows = merged.collect()
+        finally:
+            merged.unpersist()
         commit_snapshot(
             spark.createDataFrame(rows, merged.schema).coalesce(1),
             sketch_path,

@@ -470,3 +470,88 @@ def test_set_estimates_difference_identity(spark):
     # Exhaustive regime: exact counts.
     row = _ests(spark, list(range(30)), list(range(20, 50)), k=64)
     assert (row["a_only_est"], row["b_only_est"]) == (20.0, 20.0)
+
+def test_grouped_set_estimates_keep_null_group_keys(spark):
+    """bottomk_sketch_grouped emits NULL group keys (it only filters
+    NULL member keys); the theta join-back is null-safe, so the NULL
+    group gets estimates instead of silently vanishing (r11 advice)."""
+    k = 16
+    rows_a = [(None if v % 2 else "g1", v) for v in range(40)]
+    rows_b = [(None if v % 2 else "g1", v) for v in range(20, 60)]
+    dfa = spark.createDataFrame(rows_a, "g string, key bigint")
+    dfb = spark.createDataFrame(rows_b, "g string, key bigint")
+    got = {
+        r["g"]: r["intersection_est"]
+        for r in sketches.kmv_set_estimates_grouped(
+            sketches.bottomk_sketch_grouped(dfa, "key", ["g"], k=k),
+            sketches.bottomk_sketch_grouped(dfb, "key", ["g"], k=k),
+            ["g"],
+            k=k,
+        ).collect()
+    }
+    assert set(got) == {"g1", None}
+    # Each side holds 20 odd / 20 even keys; overlap [20,40) is 10 per
+    # parity class. Both sides exceed k=16 so this is the theta regime;
+    # just require a sane positive estimate for the NULL group.
+    assert got[None] > 0
+
+
+def test_overlap_matrix_ignores_null_sources(spark):
+    """NULL sources are dropped at the API boundary: they cannot appear
+    on a pair side and must not count toward max_sources (r11 advice —
+    previously a NULL source silently vanished from pairs but still
+    consumed a max_sources slot)."""
+    rows = [("s%d" % (v % 3) if v % 4 else None, v) for v in range(120)]
+    df = spark.createDataFrame(rows, "src string, key bigint")
+    sk = sketches.bottomk_sketch_grouped(df, "key", ["src"], k=8)
+    # 3 non-null sources; with max_sources=3 the NULL must not tip it.
+    out = sketches.kmv_overlap_matrix(sk, "src", k=8, max_sources=3).collect()
+    assert len(out) == 3
+    assert all(r["src_a"] is not None and r["src_b"] is not None for r in out)
+
+def test_grouped_fold_max_groups_raises_not_melts(spark, tmp_path):
+    """A high-cardinality group column (per-URL instead of per-domain)
+    must RAISE with the measured cardinality before any driver collect
+    (r11 verdict #3 — the same raise-don't-melt discipline as
+    max_sources / max_cluster_size), for both grouped streaming folds;
+    under the bound, the fold commits normally."""
+    import pytest
+
+    from ssg_etl_spark.sources.versioning import read_snapshot
+    from ssg_etl_spark.streaming.pipeline import (
+        foreach_batch_bottomk_merge_grouped,
+        foreach_batch_hll_merge,
+    )
+
+    rows = [("url_%04d" % v, v) for v in range(300)]
+    batch = spark.createDataFrame(rows, "url string, key bigint")
+
+    apply_kmv = foreach_batch_bottomk_merge_grouped(
+        str(tmp_path / "kmv"), "key", ["url"], k=4, max_groups=100
+    )
+    with pytest.raises(ValueError, match="300 groups.*max_groups=100"):
+        apply_kmv(batch, batch_id=0)
+
+    apply_hll = foreach_batch_hll_merge(
+        str(tmp_path / "hll"), ["url"], "key", max_groups=100
+    )
+    with pytest.raises(ValueError, match="300 groups.*max_groups=100"):
+        apply_hll(batch, batch_id=0)
+
+    # State accumulates ACROSS batches: two disjoint 80-group batches
+    # pass a 100-group bound individually but trip it on the second
+    # fold, because the bound is measured on the MERGED state.
+    b1 = batch.filter("key < 80")
+    b2 = batch.filter("key >= 80 and key < 160")
+    apply_ok = foreach_batch_bottomk_merge_grouped(
+        str(tmp_path / "kmv2"), "key", ["url"], k=4, max_groups=100
+    )
+    apply_ok(b1, batch_id=0)
+    assert read_snapshot(spark, str(tmp_path / "kmv2")).count() == 80
+    with pytest.raises(ValueError, match="160 groups"):
+        apply_ok(b2, batch_id=1)
+
+    with pytest.raises(ValueError, match="max_groups must be positive"):
+        foreach_batch_bottomk_merge_grouped(
+            str(tmp_path / "x"), "key", ["url"], max_groups=0
+        )

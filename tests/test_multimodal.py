@@ -21,12 +21,15 @@ def test_media_table_schema_and_features(spark, sf_dir):
 
 
 def test_real_decode_is_stubbed_for_compressed_formats():
-    """JPEG/PNG/audio/video need codec libraries this sandbox lacks: the
-    real branch must refuse, not silently fake."""
+    """Formats still needing codec libraries (MP3/H.264) must refuse, not
+    silently fake; JPEG is a REAL codec since r12, so JPEG-magic bytes
+    now hit the genuine decoder (malformed ones raise ValueError)."""
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"\xff\xd8\xff\xe0 jpeg bytes", "image", fake=False)
+        MM.decode_media(b"ID3\x04 mp3 bytes", "audio", fake=False)
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"P6\n1 1\n255\nRGB", "audio", fake=False)
+    with pytest.raises(ValueError):
+        MM.decode_media(b"\xff\xd8\xff\xe0 truncated jpeg", "image", fake=False)
 
 
 def test_ppm_roundtrip_and_real_features():
@@ -346,6 +349,52 @@ def test_png_roundtrip_and_malformed():
         mm.decode_png(gray)
 
 
+def test_png_poison_payloads_raise_valueerror_bounded():
+    """Hostile payloads (r11 advice): a decompression bomb must be
+    rejected WITHOUT materializing the inflated raster; CRC-valid
+    garbage DEFLATE and a wrong-length IHDR must raise ValueError (not
+    zlib.error / struct.error); a truncated deflate stream inside a
+    CRC-valid chunk must also raise."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    def png(ihdr_body, idat_body):
+        return (
+            mm.PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr_body)
+            + mm._png_chunk(b"IDAT", idat_body)
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    # 10 MB of zeros compresses to ~10 KB; IHDR declares a 14-byte
+    # raster. The bounded inflate must stop at expected+1 bytes.
+    bomb = png(ihdr, zlib.compress(b"\x00" * 10_000_000, 9))
+    assert len(bomb) < 20_000
+    with pytest.raises(ValueError, match="bomb|overflow"):
+        mm.decode_png(bomb)
+
+    with pytest.raises(ValueError, match="inflate failed"):
+        mm.decode_png(png(ihdr, b"\xff\xfe\x01garbage"))
+
+    good_raw = b"".join(b"\x00" + b"\x10" * 6 for _ in range(2))
+    with pytest.raises(ValueError, match="IHDR must be 13"):
+        mm.decode_png(png(ihdr[:-1], zlib.compress(good_raw)))
+
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_png(png(ihdr, zlib.compress(good_raw, 9)[:-4]))
+
+    # Absurd declared dimensions are rejected before any inflate.
+    huge = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="out of range"):
+        mm.decode_png(png(huge, zlib.compress(b"")))
+
+
 def test_png_decoder_reverses_all_five_filters():
     """Our encoder writes filter 0, but a conforming writer may use any
     scanline filter — apply Sub/Up/Average/Paeth forward per the spec
@@ -456,3 +505,131 @@ def test_png_resize_matches_ppm_resize_pixels():
 
     with pytest.raises(NotImplementedError):
         mm._real_resize(b"\xff\xd8\xff\xe0 jpeg-ish", 8, 8)
+
+def test_jpeg_roundtrip_exact_on_dc_fixtures_and_bounded_on_real_content():
+    """The baseline JPEG codec (r12): bit-exact on the DC-exact fixture
+    family (constant 8x8-aligned gray columns + q[0]=8 tables — the math
+    says lossless, the code must deliver it), and bounded-error lossy on
+    smooth content with the stock Annex K tables."""
+    import numpy as np
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    # Exact: both fixture heights (5 = single padded block row, 13 = two).
+    for doc_id, text in [(0, "alpha"), (1, "beta"), (9, "long " * 80)]:
+        w, h = mm.jpeg_fixture_dims(doc_id)
+        raster = mm.jpeg_fixture_raster(text, h)
+        payload = mm.encode_jpeg(
+            w, h, raster,
+            quant_luma=mm.JPEG_QUANT_LUMA_DCEXACT,
+            quant_chroma=mm.JPEG_QUANT_CHROMA_DCEXACT,
+        )
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        assert mm.decode_jpeg(payload) == (w, h, 3, raster)
+
+    # Lossy: a smooth gradient through the stock tables decodes within a
+    # tight per-pixel bound (quantization error, not a parsing bug).
+    W, H = 40, 24
+    grad = np.zeros((H, W, 3), dtype=np.uint8)
+    for x in range(W):
+        grad[:, x, :] = int(x * 255 / (W - 1))
+    _, _, _, px = mm.decode_jpeg(mm.encode_jpeg(W, H, grad.tobytes()))
+    err = np.abs(
+        np.frombuffer(px, dtype=np.uint8).astype(int)
+        - grad.reshape(-1).astype(int)
+    )
+    assert err.max() <= 4, err.max()
+
+    # Grayscale 1-component stream exercises the non-color decode leg.
+    gray = bytes(range(64)) * 4
+    gw, gh, gnc, gpx = mm.decode_jpeg(mm.encode_jpeg(16, 16, gray, gray=True))
+    assert (gw, gh, gnc) == (16, 16, 1)
+    assert max(abs(a - b) for a, b in zip(gpx, gray)) <= 8
+
+    # decode_media dispatches by SOI magic with codec id 3.0.
+    feats = mm.decode_media(
+        mm.encode_jpeg(
+            *(lambda w2, h2: (w2, h2, mm.jpeg_fixture_raster("t", h2)))(
+                *mm.jpeg_fixture_dims(3)
+            ),
+            quant_luma=mm.JPEG_QUANT_LUMA_DCEXACT,
+            quant_chroma=mm.JPEG_QUANT_CHROMA_DCEXACT,
+        ),
+        "image",
+    )
+    assert feats[7] == 3.0 and feats[0] == 125.0
+
+
+def test_jpeg_malformed_and_unsupported_payloads_raise_valueerror():
+    """Poison JPEG payloads must raise ValueError, never mis-parse: bad
+    SOI, truncation, unsupported processes (progressive, subsampled,
+    16-bit tables, restart intervals), entropy-stream corruption."""
+    import struct
+
+    import pytest
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    w, h = mm.jpeg_fixture_dims(1)
+    good = mm.encode_jpeg(w, h, mm.jpeg_fixture_raster("t", h))
+
+    with pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg(b"P6 " + good)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        mm.decode_jpeg(good[: len(good) // 2])
+    with pytest.raises(ValueError, match="no scan data"):
+        mm.decode_jpeg(b"\xff\xd8\xff\xd9")
+
+    # Progressive (SOF2) is outside the subset.
+    sof0_at = good.index(b"\xff\xc0")
+    prog = good[:sof0_at] + b"\xff\xc2" + good[sof0_at + 2 :]
+    with pytest.raises(ValueError, match="baseline SOF0 only"):
+        mm.decode_jpeg(prog)
+
+    # 4:2:0 subsampling (luma sampling 0x22) is outside the subset.
+    sub = bytearray(good)
+    sub[sof0_at + 11] = 0x22  # component 1 sampling byte in SOF
+    with pytest.raises(ValueError, match="subsampling"):
+        mm.decode_jpeg(bytes(sub))
+
+    # Nonzero restart interval.
+    dri = struct.pack(">HHH", 0xFFDD, 4, 8)
+    sos_at = good.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="restart"):
+        mm.decode_jpeg(good[:sos_at] + dri + good[sos_at:])
+
+    # Entropy garbage: overwrite the scan body with 0xFF-free noise that
+    # cannot be a valid Huffman stream ending at EOI.
+    hdr_end = sos_at + 2 + struct.unpack(">H", good[sos_at + 2 : sos_at + 4])[0]
+    corrupt = good[:hdr_end] + b"\x55" * 4 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated|invalid|overflows"):
+        mm.decode_jpeg(corrupt)
+
+    # Oversized declared dimensions are rejected before any decode work.
+    big = bytearray(good)
+    struct.pack_into(">HH", big, sof0_at + 5, 1 << 15, 1 << 15)
+    with pytest.raises(ValueError, match="out of range"):
+        mm.decode_jpeg(bytes(big))
+
+
+def test_jpeg_pipeline_end_to_end(spark, sf_dir):
+    """jpeg_assets_from_documents -> jpeg_roundtrip over real testdata:
+    every decoded raster matches the digest-derived expectation (the
+    same invariants the DuckDB oracle checks, asserted Spark-side)."""
+    import hashlib
+
+    from ssg_etl_spark.operators import multimodal as mm
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = mm.jpeg_roundtrip(mm.jpeg_assets_from_documents(docs)).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(out) == len(texts)
+    for r in out:
+        w, h = mm.jpeg_fixture_dims(r["asset_id"])
+        assert (r["width"], r["height"]) == (w, h)
+        expected = mm.jpeg_fixture_raster(texts[r["asset_id"]], h)
+        assert r["sum_byte"] == sum(expected)
+        assert r["raster_digest"] == hashlib.md5(
+            expected.hex().encode()
+        ).hexdigest()
