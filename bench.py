@@ -168,6 +168,10 @@ CURATION_FAMILY = [
     "kmv_overlap_matrix_types",
     "media_png_features",
     "media_resize_png",
+    # Round 12: the lossy-codec leg (baseline JPEG, real Huffman+IDCT)
+    # and the cross-codec normalization stage (JPEG in, PNG out).
+    "media_jpeg_features",
+    "media_transcode_jpeg_png",
 ]
 
 

@@ -1302,6 +1302,72 @@ def resize_images(
     )
 
 
+def _decode_image_rgb(payload: bytes):
+    """Decode ANY real image codec (PPM/PNG/JPEG, dispatched by magic
+    bytes) to an (h, w, 3) uint8 array; 1-component JPEG replicates the
+    luminance plane. Raises ValueError for unknown containers."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        w, h, _maxval, px = decode_ppm(payload)
+        return np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    if payload[:8] == PNG_SIG:
+        w, h, px = decode_png(payload)
+        return np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    if payload[:2] == b"\xff\xd8":
+        w, h, nc, px = decode_jpeg(payload)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, nc)
+        return arr if nc == 3 else np.repeat(arr, 3, axis=2)
+    raise ValueError("unknown image container (PPM/PNG/JPEG supported)")
+
+
+def transcode_resize_images(
+    assets: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Cross-codec normalize-and-resize (r12): decode ANY real image
+    codec — including lossy baseline JPEG — through :func:`_decode_image_rgb`,
+    apply the exact-integer nearest-neighbor gather shared with
+    :func:`_ppm_resize`, and re-encode LOSSLESS PNG. This is the
+    format-normalization shape a training-data pipeline actually runs
+    (mixed crawl formats in, one archival format out): the lossy step
+    happened upstream at capture time; the pipeline itself must not add
+    generation loss, which the PNG container guarantees and the
+    registered oracle proves byte-for-byte. Same Arrow-batched
+    mapInPandas plumbing and memory bounds as :func:`resize_images`;
+    NULL payloads pass through as NULL rows."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+
+    def one(p: bytes) -> bytes:
+        arr = _decode_image_rgb(p)
+        h0, w0 = arr.shape[:2]
+        rows = (2 * np.arange(height, dtype=np.int64) + 1) * h0 // (2 * height)
+        cols = (2 * np.arange(width, dtype=np.int64) + 1) * w0 // (2 * width)
+        return encode_png(width, height, arr[rows][:, cols].tobytes())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [None if p is None else one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                    "payload_bytes": [
+                        None if p is None else len(p) for p in resized
+                    ],
+                }
+            )
+
+    images = assets.filter(F.col("media_type") == "image")
+    return fan_out(images.select("asset_id", "payload")).mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video assets: one row per planned sample
     timestamp (the decode itself happens in extract_features). Pure

@@ -723,9 +723,9 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics plus an md5 over the decoded raster. The oracle replays
     stats and digest from the document text alone, so a hash match
     proves the compression round-trip preserved every pixel — removing
-    the 'uncompressed-only' qualifier from the multimodal story; only
-    codec-LIBRARY formats (JPEG/MP3/H.264) remain behind the documented
-    NotImplementedError. Extra registry: locally oracle-verified."""
+    the 'uncompressed-only' qualifier from the multimodal story; since
+    r12 baseline JPEG is real too, leaving only MP3/H.264 behind the
+    documented NotImplementedError. Extra registry: locally oracle-verified."""
     assets = multimodal.png_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -787,6 +787,52 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return multimodal.jpeg_roundtrip(assets)
+
+
+# Cross-codec transcode oracle (r12): lossy JPEG in, lossless PNG out —
+# the format-normalization shape of a real curation pipeline. The
+# nearest-neighbor gather picks source columns ((2j+1)*125)//16 for
+# j<8; every fixture row is identical, so the resampled raster is the
+# selected digest bytes tripled per pixel, repeated 8 rows — fully
+# SQL-replayable. A match proves JPEG decode -> resample -> PNG encode
+# -> PNG decode added zero generation loss.
+@register(
+    "media_transcode_jpeg_png",
+    oracle="""
+WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (
+  SELECT doc_id, j,
+    substr(hx, 2 * ((((2*j+1) * 125) // 16) // 8) + 1, 2) AS bh
+  FROM d, range(0, 8) g(j))
+SELECT doc_id AS asset_id,
+  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+  CAST(64 AS INT) AS n_pixels,
+  CAST(8 * 3 * SUM(CAST(('0x' || bh) AS INTEGER)) AS BIGINT) AS sum_byte,
+  CAST(MIN(CAST(('0x' || bh) AS INTEGER)) AS INT) AS min_byte,
+  CAST(MAX(CAST(('0x' || bh) AS INTEGER)) AS INT) AS max_byte,
+  md5(repeat(string_agg(repeat(bh, 3), '' ORDER BY j), 8)) AS raster_digest
+FROM b GROUP BY doc_id
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_transcode_jpeg_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec pipeline UN-FAKED end-to-end (r12): baseline JPEG
+    assets decoded through the real Huffman+IDCT path, resampled with
+    the shared exact-integer nearest-neighbor gather, re-encoded as
+    LOSSLESS PNG inside one Arrow mapInPandas stage
+    (operators/multimodal.transcode_resize_images), then decoded AGAIN
+    by png_roundtrip for stats + the raster digest the DuckDB oracle
+    replays from document text alone. Mixed-format in, one archival
+    format out — the normalization stage of a training-data pipeline,
+    proven to add zero generation loss. Extra registry: locally
+    oracle-verified."""
+    assets = multimodal.jpeg_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.png_roundtrip(
+        multimodal.transcode_resize_images(assets, 8, 8)
+    )
 
 
 # PNG resize oracle (r11): the COMPRESSED twin of media_resize_ppm —
@@ -863,9 +909,9 @@ def media_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays header arithmetic and per-frame digests from the
     document text alone, so a hash match proves the container round-trip
     preserved every raster byte. With PPM, WAV, and Y4M all running
-    fake=False, every UNcompressed modality is real; only codec-library
-    formats (JPEG/MP3/H.264) stay behind the documented
-    NotImplementedError. Extra registry: locally oracle-verified."""
+    fake=False, every UNcompressed modality is real; with PNG (r11) and
+    baseline JPEG (r12) the compressed image formats are too — only
+    MP3/H.264 stay behind the documented NotImplementedError. Extra registry: locally oracle-verified."""
     assets = multimodal.y4m_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )

@@ -633,3 +633,51 @@ def test_jpeg_pipeline_end_to_end(spark, sf_dir):
         assert r["raster_digest"] == hashlib.md5(
             expected.hex().encode()
         ).hexdigest()
+
+def test_transcode_resize_jpeg_to_png(spark, sf_dir):
+    """Cross-codec normalization (r12): JPEG in -> nearest-neighbor
+    resample -> lossless PNG out, zero generation loss. The decoded PNG
+    pixels must equal the resample of the JPEG fixture raster computed
+    locally; NULL payloads pass through; unknown containers raise."""
+    import numpy as np
+    import pytest as _p
+
+    from ssg_etl_spark.operators import multimodal as mm
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    assets = mm.jpeg_assets_from_documents(docs)
+    out = {
+        r.asset_id: r
+        for r in mm.transcode_resize_images(assets, 8, 8).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(out) == set(texts)
+    for aid, row in out.items():
+        w0, h0 = mm.jpeg_fixture_dims(aid)
+        src = np.frombuffer(
+            mm.jpeg_fixture_raster(texts[aid], h0), dtype=np.uint8
+        ).reshape(h0, w0, 3)
+        rows = (2 * np.arange(8) + 1) * h0 // 16
+        cols = (2 * np.arange(8) + 1) * w0 // 16
+        expect = src[rows][:, cols].tobytes()
+        got = mm.decode_png(row.payload)
+        assert got == (8, 8, expect), aid
+
+    # PPM and PNG containers route through the same stage.
+    ppm = mm.encode_ppm(4, 2, bytes(range(24)))
+    png = mm.encode_png(4, 2, bytes(range(24)))
+    for payload in (ppm, png):
+        arr = mm._decode_image_rgb(payload)
+        assert arr.shape == (2, 4, 3) and arr.tobytes() == bytes(range(24))
+    with _p.raises(ValueError, match="unknown image container"):
+        mm._decode_image_rgb(b"GIF89a...")
+
+    # NULL payloads yield NULL rows; bad dims raise.
+    nulls = spark.createDataFrame(
+        [(1, "image", None)], "asset_id long, media_type string, payload binary"
+    )
+    r = mm.transcode_resize_images(nulls, 8, 8).collect()[0]
+    assert r.payload is None and r.payload_bytes is None
+    with _p.raises(ValueError):
+        mm.transcode_resize_images(nulls, 0, 8)

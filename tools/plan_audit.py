@@ -145,6 +145,13 @@ AUDIT_DEFAULT = [
     # to a shuffled or nested-loop pair join is exactly what this pin
     # would catch.
     "kmv_overlap_matrix_types",
+    # Round 12: the baseline JPEG round-trip (mapInPandas over the
+    # fan-out scan, like the PNG leg — the pin holds the codec work to
+    # one Arrow stage with zero extra exchanges).
+    "media_jpeg_features",
+    # Round 12 (cont.): the JPEG->PNG transcode chains TWO Arrow stages
+    # (transcode, then the round-trip reader) — the pin holds it there.
+    "media_transcode_jpeg_png",
 ]
 
 

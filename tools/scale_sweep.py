@@ -118,6 +118,7 @@ def family(sf_dir: str, n_vectors: int):
         bloom,
         clustering,
         dedup,
+        multimodal,
         sampling,
         similarity,
         sketches,
@@ -428,6 +429,45 @@ def family(sf_dir: str, n_vectors: int):
                 (0.5, 0.9),
             ),
             "~1000 groups x 2 qs, member-range zoom",
+        ),
+        # Round 12: the real-codec media paths (r11 verdict #4/#5) and
+        # the overlap matrix at realistic source counts (#7). The codec
+        # work is pure per-asset CPU inside Arrow-batched mapInPandas —
+        # expected ~linear in asset count with zero shuffle growth; the
+        # decade pin is what verifies that shape instead of assuming it.
+        (
+            "media_png",
+            lambda s: multimodal.png_roundtrip(
+                multimodal.png_assets_from_documents(docs(s))
+            ),
+            "encode+decode per doc, stdlib DEFLATE",
+        ),
+        (
+            "media_jpeg",
+            lambda s: multimodal.jpeg_roundtrip(
+                multimodal.jpeg_assets_from_documents(docs(s))
+            ),
+            "encode+decode per doc, Huffman+IDCT",
+        ),
+        # |S|=100 sources -> C(100,2)=4950 pairs x k=256 sketch rows ≈
+        # 1.3M tagged rows; the pin verifies the guarded |S|^2·k pair
+        # expansion stays sketch-bounded (flat-ish across the corpus
+        # decade: the sketch table is k rows/source regardless of N).
+        (
+            "kmv_overlap_matrix_100",
+            lambda s: sketches.kmv_overlap_matrix(
+                sketches.bottomk_sketch_grouped(
+                    docs(s).withColumn(
+                        "_src", (F.col("doc_id") % 100).cast("string")
+                    ),
+                    "text",
+                    ["_src"],
+                    k=256,
+                ),
+                "_src",
+                k=256,
+            ),
+            "|S|=100, 4950 pairs x k=256",
         ),
     ]
 
