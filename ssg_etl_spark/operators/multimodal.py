@@ -710,11 +710,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 
     Supported subset (raises ValueError outside it — a poison payload
     must be inspectable, never mis-parsed): baseline sequential DCT
-    (SOF0), 8-bit precision, 1 or 3 components, 4:4:4 (all sampling
-    factors 1x1), one interleaved scan, no restart intervals, no
-    progressive/arithmetic coding. Returns ``(width, height,
-    n_components, pixels)`` with pixels interleaved (RGB for 3
-    components, luminance bytes for 1)."""
+    (SOF0), 8-bit precision, 1 or 3 components, any 1/2/4 sampling
+    factors (4:4:4, 4:2:2, 4:2:0 — chroma replicate-upsampled), one
+    interleaved scan, restart intervals (RSTn cycle validated, DC
+    predictors reset per interval), no progressive/arithmetic coding —
+    i.e. the stream family real libjpeg writers emit by default.
+    Returns ``(width, height, n_components, pixels)`` with pixels
+    interleaved (RGB for 3 components, luminance bytes for 1)."""
     import struct
 
     import numpy as np
@@ -726,6 +728,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     htables = {}
     sof = None
     scan = None
+    dri = 0
     while pos < len(payload):
         if payload[pos] != 0xFF or pos + 1 >= len(payload):
             raise ValueError("truncated or malformed JPEG marker")
@@ -787,16 +790,24 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("unsupported JPEG subsampling (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+                    raise ValueError(
+                        f"unsupported JPEG sampling factors {hi}x{vi}"
+                    )
+                comps.append((cid, tq, hi, vi))
+            if nc == 1:
+                # Non-interleaved single-component scan: the data-unit
+                # grid ignores sampling factors (T.81 A.2.2).
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG process (baseline SOF0 only)")
         elif marker == 0xDD:  # DRI
-            if len(body) < 2 or struct.unpack(">H", body[:2])[0] != 0:
-                raise ValueError("unsupported JPEG restart interval")
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI")
+            (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -820,7 +831,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     w, h, comps = sof
     sel, data_start = scan
 
-    # Entropy segment runs to the next real marker; 0xFF00 is stuffing.
+    # Entropy data runs to the next real marker; 0xFF00 is stuffing and
+    # RSTn markers (when DRI > 0) split it into restart intervals, each
+    # an independently byte-aligned bitstream with fresh DC predictors.
+    segments = []
+    rst_seen = []
+    seg_start = data_start
     end = data_start
     while True:
         nxt = payload.find(b"\xff", end)
@@ -831,64 +847,122 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             end = nxt + 2
             continue
         if 0xD0 <= m <= 0xD7:
-            raise ValueError("unexpected JPEG restart marker (DRI is 0)")
+            if dri == 0:
+                raise ValueError("unexpected JPEG restart marker (DRI is 0)")
+            segments.append(
+                payload[seg_start:nxt].replace(b"\xff\x00", b"\xff")
+            )
+            rst_seen.append(m - 0xD0)
+            seg_start = end = nxt + 2
+            continue
         if m != 0xD9:
             raise ValueError("unexpected marker inside JPEG scan")
-        end = nxt
+        segments.append(payload[seg_start:nxt].replace(b"\xff\x00", b"\xff"))
         break
-    br = _JpegBitReader(payload[data_start:end].replace(b"\xff\x00", b"\xff"))
+    # RST markers must cycle D0..D7 in order (T.81 B.2.1.2).
+    for i, mval in enumerate(rst_seen):
+        if mval != i % 8:
+            raise ValueError("JPEG restart markers out of sequence")
 
-    nbx, nby = -(-w // 8), -(-h // 8)
-    n_blocks = nbx * nby
+    # MCU geometry (T.81 A.2.3): interleaved scans tile ceil-divided
+    # 8*Hmax x 8*Vmax regions; each component contributes hi x vi data
+    # units per MCU into its own (subsampled) block grid.
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
+    if dri:
+        expect_segments = -(-n_mcus // dri)
+        if len(segments) != expect_segments:
+            raise ValueError(
+                f"JPEG restart-interval count mismatch: {len(segments)}"
+                f" segments for {n_mcus} MCUs at DRI={dri}"
+            )
+    elif len(segments) != 1:
+        raise ValueError("unexpected JPEG restart marker (DRI is 0)")
+
     zz = np.asarray(JPEG_ZIGZAG)
-    coef = [np.zeros((n_blocks, 64), dtype=np.float64) for _ in comps]
+    tabs = []
+    for cid, tq, hi, vi in comps:
+        if cid not in sel:
+            raise ValueError("JPEG scan references unknown component")
+        tdc, tac = sel[cid]
+        dct = htables.get((0, tdc))
+        act = htables.get((1, tac))
+        if dct is None or act is None:
+            raise ValueError("JPEG scan references missing Huffman table")
+        tabs.append((dct, act))
+    coef = [
+        np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.float64)
+        for _cid, _tq, hi, vi in comps
+    ]
     pred = [0] * len(comps)
-    for bi in range(n_blocks):
-        for ci, (cid, _tq) in enumerate(comps):
-            if cid not in sel:
-                raise ValueError("JPEG scan references unknown component")
-            tdc, tac = sel[cid]
-            dct = htables.get((0, tdc))
-            act = htables.get((1, tac))
-            if dct is None or act is None:
-                raise ValueError("JPEG scan references missing Huffman table")
-            cat = _jpeg_read_huff(br, dct)
-            if cat > 11:
-                raise ValueError("invalid JPEG DC category")
-            pred[ci] += _jpeg_extend(br.read(cat), cat) if cat else 0
-            row = coef[ci][bi]
-            row[0] = pred[ci]
-            k = 1
-            while k <= 63:
-                sym = _jpeg_read_huff(br, act)
-                if sym == 0x00:  # EOB
-                    break
-                run, cat = sym >> 4, sym & 0xF
-                if cat == 0:
-                    if run != 15:
-                        raise ValueError("invalid JPEG AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run overflows the block")
-                row[k] = _jpeg_extend(br.read(cat), cat)
-                k += 1
+    br = _JpegBitReader(segments[0])
+    seg_idx = 0
+    for mi in range(n_mcus):
+        if dri and mi and mi % dri == 0:
+            seg_idx += 1
+            br = _JpegBitReader(segments[seg_idx])
+            pred = [0] * len(comps)
+        my, mx = divmod(mi, mcux)
+        for ci, (_cid, _tq, hi, vi) in enumerate(comps):
+            dct, act = tabs[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    cat = _jpeg_read_huff(br, dct)
+                    if cat > 11:
+                        raise ValueError("invalid JPEG DC category")
+                    pred[ci] += (
+                        _jpeg_extend(br.read(cat), cat) if cat else 0
+                    )
+                    row = coef[ci][
+                        (my * vi + by) * (mcux * hi) + (mx * hi + bx)
+                    ]
+                    row[0] = pred[ci]
+                    k = 1
+                    while k <= 63:
+                        sym = _jpeg_read_huff(br, act)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, cat = sym >> 4, sym & 0xF
+                        if cat == 0:
+                            if run != 15:
+                                raise ValueError("invalid JPEG AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError(
+                                "JPEG AC run overflows the block"
+                            )
+                        row[k] = _jpeg_extend(br.read(cat), cat)
+                        k += 1
 
     t = _jpeg_dct_matrix()
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
         if tq not in qtables:
             raise ValueError("JPEG component references missing quant table")
         dez = np.empty_like(coef[ci])
         dez[:, zz] = coef[ci]  # undo zigzag
         dq = dez.reshape(-1, 8, 8) * qtables[tq][None, :, :]
         blocks = np.einsum("ji,njk,kl->nil", t, dq, t) + 128.0
+        nby, nbx = mcuy * vi, mcux * hi
         plane = (
             blocks.reshape(nby, nbx, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(nby * 8, nbx * 8)
         )
+        # Crop to the component's own dims, then replicate-upsample to
+        # full resolution (box upsampling — libjpeg's default "fancy"
+        # triangular filter differs by <=1-2 levels on smooth chroma).
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = plane[:ch, :cw]
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
         planes.append(plane[:h, :w])
 
     if len(comps) == 1:

