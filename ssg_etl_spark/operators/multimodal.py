@@ -478,18 +478,38 @@ def _jpeg_huff_codes(bits, vals):
     return out
 
 
-def _jpeg_huff_decode_table(bits, vals):
-    """{(length, code): symbol} for the bit-serial decoder."""
-    out = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+_JPEG_LUT_CACHE: dict = {}
+
+
+def _jpeg_huff_lut(bits, vals):
+    """Flat 2^16-entry decode table: entry[peek16] = (symbol << 8) |
+    code_length, 0 for invalid prefixes — one array index replaces the
+    bit-serial walk (canonical codes are ≤16 bits, so the next 16 bits
+    of the stream determine the symbol uniquely). Built with vectorized
+    slice fills (≤162 slices) and cached per table spec: the Annex K
+    tables recur across every asset in a corpus."""
+    import numpy as np
+
+    key = (tuple(bits), tuple(vals))
+    lut = _JPEG_LUT_CACHE.get(key)
+    if lut is None:
+        arr = np.zeros(65536, dtype=np.uint32)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                start = code << (16 - length)
+                arr[start : start + (1 << (16 - length))] = (
+                    (vals[k] << 8) | length
+                )
+                code += 1
+                k += 1
+            code <<= 1
+        # Plain list: CPython list indexing beats numpy scalar indexing
+        # in the per-symbol hot loop.
+        lut = arr.tolist()
+        _JPEG_LUT_CACHE[key] = lut
+    return lut
 
 
 class _JpegBitWriter:
@@ -670,32 +690,41 @@ def encode_jpeg(
 
 
 class _JpegBitReader:
-    """MSB-first bit reader over the de-stuffed entropy segment."""
+    """MSB-first bit reader over the de-stuffed entropy segment: reads
+    assemble ≤32-bit windows from the byte buffer directly (3 zero pad
+    bytes let a 16-bit peek at stream end read zeros; the length check
+    still rejects codes that would need real bits past the end)."""
+
+    __slots__ = ("data", "nbits", "pos")
 
     def __init__(self, data: bytes):
-        import numpy as np
-
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.data = data + b"\x00\x00\x00"
+        self.nbits = 8 * len(data)
         self.pos = 0
 
     def read(self, n: int) -> int:
-        if self.pos + n > len(self.bits):
+        p = self.pos
+        if p + n > self.nbits:
             raise ValueError("JPEG entropy stream is truncated")
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
-        self.pos += n
-        return v
+        self.pos = p + n
+        chunk = int.from_bytes(self.data[p >> 3 : (p >> 3) + 4], "big")
+        return (chunk >> (32 - (p & 7) - n)) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        p = self.pos
+        chunk = int.from_bytes(self.data[p >> 3 : (p >> 3) + 4], "big")
+        return (chunk >> (16 - (p & 7))) & 0xFFFF
 
 
-def _jpeg_read_huff(br: _JpegBitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+def _jpeg_read_huff(br: _JpegBitReader, lut) -> int:
+    entry = lut[br.peek16()]
+    length = entry & 0xFF
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    if br.pos + length > br.nbits:
+        raise ValueError("JPEG entropy stream is truncated")
+    br.pos += length
+    return entry >> 8
 
 
 def _jpeg_extend(v: int, cat: int) -> int:
@@ -771,7 +800,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 n = sum(bits)
                 if bp + n > len(body):
                     raise ValueError("truncated JPEG DHT values")
-                htables[(tc, th)] = _jpeg_huff_decode_table(
+                htables[(tc, th)] = _jpeg_huff_lut(
                     bits, list(body[bp : bp + n])
                 )
                 bp += n
@@ -893,51 +922,106 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         if dct is None or act is None:
             raise ValueError("JPEG scan references missing Huffman table")
         tabs.append((dct, act))
-    coef = [
-        np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.float64)
-        for _cid, _tq, hi, vi in comps
-    ]
+    # Decode into flat (position, value) lists per component and scatter
+    # once — per-coefficient numpy stores would dominate the hot loop.
+    # The bit reads are INLINED: one 40-bit window per symbol covers the
+    # worst case (7-bit byte offset + 16-bit code + 11-bit magnitude =
+    # 34 bits), so each (code, value) pair costs a single slice +
+    # int.from_bytes — the function-call form measured 2x slower.
+    idxs = [[] for _ in comps]
+    vals = [[] for _ in comps]
     pred = [0] * len(comps)
-    br = _JpegBitReader(segments[0])
+    data = segments[0] + b"\x00\x00\x00\x00"
+    nbits = 8 * len(segments[0])
+    pos = 0
     seg_idx = 0
     for mi in range(n_mcus):
         if dri and mi and mi % dri == 0:
             seg_idx += 1
-            br = _JpegBitReader(segments[seg_idx])
+            data = segments[seg_idx] + b"\x00\x00\x00\x00"
+            nbits = 8 * len(segments[seg_idx])
+            pos = 0
             pred = [0] * len(comps)
         my, mx = divmod(mi, mcux)
         for ci, (_cid, _tq, hi, vi) in enumerate(comps):
             dct, act = tabs[ci]
+            cidx, cval = idxs[ci], vals[ci]
             for by in range(vi):
                 for bx in range(hi):
-                    cat = _jpeg_read_huff(br, dct)
+                    off = pos & 7
+                    bp = pos >> 3
+                    chunk = int.from_bytes(data[bp : bp + 5], "big")
+                    entry = dct[(chunk >> (24 - off)) & 0xFFFF]
+                    ln = entry & 0xFF
+                    cat = entry >> 8
+                    if ln == 0:
+                        raise ValueError("invalid JPEG Huffman code")
                     if cat > 11:
                         raise ValueError("invalid JPEG DC category")
-                    pred[ci] += (
-                        _jpeg_extend(br.read(cat), cat) if cat else 0
-                    )
-                    row = coef[ci][
+                    if pos + ln + cat > nbits:
+                        raise ValueError(
+                            "JPEG entropy stream is truncated"
+                        )
+                    if cat:
+                        v = (chunk >> (40 - off - ln - cat)) & (
+                            (1 << cat) - 1
+                        )
+                        pred[ci] += (
+                            v
+                            if v >= (1 << (cat - 1))
+                            else v - (1 << cat) + 1
+                        )
+                    pos += ln + cat
+                    base = 64 * (
                         (my * vi + by) * (mcux * hi) + (mx * hi + bx)
-                    ]
-                    row[0] = pred[ci]
+                    )
+                    cidx.append(base)
+                    cval.append(pred[ci])
                     k = 1
                     while k <= 63:
-                        sym = _jpeg_read_huff(br, act)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, cat = sym >> 4, sym & 0xF
+                        off = pos & 7
+                        bp = pos >> 3
+                        chunk = int.from_bytes(data[bp : bp + 5], "big")
+                        entry = act[(chunk >> (24 - off)) & 0xFFFF]
+                        ln = entry & 0xFF
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        sym = entry >> 8
+                        cat = sym & 0xF
+                        if pos + ln + cat > nbits:
+                            raise ValueError(
+                                "JPEG entropy stream is truncated"
+                            )
                         if cat == 0:
-                            if run != 15:
+                            pos += ln
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym != 0xF0:
                                 raise ValueError("invalid JPEG AC symbol")
                             k += 16  # ZRL
                             continue
-                        k += run
+                        k += sym >> 4
                         if k > 63:
                             raise ValueError(
                                 "JPEG AC run overflows the block"
                             )
-                        row[k] = _jpeg_extend(br.read(cat), cat)
+                        v = (chunk >> (40 - off - ln - cat)) & (
+                            (1 << cat) - 1
+                        )
+                        pos += ln + cat
+                        cidx.append(base + k)
+                        cval.append(
+                            v
+                            if v >= (1 << (cat - 1))
+                            else v - (1 << cat) + 1
+                        )
                         k += 1
+    coef = []
+    for ci, (_cid, _tq, hi, vi) in enumerate(comps):
+        flat = np.zeros(mcuy * vi * mcux * hi * 64, dtype=np.float64)
+        if idxs[ci]:
+            flat[np.asarray(idxs[ci])] = np.asarray(vals[ci], dtype=np.float64)
+        coef.append(flat.reshape(-1, 64))
 
     t = _jpeg_dct_matrix()
     planes = []
