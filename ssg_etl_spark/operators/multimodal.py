@@ -276,41 +276,69 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         )
     if not dec.eof:
         raise ValueError("PNG IDAT deflate stream is truncated")
-    out = bytearray()
-    prev = bytes(stride)
+    # Unfilter: None/Sub/Up reconstruct as whole-row numpy ops (Sub is a
+    # per-lane prefix sum mod 256 — cumsum over the (w, 3) view); the
+    # Average/Paeth recurrences genuinely depend on the just-written
+    # left neighbor, so those rows run as tight list loops. Mixed-filter
+    # foreign files therefore pay the Python loop only on the rows that
+    # need it.
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
     bpp = 3
     for r in range(height):
-        ft = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        if ft == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        ft = int(arr[r, 0])
+        line = arr[r, 1:]
+        if ft == 0:  # None
+            cur = line.astype(np.int64)
+        elif ft == 1:  # Sub: per-lane cumsum
+            cur = (
+                np.cumsum(
+                    line.reshape(-1, bpp).astype(np.int64), axis=0
+                ).reshape(-1)
+                & 0xFF
+            )
         elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            cur = (line + prev) & 0xFF
         elif ft == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            ln = line.tolist()
+            pv = prev.tolist()
+            o = [0] * stride
+            for i in range(bpp):
+                o[i] = (ln[i] + (pv[i] >> 1)) & 0xFF
+            for i in range(bpp, stride):
+                o[i] = (ln[i] + ((o[i - bpp] + pv[i]) >> 1)) & 0xFF
+            cur = np.asarray(o, dtype=np.int64)
         elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
+            ln = line.tolist()
+            pv = prev.tolist()
+            o = [0] * stride
+            for i in range(bpp):
+                # a = c = 0: predictor reduces to b (the up byte).
+                o[i] = (ln[i] + pv[i]) & 0xFF
+            for i in range(bpp, stride):
+                a = o[i - bpp]
+                b = pv[i]
+                c = pv[i - bpp]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 if pa <= pb and pa <= pc:
                     pr = a
                 elif pb <= pc:
                     pr = b
                 else:
                     pr = c
-                line[i] = (line[i] + pr) & 0xFF
-        elif ft != 0:
+                o[i] = (ln[i] + pr) & 0xFF
+            cur = np.asarray(o, dtype=np.int64)
+        else:
             raise ValueError(f"unknown PNG filter type {ft}")
-        out += line
-        prev = bytes(line)
-    return width, height, bytes(out)
+        out[r] = cur
+        prev = cur
+    return width, height, out.tobytes()
 
 
 def _png_features(payload: bytes) -> list[float]:
