@@ -587,6 +587,24 @@ def build_ivf_index(
     return {"centroids": cents, "cells": corpus_cells}
 
 
+def ivf_assign(centroids: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Assign vectors to PRE-TRAINED IVF centroids: the cells-table rows
+    (``vec_id, embedding, cell``) for any new batch, identical math to
+    :func:`build_ivf_index`'s final corpus assignment (argmax dot
+    against the broadcast centroid list — one scan + project, no
+    shuffle, no re-training). This is the maintenance half of the IVF
+    story: at 100 TB/day the index is a persisted table and every
+    ingest batch pays only its own assignment cost; the streaming fold
+    (streaming/pipeline.foreach_batch_ivf_append) drives this per
+    micro-batch so the probe-ready inverted file stays current."""
+    unit = _unit_corpus(embeddings, "vec_id", "embedding")
+    return unit.crossJoin(_cent_list(centroids)).select(
+        "vec_id",
+        "embedding",
+        F.element_at(_cells_by_distance(F.col("_unit")), 1)["cell"].alias("cell"),
+    )
+
+
 def ivf_topk_vs_index(
     centroids: DataFrame,
     cells: DataFrame,

@@ -1337,6 +1337,63 @@ def foreach_batch_ge_checkpoint_gate(
     return apply
 
 
+def foreach_batch_ivf_append(
+    centroids_path: str,
+    cells_path: str,
+    keep_versions: int | None = None,
+):
+    """Streaming ANN index maintenance: every micro-batch of embeddings
+    is assigned to PRE-TRAINED IVF centroids
+    (operators/similarity.ivf_assign — argmax dot against the broadcast
+    centroid list, one scan + project, no re-training) and APPENDED to
+    the persisted cells table through an atomic snapshot commit. The
+    probe side (``ivf_topk_vs_index``) reads the latest snapshot, so
+    ANN results include everything ingested so far — the index stays
+    fresh with zero corpus rescans, the operational shape an embedding
+    store needs at 100 TB (the once-per-corpus centroid TRAINING stays
+    an offline batch job; retrain + reassign periodically as drift
+    accumulates, which is a full rebuild by design).
+
+    Replay safety: appends are not idempotent, so this fold rides the
+    manifest ``max_batch_id`` watermark exactly like
+    :func:`foreach_batch_snapshot_commit` — a replayed micro-batch is
+    detected from the newest manifest alone and skipped.
+    ``keep_versions``: inline retention; the latest version carries the
+    full accumulated index, so vacuuming history only limits time
+    travel depth, never probe results."""
+    from ssg_etl_spark.operators.similarity import ivf_assign
+    from ssg_etl_spark.sources import versioning
+
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        prev_max = -1
+        versions = versioning.snapshot_versions(cells_path)
+        if versions:
+            latest = versioning.snapshot_meta(cells_path, versions[-1])
+            prev_max = int(latest.get("max_batch_id", -1))
+            if batch_id <= prev_max:
+                return
+        cents = spark.read.parquet(centroids_path)
+        versioning.commit_snapshot(
+            ivf_assign(cents, batch),
+            cells_path,
+            mode="append",
+            meta={
+                "batch_id": batch_id,
+                "max_batch_id": max(batch_id, prev_max),
+            },
+        )
+        if keep_versions is not None:
+            versioning.vacuum_snapshots(cells_path, keep_last=keep_versions)
+
+    return apply
+
+
 def foreach_batch_kmeans_assign(centroids_path: str, out_path: str):
     """Streaming semantic labeling: every micro-batch of embeddings is
     assigned to PRE-TRAINED k-means centroids (loaded once per batch

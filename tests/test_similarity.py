@@ -401,3 +401,77 @@ def test_ivf_index_roundtrip_equals_oneshot(spark, sf_dir, tmp_path):
             ).collect()
         }
         assert probed == oneshot
+
+def test_streaming_ivf_append_matches_batch_and_skips_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streaming ANN index maintenance (r12): delta embeddings streamed
+    through foreach_batch_ivf_append land in the persisted cells table,
+    and probing the streamed index returns EXACTLY what probing a
+    one-shot batch assignment of the same corpus returns (same frozen
+    centroids, same argmax-dot math). A replayed micro-batch is skipped
+    by the manifest watermark — appends are not idempotent, so the skip
+    is what keeps the index duplicate-free."""
+    from ssg_etl_spark.schemas import EMBEDDINGS
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        read_snapshot,
+    )
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_ivf_append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter("vec_id % 10 != 0")
+    delta = emb.filter("vec_id % 10 = 0")
+
+    # Offline build on the base corpus: centroids frozen, cells seeded.
+    idx = similarity.build_ivf_index(base, n_cells=8)
+    cent_path = str(tmp_path / "centroids")
+    cells_path = str(tmp_path / "cells")
+    idx["centroids"].write.parquet(cent_path)
+    commit_snapshot(
+        idx["cells"], cells_path, mode="append", meta={"max_batch_id": -1}
+    )
+
+    # Stream the delta in 3 files -> 3 micro-batches.
+    src = str(tmp_path / "src")
+    delta.repartition(3).write.parquet(src)
+    apply_fn = foreach_batch_ivf_append(cent_path, cells_path)
+    q = (
+        spark.readStream.schema(EMBEDDINGS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = read_snapshot(spark, cells_path)
+    assert streamed.count() == emb.count()
+
+    # Replay of an already-folded batch id: watermark skips it.
+    apply_fn(delta.limit(50), batch_id=0)
+    assert read_snapshot(spark, cells_path).count() == emb.count()
+
+    # Probe equality: streamed index == one-shot batch assignment.
+    cents = spark.read.parquet(cent_path)
+    queries = emb.filter("vec_id % 100 = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_vs_index(
+            cents, streamed, queries, k=5
+        ).collect()
+    )
+    batch_cells = idx["cells"].unionByName(
+        similarity.ivf_assign(cents, delta)
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_vs_index(
+            cents, batch_cells, queries, k=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
