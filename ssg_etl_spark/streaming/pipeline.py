@@ -342,6 +342,11 @@ def foreach_batch_incremental_dedup(
     cap list should be pinned from the base corpus (here it is recomputed
     over base ∪ batch, which only drifts if a batch itself pushes a
     shingle over the cap).
+
+    Replay safety (r12): the pairs are a deterministic function of
+    (static base, batch), so the write is a DYNAMIC PARTITION OVERWRITE
+    on ``batch_id`` — a crash-replayed micro-batch rewrites its own
+    partition bit-identically instead of appending duplicate pairs.
     """
     from ssg_etl_spark.cache import release_tracked, scope_token
     from ssg_etl_spark.operators.dedup import minhash_lsh_pairs_incremental
@@ -356,7 +361,9 @@ def foreach_batch_incremental_dedup(
         pairs = minhash_lsh_pairs_incremental(base, batch, threshold)
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_path)
         )
         release_tracked(since=tok)
@@ -1397,10 +1404,17 @@ def foreach_batch_ivf_append(
 def foreach_batch_kmeans_assign(centroids_path: str, out_path: str):
     """Streaming semantic labeling: every micro-batch of embeddings is
     assigned to PRE-TRAINED k-means centroids (loaded once per batch
-    from the model table) and appended with its batch id. The assignment
+    from the model table) and written under its batch id. The assignment
     plan is a pure scan+project (operators/clustering.py) — per batch
     the only work is the map itself, the shape a labeling stream must
-    have when the corpus is 100 TB/day."""
+    have when the corpus is 100 TB/day.
+
+    Replay safety (r12): the write is a DYNAMIC PARTITION OVERWRITE on
+    ``batch_id`` — a replayed micro-batch replaces its own partition
+    instead of appending duplicate labels (the assignment is a
+    deterministic function of frozen centroids, so the rewrite is
+    bit-identical). The plain append this started as silently doubled a
+    batch's rows on every crash-replay."""
     from ssg_etl_spark.operators.clustering import (
         kmeans_assign_precomputed,
         load_centroids,
@@ -1413,7 +1427,9 @@ def foreach_batch_kmeans_assign(centroids_path: str, out_path: str):
         (
             kmeans_assign_precomputed(batch, cent)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_path)
         )
 

@@ -495,6 +495,15 @@ def test_centroid_save_load_roundtrip_and_stream_assign(spark, tmp_path):
     }
     assert streamed == batch
 
+    # Replay idempotence (r12): re-applying the SAME batch id overwrites
+    # its own partition — row count stays flat instead of doubling (the
+    # pre-r12 plain append duplicated every crash-replayed batch).
+    foreach_batch_kmeans_assign(model_path, out_path)(df, batch_id=7)
+    assert spark.read.parquet(out_path).count() == 40
+    # A second batch coexists: partitions accumulate across ids.
+    foreach_batch_kmeans_assign(model_path, out_path)(df.limit(5), batch_id=8)
+    assert spark.read.parquet(out_path).count() == 45
+
 
 # ------------------------------------------------------------- bigram LM
 

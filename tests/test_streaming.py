@@ -574,6 +574,23 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(n_batches) >= 1  # at least one non-empty micro-batch ran
 
+    # Replay idempotence (r12): re-applying a batch id overwrites its own
+    # partition (deterministic pairs vs the static base), so the row
+    # count stays flat — the pre-r12 plain append doubled it.
+    from ssg_etl_spark.streaming.pipeline import (
+        foreach_batch_incremental_dedup,
+    )
+
+    out2 = str(tmp_path / "pairs2")
+    fold = foreach_batch_incremental_dedup(base, out2)
+    fold(delta.filter("doc_id % 20 = 0"), batch_id=0)
+    c1 = spark.read.parquet(out2).count()
+    assert c1 > 0
+    fold(delta.filter("doc_id % 20 = 0"), batch_id=0)  # crash-replay
+    assert spark.read.parquet(out2).count() == c1
+    fold(delta.filter("doc_id % 20 != 0"), batch_id=1)  # new batch lands
+    assert spark.read.parquet(out2).count() == len(want)
+
 
 def test_streaming_span_dedup_matches_batch(spark, sf_dir, tmp_path):
     """Evolving-index streaming span dedup: with batches in ascending
