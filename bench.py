@@ -172,6 +172,7 @@ CURATION_FAMILY = [
     # and the cross-codec normalization stage (JPEG in, PNG out).
     "media_jpeg_features",
     "media_transcode_jpeg_png",
+    "media_jpeg_header_scan",
 ]
 
 

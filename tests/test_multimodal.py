@@ -754,3 +754,53 @@ def test_jpeg_restart_interval_roundtrip():
     bad = good[:sos_at] + dri + good[: hdr + 2][sos_at:] + b"\xff\xd3" + good[hdr + 2 :]
     with pytest.raises(ValueError, match="out of sequence|restart-interval"):
         mm.decode_jpeg(bad)
+
+def test_jpeg_header_scan_recovers_quality_without_decode(spark, sf_dir):
+    """Header-only triage (r12): the DQT inversion recovers the encoded
+    IJG quality within ~1 point across the whole 5-100 range (including
+    the clamp-saturated low end, via the unclamped-coefficient median),
+    reads dims/components without entropy decode, rejects malformed and
+    non-baseline streams, and the Spark stage matches per-asset local
+    scans over real testdata."""
+    import numpy as np
+    import pytest as _p
+
+    from ssg_etl_spark.operators import multimodal as mm
+    from ssg_etl_spark.sources.tables import load_table
+
+    rng = np.random.default_rng(3)
+    raster = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8).tobytes()
+    for q in (5, 10, 30, 50, 75, 90, 95, 100):
+        ql, qc = mm.jpeg_quality_tables(q)
+        meta = mm.jpeg_header_scan(
+            mm.encode_jpeg(40, 24, raster, quant_luma=ql, quant_chroma=qc)
+        )
+        assert abs(meta["quality_est"] - q) <= 1.0, (q, meta)
+        assert (meta["width"], meta["height"], meta["n_components"]) == (
+            40, 24, 3,
+        )
+
+    with _p.raises(ValueError):
+        mm.jpeg_quality_tables(0)
+    with _p.raises(ValueError, match="SOI"):
+        mm.jpeg_header_scan(b"P6 not a jpeg")
+    with _p.raises(ValueError, match="baseline SOF0 only"):
+        good = mm.encode_jpeg(8, 8, bytes(192))
+        at = good.index(b"\xff\xc0")
+        mm.jpeg_header_scan(good[:at] + b"\xff\xc2" + good[at + 2 :])
+    with _p.raises(ValueError, match="missing SOF/DQT"):
+        mm.jpeg_header_scan(b"\xff\xd8\xff\xda\x00\x02")
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    assets = mm.jpeg_assets_from_documents(docs)
+    local = {
+        r.asset_id: mm.jpeg_header_scan(r.payload) for r in assets.collect()
+    }
+    got = {r.asset_id: r for r in mm.jpeg_header_triage(assets).collect()}
+    assert set(got) == set(local)
+    for aid, row in got.items():
+        m = local[aid]
+        assert (row.width, row.height, row.n_components) == (
+            m["width"], m["height"], m["n_components"],
+        )
+        assert row.quality_est == 50.0  # DC-exact tables invert to 50

@@ -152,6 +152,9 @@ AUDIT_DEFAULT = [
     # Round 12 (cont.): the JPEG->PNG transcode chains TWO Arrow stages
     # (transcode, then the round-trip reader) — the pin holds it there.
     "media_transcode_jpeg_png",
+    # Round 12 (cont. 2): header-only triage — ONE Arrow stage, and the
+    # whole point is that no decode work rides the plan.
+    "media_jpeg_header_scan",
 ]
 
 
