@@ -72,7 +72,6 @@ ORDER BY frequency DESC, item_a ASC, item_b ASC
 LIMIT 20
 """,
     tags=("J3", "A11", "skew"),
-    extra=True,
 )
 def product_association_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted twin of product_association: the pair-count aggregation runs
@@ -609,14 +608,12 @@ SELECT p_brand,
 FROM part GROUP BY 1
 """,
     tags=("A7", "percentile"),
-    extra=True,
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand retail-price distribution: exact interpolated percentiles
     (Spark `percentile` == DuckDB `quantile_cont` bit-for-bit on doubles;
     verified at sf0.01 with zero hash drift). The operator's exact=False
-    mode is the bounded-state 100 TB path (approx_percentile t-digest).
-    Extra registry: locally oracle-verified."""
+    mode is the bounded-state 100 TB path (approx_percentile t-digest)."""
     return analytics.percentile_profile(
         load_table(spark, sf_dir, "part"), "p_brand", "p_retailprice"
     )
@@ -665,15 +662,13 @@ SELECT c.metric, baseline_value, current_value,
 FROM curm c FULL JOIN basem b ON c.metric = b.metric
 """,
     tags=("quality", "profile", "drift"),
-    extra=True,
 )
 def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift report: 1998 orders vs the 1997 baseline on
     o_totalprice (row count, null rate, decimal-exact mean, min, max, with
     absolute and relative deltas) — the load-over-load validation that
     catches a broken feed before the warehouse does. Two single-pass
-    aggregations, output O(columns). Extra registry: locally
-    oracle-verified."""
+    aggregations, output O(columns)."""
     from ssg_etl_spark.operators.quality import profile_drift
 
     orders = load_table(spark, sf_dir, "orders")
@@ -697,13 +692,13 @@ SELECT o_orderkey, o_totalprice,
 FROM orders, b
 """,
     tags=("quality", "cleaning"),
+    extra=True,
 )
 def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile capping of order totals at [p01, p99] — the defensive
     fat-tail clamp before means/ratios feed reports. One exact-percentile
     aggregation broadcast back (Spark percentile == DuckDB quantile_cont
-    bit-for-bit); approx_percentile is the drop-in at corpus scale.
-    Extra registry: locally oracle-verified."""
+    bit-for-bit); approx_percentile is the drop-in at corpus scale."""
     return analytics.winsorize(
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice"
@@ -732,14 +727,13 @@ SELECT c_custkey, c_mktsegment, acct,
 FROM m JOIN g USING (c_mktsegment)
 """,
     tags=("quality", "cleaning"),
-    extra=True,
 )
 def impute_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-mean null imputation (per market segment) over a
     deterministically-masked feed (every 7th customer's balance nulled —
     the fixture has no natural numeric nulls). Decimal-exact group means
     so imputed values are order-independent; the _was_null flag keeps the
-    imputation auditable. Extra registry: locally oracle-verified."""
+    imputation auditable."""
     masked = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
@@ -771,11 +765,11 @@ SELECT bin,
 FROM binned GROUP BY 1, 2, 3
 """,
     tags=("quality", "profile"),
+    extra=True,
 )
 def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-bin equal-width histogram of order totals — two passes (min/max
-    broadcast + one combinable groupBy on the bin index), output O(bins).
-    Extra registry: locally oracle-verified."""
+    broadcast + one combinable groupBy on the bin index), output O(bins)."""
     return analytics.numeric_histogram(
         load_table(spark, sf_dir, "orders"), "o_totalprice", 20
     )
@@ -799,7 +793,7 @@ def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix over the four lineitem measures in one
     scan + one aggregation (df.stat.corr would run a job per pair) —
     DECIMAL-exact sufficient statistics, so the oracle replays r to the
-    last rounded digit under any row order. Public registry (driver-checked)."""
+    last rounded digit under any row order."""
     return correlation_matrix(
         load_table(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
@@ -946,7 +940,7 @@ def quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-sketch quantiles (p25/p50/p90/p99) of order totals —
     deterministic mergeable alternative to percentile_approx, error
     bounded by one bin width (operators/analytics.py:
-    histogram_quantiles). Public registry (driver-checked)."""
+    histogram_quantiles)."""
     return analytics.histogram_quantiles(
         load_table(spark, sf_dir, "orders"), "o_totalprice", _Q_QS, _Q_BINS
     )
@@ -997,7 +991,7 @@ def quantiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order-status price quantiles from globally-bin-aligned
     histograms — the distributed grouped form (windows partitioned by
     group, O(groups x bins) intermediate; operators/analytics.py:
-    histogram_quantiles_grouped). Public registry (driver-checked)."""
+    histogram_quantiles_grouped)."""
     return analytics.histogram_quantiles_grouped(
         load_table(spark, sf_dir, "orders"),
         "o_totalprice",
@@ -1070,7 +1064,7 @@ def quantiles_totalprice_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     only each q's containing bin, cutting the error bound from
     (max-min)/20 to (max-min)/400 — the p99 fix for heavy-tailed money
     columns (operators/analytics.py:histogram_quantiles_refined). The
-    oracle replays both passes' double arithmetic exactly. Public registry (driver-checked)."""
+    oracle replays both passes' double arithmetic exactly."""
     return analytics.histogram_quantiles_refined(
         load_table(spark, sf_dir, "orders"), "o_totalprice", _Q_QS, _Q_BINS
     )
@@ -1091,7 +1085,7 @@ def quantiles_totalprice_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     money column drags its p50 to ~1250; the zoom returns the exact
     order statistic, error zero, in O(log_bins(range)) scans). Oracle:
     plain ANSI order statistics at the same integer-exact ceil(q*n)
-    ranks. Extra registry: locally oracle-verified."""
+    ranks."""
     return analytics.quantiles_exact(
         load_table(spark, sf_dir, "orders"),
         "o_totalprice",
@@ -1116,8 +1110,7 @@ def quantiles_price_by_status_exact(spark: SparkSession, sf_dir: str) -> DataFra
     widens a tiny build side, not the expression tree. Completes the
     quantile family's matrix — approx/refined/exact × global/grouped —
     with the exact forms as the outlier-robust members. Oracle: PARTITION
-    BY order statistics at integer-exact ranks. Extra registry: locally
-    oracle-verified."""
+    BY order statistics at integer-exact ranks."""
     return analytics.quantiles_exact_grouped(
         load_table(spark, sf_dir, "orders"),
         "o_totalprice",
@@ -1192,7 +1185,7 @@ def quantiles_price_by_status_refined(spark: SparkSession, sf_dir: str) -> DataF
     grouped twin (located-bin table never collected; windows partitioned
     by (group, q) only; error one SUB-bin width on the global grid;
     operators/analytics.py:histogram_quantiles_grouped_refined). The
-    oracle replays both passes exactly, group-partitioned. Public registry (driver-checked)."""
+    oracle replays both passes exactly, group-partitioned."""
     return analytics.histogram_quantiles_grouped_refined(
         load_table(spark, sf_dir, "orders"),
         "o_totalprice",
@@ -1249,7 +1242,7 @@ def bloom_new_key_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |delta| to |delta|·(hit-rate + fp-rate) rows — the same
     prefilter economics as the runtime-bloom incremental dedup, but
     with a PERSISTED, mergeable filter the pipeline owns
-    (operators/bloom.py). Public registry (driver-checked)."""
+    (operators/bloom.py)."""
     from ssg_etl_spark.operators.bloom import bloom_build, bloom_probe
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1306,7 +1299,7 @@ def quantiles_logbucket_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
     histogram's contract is range-scaled). Bucket tables merge across
     days/streams by addition — the 100 TB rollup shape. Oracle replays the
     identical fixed-point floor mapping, string-built powers of ten, and
-    Fraction-exact ranks. Extra registry: locally oracle-verified."""
+    Fraction-exact ranks."""
     orders = load_table(spark, sf_dir, "orders")
     sk = sketches.logbucket_sketch(orders, "o_totalprice")
     return sketches.logbucket_quantiles(sk, _LB_QS)
@@ -1349,7 +1342,7 @@ def quantiles_logbucket_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a corpus can be 90% tiny docs by count yet 90% long-doc by tokens).
     Bucket counts become weight sums; ranks run over total weight; the
     merge/rollup/streaming algebra is unchanged (weighted counts still
-    add). Extra registry: locally oracle-verified."""
+    add)."""
     docs = load_table(spark, sf_dir, "documents")
     sk = sketches.logbucket_sketch(
         docs, "n_chars", ["lang"], weight_col="n_chars"

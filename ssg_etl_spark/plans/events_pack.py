@@ -191,12 +191,13 @@ FROM events a JOIN events b
  AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
 """,
     tags=("rangejoin", "events"),
+    extra=True,
 )
 def event_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, scale-safe: same-user event pairs within 10 minutes via
     time-bucketed equi-join (operators/rangejoin.py) — the oracle states
     the plain non-equi theta join; the engine computes it without a
-    BroadcastNestedLoopJoin. Extra registry: locally oracle-verified."""
+    BroadcastNestedLoopJoin."""
     from ssg_etl_spark.operators.rangejoin import same_key_burst_pairs
 
     return same_key_burst_pairs(
@@ -225,6 +226,7 @@ SELECT s1.u AS user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
 FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
 """,
     tags=("events", "funnel", "journey"),
+    extra=True,
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order conversion funnel view -> click -> purchase: earliest
@@ -634,7 +636,7 @@ def quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/pipeline.py:foreach_batch_quality_gate): the same
     row-rule semantics — NULL verdicts FAIL — as a per-row pass/
     quarantine report with the failing rule names, oracle-checked.
-    The rule expressions are one projection; no shuffle at all. Public registry (driver-checked)."""
+    The rule expressions are one projection; no shuffle at all."""
     events = load_table(spark, sf_dir, "events")
     rules = {
         "value_positive": F.col("value") > 0,
@@ -685,7 +687,7 @@ def bloom_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-calendar-day Bloom filters over event users, OR-merged into
     the global membership filter (operators/bloom.py:bloom_merge). The
     oracle builds the global filter directly from the key set — equality
-    proves the day-partitioned merge is exact, not approximate. Public registry (driver-checked)."""
+    proves the day-partitioned merge is exact, not approximate."""
     from ssg_etl_spark.operators.bloom import bloom_build, bloom_merge
 
     events = load_table(spark, sf_dir, "events")
@@ -724,8 +726,7 @@ def kmv_sample_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus only shrinks membership monotonically), mergeable by
     min-union, idempotent under refold. The global form never shuffles:
     candidates come from TakeOrderedAndProject with driver-side
-    dedup-and-verify (exact-or-error) — operators/sketches.bottomk_sketch.
-    Extra registry: locally oracle-verified."""
+    dedup-and-verify (exact-or-error) — operators/sketches.bottomk_sketch."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -754,7 +755,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     with U_(k) the k-th smallest 48-bit-normalized hash; EXACT when the
     sketch holds fewer than k keys. The second distinct-count estimator
     in the family — cross-checkable against hll_distinct_users from the
-    same scan. Extra registry: locally oracle-verified."""
+    same scan."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -834,8 +835,7 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard of the even-event and odd-event user populations, estimated
     from SKETCHES ALONE — the shape that answers cross-source overlap
     questions from yesterday's per-source sketches without rescanning
-    either corpus. Exact counts ride along as the demo yardstick.
-    Extra registry: locally oracle-verified."""
+    either corpus. Exact counts ride along as the demo yardstick."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -875,7 +875,7 @@ def logbucket_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts form a commutative monoid under addition with buckets aligned
     by construction — the property that lets a 100 TB warehouse keep
     tiny daily quantile sketches and answer any date-range percentile by
-    folding them. Extra registry: locally oracle-verified."""
+    folding them."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events").withColumn(
@@ -910,8 +910,7 @@ def kmv_sample_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     build shuffles distinct (group, key) pairs once (map-side partial
     dedup; WindowGroupLimit caps each task at k rows per group before
     the final window); per-day grouped sketches fold via
-    bottomk_merge_grouped without re-scanning. Extra registry: locally
-    oracle-verified."""
+    bottomk_merge_grouped without re-scanning."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -1002,8 +1001,7 @@ def kmv_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection / Jaccard PER EVENT TYPE, estimated purely from two
     grouped bottom-k sketch tables — join on the group key, one window
     for the per-group θ, grouped aggregate over the θ-window; no
-    corpus rescan, no driver math. Extra registry: locally
-    oracle-verified."""
+    corpus rescan, no driver math."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -1079,6 +1077,7 @@ SELECT src_a, src_b, CAST(nw AS BIGINT) AS n_window,
 FROM m
 """,
     tags=("events", "sketch", "approx", "setop", "matrix", "mergeable"),
+    extra=True,
 )
 def kmv_overlap_matrix_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL overlap matrix in one plan
@@ -1089,8 +1088,7 @@ def kmv_overlap_matrix_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 pairs in one job; the driver-side binary form would cost 10
     collect round-trips, and at N sources N²/2. The sketch table folds
     from dailies (bottomk_merge_grouped), so yesterday's sketches
-    answer today's matrix without rescanning. Extra registry: locally
-    oracle-verified."""
+    answer today's matrix without rescanning."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events")
@@ -1124,8 +1122,7 @@ def kmv_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate; the oracle computes the estimate DIRECTLY from raw rows.
     They hash-match because min-union over aligned hash order is exactly
     set union followed by bottom-k — and, unlike the SUM rollups, the
-    fold is idempotent, so daily re-delivery cannot double-count.
-    Extra registry: locally oracle-verified."""
+    fold is idempotent, so daily re-delivery cannot double-count."""
     from ssg_etl_spark.operators import sketches
 
     events = load_table(spark, sf_dir, "events").withColumn(

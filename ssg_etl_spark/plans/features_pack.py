@@ -39,12 +39,13 @@ WITH f AS (
 SELECT * FROM f
 """,
     tags=("features", "window", "llm"),
+    extra=True,
 )
 def order_sequence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-history features: sequence position, days since
     the previous order, trailing-3 rolling average spend, and cumulative
     spend — one partitioned window (one shuffle+sort on the customer
-    key; no global window). Extra registry: locally oracle-verified."""
+    key; no global window)."""
     return features.sequence_features(
         load_table(spark, sf_dir, "orders"),
         key_col="o_custkey",
@@ -74,13 +75,14 @@ SELECT c_mktsegment, n_rows,
 FROM per_cat, g
 """,
     tags=("features", "encoding", "llm"),
+    extra=True,
 )
 def segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed mean target encoding of market segment against order
     totals (empirical-Bayes shrinkage toward the global mean, m=10
     pseudo-observations). One join + one category aggregation; the
     global mean reuses the per-category sums, so the fact table is
-    scanned once. Extra registry: locally oracle-verified."""
+    scanned once."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     facts = orders.join(
@@ -117,6 +119,7 @@ SELECT c_custkey, c_mktsegment, c_acctbal, robust_z,
 FROM z
 """,
     tags=("features", "quality", "cleaning"),
+    extra=True,
 )
 def robust_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD modified z-score outlier flags on account balances per

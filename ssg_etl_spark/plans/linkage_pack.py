@@ -56,7 +56,7 @@ def fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the blocking key (with the oversized-block guard), edit
     distance ≤ 2 on candidates only (JVM levenshtein with the threshold
     short-circuit), then min-struct resolution to one best match per
-    customer. Public registry (driver-checked)."""
+    customer."""
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )

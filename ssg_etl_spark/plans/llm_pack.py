@@ -87,7 +87,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning by the prefix-filter lemma (rarest-first global shingle
     order), then exact verification; identical result set to
     dedup_ngram_jaccard, hence the shared oracle
-    (operators/dedup.py:ngram_jaccard_pairs_prefix). Public registry (driver-checked)."""
+    (operators/dedup.py:ngram_jaccard_pairs_prefix)."""
     return dedup.ngram_jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"), 0.5
     )
@@ -184,12 +184,11 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {COSINE_SQL} >= 0.45
 """,
     tags=("llm", "dedup", "similarity"),
-    extra=True,
 )
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding-cosine near-duplicate pairs (cosine ≥
     0.45) — the O(N²) exactness baseline for the public LSH-bucketed
-    ``embedding_near_dup``. Extra registry: locally oracle-verified."""
+    ``embedding_near_dup``."""
     return similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.45
     )
@@ -325,7 +324,7 @@ def ann_lsh_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the identical integer bit count from COUNT(*) and
     replays the dynamic-width bucketization, so the approximation itself
     stays driver-checkable even though the bucket grid depends on the
-    data size. Public registry (driver-checked)."""
+    data size."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -339,6 +338,7 @@ def ann_lsh_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=COSINE_TOPK_SQL,
     tags=("llm", "similarity"),
+    extra=True,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN exactness query: with n_probe == n_cells
@@ -346,8 +346,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k — the strongest oracle an ANN structure admits (it exercises
     training, assignment, probing, and re-ranking end to end; any drift in
     cell assignment or tie-breaking flips the hash). Default-probe recall
-    is pinned separately by tests/test_similarity.py. Extra registry: the
-    public surface is at the 50-entry driver cap."""
+    is pinned separately by tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -369,7 +368,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force, so the parquet round-trip is inside the exactness oracle:
     any serialization drift in centroids or cell assignment flips the
     hash. The probe-≪-build wall split is measured in bench.py; recall at
-    default n_probe is pinned by tests/test_similarity.py. Public registry (driver-checked)."""
+    default n_probe is pinned by tests/test_similarity.py."""
     import atexit
     import shutil
     import tempfile
@@ -569,13 +568,13 @@ SELECT doc_id AS asset_id,
 FROM s
 """,
     tags=("llm", "multimodal"),
+    extra=True,
 )
 def media_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline UN-FAKED end-to-end: synthesize binary PPM
     images (Arrow encode stage), then extract_features with fake=False —
     the pure-stdlib P6 decoder parses every header and computes real
-    whole-raster pixel statistics. Extra registry: locally
-    oracle-verified."""
+    whole-raster pixel statistics."""
     assets = multimodal.ppm_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -630,7 +629,7 @@ def media_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize UN-FAKED end-to-end: binary PPM assets through
     the numpy nearest-neighbor resample inside the Arrow mapInPandas
     stage (fake=False), output bytes verified byte-for-byte by a DuckDB
-    replay of the integer index arithmetic. Public registry (driver-checked)."""
+    replay of the integer index arithmetic."""
     assets = multimodal.ppm_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -680,8 +679,7 @@ def media_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer features a curation pipeline filters on — energy, peak,
     zero-crossing count, duration. The oracle replays formula → features
     directly (no WAV parsing in SQL), so a hash match proves the
-    encode→decode round-trip preserved every sample. Extra registry:
-    locally oracle-verified."""
+    encode→decode round-trip preserved every sample."""
     assets = multimodal.wav_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -725,7 +723,7 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the compression round-trip preserved every pixel — removing
     the 'uncompressed-only' qualifier from the multimodal story; since
     r12 baseline JPEG is real too, leaving only MP3/H.264 behind the
-    documented NotImplementedError. Extra registry: locally oracle-verified."""
+    documented NotImplementedError."""
     assets = multimodal.png_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -769,7 +767,6 @@ SELECT doc_id AS asset_id,
 FROM s
 """,
     tags=("llm", "multimodal"),
-    extra=True,
 )
 def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOSSY image codec UN-FAKED end-to-end (r12): one real baseline
@@ -781,8 +778,7 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures are constructed where lossy == lossless (constant blocks ×
     DC-exact tables), so the DuckDB oracle replays every decoded byte
     from the text digest alone; only MP3/H.264 now remain behind the
-    documented NotImplementedError. Extra registry: locally
-    oracle-verified."""
+    documented NotImplementedError."""
     assets = multimodal.jpeg_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -807,7 +803,6 @@ SELECT doc_id AS asset_id,
 FROM documents
 """,
     tags=("llm", "multimodal"),
-    extra=True,
 )
 def media_jpeg_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only media triage (r12): every JPEG asset's dimensions,
@@ -816,8 +811,7 @@ def media_jpeg_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the Annex K bases, unclamped-coefficient median), inside one
     Arrow mapInPandas stage that never runs the entropy decoder. The
     oracle replays the fixture geometry and the provable quality-50
-    inversion from doc_id alone. Extra registry: locally
-    oracle-verified."""
+    inversion from doc_id alone."""
     assets = multimodal.jpeg_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -849,7 +843,6 @@ SELECT doc_id AS asset_id,
 FROM b GROUP BY doc_id
 """,
     tags=("llm", "multimodal"),
-    extra=True,
 )
 def media_transcode_jpeg_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-codec pipeline UN-FAKED end-to-end (r12): baseline JPEG
@@ -860,8 +853,7 @@ def media_transcode_jpeg_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     by png_roundtrip for stats + the raster digest the DuckDB oracle
     replays from document text alone. Mixed-format in, one archival
     format out — the normalization stage of a training-data pipeline,
-    proven to add zero generation loss. Extra registry: locally
-    oracle-verified."""
+    proven to add zero generation loss."""
     assets = multimodal.jpeg_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -898,6 +890,7 @@ SELECT doc_id AS asset_id,
 FROM b GROUP BY doc_id
 """,
     tags=("llm", "multimodal"),
+    extra=True,
 )
 def media_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-image resize UN-FAKED end-to-end: PNG assets through
@@ -907,8 +900,7 @@ def media_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest the DuckDB oracle replays from document text alone. The
     resample arithmetic is byte-identical to media_resize_ppm's — what
     this adds is proof the whole pipeline survives a genuinely
-    compressed container in both directions. Extra registry: locally
-    oracle-verified."""
+    compressed container in both directions."""
     assets = multimodal.png_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -946,7 +938,7 @@ def media_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserved every raster byte. With PPM, WAV, and Y4M all running
     fake=False, every UNcompressed modality is real; with PNG (r11) and
     baseline JPEG (r12) the compressed image formats are too — only
-    MP3/H.264 stay behind the documented NotImplementedError. Extra registry: locally oracle-verified."""
+    MP3/H.264 stay behind the documented NotImplementedError."""
     assets = multimodal.y4m_assets_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -974,9 +966,7 @@ WHERE i*{_STEP} <= greatest(len(ws) - {_OVERLAP} - 1, 0)
     extra=True,
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping word-window chunking (context-window packing unit).
-    Extra registry: the public surface is at the 50-entry driver cap; this
-    stays locally oracle-verified."""
+    """Overlapping word-window chunking (context-window packing unit)."""
     return text.chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_words=_CHUNK, overlap_words=_OVERLAP
     )
@@ -1005,7 +995,7 @@ WHERE term_rank <= 5
     extra=True,
 )
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 TF-IDF terms per document (corpus characterization). Public registry (driver-checked)."""
+    """Top-5 TF-IDF terms per document (corpus characterization)."""
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
 
 
@@ -1103,8 +1093,7 @@ FROM b
 def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 80/10/10 train/val/test assignment by doc-id hash —
     stable under repartition, re-run, and incremental appends (no RNG;
-    Spark's randomSplit is partitioning-dependent and un-oracle-able).
-    Public registry (driver-checked)."""
+    Spark's randomSplit is partitioning-dependent and un-oracle-able)."""
     return sampling.hash_split(load_table(spark, sf_dir, "documents"))
 
 
@@ -1124,8 +1113,7 @@ WHERE sample_rank <= 20
 )
 def stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20-docs-per-language sample: hash order is a
-    reproducible shuffle, identical across engines and cluster layouts.
-    Extra registry: locally oracle-verified."""
+    reproducible shuffle, identical across engines and cluster layouts."""
     return sampling.stratified_sample(
         load_table(spark, sf_dir, "documents"), ["lang"], k=20
     )
@@ -1165,7 +1153,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training privacy pass: email/phone scrubbing with match counts.
     The corpus is synthetic and PII-free, so the query plants one email and
     one phone per document (derived from doc_id — deterministic in both
-    engines) to prove the redaction actually fires. Public registry (driver-checked)."""
+    engines) to prove the redaction actually fires."""
     docs = load_table(spark, sf_dir, "documents")
     contactful = docs.select(
         "doc_id",
@@ -1206,7 +1194,7 @@ FROM chunks
 def chunk_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: chunks assigned to fixed 128-word training
     windows by cumulative offset within each document — the declarative,
-    per-doc-parallel packing form. Public registry (driver-checked)."""
+    per-doc-parallel packing form."""
     chunks = text.chunk_documents(
         load_table(spark, sf_dir, "documents"),
         chunk_words=_CHUNK,
@@ -1239,7 +1227,7 @@ FROM pd LEFT JOIN sh3 ON pd.doc_id = sh3.doc_id
 )
 def repetition_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: distinct-word ratio, top-word mass,
-    duplicate-3-gram fraction. Extra registry: locally oracle-verified."""
+    duplicate-3-gram fraction."""
     return text.repetition_metrics(load_table(spark, sf_dir, "documents"))
 
 
@@ -1265,13 +1253,11 @@ SELECT doc_id AS asset_id, {_RW} AS width, {_RH} AS height,
 FROM documents WHERE doc_id % 3 = 0
 """,
     tags=("llm", "multimodal"),
-    extra=True,
 )
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage end-to-end: image assets through the
     Arrow-batched mapInPandas resize stub, verified by recomputing the
-    digest-seeded output bytes in SQL. Extra registry: locally
-    oracle-verified."""
+    digest-seeded output bytes in SQL."""
     assets = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
     resized = multimodal.resize_images(assets, _RW, _RH)
     return resized.select(
@@ -1317,6 +1303,7 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
     "dedup_clusters",
     oracle=_CLUSTERS_SQL,
     tags=("llm", "dedup", "graph"),
+    extra=True,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the exact-Jaccard
@@ -1357,8 +1344,7 @@ def embedding_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-duplicate CLUSTERS over the EXACT all-pairs cosine
     graph (cosine ≥ 0.45) — since round 5 the O(N²) exactness baseline
     for the canonical ``embedding_dup_clusters`` (whose pair stage is
-    LSH-bucketed). Uses the same pointer-jumping min-label propagation.
-    Extra registry: locally oracle-verified."""
+    LSH-bucketed). Uses the same pointer-jumping min-label propagation."""
     pairs = similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.45
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
@@ -1439,6 +1425,7 @@ reach AS (
 SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 """,
     tags=("llm", "dedup", "similarity", "graph"),
+    extra=True,
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical semantic dedup pipeline (LSH-routed since round 5 —
@@ -1446,8 +1433,7 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-verified) → pointer-jumping connected components. Every stage
     is corpus-linear-ish (bucket self-join + O(log d) label rounds) —
     this is the plan you'd run at 100 TB, with
-    ``embedding_dup_clusters_exact`` as its O(N²) exactness baseline.
-    Extra registry: locally oracle-verified."""
+    ``embedding_dup_clusters_exact`` as its O(N²) exactness baseline."""
     pairs = similarity.lsh_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.45,
         n_tables=8, bits_per_table=3,
@@ -1493,7 +1479,7 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the EXISTING corpus (the rest) — bucket join is delta×base,
     so the quadratic base×base term never exists. This is how a daily
     crawl batch dedups against a 100 TB corpus whose signatures are a
-    precomputed table. Public registry (driver-checked).
+    precomputed table.
 
     Oracle soundness: the oracle is the exact pairwise Jaccard restricted
     to mixed pairs, while the operator emits only LSH-colliding candidates
@@ -1563,7 +1549,7 @@ def dedup_incremental_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame
     Here the index is built in-plan (the registry callable has no side
     store); bench.py measures the real operational split — index written
     to parquet untimed, probe timed — where the delta path beats the
-    full-corpus run. Extra registry: locally oracle-verified."""
+    full-corpus run."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
@@ -1596,13 +1582,13 @@ SELECT d.doc_id AS doc_id, d.content_hash AS content_hash,
 FROM delta d LEFT JOIN base b USING (content_hash)
 """,
     tags=("llm", "dedup", "incremental"),
+    extra=True,
 )
 def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (digest-level) delta-vs-corpus dedup: probe the precomputed
     digest index with the batch's content hashes; duplicates resolve to
     the corpus canonical. The cheap first stage every incremental ingest
-    runs before near-dup LSH — most re-crawled content is byte-identical.
-    Extra registry: locally oracle-verified."""
+    runs before near-dup LSH — most re-crawled content is byte-identical."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
@@ -1649,7 +1635,7 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind "train on the top 30% by quality". The global rank is the
     distributed histogram-offset form (no single-partition window; the
     coarse shard is floor(score*10)), and the total count broadcasts as
-    a one-row aggregate. Extra registry: locally oracle-verified."""
+    a one-row aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     m = text.text_metrics(docs).select("doc_id", "quality_score")
     ranked = analytics.global_row_number(
@@ -1685,13 +1671,14 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= 3
 """,
     tags=("llm", "dedup", "contamination"),
+    extra=True,
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination pass: training-corpus documents that share ≥ 3
     distinct 3-gram shingles with an eval/benchmark document (benchmark =
     doc_id % 50 = 0 slice). The benchmark side broadcasts (suites are
     dimension-sized next to a corpus); corpus work is one linear shingle
-    pass. Extra registry: locally oracle-verified."""
+    pass."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
@@ -1722,14 +1709,13 @@ SELECT source,
 FROM m GROUP BY source
 """,
     tags=("llm", "text", "quality", "profile"),
-    extra=True,
 )
 def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card: document count, token mass, mean
     quality (decimal-summed → order-independent), distinct-content count
     and exact-dup ratio — the summary table a curation pipeline publishes
     per crawl source. One scan + one groupBy; COUNT(DISTINCT md5) is the
-    only extra aggregation. Extra registry: locally oracle-verified."""
+    only extra aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     m = text.text_metrics(docs).select("doc_id", "n_words", "quality_score")
     fp = docs.select(
@@ -1815,7 +1801,6 @@ FROM canon c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
     "dedup_keep_list",
     oracle=_KEEP_LIST_SQL,
     tags=("llm", "dedup", "pipeline"),
-    extra=True,
 )
 def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end deliverable of corpus dedup: per-document keep/drop with a
@@ -1829,8 +1814,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     mega-duplicated page (10⁶ identical copies, one digest) reduces to one
     row per input partition instead of materializing the whole group in a
     single window partition — same skew contract as
-    :func:`dedup_keep_list_longest`. Extra registry: locally
-    oracle-verified."""
+    :func:`dedup_keep_list_longest`."""
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id",
@@ -1885,8 +1869,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered similarity search: top-10 within the query's own
     label — exact results through an equi-join on the filter column (a
     pruned scan when the corpus is partitioned by it), not post-filtering
-    an ANN candidate list (which starves k under selective filters).
-    Extra registry: locally oracle-verified."""
+    an ANN candidate list (which starves k under selective filters)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         "label",
@@ -1937,7 +1920,7 @@ def knn_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     its label; low agreement flags mislabeling candidates. All-pairs
     exact baseline — the identical vote stage
     (similarity.label_votes_from_candidates) consumes LSH candidates in
-    knn_label_agreement_lsh. Extra registry: locally oracle-verified."""
+    knn_label_agreement_lsh."""
     return similarity.knn_label_agreement(
         load_table(spark, sf_dir, "embeddings"), k=5
     )
@@ -1988,13 +1971,14 @@ SELECT m.vec_id AS vec_id, m.label AS label, m.majority_label,
 FROM majority m JOIN agree a ON m.vec_id = a.vec_id
 """,
     tags=("llm", "similarity", "quality"),
+    extra=True,
 )
 def knn_label_agreement_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path noisy-label detection (r4 verdict item 2): the SAME vote
     stage as knn_label_agreement, fed from LSH bucket-mate candidates —
     cost O(corpus + Σ occupancy²), no all-pairs term. Deterministic
     pipeline → the oracle replays candidates AND the vote tail,
-    approximation included. Extra registry: locally oracle-verified."""
+    approximation included."""
     return similarity.knn_label_agreement_lsh(
         load_table(spark, sf_dir, "embeddings"), k=5,
         n_tables=8, bits_per_table=3,
@@ -2028,8 +2012,7 @@ FROM ed JOIN cent USING (label)
 def label_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class embedding outlier scores: cosine to the label centroid
     (decimal-sum vector — exact in both engines). The low tail flags
-    corrupt/mislabeled/off-distribution samples. Extra registry: locally
-    oracle-verified."""
+    corrupt/mislabeled/off-distribution samples."""
     return similarity.label_centroid_outliers(
         load_table(spark, sf_dir, "embeddings")
     )
@@ -2058,7 +2041,7 @@ FROM agg
 def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-distribution Shannon entropy per document (+ normalized form)
     — low entropy at a given length flags keyword stuffing and templated
-    spam. Extra registry: locally oracle-verified."""
+    spam."""
     return text.token_entropy(load_table(spark, sf_dir, "documents"))
 
 
@@ -2085,8 +2068,7 @@ FROM agg
 def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: mean per-token log-probability under
     the corpus's own unigram distribution — the perplexity-bucket filter
-    with the corpus itself as the LM. Extra registry: locally
-    oracle-verified."""
+    with the corpus itself as the LM."""
     return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
@@ -2121,8 +2103,7 @@ def chunk_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication profile: per document, the fraction of
     16-word chunks whose exact content recurs in other documents — the
     signal whole-document dedup misses (boilerplate welded onto unique
-    pages). Linear chunk explode + one digest shuffle, no pairwise term.
-    Extra registry: locally oracle-verified."""
+    pages). Linear chunk explode + one digest shuffle, no pairwise term."""
     return dedup.chunk_dedup_stats(
         load_table(spark, sf_dir, "documents"), chunk_words=16
     )
@@ -2152,8 +2133,7 @@ def boilerplate_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate list: top-20 exact 16-word chunks recurring
     across the most documents — the removal list for "drop any span
     occurring >= N times" curation. One digest aggregation +
-    TakeOrderedAndProject (no global sort). Extra registry: locally
-    oracle-verified."""
+    TakeOrderedAndProject (no global sort)."""
     return dedup.boilerplate_chunks(
         load_table(spark, sf_dir, "documents"), chunk_words=16, min_docs=2, k=20
     )
@@ -2185,8 +2165,7 @@ def chunk_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical first occurrence of every repeated span keeps, every
     other occurrence drops. Skew-immune min-struct aggregation (no window
     over the digest). The oracle replays it with a window — fine at oracle
-    scale, wrong shape at corpus scale. Extra registry: locally
-    oracle-verified."""
+    scale, wrong shape at corpus scale."""
     return dedup.chunk_keep_list(
         load_table(spark, sf_dir, "documents"), chunk_words=16
     )
@@ -2218,8 +2197,7 @@ def span_deduped_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-dedup end deliverable: per-document text rebuilt from only the
     kept chunks — every repeated 16-word span survives exactly once
     corpus-wide (its first occurrence). Empty clean_text flags documents
-    that were nothing but repeats. Extra registry: locally
-    oracle-verified."""
+    that were nothing but repeats."""
     return dedup.span_deduped_corpus(
         load_table(spark, sf_dir, "documents"), chunk_words=16
     )
@@ -2249,7 +2227,7 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     src0, …, 0.25 of src4; other sources dropped). Replication by
     sequence+explode, fractional epochs by md5(id:epoch:seed) hash
     threshold — zero joins, zero shuffles, repartition-stable, oracle-
-    replayable. Extra registry: locally oracle-verified."""
+    replayable."""
     rates = {"src0": 2.25, "src1": 1.5, "src2": 1.0, "src3": 0.5,
              "src4": 0.25}
     docs = load_table(spark, sf_dir, "documents")
@@ -2283,8 +2261,7 @@ def vocab_oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus top-20 word
     list (the fixture vocabulary is 31 synthetic words, so 20 exercises a
     real in/out split; ties broken by term for a deterministic boundary).
-    One corpus TF shuffle + a broadcast membership join. Extra registry:
-    locally oracle-verified."""
+    One corpus TF shuffle + a broadcast membership join."""
     return text.vocab_oov_rate(
         load_table(spark, sf_dir, "documents"), vocab_size=20
     )
@@ -2309,14 +2286,12 @@ SELECT d.doc_id, d.chunk_id, d.chunk_hash,
 FROM delta d LEFT JOIN base b USING (chunk_hash)
 """,
     tags=("llm", "dedup", "incremental"),
-    extra=True,
 )
 def span_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span dedup of a delta batch (doc_id % 10 = 0) against the base
     corpus's precomputed chunk-digest index — the base is never re-chunked
     (the probe reads only the index table; first-seen-wins canonical
-    semantics, see chunk_keep_list_vs_index). Extra registry: locally
-    oracle-verified."""
+    semantics, see chunk_keep_list_vs_index)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
@@ -2404,7 +2379,7 @@ def dedup_keep_list_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a mega-duplicated page (10⁶ identical copies, one digest) reduces
     to one row per input partition instead of materializing the whole
     group in a single window partition — the same skew contract as
-    chunk_keep_list. Public registry (driver-checked)."""
+    chunk_keep_list."""
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id",
@@ -2539,8 +2514,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB vector index actually ships. Identical arithmetic in both
     engines (x / (amax/127), HALF-away rounding) so the codes hash-match
     exactly; the int8 codes are projected as a CSV string because the
-    driver's schema compare is kind-strict and has no array kind.
-    Public registry (driver-checked)."""
+    driver's schema compare is kind-strict and has no array kind."""
     q = similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
     return q.select(
         "vec_id",
@@ -2632,8 +2606,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.5, the corpus's dup definition — the fixture has no byte-exact
     dups) counted per unordered source pair; the diagonal is within-source
     duplication. Pair generation is the df-capped shingle join, never
-    all-pairs. The curation view that finds crawls copying each other.
-    Public registry (driver-checked)."""
+    all-pairs. The curation view that finds crawls copying each other."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, 0.5).select("doc_a", "doc_b")
     src = docs.select("doc_id", "source")
@@ -2702,7 +2675,7 @@ def embedding_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     base corpus: delta×base bucket join — the base×base term never exists,
     mirroring the MinHash incremental contract. Anchors from the base (at
     scale: part of a persisted index probed per batch). Deterministic →
-    the oracle replays buckets + verification. Public registry (driver-checked)."""
+    the oracle replays buckets + verification."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_near_dup_pairs_incremental(
         emb.filter(F.col("vec_id") % 10 != 0),
@@ -2739,7 +2712,7 @@ def semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic twin of ``dedup_keep_list``'s text pipeline, one decision row
     per corpus vector (training set = reason 'kept'). Same corpus-linear
     stages as ``embedding_dup_clusters`` plus one left join back to the
-    full corpus. Public registry (driver-checked)."""
+    full corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.lsh_near_dup_pairs(
         emb, 0.45, n_tables=8, bits_per_table=3
@@ -2820,8 +2793,7 @@ def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction → registrable-domain collapse (www./cdn./apex subdomains
     fold into one domain) → keep the 20 hash-rank-first documents per
     domain. The rank window rides WindowGroupLimit (map-side k-per-
-    stratum shedding), so a mega-domain never funnels one reducer.
-    Public registry (driver-checked)."""
+    stratum shedding), so a mega-domain never funnels one reducer."""
     return web.domain_cap(
         web.with_url_host(_docs_with_urls(spark, sf_dir)), 20
     )
@@ -2842,7 +2814,7 @@ FROM hosted GROUP BY domain
 def domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus triage: doc count, distinct hosts, total chars —
     the view that decides caps and blocklists. One aggregation on the
-    domain key. Extra registry: locally oracle-verified."""
+    domain key."""
     return web.domain_stats(
         web.with_url_host(_docs_with_urls(spark, sf_dir))
     )
@@ -2923,7 +2895,7 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization before URL-level dedup: lowercase scheme and
     host, strip fragments/default ports/trailing slashes/tracking params
     (utm_*, gclid, fbclid), sort surviving query params; junk or relative
-    inputs yield NULL. Extra registry: locally oracle-verified."""
+    inputs yield NULL."""
     docs = load_table(spark, sf_dir, "documents")
     messy = docs.select(
         "doc_id",
@@ -2980,13 +2952,11 @@ SELECT doc_id,
 FROM z
 """,
     tags=("llm", "text", "quality"),
-    extra=True,
 )
 def quality_model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter the way a trained classifier deploys:
     Column-expression featurization → broadcast-literal coefficients →
-    sigmoid → keep flag, constant-folded into one codegen'd scan.
-    Extra registry: locally oracle-verified."""
+    sigmoid → keep flag, constant-folded into one codegen'd scan."""
     return text.quality_model_score(load_table(spark, sf_dir, "documents"))
 
 
@@ -3022,12 +2992,12 @@ SELECT doc_id, line_id, line,
 FROM v
 """,
     tags=("llm", "text", "curation"),
+    extra=True,
 )
 def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning verdicts over a synthesized multi-line
     corpus (8-word chunk lines, every third line missing its terminal
-    '.'): per line, kept + the first failing rule. Extra registry: locally
-    oracle-verified."""
+    '.'): per line, kept + the first failing rule."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = text.chunk_documents(docs, chunk_words=8, overlap_words=0)
     line = F.concat(
@@ -3081,14 +3051,14 @@ SELECT doc_id,
 FROM corrupt
 """,
     tags=("llm", "text", "curation"),
+    extra=True,
 )
 def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-quality stage: plant UTF-8-read-as-cp1252 corruption on
     two doc_id buckets of the (ASCII) corpus, then detect + repair it
     with text.fix_mojibake (chained JVM replace over the public digraph
     map — linear, shuffle-free). Output digests the repaired text so the
-    driver hash never sorts raw unicode. Extra registry: locally
-    oracle-verified."""
+    driver hash never sorts raw unicode."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     corrupt = docs.select(
@@ -3131,7 +3101,7 @@ def domain_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level reputation: registrable-domain mean quality joined
     back per document, flagging documents whose whole DOMAIN scores below
     threshold — the site-level filter that drops low-quality sources
-    wholesale. Extra registry: locally oracle-verified."""
+    wholesale."""
     docs = load_table(spark, sf_dir, "documents")
     hosted = web.with_url_host(_docs_with_urls(spark, sf_dir))
     scored = hosted.select("doc_id", "domain").join(
@@ -3160,7 +3130,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-coherent train/val/test split keyed on the registrable
     domain: every page of a site lands in the same split, so near-dup
     and same-site correlations cannot leak between train and eval — the
-    guard a per-document split cannot give. Public registry (driver-checked)."""
+    guard a per-document split cannot give."""
     hosted = web.with_url_host(_docs_with_urls(spark, sf_dir))
     return sampling.group_split(hosted, "domain")
 
@@ -3188,8 +3158,7 @@ def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus selection under a token budget: documents in
     quality-descending order until 10k cumulative tokens — "train on the
     best N tokens". The global ordered cumsum runs on the two-level
-    histogram scheme (W2's machinery); no single-partition window.
-    Public registry (driver-checked)."""
+    histogram scheme (W2's machinery); no single-partition window."""
     docs = load_table(spark, sf_dir, "documents")
     m = text.text_metrics(docs).select(
         "doc_id",
@@ -3220,8 +3189,7 @@ FROM lines
 def intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style intra-document line dedup: flag every repeat of a
     line within its own page, keeping the first occurrence (nav menus /
-    footers pasted between sections). Extra registry: locally
-    oracle-verified."""
+    footers pasted between sections)."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = text.chunk_documents(docs, chunk_words=2, overlap_words=0)
     rebuilt = (
@@ -3253,7 +3221,7 @@ FROM documents
 def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global corpus permutation (pre-training shuffle) by
     (md5(doc_id), doc_id) rank — W2's histogram-offset machinery on a
-    hash-prefix key, no single-partition window. Public registry (driver-checked)."""
+    hash-prefix key, no single-partition window."""
     return sampling.deterministic_shuffle(
         load_table(spark, sf_dir, "documents")
     )
@@ -3298,8 +3266,7 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 "more like this" retrieval: every doc_id % 100 = 0 document
     queries the corpus for its 10 most relevant documents — the inverted-
     index posting-list join expressed relationally, with retrieval-based
-    decontamination and relevance curation as the downstream uses.
-    Public registry (driver-checked)."""
+    decontamination and relevance curation as the downstream uses."""
     docs = load_table(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("query_id"), "text"
@@ -3326,7 +3293,7 @@ def weighted_sample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars — the quality/length-weighted corpus subsampling step, as a
     pure function of (id, weight): ξ = hash-uniform/weight, global
     smallest-k via TakeOrderedAndProject (per-partition partial top-k, no
-    global sort). Public registry (driver-checked)."""
+    global sort)."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.weighted_sample(docs, k=500, weight_col="n_chars")
 
@@ -3359,7 +3326,7 @@ def temperature_mixture_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsampled, dominant downsampled, expected corpus size preserved —
     per-group rates from one dimension-sized count aggregation with an
     exact DECIMAL normalizer, broadcast back, epochs via the shared
-    hash-threshold Bernoulli. Public registry (driver-checked)."""
+    hash-threshold Bernoulli."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.temperature_mixture(docs, alpha=0.5, group_col="lang")
 
@@ -3385,13 +3352,12 @@ SELECT asset_id, CAST(NULL AS BIGINT) AS sample_ms
 FROM v WHERE duration_ms IS NULL
 """,
     tags=("llm", "multimodal"),
-    extra=True,
 )
 def media_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: one row per planned sample timestamp
     (stride 1000 ms) per video asset — the pure-DataFrame half of frame
     extraction (sequence+explode; decode rides extract_features'
-    mapInPandas contract). Extra registry: locally oracle-verified."""
+    mapInPandas contract)."""
     assets = multimodal.media_from_documents(
         load_table(spark, sf_dir, "documents")
     )
@@ -3528,14 +3494,14 @@ SELECT rank, pair, pair_count FROM (
 WHERE rank <= 50
 """,
     tags=("llm", "text", "tokenizer"),
+    extra=True,
 )
 def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer induction over the corpus: ranked adjacent character-pair
     frequencies (the first BPE merge round's candidate table). The corpus
     reduces to its distinct-word vocabulary before any pair explode, and
     the rank window sees at most alphabet-squared rows — see
-    `operators/text.py:bpe_pair_counts`. Extra registry: locally
-    oracle-verified."""
+    `operators/text.py:bpe_pair_counts`."""
     return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
 
 
@@ -3736,7 +3702,7 @@ def kmeans_sample_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     `kmeans_assign_precomputed` — whose plan is a pure scan+project with
     ZERO shuffles (the model rides the expression as folded literals).
     This is the 100 TB serving shape: training touches a bounded sample;
-    labeling is one embarrassingly parallel map over everything. Public registry (driver-checked)."""
+    labeling is one embarrassingly parallel map over everything."""
     from ssg_etl_spark.operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3811,7 +3777,7 @@ FROM samp WHERE rn2 <= 25
 def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-balanced sample: 25 items from each of 4 k-means
     clusters, selected by deterministic md5 order — equal semantic
-    coverage for training mixtures (operators/clustering.py). Public registry (driver-checked)."""
+    coverage for training mixtures (operators/clustering.py)."""
     from ssg_etl_spark.operators import clustering
 
     return clustering.cluster_balanced_sample(
@@ -3910,6 +3876,7 @@ SELECT t.cid AS cluster_id, tot.n_points, t.majority_label,
 FROM top t JOIN tot ON t.cid = tot.cid WHERE t.rn = 1
 """,
     tags=("llm", "clustering", "evaluation"),
+    extra=True,
 )
 def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering evaluation: per-cluster label purity (majority-label
@@ -4011,7 +3978,7 @@ def token_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     40/30/20/10 over four sources — per-source epoch rates derived from
     the corpus's actual token totals (one k-row aggregation), then the
     zero-shuffle epoch-explode sample, rate carried per row for audit
-    (operators/sampling.py:plan_token_mixture). Public registry (driver-checked)."""
+    (operators/sampling.py:plan_token_mixture)."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.plan_token_mixture(
         docs,
@@ -4073,8 +4040,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size, keeping the pair stage ~linear. Complements LSH
     near-dup: buckets are LEARNED semantic regions, so moderate-cosine
     redundancy is found (the published diversity-pruning use; tau here
-    is low because the synthetic corpus has no verbatim near-dups).
-    Extra registry: locally oracle-verified."""
+    is low because the synthetic corpus has no verbatim near-dups)."""
     return dedup.semdedup_flags(
         load_table(spark, sf_dir, "embeddings"),
         k=_KM_K,

@@ -93,7 +93,6 @@ FROM orders o
 WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
 """,
     tags=("J7",),
-    extra=True,
 )
 def semi_join_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join — 'rows whose key exists in the change set'.
@@ -122,7 +121,6 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
 """,
     tags=("J8",),
-    extra=True,
 )
 def anti_join_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — 'rows with no match in the target' (new records).
@@ -188,7 +186,6 @@ SELECT DISTINCT l_partkey AS part_key, l_returnflag AS return_flag, l_linestatus
 FROM lineitem
 """,
     tags=("P11",),
-    extra=True,
 )
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection (dedup before association analysis).
@@ -248,7 +245,6 @@ SELECT o_orderkey AS order_key, o_custkey AS cust_key, o_orderstatus AS status
 FROM orders WHERE o_totalprice > 100000
 """,
     tags=("U2", "J9"),
-    extra=True,
 )
 def except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-row anti-diff (EXCEPT ALL) — change detection between snapshots.

@@ -187,7 +187,6 @@ SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
 FROM nation
 """,
     tags=("sources", "S7"),
-    extra=True,
 )
 def xlsx_reference_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 end-to-end: Excel reference data through the real reader
@@ -247,7 +246,7 @@ def xlsx_folder_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes three workbooks (nation dim split by key mod 3) into a
     temp dir, reads the whole directory through one read_excel call with a
     lineage column, and oracles typed rows + originating basename against
-    the dim. Public registry since the r10 rotation."""
+    the dim."""
     import hashlib
     import os
     import tempfile
@@ -292,7 +291,6 @@ FROM dated JOIN dim USING (event_date)
 GROUP BY 1, 2
 """,
     tags=("storage", "dpp"),
-    extra=True,
 )
 def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning end-to-end (SURVEY §4 date partitioning):
@@ -302,7 +300,7 @@ def dpp_partitioned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so only the dim's dates are read. tools/plan_audit.py reports the
     dpp_scans count and tests/test_plan_audit.py gates on it. At 100 TB
     this is THE mechanism that turns a 3-year event store + one-week dim
-    filter into a one-week scan. Extra registry: locally oracle-verified.
+    filter into a one-week scan.
     """
     import hashlib
     import os
@@ -355,8 +353,7 @@ def zorder_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the multi-dimensional data-skipping layout: range-sorting files by
     this key keeps per-file min-max stats tight on BOTH columns at once.
     One 1-row min/max aggregate broadcast back + pure bit-interleave
-    column math; the oracle replays the identical IEEE quantization.
-    Public registry (driver-checked)."""
+    column math; the oracle replays the identical IEEE quantization."""
     return zorder_key(
         load_table(spark, sf_dir, "orders"),
         ["o_totalprice", "o_custkey"],
@@ -384,7 +381,7 @@ def snapshot_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     append the rest as v2, then time-travel-read v1 — the pinned version
     must replay the original filter exactly even though the table has
     since grown (manifest-listed files only; later commits never touch
-    them). Public registry (driver-checked)."""
+    them)."""
     import atexit
     import shutil
     import tempfile
@@ -434,7 +431,7 @@ def snapshot_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero rows. File-count reduction and history survival are asserted
     in-query (a no-op compaction fails the query, not just a pytest);
     crash-safety and vacuum reclaim are pinned in tests/
-    test_versioning.py. Public registry since the r10 rotation."""
+    test_versioning.py."""
     import atexit
     import shutil
     import tempfile

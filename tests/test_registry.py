@@ -30,3 +30,18 @@ def test_extra_registry_is_disjoint_and_oracled():
     assert all(s.oracle for s in extra.values()), [
         n for n, s in extra.items() if not s.oracle
     ]
+
+
+def test_no_handwritten_rotation_status_in_docstrings():
+    """The _REGISTRY/_EXTRA split is the single source of truth for which
+    queries the driver sees; hand-written status claims in docstrings lag
+    rotations (24 were stale after rotation #5), so they are banned."""
+    both = load_all(include_extra=True)
+    offenders = {
+        n
+        for n, s in both.items()
+        if "Public registry" in s.doc
+        or "Extra registry" in s.doc
+        or "driver-checked" in s.doc
+    }
+    assert offenders == set(), sorted(offenders)
