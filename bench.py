@@ -191,18 +191,33 @@ def force(df) -> None:
 #   * spark_wall — one tiny canonical Spark job (range→sum) on the SAME
 #     session the bench uses: scheduler/JVM-side contention.
 # The work constants are FROZEN; comparability across rounds depends on
-# them never changing. PROBE_REF holds the quiet-box reference walls
-# (min-of-5, measured r11 on the 32-core driver box); load_factor =
-# observed/reference per leg, and *_calibrated totals divide the raw
-# totals by max(py_factor, spark_factor) — the r11 driver run proved a
-# box can be Spark-side contended (1.67) while the py leg reads quiet
-# (1.01), and the bench workload is Spark-bound. When the legs diverge
-# >1.3x the artifact carries legs_diverged=true and the calibrated
-# totals are advisory.
+# them never changing. PROBE_REF holds the quiet-box reference walls;
+# load_factor = observed/reference per leg, and *_calibrated totals
+# divide the raw totals by max(py_factor, spark_factor) — the r11 driver
+# run proved a box can be Spark-side contended (1.67) while the py leg
+# reads quiet (1.01), and the bench workload is Spark-bound. When the
+# legs diverge >1.3x the artifact carries legs_diverged=true and the
+# calibrated totals are advisory.
+#
+# r13 re-baseline (r12 verdict "What's wrong" #1): the r11 spark_wall
+# reference (0.164, min-of-5) was never reproduced by ANY later quiet
+# run — every committed quiet start-probe reads 0.185-0.242 — so the
+# max-leg calibration deflated calibrated headlines ~20% below every
+# quiet raw run. spark_wall is now the MEDIAN of 8 quiet-box START
+# probes on the driver host (BENCH_LOCAL_r12 quiet runs 1/3/5:
+# 0.1851/0.2327/0.2334, plus five r13 fresh-session probes:
+# 0.2376/0.2259/0.1987/0.2419/0.2202 — recorded in BENCH_LOCAL_r13),
+# and both load factors are computed from the START probe only — the
+# END probe inherits the just-finished workload's GC/JIT churn
+# (end > start in every committed artifact) and is recorded for drift
+# attribution, not used in the factor. py_wall stays at the r11 value
+# (the same 8 probes' median reproduces it within 3%). Series note:
+# probe.load_factor* in r11/r12 artifacts used (start+end)/2 against
+# the old reference; r13+ use start-only against this one.
 
 _PROBE_PY_N = 2_000_000
 _PROBE_SPARK_ROWS = 2_000_000
-PROBE_REF = {"py_wall": 0.127, "spark_wall": 0.164}
+PROBE_REF = {"py_wall": 0.127, "spark_wall": 0.2293}
 
 
 def _probe_py() -> float:
@@ -366,15 +381,15 @@ def main() -> None:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
     probe_end = calibration_probe(spark)
-    load_factor = round(
-        (probe_start["py_wall"] + probe_end["py_wall"])
-        / (2 * PROBE_REF["py_wall"]),
-        4,
-    )
+    # START probe only (r13): the end probe runs right after ~90 forced
+    # queries and inherits their GC/JIT churn — it reads high on every
+    # committed artifact, quiet box or not. It stays in the artifact so
+    # contention that ARRIVES mid-run is still visible (end ≫ start with
+    # a quiet start), but the calibration factor comes from the probe
+    # that measures the host, not the workload.
+    load_factor = round(probe_start["py_wall"] / PROBE_REF["py_wall"], 4)
     load_factor_spark = round(
-        (probe_start["spark_wall"] + probe_end["spark_wall"])
-        / (2 * PROBE_REF["spark_wall"]),
-        4,
+        probe_start["spark_wall"] / PROBE_REF["spark_wall"], 4
     )
     # r12 (r11 verdict #2 + advice): the bench workload is Spark-bound, so
     # calibrate by the WORSE of the two probe legs — the r11 driver run
@@ -388,7 +403,10 @@ def main() -> None:
     # calibrated totals are only meaningful on the reference host).
     import platform
 
-    cal_factor = max(load_factor, load_factor_spark)
+    # Clamped at 1.0: calibration corrects FOR contention; a start-probe
+    # that lands on the fast side of the reference median (quiet-box
+    # noise is ±10%) must not award phantom speed to the raw walls.
+    cal_factor = max(1.0, load_factor, load_factor_spark)
     legs = sorted((max(load_factor, 1e-9), max(load_factor_spark, 1e-9)))
     legs_diverged = bool(legs[1] / legs[0] > 1.3)
     probe = {
