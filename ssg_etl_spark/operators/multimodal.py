@@ -717,50 +717,20 @@ def encode_jpeg(
     return out + sos + entropy + b"\xff\xd9"
 
 
-class _JpegBitReader:
-    """MSB-first bit reader over the de-stuffed entropy segment: reads
-    assemble ≤32-bit windows from the byte buffer directly (3 zero pad
-    bytes let a 16-bit peek at stream end read zeros; the length check
-    still rejects codes that would need real bits past the end)."""
-
-    __slots__ = ("data", "nbits", "pos")
-
-    def __init__(self, data: bytes):
-        self.data = data + b"\x00\x00\x00"
-        self.nbits = 8 * len(data)
-        self.pos = 0
-
-    def read(self, n: int) -> int:
-        p = self.pos
-        if p + n > self.nbits:
-            raise ValueError("JPEG entropy stream is truncated")
-        self.pos = p + n
-        chunk = int.from_bytes(self.data[p >> 3 : (p >> 3) + 4], "big")
-        return (chunk >> (32 - (p & 7) - n)) & ((1 << n) - 1)
-
-    def peek16(self) -> int:
-        p = self.pos
-        chunk = int.from_bytes(self.data[p >> 3 : (p >> 3) + 4], "big")
-        return (chunk >> (16 - (p & 7))) & 0xFFFF
+# JPEG decode pixel cap: unlike PNG's byte raster (~1 B/px/channel), the
+# vectorized IDCT keeps float64 coefficient + dequantized + plane arrays
+# alive at once — roughly 100-200 bytes/pixel peak for a 3-component
+# 4:4:4 stream — so a crafted few-MB EOB-heavy stream at PNG's 2^28-px
+# cap could drive ~50 GB per-task allocations. 2^25 px (an 8192x4096
+# frame) bounds the peak working set to a few GB; callers decoding
+# known-larger assets pass max_pixels explicitly and size their executor
+# memory to match.
+JPEG_MAX_PIXELS = 1 << 25
 
 
-def _jpeg_read_huff(br: _JpegBitReader, lut) -> int:
-    entry = lut[br.peek16()]
-    length = entry & 0xFF
-    if length == 0:
-        raise ValueError("invalid JPEG Huffman code")
-    if br.pos + length > br.nbits:
-        raise ValueError("JPEG entropy stream is truncated")
-    br.pos += length
-    return entry >> 8
-
-
-def _jpeg_extend(v: int, cat: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map ``cat`` magnitude bits to a signed value."""
-    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
-
-
-def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+def decode_jpeg(
+    payload: bytes, max_pixels: int = JPEG_MAX_PIXELS
+) -> tuple[int, int, int, bytes]:
     """REAL baseline JPEG decode: marker walk, canonical Huffman entropy
     decode (DC prediction, AC run-length with ZRL/EOB), dequantization,
     numpy-vectorized IDCT over all blocks at once, JFIF YCbCr->RGB.
@@ -772,6 +742,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     interleaved scan, restart intervals (RSTn cycle validated, DC
     predictors reset per interval), no progressive/arithmetic coding —
     i.e. the stream family real libjpeg writers emit by default.
+    Streams whose SOF dims exceed ``max_pixels`` raise ValueError (see
+    JPEG_MAX_PIXELS for the float64 working-set rationale).
     Returns ``(width, height, n_components, pixels)`` with pixels
     interleaved (RGB for 3 components, luminance bytes for 1)."""
     import struct
@@ -840,7 +812,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("unsupported JPEG precision (8-bit only)")
             if nc not in (1, 3):
                 raise ValueError("unsupported JPEG component count")
-            if w <= 0 or h <= 0 or w * h > 1 << 28:
+            if w <= 0 or h <= 0 or w * h > max_pixels:
                 raise ValueError(f"JPEG dimensions out of range: {w}x{h}")
             if len(body) < 6 + 3 * nc:
                 raise ValueError("truncated JPEG SOF components")
@@ -1119,6 +1091,7 @@ def jpeg_header_scan(payload: bytes) -> dict:
     pos = 2
     qtables: dict[int, list] = {}
     sof = None
+    saw_sos = False
     while pos < len(payload):
         if payload[pos] != 0xFF or pos + 1 >= len(payload):
             raise ValueError("truncated or malformed JPEG marker")
@@ -1161,7 +1134,13 @@ def jpeg_header_scan(payload: bytes) -> dict:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG process (baseline SOF0 only)")
         elif marker == 0xDA:
+            saw_sos = True
             break
+    # A headers-only payload that simply ENDS after SOF/DQT is malformed
+    # (decode_jpeg rejects it too): without an SOS there is no image, and
+    # triage must not greenlight an asset the decode stage will reject.
+    if not saw_sos:
+        raise ValueError("JPEG missing SOS (headers only, no scan)")
     if sof is None or not qtables:
         raise ValueError("JPEG missing SOF/DQT before scan")
     # Invert the IJG scaling per coefficient against the Annex K bases.

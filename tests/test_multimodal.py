@@ -586,6 +586,18 @@ def test_jpeg_malformed_and_unsupported_payloads_raise_valueerror():
     with pytest.raises(ValueError, match="baseline SOF0 only"):
         mm.decode_jpeg(prog)
 
+    # Pixel cap (r12 advice): the float64 IDCT working set is ~100-200
+    # bytes/px, so the JPEG cap is 2^25 px (NOT PNG's 2^28) and is a
+    # parameter. A crafted SOF declaring 8192x4097 must be rejected
+    # before any allocation; the same stream's real dims pass exactly at
+    # the caller-supplied bound and fail one pixel below it.
+    big = good[: sof0_at + 5] + struct.pack(">HH", 4097, 8192) + good[sof0_at + 9 :]
+    with pytest.raises(ValueError, match="dimensions out of range"):
+        mm.decode_jpeg(big)
+    assert mm.decode_jpeg(good, max_pixels=w * h)[0] == w
+    with pytest.raises(ValueError, match="dimensions out of range"):
+        mm.decode_jpeg(good, max_pixels=w * h - 1)
+
     # Sampling factor 3 is outside T.81's 1/2/4 set.
     sub = bytearray(good)
     sub[sof0_at + 11] = 0x33  # component 1 sampling byte in SOF
@@ -732,13 +744,10 @@ def test_jpeg_decodes_foreign_writer_streams():
     assert hashlib.md5(px).hexdigest() == "dbb5d9878836c7edc21cfc2ce6115416"
 
 
-def test_jpeg_restart_interval_roundtrip():
-    """Restart-interval support: a DRI-segmented stream (hand-assembled
-    from per-interval re-encodes of single MCUs is impractical, so this
-    drives the decoder's own contract instead) — out-of-sequence RSTn
-    markers are rejected, and the DRI path is covered end-to-end by the
-    foreign 4:2:0 fixtures in the test above plus the 720x477 real-world
-    photo exercised during development."""
+def test_jpeg_restart_marker_sequence_rejection():
+    """Out-of-sequence RSTn markers are rejected (T.81 B.2.1.2 requires
+    the D0..D7 cycle); the green DRI path is pinned by the constructed
+    streams in the two tests below."""
     import struct
 
     import pytest
@@ -754,6 +763,223 @@ def test_jpeg_restart_interval_roundtrip():
     bad = good[:sos_at] + dri + good[: hdr + 2][sos_at:] + b"\xff\xd3" + good[hdr + 2 :]
     with pytest.raises(ValueError, match="out of sequence|restart-interval"):
         mm.decode_jpeg(bad)
+
+
+# --- hand-assembled restart-interval streams (r13) -----------------------
+# A test-local JPEG writer: canonical code assignment (T.81 C.2), MSB-first
+# bit packing, 1-padding to byte alignment at each restart boundary, 0xFF00
+# byte stuffing, and the RST0..RST7 cycle — all written here, shared with
+# the production encoder ONLY through the public Annex K table constants
+# (whose transcription fidelity is pinned separately by the foreign
+# libjpeg fixtures above). This is the decoder's positive-DRI green path
+# on a stream the repo's own encoder cannot produce (encode_jpeg never
+# writes DRI), so self-consistency cannot mask a restart-handling bug.
+
+
+def _tl_huff_codes(bits, vals):
+    """Test-local canonical Huffman assignment: {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            i += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _TLBits:
+    """Test-local MSB-first bit packer with JPEG byte stuffing."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def put(self, value, length):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+
+    def align(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+        done = bytes(self.out)
+        self.out = bytearray()
+        return done
+
+
+def _tl_dc_bits(bw, diff, codes):
+    cat = 0 if diff == 0 else diff.bit_length() if diff > 0 else (-diff).bit_length()
+    code, length = codes[cat]
+    bw.put(code, length)
+    if cat:
+        bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+
+def _tl_seg(marker, body):
+    import struct
+
+    return struct.pack(">HH", marker, 2 + len(body)) + body
+
+
+def _tl_idct_block_constant(dc_quantized, q0):
+    """Independent IDCT of a DC-only block: explicit cosine sum (T.81
+    A.3.3), not the production _jpeg_dct_matrix — collapses to the
+    constant (1/8)*dc*q0 per pixel, computed here from first principles."""
+    import math
+
+    import numpy as np
+
+    f = np.zeros((8, 8))
+    f[0, 0] = dc_quantized * q0
+    px = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * f[v, u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            px[y, x] = s / 4 + 128.0
+    return np.rint(px).clip(0, 255).astype(int)
+
+
+def test_jpeg_positive_dri_grayscale_decodes_bit_exact():
+    """Green-path restart intervals: a hand-assembled DRI=1 grayscale
+    stream (24x8 = 3 MCUs, RST0/RST1 between byte-aligned intervals,
+    DC predictor reset each interval) decodes bit-exact against an
+    independently computed cosine-sum IDCT raster. The DC diffs are
+    encoded RELATIVE TO THE RESET predictor (0), so a decoder that
+    failed to reset would produce provably different pixels."""
+    import struct
+
+    import numpy as np
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    q0 = 8  # DC-exact: quantized DC = (v-128) exactly, IDCT returns v
+    mcu_values = [80, 128, 200]
+    dc = _tl_huff_codes(*mm._JPEG_DC_LUMA)
+    ac = _tl_huff_codes(*mm._JPEG_AC_LUMA)
+    eob_code, eob_len = ac[0x00]
+
+    qzz = bytes([q0] + [16] * 63)  # zigzag order; AC entries never used
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _tl_seg(0xFFDB, b"\x00" + qzz)  # DQT table 0
+    out += _tl_seg(0xFFC0, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0]))
+    out += _tl_seg(
+        0xFFC4,
+        b"\x00"
+        + bytes(mm._JPEG_DC_LUMA[0])
+        + bytes(mm._JPEG_DC_LUMA[1]),
+    )
+    out += _tl_seg(
+        0xFFC4,
+        b"\x10"
+        + bytes(mm._JPEG_AC_LUMA[0])
+        + bytes(mm._JPEG_AC_LUMA[1]),
+    )
+    out += _tl_seg(0xFFDD, struct.pack(">H", 1))  # DRI = 1 MCU
+    out += _tl_seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    for i, v in enumerate(mcu_values):
+        bw = _TLBits()
+        _tl_dc_bits(bw, v - 128, dc)  # predictor reset -> diff from 0
+        bw.put(eob_code, eob_len)
+        out += bw.align()
+        if i < len(mcu_values) - 1:
+            out += bytes([0xFF, 0xD0 + i])  # RST0, RST1
+    out += b"\xff\xd9"
+
+    w, h, nc, px = mm.decode_jpeg(bytes(out))
+    assert (w, h, nc) == (24, 8, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(8, 24).astype(int)
+    expect = np.concatenate(
+        [_tl_idct_block_constant(v - 128, q0) for v in mcu_values], axis=1
+    )
+    assert (got == expect).all()
+    # The constants themselves: each 8x8 column block is its MCU value.
+    for i, v in enumerate(mcu_values):
+        assert (got[:, 8 * i : 8 * i + 8] == v).all()
+
+
+def test_jpeg_positive_dri_422_subsampled_decodes_bit_exact():
+    """Green-path DRI on a 4:2:2-subsampled COLOR stream (32x8 = 2 MCUs
+    of 2 luma + 1 Cb + 1 Cr blocks, RST0 between intervals): chroma held
+    at 128 makes the JFIF inverse transform return R=G=B=Y exactly, so
+    the decoded RGB raster is pinned bit-exact per 8-pixel column band.
+    Exercises the subsampled-MCU block order, per-component predictor
+    reset, and chroma table selection on a constructed stream."""
+    import struct
+
+    import numpy as np
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    q0 = 8
+    y_blocks = [[64, 192], [200, 40]]  # per MCU, left/right 8-col bands
+    dcl = _tl_huff_codes(*mm._JPEG_DC_LUMA)
+    acl = _tl_huff_codes(*mm._JPEG_AC_LUMA)
+    dcc = _tl_huff_codes(*mm._JPEG_DC_CHROMA)
+    acc = _tl_huff_codes(*mm._JPEG_AC_CHROMA)
+
+    qzz = bytes([q0] + [16] * 63)
+    out = bytearray(b"\xff\xd8")
+    out += _tl_seg(0xFFDB, b"\x00" + qzz)  # table 0 (luma)
+    out += _tl_seg(0xFFDB, b"\x01" + qzz)  # table 1 (chroma)
+    out += _tl_seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, 8, 32, 3)
+        + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]),  # Y 2x1, Cb/Cr 1x1
+    )
+    for cls, tid, spec in (
+        (0, 0, mm._JPEG_DC_LUMA),
+        (1, 0, mm._JPEG_AC_LUMA),
+        (0, 1, mm._JPEG_DC_CHROMA),
+        (1, 1, mm._JPEG_AC_CHROMA),
+    ):
+        out += _tl_seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(spec[0]) + bytes(spec[1])
+        )
+    out += _tl_seg(0xFFDD, struct.pack(">H", 1))
+    out += _tl_seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    for i, (y0, y1) in enumerate(y_blocks):
+        bw = _TLBits()
+        pred = 0  # per-interval luma predictor, reset at each restart
+        for v in (y0, y1):
+            _tl_dc_bits(bw, v - 128 - pred, dcl)
+            pred = v - 128
+            bw.put(*acl[0x00])
+        for chroma_dc, chroma_ac in ((dcc, acc), (dcc, acc)):  # Cb, Cr
+            _tl_dc_bits(bw, 0, chroma_dc)  # chroma 128 -> diff 0
+            bw.put(*chroma_ac[0x00])
+        out += bw.align()
+        if i < len(y_blocks) - 1:
+            out += b"\xff\xd0"  # RST0
+    out += b"\xff\xd9"
+
+    w, h, nc, px = mm.decode_jpeg(bytes(out))
+    assert (w, h, nc) == (32, 8, 3)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(8, 32, 3).astype(int)
+    bands = [v for pair in y_blocks for v in pair]  # 64, 192, 200, 40
+    for i, v in enumerate(bands):
+        expect = _tl_idct_block_constant(v - 128, q0)
+        band = got[:, 8 * i : 8 * i + 8, :]
+        # Cb=Cr=128 -> R=G=B=Y exactly through the JFIF inverse.
+        for c in range(3):
+            assert (band[:, :, c] == expect).all(), (i, c)
 
 def test_jpeg_header_scan_recovers_quality_without_decode(spark, sf_dir):
     """Header-only triage (r12): the DQT inversion recovers the encoded
@@ -790,6 +1016,14 @@ def test_jpeg_header_scan_recovers_quality_without_decode(spark, sf_dir):
         mm.jpeg_header_scan(good[:at] + b"\xff\xc2" + good[at + 2 :])
     with _p.raises(ValueError, match="missing SOF/DQT"):
         mm.jpeg_header_scan(b"\xff\xd8\xff\xda\x00\x02")
+    # Headers-only payload (ends after SOF/DQT with no SOS): triage must
+    # reject it like decode_jpeg does, not greenlight an undecodable
+    # asset (r12 advice).
+    good = mm.encode_jpeg(8, 8, bytes(192))
+    with _p.raises(ValueError, match="missing SOS"):
+        mm.jpeg_header_scan(good[: good.index(b"\xff\xda")])
+    with _p.raises(ValueError):
+        mm.decode_jpeg(good[: good.index(b"\xff\xda")])
 
     docs = load_table(spark, sf_dir, "documents").limit(12)
     assets = mm.jpeg_assets_from_documents(docs)
