@@ -818,6 +818,52 @@ def media_jpeg_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_header_triage(assets)
 
 
+# MP3 triage oracle (r13): the audio twin of media_jpeg_header_scan —
+# MP3 DECODE is library-bound (documented NotImplementedError), but the
+# 4-byte MPEG frame headers give version/layer/bitrate/sample-rate and,
+# walking the frame chain, an exact frame count + duration estimate at
+# marker-walk cost. The fixture synthesizer derives every header field
+# from (doc_id, length(text)) with integer arithmetic, so the oracle
+# replays the full triage row — including the frame-length walk
+# (144*bitrate//rate) — from the documents table alone.
+@register(
+    "media_mp3_header_scan",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                 CAST(1 + doc_id % 14 AS INT)) AS kbps,
+    list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT)) AS rate,
+    2 + LENGTH(text) % 7 AS n_frames
+  FROM documents)
+SELECT doc_id AS asset_id,
+  'MPEG1' AS version,
+  CAST(3 AS INT) AS layer,
+  CAST(rate AS INT) AS sample_rate,
+  CAST(n_frames AS INT) AS n_frames,
+  CAST(kbps AS INT) AS bitrate_kbps,
+  CAST(n_frames * (144 * kbps * 1000 // rate) AS INT) AS payload_bytes,
+  CAST(n_frames * 1152 * 1000 // rate AS BIGINT) AS duration_ms
+FROM p
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_mp3_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only AUDIO triage (r13): every MP3 asset's MPEG
+    version, layer, sample rate, frame count, bitrate, and integer-math
+    duration estimate read by walking the 4-byte frame headers alone
+    (operators/multimodal.mp3_header_scan) inside one Arrow mapInPandas
+    stage — no audio decode exists or is needed for the triage decision.
+    Completes triage-before-decode for every modality: images decode
+    for real, audio/video that stay library-bound still get filtered at
+    header cost before a deployment-time decoder is paid."""
+    assets = multimodal.mp3_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.mp3_header_triage(assets)
+
+
 # Cross-codec transcode oracle (r12): lossy JPEG in, lossless PNG out —
 # the format-normalization shape of a real curation pipeline. The
 # nearest-neighbor gather picks source columns ((2j+1)*125)//16 for

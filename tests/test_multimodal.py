@@ -1038,3 +1038,109 @@ def test_jpeg_header_scan_recovers_quality_without_decode(spark, sf_dir):
             m["width"], m["height"], m["n_components"],
         )
         assert row.quality_est == 50.0  # DC-exact tables invert to 50
+
+
+def test_mp3_header_scan_parses_and_rejects():
+    """Header-only MPEG audio triage (r13): frame-chain walk recovers
+    version/layer/rate/frames/bitrate/duration across the MPEG1/2/2.5 x
+    Layer I/II/III grid (hand-built headers, spec frame lengths), skips
+    ID3v2 tags, averages VBR bitrates, and rejects malformed streams."""
+    import pytest
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    # CBR MPEG1 Layer III: 128 kbps @ 44100 -> 417-byte frames.
+    f = mm.mp3_frame_bytes(9, 0)
+    assert len(f) == 144 * 128000 // 44100
+    m = mm.mp3_header_scan(f * 5)
+    assert m == {
+        "version": "MPEG1", "layer": 3, "sample_rate": 44100,
+        "n_frames": 5, "bitrate_kbps": 128, "payload_bytes": 5 * 417,
+        "duration_ms": 5 * 1152 * 1000 // 44100,
+    }
+
+    # ID3v2 tag (syncsafe size) is skipped, not parsed as frames.
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10) + f * 3
+    assert mm.mp3_header_scan(tagged)["n_frames"] == 3
+
+    # VBR: alternating 64/128 kbps frames -> mean 96 kbps.
+    vbr = mm.mp3_frame_bytes(5, 0) + mm.mp3_frame_bytes(9, 0)
+    assert mm.mp3_header_scan(vbr * 2)["bitrate_kbps"] == 96
+
+    def hdr(vbits, lbits, bidx, sidx, pad=0):
+        h = ((0x7FF << 21) | (vbits << 19) | (lbits << 17) | (1 << 16)
+             | (bidx << 12) | (sidx << 10) | (pad << 9) | (3 << 6))
+        return h.to_bytes(4, "big")
+
+    # Layer I (lbits=3): slot-quantized frame length (12*bitrate/rate+p)*4,
+    # 384 samples/frame. 256 kbps @ 44100: (12*256000//44100)*4 = 276.
+    l1 = hdr(3, 3, 8, 0)
+    l1 += bytes(276 - 4)
+    m = mm.mp3_header_scan(l1)
+    assert (m["layer"], m["bitrate_kbps"], m["duration_ms"]) == (1, 256, 8)
+
+    # Layer II MPEG1 (lbits=2): 144*bitrate/rate, 1152 samples/frame.
+    l2 = hdr(3, 2, 8, 1)  # 128 kbps @ 48000 -> 384 bytes
+    l2 += bytes(144 * 128000 // 48000 - 4)
+    assert mm.mp3_header_scan(l2)["layer"] == 2
+
+    # MPEG2 Layer III (vbits=2): 72*bitrate/rate, 576 samples/frame.
+    m2 = hdr(2, 1, 8, 0)  # 64 kbps @ 22050 -> 209 bytes
+    m2 += bytes(72 * 64000 // 22050 - 4)
+    meta = mm.mp3_header_scan(m2)
+    assert (meta["version"], meta["duration_ms"]) == ("MPEG2", 576 * 1000 // 22050)
+
+    # MPEG2.5 (vbits=0) resolves the low sample-rate table.
+    m25 = hdr(0, 1, 8, 2)  # 64 kbps @ 8000 -> 576 bytes
+    m25 += bytes(72 * 64000 // 8000 - 4)
+    assert mm.mp3_header_scan(m25)["sample_rate"] == 8000
+
+    # Padding bit adds one slot byte to the frame length.
+    padded = hdr(3, 1, 9, 0, pad=1) + bytes(417 + 1 - 4)
+    assert mm.mp3_header_scan(padded)["n_frames"] == 1
+
+    for bad, why in [
+        (b"RIFF" + f, "sync"),
+        (hdr(1, 1, 9, 0) + bytes(413), "reserved MPEG version"),
+        (hdr(3, 0, 9, 0) + bytes(413), "reserved MPEG layer"),
+        (hdr(3, 1, 0, 0) + bytes(413), "free-format"),
+        (hdr(3, 1, 15, 0) + bytes(413), "bad MPEG bitrate"),
+        (hdr(3, 1, 9, 3) + bytes(413), "bad MPEG sample-rate"),
+        (f[:100], "truncated MPEG audio frame body"),
+        (f * 2 + f[:3], "truncated MPEG audio frame header"),
+        (f + mm.mp3_frame_bytes(9, 1), "change mid-stream"),
+        (b"ID3\x04\x00\x00\x00\x00\x00\xff" + bytes(300), "syncsafe"),
+        (b"ID3\x04\x00\x00\x00\x00\x00\x7f" + bytes(5), "no MPEG audio frame"),
+        (b"", "no MPEG audio frame|sync|truncated"),
+    ]:
+        with pytest.raises(ValueError, match=why):
+            mm.mp3_header_scan(bad)
+
+    with pytest.raises(ValueError):
+        mm.mp3_frame_bytes(0, 0)
+    with pytest.raises(ValueError):
+        mm.mp3_frame_bytes(9, 3)
+
+
+def test_mp3_triage_end_to_end(spark, sf_dir):
+    """The Spark MP3 triage stage matches per-asset local scans over
+    synthesized testdata assets, and the fixture fields follow the
+    documented (doc_id, length(text)) derivation the oracle replays."""
+    from ssg_etl_spark.operators import multimodal as mm
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(16)
+    assets = mm.mp3_assets_from_documents(docs)
+    local = {
+        r.asset_id: mm.mp3_header_scan(bytes(r.payload))
+        for r in assets.collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = {r.asset_id: r for r in mm.mp3_header_triage(assets).collect()}
+    assert set(got) == set(local) == set(texts)
+    for aid, row in got.items():
+        m = local[aid]
+        assert row.asDict() == {"asset_id": aid, **m}
+        assert row.n_frames == 2 + len(texts[aid]) % 7
+        assert row.sample_rate == (44100, 48000, 32000)[aid % 3]
+        assert row.version == "MPEG1" and row.layer == 3

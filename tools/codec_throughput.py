@@ -79,7 +79,44 @@ def main() -> int:
                 f"decode {w:.3f}s = {r['decode_raster_mb_s']:.2f} MB/s raster"
                 f" ({r['decode_payload_mb_s']:.2f} MB/s compressed)"
             )
-    path = os.path.join(REPO, "tools", "codec_throughput_r12.json")
+    # Header-only triage rows (r13): what a pre-decode filter pays per
+    # asset, next to the full-decode cost it avoids. JPEG: marker walk +
+    # DQT inversion vs the entropy decode above. MP3: the 4-byte frame
+    # chain walk over a realistic 3-minute 128 kbps CBR stream (~6.9k
+    # frames) — there IS no stdlib decode to compare against; the row
+    # documents that triage cost stays trivial even for the format that
+    # stays undecoded.
+    jpeg_noise = mm.encode_jpeg(side, side, rasters(side)["noise"])
+    mp3 = mm.mp3_frame_bytes(9, 0) * (180 * 44100 // 1152)
+    for name, payload, fn in (
+        ("jpeg_header_scan", jpeg_noise, mm.jpeg_header_scan),
+        ("mp3_header_scan", mp3, mm.mp3_header_scan),
+    ):
+        walls = []
+        for _ in range(max(trials, 20)):
+            t0 = time.monotonic()
+            meta = fn(payload)
+            walls.append(time.monotonic() - t0)
+        w = statistics.median(walls)
+        out["triage"] = out.get("triage", {})
+        out["triage"][name] = {
+            "payload_bytes": len(payload),
+            "scan_wall_s": round(w, 6),
+            "scan_payload_mb_s": round(len(payload) / w / 1e6, 2),
+            "meta": {
+                k: v for k, v in meta.items() if not isinstance(v, float)
+            },
+        }
+        print(
+            f"{name}: payload {len(payload):>8d} B, scan {w * 1e3:.3f} ms"
+            f" = {out['triage'][name]['scan_payload_mb_s']:.1f} MB/s"
+        )
+    jd = out["codecs"]["jpeg_noise"]["decode_wall_s"]
+    out["triage"]["jpeg_scan_vs_decode"] = round(
+        jd / out["triage"]["jpeg_header_scan"]["scan_wall_s"], 1
+    )
+
+    path = os.path.join(REPO, "tools", "codec_throughput_r13.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
