@@ -1348,6 +1348,8 @@ def foreach_batch_ivf_append(
     centroids_path: str,
     cells_path: str,
     keep_versions: int | None = None,
+    compact_every: int | None = 16,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ):
     """Streaming ANN index maintenance: every micro-batch of embeddings
     is assigned to PRE-TRAINED IVF centroids
@@ -1367,12 +1369,27 @@ def foreach_batch_ivf_append(
     detected from the newest manifest alone and skipped.
     ``keep_versions``: inline retention; the latest version carries the
     full accumulated index, so vacuuming history only limits time
-    travel depth, never probe results."""
+    travel depth, never probe results.
+
+    File discipline (r13 — found by the 60-batch soak, which measured
+    32 data files PER COMMIT and an O(batches x shuffle-partitions)
+    on-disk footprint): each micro-batch delta is trigger-bounded, so
+    it commits as ONE coalesced file, and every ``compact_every``-th
+    version the fold runs :func:`versioning.compact_snapshots` inline —
+    an overwrite rewrite that bin-packs the accumulated index to
+    ~``compact_target_bytes`` files and CARRIES the replay watermark
+    forward — so the steady-state file count is bounded by
+    ``compact_every + keep_versions + index_bytes/target``, independent
+    of how many batches ever ran. ``compact_every=None`` disables
+    inline compaction for deployments that schedule OPTIMIZE
+    externally."""
     from ssg_etl_spark.operators.similarity import ivf_assign
     from ssg_etl_spark.sources import versioning
 
     if keep_versions is not None and keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1386,8 +1403,8 @@ def foreach_batch_ivf_append(
             if batch_id <= prev_max:
                 return
         cents = spark.read.parquet(centroids_path)
-        versioning.commit_snapshot(
-            ivf_assign(cents, batch),
+        version = versioning.commit_snapshot(
+            ivf_assign(cents, batch).coalesce(1),
             cells_path,
             mode="append",
             meta={
@@ -1395,6 +1412,10 @@ def foreach_batch_ivf_append(
                 "max_batch_id": max(batch_id, prev_max),
             },
         )
+        if compact_every is not None and version % compact_every == 0:
+            versioning.compact_snapshots(
+                spark, cells_path, target_file_bytes=compact_target_bytes
+            )
         if keep_versions is not None:
             versioning.vacuum_snapshots(cells_path, keep_last=keep_versions)
 

@@ -475,3 +475,87 @@ def test_streaming_ivf_append_matches_batch_and_skips_replay(
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_ivf_append_compacts_and_bounds_files(spark, sf_dir, tmp_path):
+    """File discipline of the streaming IVF fold (r13, found by the
+    60-batch soak: 32 files per commit, O(batches) on-disk growth):
+    deltas commit as ONE coalesced file each, inline compaction rewrites
+    the chain every compact_every versions CARRYING the replay
+    watermark, so file count stays bounded while probe results and the
+    replay skip are unchanged."""
+    import os
+
+    from ssg_etl_spark.sources.versioning import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_meta,
+        snapshot_versions,
+    )
+    from ssg_etl_spark.streaming.pipeline import foreach_batch_ivf_append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = similarity.build_ivf_index(emb, n_cells=4)
+    cent_path = str(tmp_path / "centroids")
+    cells_path = str(tmp_path / "cells")
+    idx["centroids"].write.parquet(cent_path)
+    commit_snapshot(
+        similarity.ivf_assign(idx["centroids"], emb.limit(0)),
+        cells_path,
+        mode="append",
+        meta={"max_batch_id": -1},
+    )
+
+    apply_fn = foreach_batch_ivf_append(
+        cells_path=cells_path,
+        centroids_path=cent_path,
+        keep_versions=2,
+        compact_every=2,
+    )
+    for i in range(6):
+        apply_fn(emb.filter(f"vec_id % 6 = {i}"), batch_id=i)
+
+    def data_files():
+        return sum(
+            1
+            for _r, _d, names in os.walk(cells_path)
+            for n in names
+            if n.endswith(".parquet")
+        )
+
+    # 6 delta commits + 3 inline compactions: without the discipline
+    # this is ~6*shuffle_partitions files; with it, a handful.
+    assert data_files() <= 2 + 2 * 2  # compact_every + 2*keep_versions
+
+    # The compaction carried the watermark: a replay of any folded batch
+    # is still skipped, and the full index is intact.
+    latest = snapshot_meta(cells_path, snapshot_versions(cells_path)[-1])
+    assert int(latest["max_batch_id"]) == 5
+    n_before = read_snapshot(spark, cells_path).count()
+    assert n_before == emb.count()
+    apply_fn(emb.filter("vec_id % 6 = 3"), batch_id=3)
+    assert read_snapshot(spark, cells_path).count() == n_before
+
+    # Probe equality survives the rewrites.
+    cents = spark.read.parquet(cent_path)
+    queries = emb.filter("vec_id % 50 = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_vs_index(
+            cents, read_snapshot(spark, cells_path), queries, k=5
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_vs_index(
+            cents, similarity.ivf_assign(cents, emb), queries, k=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        foreach_batch_ivf_append(cent_path, cells_path, compact_every=0)

@@ -449,6 +449,20 @@ def family(sf_dir: str, n_vectors: int):
             ),
             "encode+decode per doc, Huffman+IDCT",
         ),
+        # Round 13: the cross-codec composition (r12 verdict #8 — its
+        # parts media_png/media_jpeg are pinned above, the composed
+        # JPEG-decode -> resample -> PNG-encode -> PNG-decode chain was
+        # not). Same per-asset Arrow-batched shape; the pin verifies
+        # composing codecs stays ~linear instead of assuming it.
+        (
+            "media_transcode",
+            lambda s: multimodal.png_roundtrip(
+                multimodal.transcode_resize_images(
+                    multimodal.jpeg_assets_from_documents(docs(s)), 8, 8
+                )
+            ),
+            "JPEG decode -> 8x8 resample -> PNG encode+decode per doc",
+        ),
         # |S|=100 sources -> C(100,2)=4950 pairs x k=256 sketch rows ≈
         # 1.3M tagged rows; the pin verifies the guarded |S|^2·k pair
         # expansion stays sketch-bounded (flat-ish across the corpus
