@@ -2194,3 +2194,299 @@ def mp3_header_triage(assets: DataFrame) -> DataFrame:
     return fan_out(assets.select("asset_id", "payload")).mapInPandas(
         run, MP3_HEADER_SCHEMA
     )
+
+
+# --------------------------------------------------------------- MP4 triage
+# Container-level video triage (r13): the video twin of
+# :func:`mp3_header_scan`. H.264 BITSTREAM decode stays library-bound
+# (see :func:`decode_media`), but the ISO base-media container around it
+# (ISO/IEC 14496-12) is a plain length-prefixed box tree: brand, movie
+# timescale/duration, per-track handler + sample-entry fourcc, and the
+# video track's presentation dims all sit in the first few hundred bytes
+# of `moov`. A 100 TB curation pass filters video on
+# duration/dims/codec BEFORE paying for (or shipping to) a real decoder.
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over sibling boxes in
+    buf[start:end], validating sizes (14496-12 4.2: 32-bit size, size==1
+    -> 64-bit largesize follows, size==0 -> box extends to `end`)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            body = pos + 16
+            if size < 16:
+                raise ValueError("bad MP4 largesize")
+        elif size == 0:
+            size = end - pos
+        elif size < 8:
+            raise ValueError("bad MP4 box size")
+        if pos + size > end:
+            raise ValueError("MP4 box overruns its container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_child(buf: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _mp4_boxes(buf, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def mp4_header_scan(payload: bytes) -> dict:
+    """HEADER-ONLY MP4/ISO-BMFF triage: walk the box tree (ftyp brand,
+    moov/mvhd movie timescale + duration, per-trak hdlr handler and stsd
+    sample-entry fourcc, video tkhd presentation dims) and return
+    container metadata with NO bitstream decode:
+    ``major_brand, timescale, duration_ms (integer math), n_tracks,
+    video_codec/width/height (None when no video track),
+    audio_codec (None when no audio track)``. Raises ValueError on
+    malformed trees: truncated/overrunning boxes, missing ftyp/moov/
+    mvhd, trak without mdia/hdlr, unsupported mvhd versions."""
+    if len(payload) < 8:
+        raise ValueError("not an MP4 (too short)")
+    ftyp = None
+    moov = None
+    for t, b, e in _mp4_boxes(payload, 0, len(payload)):
+        if t == b"ftyp" and ftyp is None:
+            ftyp = (b, e)
+        elif t == b"moov" and moov is None:
+            moov = (b, e)
+    if ftyp is None:
+        raise ValueError("MP4 missing ftyp box")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    if ftyp[1] - ftyp[0] < 8:
+        raise ValueError("truncated MP4 ftyp body")
+    major_brand = payload[ftyp[0] : ftyp[0] + 4].decode("ascii", "replace")
+
+    mvhd = _mp4_child(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("MP4 moov missing mvhd")
+    mb, me = mvhd
+    ver = payload[mb]
+    if ver == 0:
+        if me - mb < 20:
+            raise ValueError("truncated MP4 mvhd")
+        timescale = int.from_bytes(payload[mb + 12 : mb + 16], "big")
+        duration = int.from_bytes(payload[mb + 16 : mb + 20], "big")
+    elif ver == 1:
+        if me - mb < 32:
+            raise ValueError("truncated MP4 mvhd v1")
+        timescale = int.from_bytes(payload[mb + 20 : mb + 24], "big")
+        duration = int.from_bytes(payload[mb + 24 : mb + 32], "big")
+    else:
+        raise ValueError("unsupported MP4 mvhd version")
+    if timescale == 0:
+        raise ValueError("MP4 mvhd timescale is zero")
+
+    n_tracks = 0
+    video = None  # (fourcc, width, height)
+    audio = None  # fourcc
+    for t, tb, te in _mp4_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        n_tracks += 1
+        mdia = _mp4_child(payload, tb, te, b"mdia")
+        if mdia is None:
+            raise ValueError("MP4 trak missing mdia")
+        hdlr = _mp4_child(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or hdlr[1] - hdlr[0] < 12:
+            raise ValueError("MP4 mdia missing hdlr")
+        handler = payload[hdlr[0] + 8 : hdlr[0] + 12]
+        fourcc = None
+        minf = _mp4_child(payload, mdia[0], mdia[1], b"minf")
+        if minf is not None:
+            stbl = _mp4_child(payload, minf[0], minf[1], b"stbl")
+            if stbl is not None:
+                stsd = _mp4_child(payload, stbl[0], stbl[1], b"stsd")
+                if stsd is not None and stsd[1] - stsd[0] >= 16:
+                    # ver+flags(4) + entry_count(4) + first entry box.
+                    fourcc = payload[stsd[0] + 12 : stsd[0] + 16].decode(
+                        "ascii", "replace"
+                    )
+        if handler == b"vide" and video is None:
+            tkhd = _mp4_child(payload, tb, te, b"tkhd")
+            if tkhd is None:
+                raise ValueError("MP4 video trak missing tkhd")
+            kb, ke = tkhd
+            tver = payload[kb]
+            # width/height are the LAST 8 bytes of tkhd (16.16 fixed
+            # point) in both versions.
+            if (tver == 0 and ke - kb < 84) or (tver == 1 and ke - kb < 96):
+                raise ValueError("truncated MP4 tkhd")
+            width = int.from_bytes(payload[ke - 8 : ke - 4], "big") >> 16
+            height = int.from_bytes(payload[ke - 4 : ke], "big") >> 16
+            video = (fourcc, width, height)
+        elif handler == b"soun" and audio is None:
+            audio = fourcc
+    return {
+        "major_brand": major_brand,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+        "video_codec": video[0] if video else None,
+        "width": video[1] if video else None,
+        "height": video[2] if video else None,
+        "audio_codec": audio,
+    }
+
+
+MP4_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("audio_codec", T.StringType()),
+    ]
+)
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def mp4_container_bytes(
+    width: int,
+    height: int,
+    duration_units: int,
+    timescale: int = 600,
+    with_audio: bool = False,
+) -> bytes:
+    """A minimal REAL ISO-BMFF tree (ftyp + moov with mvhd and one avc1
+    video trak, optionally one mp4a audio trak, + an empty mdat): every
+    box length, version field, fixed-point dim, and handler code is laid
+    out per 14496-12, so the triage walk is exercised for real; only the
+    media samples are absent (an empty mdat — the part triage never
+    reads)."""
+    if width <= 0 or height <= 0 or duration_units < 0 or timescale <= 0:
+        raise ValueError("bad MP4 fixture parameters")
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomavc1")
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # ctime, mtime
+        + timescale.to_bytes(4, "big")
+        + duration_units.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")  # volume 1.0
+        + bytes(10)
+        + b"".join(
+            v.to_bytes(4, "big")
+            for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        )
+        + bytes(24)
+        + (3).to_bytes(4, "big"),  # next track id
+    )
+
+    def trak(track_id: int, handler: bytes, fourcc: bytes, w: int, h: int):
+        tkhd = _mp4_box(
+            b"tkhd",
+            bytes([0, 0, 0, 7])  # version 0, flags: enabled+in-movie
+            + bytes(8)
+            + track_id.to_bytes(4, "big")
+            + bytes(4)
+            + duration_units.to_bytes(4, "big")
+            + bytes(8)
+            + bytes(2)  # layer
+            + bytes(2)  # alternate group
+            + (0x0100 if handler == b"soun" else 0).to_bytes(2, "big")
+            + bytes(2)
+            + b"".join(
+                v.to_bytes(4, "big")
+                for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            )
+            + (w << 16).to_bytes(4, "big")
+            + (h << 16).to_bytes(4, "big"),
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            bytes(4)
+            + bytes(8)
+            + timescale.to_bytes(4, "big")
+            + duration_units.to_bytes(4, "big")
+            + (0x55C4).to_bytes(2, "big")  # language 'und'
+            + bytes(2),
+        )
+        hdlr = _mp4_box(
+            b"hdlr", bytes(4) + bytes(4) + handler + bytes(12) + b"\x00"
+        )
+        entry = _mp4_box(fourcc, bytes(6) + (1).to_bytes(2, "big"))
+        stsd = _mp4_box(
+            b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry
+        )
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    traks = trak(1, b"vide", b"avc1", width, height)
+    if with_audio:
+        traks += trak(2, b"soun", b"mp4a", 0, 0)
+    moov = _mp4_box(b"moov", mvhd + traks)
+    return ftyp + moov + _mp4_box(b"mdat", b"")
+
+
+def mp4_assets_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize ISO-BMFF video assets, one per document, with
+    document-determined container fields (width ``16*(1+doc_id%4)``,
+    height ``16*(1+doc_id%3)``, duration ``600*(1+length(text)%10)``
+    units at timescale 600 = exact whole seconds, audio track iff
+    ``doc_id%2=0``) — deterministic arithmetic a SQL oracle replays
+    exactly. The container twin of :func:`mp3_assets_from_documents`
+    for the bitstream that stays undecoded."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                mp4_container_bytes(
+                    16 * (1 + int(d) % 4),
+                    16 * (1 + int(d) % 3),
+                    600 * (1 + len(text) % 10),
+                    with_audio=int(d) % 2 == 0,
+                )
+                for d, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    return fan_out(documents.select("doc_id", "text")).mapInPandas(
+        run, MP3_ASSETS_SCHEMA
+    )
+
+
+def mp4_header_triage(assets: DataFrame) -> DataFrame:
+    """Arrow-batched container-only triage over MP4 payloads: the
+    pre-decode filter column set (:func:`mp4_header_scan` per asset —
+    brand/duration/tracks/codec/dims, no bitstream decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                meta = mp4_header_scan(bytes(payload))
+                rows.append({"asset_id": int(aid), **meta})
+            yield pd.DataFrame(rows)
+
+    return fan_out(assets.select("asset_id", "payload")).mapInPandas(
+        run, MP4_HEADER_SCHEMA
+    )

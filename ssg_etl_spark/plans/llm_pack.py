@@ -864,6 +864,46 @@ def media_mp3_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.mp3_header_triage(assets)
 
 
+# MP4 triage oracle (r13): the VIDEO twin — H.264 bitstream decode is
+# library-bound, but the ISO-BMFF container (14496-12 box tree) carries
+# brand, movie duration, per-track handler/fourcc, and the video
+# track's presentation dims in its first few hundred bytes. The fixture
+# containers derive every field from (doc_id, length(text)) at
+# timescale 600, so the oracle replays the whole triage row including
+# the duration conversion (units*1000//timescale = exact whole seconds).
+@register(
+    "media_mp4_header_scan",
+    oracle="""
+SELECT doc_id AS asset_id,
+  'isom' AS major_brand,
+  CAST(600 AS INT) AS timescale,
+  CAST((1 + LENGTH(text) % 10) * 1000 AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+  'avc1' AS video_codec,
+  CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+  CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+  CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE NULL END AS audio_codec
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_mp4_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only VIDEO triage (r13): every MP4 asset's brand, movie
+    duration, track count, codec fourccs, and video presentation dims
+    read by walking the ISO base-media box tree alone
+    (operators/multimodal.mp4_header_scan) inside one Arrow mapInPandas
+    stage — no bitstream decode exists or is needed for the triage
+    decision. With jpeg_header_scan (image) and mp3_header_scan (audio)
+    this closes triage-before-decode across all modalities: dims,
+    duration, and codec are filterable at header cost for the formats
+    whose full decoders stay deployment-substituted."""
+    assets = multimodal.mp4_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.mp4_header_triage(assets)
+
+
 # Cross-codec transcode oracle (r12): lossy JPEG in, lossless PNG out —
 # the format-normalization shape of a real curation pipeline. The
 # nearest-neighbor gather picks source columns ((2j+1)*125)//16 for

@@ -1144,3 +1144,111 @@ def test_mp3_triage_end_to_end(spark, sf_dir):
         assert row.n_frames == 2 + len(texts[aid]) % 7
         assert row.sample_rate == (44100, 48000, 32000)[aid % 3]
         assert row.version == "MPEG1" and row.layer == 3
+
+
+def test_mp4_header_scan_parses_and_rejects():
+    """Container-only MP4 triage (r13): the box walk recovers brand,
+    movie timescale/duration, per-track handler + sample-entry fourcc,
+    and video presentation dims; tolerates unknown boxes, 64-bit
+    largesize, size=0 (to-EOF), and mvhd v1; rejects malformed trees."""
+    import pytest
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    p = mm.mp4_container_bytes(32, 48, 1800, with_audio=True)
+    assert mm.mp4_header_scan(p) == {
+        "major_brand": "isom", "timescale": 600, "duration_ms": 3000,
+        "n_tracks": 2, "video_codec": "avc1", "width": 32, "height": 48,
+        "audio_codec": "mp4a",
+    }
+    # Audio-less fixture: audio_codec None, one track.
+    m = mm.mp4_header_scan(mm.mp4_container_bytes(16, 16, 600))
+    assert (m["n_tracks"], m["audio_codec"]) == (1, None)
+
+    # Unknown boxes (free) anywhere are skipped; a size=0 trailing box
+    # extends to EOF; a 64-bit largesize box parses.
+    ftyp_at = p.index(b"ftyp") - 4
+    moov_at = p.index(b"moov") - 4
+    free = mm._mp4_box(b"free", b"junk")
+    padded = p[:moov_at] + free + p[moov_at:]
+    assert mm.mp4_header_scan(padded)["duration_ms"] == 3000
+    tail0 = p + (0).to_bytes(4, "big") + b"skip" + b"x" * 9
+    assert mm.mp4_header_scan(tail0)["n_tracks"] == 2
+    big = (
+        p
+        + (1).to_bytes(4, "big")
+        + b"free"
+        + (20).to_bytes(8, "big")
+        + b"butt"
+    )
+    assert mm.mp4_header_scan(big)["n_tracks"] == 2
+
+    # mvhd version 1 (64-bit times): same timescale/duration fields.
+    mvhd_at = p.index(b"mvhd") - 4
+    v1_body = (
+        bytes([1, 0, 0, 0])
+        + bytes(16)  # 64-bit ctime, mtime
+        + (600).to_bytes(4, "big")
+        + (1800).to_bytes(8, "big")
+        + p[mvhd_at + 8 + 20 : mvhd_at + 8 + 100]  # rate..next_track
+    )
+    v1 = mm._mp4_box(b"mvhd", v1_body)
+    old_size = int.from_bytes(p[mvhd_at : mvhd_at + 4], "big")
+    moov_size = int.from_bytes(p[moov_at : moov_at + 4], "big")
+    p1 = (
+        p[:moov_at]
+        + (moov_size - old_size + len(v1)).to_bytes(4, "big")
+        + p[moov_at + 4 : mvhd_at]
+        + v1
+        + p[mvhd_at + old_size :]
+    )
+    assert mm.mp4_header_scan(p1)["duration_ms"] == 3000
+
+    for bad, why in [
+        (b"\x00\x00\x00\x04", "too short"),
+        (p[:20], "overruns|truncated"),
+        (mm._mp4_box(b"moov", b""), "missing ftyp"),
+        (p[:ftyp_at] + mm._mp4_box(b"free", p[ftyp_at + 8 : p.index(b"moov") - 4 - 8]) + p[p.index(b"moov") - 4:], "missing ftyp"),
+        (p[: p.index(b"moov") - 4], "missing moov"),
+        (p[:moov_at] + mm._mp4_box(b"moov", b"") + b"", "missing mvhd"),
+        (b"\x00\x00\x00\x07typx", "bad MP4 box size"),
+    ]:
+        with pytest.raises(ValueError, match=why):
+            mm.mp4_header_scan(bad)
+
+    # Reserved mvhd version and zero timescale raise.
+    pv = bytearray(p)
+    pv[mvhd_at + 8] = 2
+    with pytest.raises(ValueError, match="mvhd version"):
+        mm.mp4_header_scan(bytes(pv))
+    pz = bytearray(p)
+    pz[mvhd_at + 8 + 12 : mvhd_at + 8 + 16] = bytes(4)
+    with pytest.raises(ValueError, match="timescale is zero"):
+        mm.mp4_header_scan(bytes(pz))
+
+    with pytest.raises(ValueError):
+        mm.mp4_container_bytes(0, 16, 600)
+
+
+def test_mp4_triage_end_to_end(spark, sf_dir):
+    """The Spark MP4 triage stage matches per-asset local scans over
+    synthesized containers, and fields follow the documented
+    (doc_id, length(text)) derivation the oracle replays."""
+    from ssg_etl_spark.operators import multimodal as mm
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(16)
+    assets = mm.mp4_assets_from_documents(docs)
+    local = {
+        r.asset_id: mm.mp4_header_scan(bytes(r.payload))
+        for r in assets.collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = {r.asset_id: r for r in mm.mp4_header_triage(assets).collect()}
+    assert set(got) == set(local) == set(texts)
+    for aid, row in got.items():
+        assert row.asDict() == {"asset_id": aid, **local[aid]}
+        assert row.width == 16 * (1 + aid % 4)
+        assert row.height == 16 * (1 + aid % 3)
+        assert row.duration_ms == (1 + len(texts[aid]) % 10) * 1000
+        assert row.audio_codec == ("mp4a" if aid % 2 == 0 else None)

@@ -88,9 +88,15 @@ def main() -> int:
     # stays undecoded.
     jpeg_noise = mm.encode_jpeg(side, side, rasters(side)["noise"])
     mp3 = mm.mp3_frame_bytes(9, 0) * (180 * 44100 // 1152)
+    # MP4: a realistic-shape container — tiny moov, 16 MB mdat. The box
+    # walk JUMPS over mdat by its length prefix, so triage cost is O(moov),
+    # independent of media size; the MB/s number documents exactly that.
+    mp4 = mm.mp4_container_bytes(1920, 1080, 600 * 180, with_audio=True)
+    mp4 = mp4[:-8] + (8 + 16 * 2**20).to_bytes(4, "big") + b"mdat" + bytes(16 * 2**20)
     for name, payload, fn in (
         ("jpeg_header_scan", jpeg_noise, mm.jpeg_header_scan),
         ("mp3_header_scan", mp3, mm.mp3_header_scan),
+        ("mp4_header_scan", mp4, mm.mp4_header_scan),
     ):
         walls = []
         for _ in range(max(trials, 20)):
