@@ -904,6 +904,104 @@ def media_mp4_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.mp4_header_triage(assets)
 
 
+# Cross-modality triage manifest (r13): the end deliverable the three
+# header scans exist for — ONE keep/drop manifest over a mixed-media
+# corpus, decided entirely at header cost (image: dims x quality;
+# audio: bitrate x duration; video: dims x duration). At 100 TB this is
+# the row set that gates which payloads ever reach a decoder; each
+# modality's columns are replayed by the oracle from the same
+# (doc_id, length(text)) arithmetic as its standalone triage query.
+@register(
+    "media_triage_manifest",
+    oracle="""
+SELECT doc_id AS asset_id, 'image' AS modality, 'jpeg' AS codec,
+  CAST(125 AS INT) AS width,
+  CAST(8 * (doc_id % 2 + 1) - 3 AS INT) AS height,
+  CAST(NULL AS BIGINT) AS duration_ms,
+  CAST(50.0 AS DOUBLE) AS quality,
+  (125 * (8 * (doc_id % 2 + 1) - 3) >= 1000) AS keep
+FROM documents
+UNION ALL
+SELECT doc_id, 'audio', 'mp3',
+  CAST(NULL AS INT), CAST(NULL AS INT),
+  CAST((2 + LENGTH(text) % 7) * 1152 * 1000
+       // list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT))
+       AS BIGINT),
+  CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                    CAST(1 + doc_id % 14 AS INT)) AS DOUBLE),
+  (list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                CAST(1 + doc_id % 14 AS INT)) >= 64
+   AND (2 + LENGTH(text) % 7) * 1152 * 1000
+       // list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT))
+       >= 100)
+FROM documents
+UNION ALL
+SELECT doc_id, 'video', 'avc1',
+  CAST(16 * (1 + doc_id % 4) AS INT),
+  CAST(16 * (1 + doc_id % 3) AS INT),
+  CAST((1 + LENGTH(text) % 10) * 1000 AS BIGINT),
+  CAST(NULL AS DOUBLE),
+  (16 * (1 + doc_id % 4) >= 32 AND 16 * (1 + doc_id % 3) >= 32
+   AND (1 + LENGTH(text) % 10) * 1000 <= 8000)
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_triage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keep/drop manifest across ALL modalities at header cost
+    (r13): JPEG dims+quality, MP3 bitrate+duration, and MP4
+    dims+duration triage rows normalized to a common schema and
+    unioned, with per-modality keep predicates — the pre-decode gate a
+    mixed 100 TB corpus runs before any payload reaches a decoder.
+    Three metadata-projection scans, zero shuffles, zero decodes."""
+    docs = load_table(spark, sf_dir, "documents")
+    null_i = F.lit(None).cast("int")
+    img = multimodal.jpeg_header_triage(
+        multimodal.jpeg_assets_from_documents(docs)
+    ).select(
+        "asset_id",
+        F.lit("image").alias("modality"),
+        F.lit("jpeg").alias("codec"),
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("quality_est").alias("quality"),
+        ((F.col("width") * F.col("height") >= 1000)).alias("keep"),
+    )
+    aud = multimodal.mp3_header_triage(
+        multimodal.mp3_assets_from_documents(docs)
+    ).select(
+        "asset_id",
+        F.lit("audio").alias("modality"),
+        F.lit("mp3").alias("codec"),
+        null_i.alias("width"),
+        null_i.alias("height"),
+        "duration_ms",
+        F.col("bitrate_kbps").cast("double").alias("quality"),
+        (
+            (F.col("bitrate_kbps") >= 64) & (F.col("duration_ms") >= 100)
+        ).alias("keep"),
+    )
+    vid = multimodal.mp4_header_triage(
+        multimodal.mp4_assets_from_documents(docs)
+    ).select(
+        "asset_id",
+        F.lit("video").alias("modality"),
+        F.col("video_codec").alias("codec"),
+        "width",
+        "height",
+        "duration_ms",
+        F.lit(None).cast("double").alias("quality"),
+        (
+            (F.col("width") >= 32)
+            & (F.col("height") >= 32)
+            & (F.col("duration_ms") <= 8000)
+        ).alias("keep"),
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
 # Cross-codec transcode oracle (r12): lossy JPEG in, lossless PNG out —
 # the format-normalization shape of a real curation pipeline. The
 # nearest-neighbor gather picks source columns ((2j+1)*125)//16 for

@@ -1252,3 +1252,32 @@ def test_mp4_triage_end_to_end(spark, sf_dir):
         assert row.height == 16 * (1 + aid % 3)
         assert row.duration_ms == (1 + len(texts[aid]) % 10) * 1000
         assert row.audio_codec == ("mp4a" if aid % 2 == 0 else None)
+
+
+def test_media_triage_manifest_composition(spark, sf_dir):
+    """The cross-modality manifest: one normalized keep/drop row per
+    (asset, modality) decided at header cost — keep varies along each
+    modality's own axes (image dims, audio bitrate x duration, video
+    dims x duration), and every row agrees with the standalone scans."""
+    from ssg_etl_spark.plans.llm_pack import media_triage_manifest
+
+    rows = media_triage_manifest(spark, sf_dir).collect()
+    by_mod = {}
+    for r in rows:
+        by_mod.setdefault(r.modality, []).append(r)
+    n_docs = len(by_mod["image"])
+    assert {m: len(v) for m, v in by_mod.items()} == {
+        "image": n_docs, "audio": n_docs, "video": n_docs,
+    }
+    # Each modality's keep predicate actually discriminates on testdata.
+    for mod in ("image", "audio", "video"):
+        kept = {r.keep for r in by_mod[mod]}
+        assert kept == {True, False}, mod
+    # Normalized schema: image rows carry quality but no duration;
+    # audio the reverse; video dims + duration, no quality.
+    img = by_mod["image"][0]
+    assert img.duration_ms is None and img.quality == 50.0
+    aud = by_mod["audio"][0]
+    assert aud.width is None and aud.duration_ms is not None
+    vid = by_mod["video"][0]
+    assert vid.quality is None and vid.codec == "avc1"
