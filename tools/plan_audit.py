@@ -155,6 +155,12 @@ AUDIT_DEFAULT = [
     # Round 12 (cont. 2): header-only triage — ONE Arrow stage, and the
     # whole point is that no decode work rides the plan.
     "media_jpeg_header_scan",
+    # Round 13: audio/video triage twins (one Arrow stage each) and the
+    # cross-modality manifest (three triage stages unioned — the pin
+    # holds it at zero exchanges/joins: a union of projections).
+    "media_mp3_header_scan",
+    "media_mp4_header_scan",
+    "media_triage_manifest",
 ]
 
 
