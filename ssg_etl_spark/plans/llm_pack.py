@@ -955,7 +955,12 @@ def media_triage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned, with per-modality keep predicates — the pre-decode gate a
     mixed 100 TB corpus runs before any payload reaches a decoder.
     Three metadata-projection scans, zero shuffles, zero decodes."""
-    docs = load_table(spark, sf_dir, "documents")
+    return triage_manifest_over(load_table(spark, sf_dir, "documents"))
+
+
+def triage_manifest_over(docs: DataFrame) -> DataFrame:
+    """The manifest composition over an arbitrary documents frame
+    (shared by the registered query and the scale sweep)."""
     null_i = F.lit(None).cast("int")
     img = multimodal.jpeg_header_triage(
         multimodal.jpeg_assets_from_documents(docs)

@@ -463,6 +463,17 @@ def family(sf_dir: str, n_vectors: int):
             ),
             "JPEG decode -> 8x8 resample -> PNG encode+decode per doc",
         ),
+        # Round 13 (cont.): the cross-modality triage manifest — three
+        # header scans (image/audio/video) unioned, zero decodes. Header
+        # cost is independent of media size, so the pin should read as
+        # near-pure scan/synthesis linearity.
+        (
+            "media_triage",
+            lambda s: __import__(
+                "ssg_etl_spark.plans.llm_pack", fromlist=["llm_pack"]
+            ).triage_manifest_over(docs(s)),
+            "jpeg+mp3+mp4 header scans unioned, keep predicates",
+        ),
         # |S|=100 sources -> C(100,2)=4950 pairs x k=256 sketch rows ≈
         # 1.3M tagged rows; the pin verifies the guarded |S|^2·k pair
         # expansion stays sketch-bounded (flat-ish across the corpus
