@@ -173,11 +173,13 @@ CURATION_FAMILY = [
     "media_jpeg_features",
     "media_transcode_jpeg_png",
     "media_jpeg_header_scan",
-    # Round 13: audio/video header triage + the cross-modality manifest
-    # (series note: r≤12 curation totals exclude these three).
+    # Round 13: audio/video header triage, the cross-modality manifest,
+    # and the mixed-format dispatching image triage (series note: r≤12
+    # curation totals exclude these four).
     "media_mp3_header_scan",
     "media_mp4_header_scan",
     "media_triage_manifest",
+    "media_image_header_scan",
 ]
 
 

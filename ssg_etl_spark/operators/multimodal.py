@@ -2490,3 +2490,162 @@ def mp4_header_triage(assets: DataFrame) -> DataFrame:
     return fan_out(assets.select("asset_id", "payload")).mapInPandas(
         run, MP4_HEADER_SCHEMA
     )
+
+
+# ------------------------------------------------------ image header triage
+# Dispatching image triage (r13): real corpora mix formats in one
+# column, and the pre-decode filter must read dims at header cost for
+# whichever codec each payload happens to be. One magic-byte dispatch
+# over the three real image codecs: PPM (header tokens), PNG (IHDR +
+# CRC), JPEG (marker walk + DQT quality inversion). Each per-format
+# scanner enforces the SAME subset its decoder accepts, so triage never
+# greenlights a payload the decode stage would reject.
+
+
+def png_header_scan(payload: bytes) -> dict:
+    """HEADER-ONLY PNG triage: signature + the mandatory-first IHDR
+    chunk (CRC-verified), returning dims/bit depth/color type with no
+    inflate and no filter reconstruction. Same supported subset and
+    dimension cap as :func:`decode_png` (8-bit truecolor,
+    non-interlaced); raises ValueError outside it."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG (missing signature)")
+    if len(payload) < 8 + 12 + 13:
+        raise ValueError("truncated PNG chunk header")
+    (length,) = struct.unpack(">I", payload[8:12])
+    ctype = payload[12:16]
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("PNG IHDR must be the first chunk (13 bytes)")
+    data = payload[16:29]
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+        raise ValueError("PNG chunk b'IHDR' CRC mismatch")
+    width, height, depth, ctype_i, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", data
+    )
+    if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "unsupported PNG subset: need 8-bit truecolor non-interlaced, "
+            f"got depth={depth} color={ctype_i} interlace={interlace}"
+        )
+    if width <= 0 or height <= 0 or width * height > 1 << 28:
+        raise ValueError(f"PNG dimensions out of range: {width}x{height}")
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "n_components": 3,
+        "quality_est": None,
+    }
+
+
+def ppm_header_scan(payload: bytes) -> dict:
+    """HEADER-ONLY PPM triage: the P6 header grammar + raster length
+    check (arithmetic on len(payload), no raster read) — same rejects
+    as :func:`decode_ppm`."""
+    width, height, _maxval, _pixels = decode_ppm(payload)
+    return {
+        "format": "ppm",
+        "width": width,
+        "height": height,
+        "n_components": 3,
+        "quality_est": None,
+    }
+
+
+def image_header_scan(payload: bytes) -> dict:
+    """Magic-byte dispatch over the three real image codecs: returns
+    ``format/width/height/n_components/quality_est`` (quality only for
+    JPEG — the DQT inversion; None elsewhere) at header cost. Raises
+    ValueError on unknown magic or any per-format malformation."""
+    if payload[:2] == b"P6":
+        return ppm_header_scan(payload)
+    if payload[:8] == PNG_SIG:
+        return png_header_scan(payload)
+    if payload[:2] == b"\xff\xd8":
+        meta = jpeg_header_scan(payload)
+        return {
+            "format": "jpeg",
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_components": meta["n_components"],
+            "quality_est": meta["quality_est"],
+        }
+    raise ValueError("unknown image magic (supported: PPM/PNG/JPEG)")
+
+
+IMAGE_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("quality_est", T.DoubleType()),
+    ]
+)
+
+
+def mixed_image_assets_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize a HETEROGENEOUS image corpus — the realistic crawl
+    shape: one asset per document whose codec rotates by ``doc_id % 3``
+    (0 → PPM, 1 → PNG, 2 → JPEG), each with its standard fixture
+    geometry (PPM/PNG 16×(doc_id%4+1) digest rasters; JPEG 125×
+    (8*(doc_id%2+1)-3) DC-exact columns), so a SQL oracle replays every
+    triage field from (doc_id, text) alone."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                if d % 3 == 2:
+                    w, h = jpeg_fixture_dims(d)
+                    payloads.append(
+                        encode_jpeg(
+                            w,
+                            h,
+                            jpeg_fixture_raster(text, h),
+                            quant_luma=JPEG_QUANT_LUMA_DCEXACT,
+                            quant_chroma=JPEG_QUANT_CHROMA_DCEXACT,
+                        )
+                    )
+                else:
+                    h = d % 4 + 1
+                    n = 3 * 16 * h
+                    digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                    raster = (digest * (-(-n // len(digest))))[:n]
+                    enc = encode_ppm if d % 3 == 0 else encode_png
+                    payloads.append(enc(16, h, raster))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return fan_out(documents.select("doc_id", "text")).mapInPandas(
+        run, PPM_ASSETS_SCHEMA
+    )
+
+
+def image_header_triage(assets: DataFrame) -> DataFrame:
+    """Arrow-batched dispatching triage over a mixed-format image
+    column: the pre-decode filter row (:func:`image_header_scan` per
+    asset — format/dims/components/quality, no decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                meta = image_header_scan(bytes(payload))
+                rows.append({"asset_id": int(aid), **meta})
+            yield pd.DataFrame(rows)
+
+    return fan_out(assets.select("asset_id", "payload")).mapInPandas(
+        run, IMAGE_HEADER_SCHEMA
+    )

@@ -904,6 +904,43 @@ def media_mp4_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.mp4_header_triage(assets)
 
 
+# Dispatching image triage (r13): real corpora MIX formats in one
+# binary column, so the pre-decode filter must read dims at header cost
+# for whichever codec each payload is. The fixture corpus rotates
+# PPM/PNG/JPEG by doc_id%3 with each format's standard geometry, so the
+# oracle replays format, dims, and the JPEG-only quality estimate from
+# doc_id alone.
+@register(
+    "media_image_header_scan",
+    oracle="""
+SELECT doc_id AS asset_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+       ELSE 'jpeg' END AS format,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 125 ELSE 16 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 8 * (doc_id % 2 + 1) - 3
+            ELSE doc_id % 4 + 1 END AS INT) AS height,
+  CAST(3 AS INT) AS n_components,
+  CASE WHEN doc_id % 3 = 2 THEN CAST(50.0 AS DOUBLE)
+       ELSE CAST(NULL AS DOUBLE) END AS quality_est
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+    extra=True,
+)
+def media_image_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispatching image triage over a HETEROGENEOUS corpus (r13): one
+    mixed PPM/PNG/JPEG binary column triaged by magic-byte dispatch
+    (operators/multimodal.image_header_scan — P6 header grammar, PNG
+    IHDR with CRC, JPEG marker walk + DQT quality inversion) inside one
+    Arrow mapInPandas stage, no decode. Each per-format scanner
+    enforces exactly its decoder's supported subset, so this gate never
+    admits a payload the decode stage would reject."""
+    assets = multimodal.mixed_image_assets_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.image_header_triage(assets)
+
+
 # Cross-modality triage manifest (r13): the end deliverable the three
 # header scans exist for — ONE keep/drop manifest over a mixed-media
 # corpus, decided entirely at header cost (image: dims x quality;

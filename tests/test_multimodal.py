@@ -1281,3 +1281,78 @@ def test_media_triage_manifest_composition(spark, sf_dir):
     assert aud.width is None and aud.duration_ms is not None
     vid = by_mod["video"][0]
     assert vid.quality is None and vid.codec == "avc1"
+
+
+def test_image_header_scan_dispatch_and_rejects():
+    """Magic-byte image triage (r13): PPM/PNG/JPEG dims at header cost,
+    each scanner enforcing exactly its decoder's subset (PNG IHDR CRC,
+    first-chunk rule, 8-bit truecolor; PPM raster-length arithmetic;
+    JPEG baseline-only) so triage never admits what decode rejects."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    ppm = mm.encode_ppm(4, 2, bytes(24))
+    png = mm.encode_png(4, 2, bytes(24))
+    jpg = mm.encode_jpeg(8, 8, bytes(192))
+    assert mm.image_header_scan(ppm) == {
+        "format": "ppm", "width": 4, "height": 2, "n_components": 3,
+        "quality_est": None,
+    }
+    assert mm.image_header_scan(png)["format"] == "png"
+    assert mm.image_header_scan(jpg)["quality_est"] == 50.0
+
+    with pytest.raises(ValueError, match="unknown image magic"):
+        mm.image_header_scan(b"GIF89a...")
+
+    # PNG: CRC corruption, a non-first IHDR, and unsupported subsets all
+    # raise — matching decode_png's rejects.
+    corrupt = bytearray(png)
+    corrupt[20] ^= 0xFF  # inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mm.png_header_scan(bytes(corrupt))
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(corrupt))
+    shuffled = png[:8] + mm._png_chunk(b"sRGB", b"\x00") + png[8:]
+    with pytest.raises(ValueError, match="first chunk"):
+        mm.png_header_scan(shuffled)
+    gray = bytearray(png)
+    gray[25] = 0  # color type 0 in IHDR
+    body = bytes(gray[16:29])
+    gray[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="unsupported PNG subset"):
+        mm.png_header_scan(bytes(gray))
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(gray))
+
+    # PPM: truncated raster is caught from the length arithmetic.
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        mm.ppm_header_scan(ppm[:-1])
+
+
+def test_image_header_triage_end_to_end(spark, sf_dir):
+    """The mixed-corpus triage stage: formats rotate by doc_id%3, every
+    row matches a local scan, and the geometry follows each format's
+    fixture arithmetic the oracle replays."""
+    from ssg_etl_spark.operators import multimodal as mm
+    from ssg_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(18)
+    assets = mm.mixed_image_assets_from_documents(docs)
+    local = {
+        r.asset_id: mm.image_header_scan(bytes(r.payload))
+        for r in assets.collect()
+    }
+    got = {r.asset_id: r for r in mm.image_header_triage(assets).collect()}
+    assert set(got) == set(local)
+    assert {r.format for r in got.values()} == {"ppm", "png", "jpeg"}
+    for aid, row in got.items():
+        assert row.asDict() == {"asset_id": aid, **local[aid]}
+        if aid % 3 == 2:
+            assert (row.width, row.quality_est) == (125, 50.0)
+        else:
+            assert (row.width, row.height) == (16, aid % 4 + 1)
+            assert row.quality_est is None

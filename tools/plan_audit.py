@@ -161,6 +161,9 @@ AUDIT_DEFAULT = [
     "media_mp3_header_scan",
     "media_mp4_header_scan",
     "media_triage_manifest",
+    # Round 13 (cont.): the magic-byte dispatching image triage over a
+    # mixed-format corpus — same one-Arrow-stage-pair shape.
+    "media_image_header_scan",
 ]
 
 
