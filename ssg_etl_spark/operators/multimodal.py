@@ -2021,7 +2021,18 @@ def mp3_header_scan(payload: bytes) -> dict:
     sample_rate`` (integer math, so oracle-replayable). Raises
     ValueError on malformed streams: bad sync, reserved version/layer,
     free-format or bad bitrate index, bad sample-rate index, truncated
-    frames, sample-rate/version/layer changes mid-stream."""
+    frames, sample-rate/version/layer changes mid-stream.
+
+    Xing/Info VBR tags (the LAME/ffmpeg convention): a real encoder's
+    FIRST frame is often a metadata frame carrying ``Xing`` (VBR) or
+    ``Info`` (CBR) at the Layer III side-info offset. That frame holds
+    no audio, so it is EXCLUDED from ``n_frames``/``bitrate_kbps``/
+    ``duration_ms`` (counting it would overstate duration by one frame
+    and skew the mean toward the tag frame's arbitrary bitrate); the
+    returned ``vbr_tag`` is ``'xing'``/``'info'``/``None``, and when
+    the tag declares a frame count that disagrees with the walked chain
+    the stream is malformed and raises (a truncated download whose tag
+    promises more audio than is present must not triage as healthy)."""
     pos = 0
     if payload[:3] == b"ID3":
         if len(payload) < 10:
@@ -2035,6 +2046,9 @@ def mp3_header_scan(payload: bytes) -> dict:
     stream = None  # (version_bits, layer, sample_rate, samples_per_frame)
     n_frames = 0
     bitrate_sum = 0
+    first_frame = True
+    vbr_tag = None
+    tag_frames = None
     while pos < len(payload):
         if pos + 4 > len(payload):
             raise ValueError("truncated MPEG audio frame header")
@@ -2076,11 +2090,38 @@ def mp3_header_scan(payload: bytes) -> dict:
             raise ValueError("MPEG stream parameters change mid-stream")
         if pos + frame_len > len(payload):
             raise ValueError("truncated MPEG audio frame body")
+        if first_frame and layer == 3:
+            # Xing/Info sits after the header + side info: Layer III
+            # side-info length is 17 (MPEG1 mono) / 32 (MPEG1 other
+            # channel modes) / 9 (MPEG2/2.5 mono) / 17 (MPEG2/2.5
+            # other). Channel mode 3 (bits 6-7) is mono.
+            mono = (h >> 6) & 0x3 == 3
+            if vgroup == 1:
+                off = pos + 4 + (17 if mono else 32)
+            else:
+                off = pos + 4 + (9 if mono else 17)
+            tag = payload[off : off + 4]
+            if tag in (b"Xing", b"Info") and off + 8 <= pos + frame_len:
+                vbr_tag = "xing" if tag == b"Xing" else "info"
+                flags = int.from_bytes(payload[off + 4 : off + 8], "big")
+                if flags & 0x1 and off + 12 <= pos + frame_len:
+                    tag_frames = int.from_bytes(
+                        payload[off + 8 : off + 12], "big"
+                    )
+                pos += frame_len
+                first_frame = False
+                continue  # metadata frame: no audio, excluded from stats
+        first_frame = False
         n_frames += 1
         bitrate_sum += bitrate
         pos += frame_len
     if stream is None or n_frames == 0:
         raise ValueError("no MPEG audio frames")
+    if tag_frames is not None and tag_frames != n_frames:
+        raise ValueError(
+            f"MPEG VBR tag declares {tag_frames} frames but the stream"
+            f" carries {n_frames} (truncated or corrupt download)"
+        )
     vbits, layer, sample_rate, spf = stream
     return {
         "version": _MP3_VERSION_NAME[vbits],
@@ -2090,6 +2131,7 @@ def mp3_header_scan(payload: bytes) -> dict:
         "bitrate_kbps": bitrate_sum // (1000 * n_frames),
         "payload_bytes": len(payload),
         "duration_ms": n_frames * spf * 1000 // sample_rate,
+        "vbr_tag": vbr_tag,
     }
 
 

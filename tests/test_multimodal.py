@@ -1056,8 +1056,33 @@ def test_mp3_header_scan_parses_and_rejects():
     assert m == {
         "version": "MPEG1", "layer": 3, "sample_rate": 44100,
         "n_frames": 5, "bitrate_kbps": 128, "payload_bytes": 5 * 417,
-        "duration_ms": 5 * 1152 * 1000 // 44100,
+        "duration_ms": 5 * 1152 * 1000 // 44100, "vbr_tag": None,
     }
+
+    # Xing/Info tag frames (the LAME/ffmpeg first-frame convention, at
+    # the MPEG1-mono side-info offset 4+17): metadata, not audio — they
+    # must be EXCLUDED from frame count / bitrate mean / duration, and a
+    # tag frame-count that disagrees with the walked chain must raise.
+    def tagged_first(tag, n_declared=None):
+        tf = bytearray(f)
+        tf[21:25] = tag
+        if n_declared is None:
+            tf[25:29] = (0).to_bytes(4, "big")  # no fields
+        else:
+            tf[25:29] = (1).to_bytes(4, "big")  # frames field present
+            tf[29:33] = n_declared.to_bytes(4, "big")
+        return bytes(tf)
+
+    x = mm.mp3_header_scan(tagged_first(b"Xing", 5) + f * 5)
+    assert (x["n_frames"], x["vbr_tag"]) == (5, "xing")
+    assert x["duration_ms"] == 5 * 1152 * 1000 // 44100
+    assert mm.mp3_header_scan(tagged_first(b"Info") + f * 3)["vbr_tag"] == "info"
+    # A VBR stream's mean bitrate ignores the tag frame's own bitrate.
+    slow = mm.mp3_frame_bytes(5, 0)  # 64 kbps
+    v = mm.mp3_header_scan(tagged_first(b"Xing", 2) + slow + f)
+    assert v["bitrate_kbps"] == 96
+    with pytest.raises(ValueError, match="declares 9 frames"):
+        mm.mp3_header_scan(tagged_first(b"Xing", 9) + f * 5)
 
     # ID3v2 tag (syncsafe size) is skipped, not parsed as frames.
     tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10) + f * 3
@@ -1139,7 +1164,8 @@ def test_mp3_triage_end_to_end(spark, sf_dir):
     got = {r.asset_id: r for r in mm.mp3_header_triage(assets).collect()}
     assert set(got) == set(local) == set(texts)
     for aid, row in got.items():
-        m = local[aid]
+        m = {k: v for k, v in local[aid].items() if k != "vbr_tag"}
+        assert local[aid]["vbr_tag"] is None  # fixtures carry no tag
         assert row.asDict() == {"asset_id": aid, **m}
         assert row.n_frames == 2 + len(texts[aid]) % 7
         assert row.sample_rate == (44100, 48000, 32000)[aid % 3]
