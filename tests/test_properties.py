@@ -497,3 +497,95 @@ def test_png_and_ppm_resample_agree(w, h, seed):
     png_out = mm._png_resize(mm.encode_png(w, h, pixels), tw, th)
     ppm_out = mm._ppm_resize(mm.encode_ppm(w, h, pixels), tw, th)
     assert mm.decode_png(png_out)[2] == mm.decode_ppm(ppm_out)[3]
+
+
+@given(
+    bidxs=st.lists(st.integers(min_value=1, max_value=14), min_size=1, max_size=12),
+    sidx=st.integers(min_value=0, max_value=2),
+    id3=st.booleans(),
+    xing=st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_mp3_header_scan_matches_frame_arithmetic(bidxs, sidx, id3, xing):
+    """Any valid MPEG1-L3 frame chain (random per-frame bitrates,
+    optional ID3v2 prefix, optional Xing first frame) scans to exactly
+    the spec arithmetic: media frame count, floor-mean bitrate, and
+    1152-samples-per-frame duration — with the tag frame excluded."""
+    from ssg_etl_spark.operators import multimodal as mm
+
+    frames = [mm.mp3_frame_bytes(b, sidx) for b in bidxs]
+    payload = b"".join(frames)
+    if xing:
+        tag = bytearray(mm.mp3_frame_bytes(9, sidx))
+        tag[21:25] = b"Xing"
+        tag[25:29] = (1).to_bytes(4, "big")
+        tag[29:33] = len(bidxs).to_bytes(4, "big")
+        payload = bytes(tag) + payload
+    if id3:
+        payload = b"ID3\x04\x00\x00\x00\x00\x00\x05" + bytes(5) + payload
+
+    rate = (44100, 48000, 32000)[sidx]
+    kbps = [(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)[b - 1]
+            for b in bidxs]
+    m = mm.mp3_header_scan(payload)
+    assert m["n_frames"] == len(bidxs)
+    assert m["bitrate_kbps"] == sum(k * 1000 for k in kbps) // (1000 * len(kbps))
+    assert m["duration_ms"] == len(bidxs) * 1152 * 1000 // rate
+    assert m["sample_rate"] == rate
+    assert m["payload_bytes"] == len(payload)
+    assert m["vbr_tag"] == ("xing" if xing else None)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10**6),
+    flip=st.integers(min_value=0, max_value=32),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_header_scan_dims_and_header_tamper_detection(w, h, seed, flip):
+    """png_header_scan reads exactly encode_png's dims at header cost,
+    agrees with the full decoder, and NO single-byte corruption in the
+    first 33 bytes (signature + IHDR chunk) survives: every flip breaks
+    the signature, the first-chunk rule, the declared length, or the
+    CRC — a tampered header can never triage as healthy."""
+    import random
+
+    import pytest as _p
+
+    from ssg_etl_spark.operators import multimodal as mm
+
+    raster = bytes(random.Random(seed).randrange(256) for _ in range(3 * w * h))
+    png = mm.encode_png(w, h, raster)
+    meta = mm.png_header_scan(png)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert mm.decode_png(png)[:2] == (w, h)
+
+    bad = bytearray(png)
+    bad[flip] ^= 0x5A
+    with _p.raises(ValueError):
+        mm.png_header_scan(bytes(bad))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=4096),
+    h=st.integers(min_value=1, max_value=4096),
+    dur=st.integers(min_value=0, max_value=10**7),
+    ts=st.integers(min_value=1, max_value=10**6),
+    audio=st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_mp4_header_scan_roundtrips_container_fields(w, h, dur, ts, audio):
+    """mp4_header_scan inverts mp4_container_bytes exactly for any
+    geometry/timescale/duration/track mix — the integer duration_ms is
+    the 14496-12 units*1000//timescale conversion."""
+    from ssg_etl_spark.operators import multimodal as mm
+
+    m = mm.mp4_header_scan(
+        mm.mp4_container_bytes(w, h, dur, timescale=ts, with_audio=audio)
+    )
+    assert (m["width"], m["height"]) == (w, h)
+    assert m["timescale"] == ts
+    assert m["duration_ms"] == dur * 1000 // ts
+    assert m["n_tracks"] == (2 if audio else 1)
+    assert m["audio_codec"] == ("mp4a" if audio else None)
