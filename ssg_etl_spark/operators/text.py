@@ -100,6 +100,16 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """DISTINCT n-word shingles per document (the unit set for Jaccard /
     MinHash). Expressed with transform+sequence so the explode happens
     JVM-side; documents shorter than n words contribute no shingles.
+
+    Dedup is ``array_distinct`` BEFORE the explode, not ``.distinct()``
+    after it (r13 optimization): the distinct key was (id, shingle), so
+    deduplication only ever removes repeats WITHIN one document — exactly
+    what ``array_distinct`` does per row with zero data movement — while
+    the post-explode ``distinct()`` paid a full shuffle of the exploded
+    corpus shingle stream (measured at sf0.1: 61.8 MB exchanged for
+    8 MB of distinct output; at 100 TB that exchange is corpus-sized).
+    Output rows are identical (pinned by the oracle-checked dedup
+    queries and tests/test_dedup.py).
     """
     assert n == 3, "SQL-oracle parity is written for n=3"
     # Few-splits sources (single-file fixture parquet) would run the whole
@@ -118,9 +128,8 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
