@@ -257,7 +257,14 @@ def ngram_jaccard_pairs_prefix(
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    cand_shingles = capped.join(cand_docs, "doc_id", "left_semi")
+    # Persisted (r13): _shingle_jaccard consumes its input three times
+    # (sizes + both self-join sides); unpersisted, the semi-join chain —
+    # including the union+distinct over candidates — re-ran per consumer
+    # (stage metrics showed the candidate-shingle compute duplicated and
+    # the cand_docs distinct run 4×).
+    cand_shingles = persist_tracked(
+        capped.join(cand_docs, "doc_id", "left_semi")
+    )
     verified = _shingle_jaccard(cand_shingles, threshold)
     return verified.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
@@ -321,7 +328,11 @@ def minhash_lsh_pairs(
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    cand_shingles = shingles.join(cand_docs, "doc_id", "left_semi")
+    # Persisted (r13): three _shingle_jaccard consumers — see
+    # ngram_jaccard_pairs_prefix for the duplicated-subtree evidence.
+    cand_shingles = persist_tracked(
+        shingles.join(cand_docs, "doc_id", "left_semi")
+    )
     verified = _shingle_jaccard(cand_shingles, threshold)
     return verified.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
@@ -390,7 +401,9 @@ def minhash_lsh_pairs_incremental(
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    cand_shingles = shingles.join(cand_docs, "doc_id", "left_semi")
+    cand_shingles = persist_tracked(
+        shingles.join(cand_docs, "doc_id", "left_semi")
+    )
     # _shingle_jaccard pairs ALL candidate docs sharing a shingle (it
     # cannot see delta/base membership); the semi-join keeps only true
     # delta×base candidate pairs.
@@ -530,7 +543,7 @@ def minhash_lsh_pairs_vs_index(
         "doc_id",
         "left_semi",
     )
-    cand_shingles = base_cand.unionByName(delta_cand)
+    cand_shingles = persist_tracked(base_cand.unionByName(delta_cand))
     verified = _shingle_jaccard(cand_shingles, threshold)
     # _shingle_jaccard emits doc_a < doc_b; restore delta-first orientation
     # and keep only true delta×base pairs.
