@@ -133,7 +133,12 @@ def _shingle_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
     shingle, |∪| = |A|+|B|-|∩|. Callers pass a df-capped shingle set
     (see :func:`_cap_shingle_df`) so the equality self-join has no hot
     keys; sizes and intersections both use the same capped universe."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Persisted (r13): both join sides (sa, sb) consume the size table;
+    # unpersisted, the shingle-stream aggregation ran once per side.
+    # Doc-count-sized rows of (id, long) — bounded at any corpus scale.
+    sizes = persist_tracked(
+        shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
@@ -747,16 +752,33 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     (singletons are their own cluster by definition — joining them in
     would just echo the corpus).
     """
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # localCheckpoint (eager) rather than persist: iterative plans grow a
     # new join layer per round, and without lineage TRUNCATION Catalyst
     # re-analyzes an exponentially deepening tree — the classic iterative-
     # algorithm failure mode. Checkpointed labels restart the lineage each
     # round at the materialized blocks.
+    #
+    # Symmetrization is a per-row explode, NOT a union of two scans of
+    # ``pairs`` (r13): the union form evaluated the whole upstream pair
+    # pipeline twice (the two branches differ by a projection, so Spark's
+    # exchange reuse cannot deduplicate them) — stage metrics on
+    # dedup_clusters showed every verification stage doubled. One explode
+    # emits both orientations from a single evaluation; the distinct and
+    # everything downstream are unchanged.
     sym = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
         .distinct()
         .localCheckpoint()
     )

@@ -30,6 +30,21 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing sizes post-shuffle partitions by BYTES, which starves
+    # compute-dense stages whose rows are heavy to process but light to
+    # store: candidate-pair verification (cosine over vectors, Jaccard
+    # intersection counts) and sketch merges sit behind exchanges of a few
+    # MB and were coalesced to a handful of tasks on a 32-core session
+    # (measured r13: embedding_near_dup's verify stage ran 8 tasks on a
+    # 1 MB floor — 6.0 s; at a 64 KB floor it ran 32 and the query took
+    # 3.3 s; embedding_near_dup_incremental 9.8 s → 3.4 s). Scans and
+    # genuinely large shuffles are untouched (the 64 MB advisory size
+    # still governs), so lowering the floor does not reintroduce the
+    # tiny-block shuffle problem at scale; deployments can restore the
+    # Spark default (1m) or raise it via the env knob.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "64k"
+    ),
     # Deterministic timestamp semantics regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
     # Marks the session as engine-built: load_table re-asserts the UTC pin
