@@ -71,25 +71,39 @@ def product_association(
     spreads that key over ``n_salts`` reducers first. Exact — counts are
     decomposable — so the output is identical to the unsalted plan.
     """
-    items = orders_items.select("basket_id", "item_id").distinct()
+    # r13 restructure: one groupBy replaces DISTINCT + window + self-join.
+    # collect_set IS the per-basket distinct, sort_array + slice IS the
+    # deterministic first-N-by-item-id truncation, and the i<j pairs of a
+    # sorted distinct array ARE exactly the a.item < b.item theta pairs —
+    # proven output-identical to the join form on the oracle data. Plan
+    # cost drops from three exchanges (distinct, window, pair count) to
+    # two (basket aggregation, pair count), and the window sort is gone.
+    # Skew note: the quadratic-pair bound is unchanged (slice caps before
+    # the pair expansion); the mega-basket cost moves from a window sort
+    # (spillable) to a collect_set buffer that is LINEAR in the basket's
+    # distinct item count — executor-sized for anything short of a
+    # single basket holding ~10^8 distinct items, which the pair cap
+    # already declares degenerate.
+    arr = orders_items.groupBy("basket_id").agg(
+        F.sort_array(F.collect_set("item_id")).alias("_items")
+    )
     if max_basket_size is not None:
-        w = Window.partitionBy("basket_id").orderBy("item_id")
-        items = (
-            items.withColumn("_in_rank", F.row_number().over(w))
-            .filter(F.col("_in_rank") <= max_basket_size)
-            .drop("_in_rank")
+        arr = arr.select(
+            "basket_id",
+            F.slice(F.col("_items"), 1, max_basket_size).alias("_items"),
         )
-    a = items.alias("a")
-    b = items.alias("b")
-    pair_rows = (
-        a.join(b, F.col("a.basket_id") == F.col("b.basket_id"))
-        .filter(F.col("a.item_id") < F.col("b.item_id"))
-        .select(
-            F.col("a.item_id").alias("item_a"),
-            F.col("b.item_id").alias("item_b"),
-            F.col("a.basket_id").alias("_spread"),
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_items"), i + F.lit(2), F.size(F.col("_items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
         )
     )
+    pair_rows = arr.select(
+        F.col("basket_id").alias("_spread"), F.explode(pairs_arr).alias("_p")
+    ).select(F.col("_p.item_a").alias("item_a"), F.col("_p.item_b").alias("item_b"), "_spread")
     if n_salts:
         from ssg_etl_spark.operators.skew import salted_count
 

@@ -94,13 +94,20 @@ def _fit_on(vecs: DataFrame, k: int, n_iter: int) -> list[tuple[int, list[float]
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be positive")
 
-    head = vecs.select("_v").first()
-    if head is None:
+    # Materialize the persisted working table BEFORE any partial read
+    # (r13): limit/first short-circuit partition iterators, and a
+    # partition whose iterator is not drained is NOT cached — so the
+    # dimension probe and the seed TakeOrdered each re-ran the whole
+    # feature pipeline (stage metrics showed the TF/embedding prep
+    # stages duplicated in every kmeans query). One count() drains and
+    # caches every partition; the seed collect and all Lloyd iterations
+    # then read the cached blocks. The count is also the emptiness probe.
+    if vecs.count() == 0:
         raise ValueError("cannot fit k-means on an empty input DataFrame")
-    dim = len(head["_v"])
     # Deterministic seeding: the k lowest-id vectors, cluster_id in id
     # order. k rows to the driver — model-sized, like MLlib's init.
     seed_rows = vecs.select("_id", "_v").orderBy("_id").limit(k).collect()
+    dim = len(seed_rows[0]["_v"])
     if len(seed_rows) < k:
         raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
     centroids = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]

@@ -574,15 +574,29 @@ def bm25_topk(
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
     )
-    contrib = (idf * tf_norm).cast("decimal(28,12)")
+    # Join order (r13): idf/avgdl attach to the QUERY-TERM side (tiny —
+    # df and the corpus scalars fold into a broadcast of query terms),
+    # and dl attaches to the postings BEFORE the match join. The matched
+    # (doc, term, query) stream — the biggest relation in the plan — then
+    # flows straight into the groupBy, whose map-side partial aggregation
+    # collapses it to (query, doc) rows before the only exchange it ever
+    # crosses. The previous shape shuffled the raw matched stream twice
+    # (by term for the df join, by doc for the dl join): 54 MB of
+    # exchange at sf0.1 for a 277 KB aggregate; at corpus scale that
+    # stream is |postings| × |matching queries|-sized. Same contributions,
+    # same DECIMAL partial sums — only the join order changed.
+    q_enriched = (
+        qterms.join(dfreq, "term")
+        .crossJoin(stats)
+        .select("query_id", "term", idf.alias("_idf"), "_avgdl")
+    )
+    tf_dl = tf.join(dl, "doc_id")
+    contrib_q = (F.col("_idf") * tf_norm).cast("decimal(28,12)")
     scored = (
-        tf.join(F.broadcast(qterms), "term")
+        tf_dl.join(F.broadcast(q_enriched), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(dfreq, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(contrib).cast("double"), 6).alias("bm25"))
+        .agg(F.round(F.sum(contrib_q).cast("double"), 6).alias("bm25"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25"), F.asc("doc_id")

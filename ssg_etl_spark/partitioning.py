@@ -28,9 +28,24 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism when
-    the plan's current partitioning is narrower — a no-op otherwise."""
+    the plan's current partitioning is narrower — a no-op otherwise.
+
+    Plans that already contain an Exchange are returned unchanged (r13):
+    their output parallelism is governed by ``spark.sql.shuffle
+    .partitions`` / AQE coalescing, not by input splits — and, more
+    importantly, probing their partition count via ``df.rdd`` under AQE
+    MATERIALIZES every query stage below the final segment (AQE must run
+    the shuffles to fix the plan). That silently executed whole upstream
+    pipelines once, uncached, before the real query ran them again —
+    stage metrics showed hashed-TF feature builds and similar shuffled
+    inputs duplicated wherever an operator wrapped them in fan_out. A
+    bare scan/projection has no query stages, so the probe is free
+    exactly where the rescue is needed.
+    """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
