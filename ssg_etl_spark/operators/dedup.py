@@ -213,8 +213,15 @@ def ngram_jaccard_pairs_prefix(
     raw = persist_tracked(word_shingles(documents))
     capped = persist_tracked(_cap_shingle_df(raw, max_shingle_df))
 
-    df_counts = capped.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = capped.join(df_counts, "shingle").withColumn(
+    # Document frequency via a window over the shingle partitioning (r13)
+    # instead of groupBy + join-back: the join form exchanged the capped
+    # stream twice by shingle (partial counts + probe side, ~4 MB each at
+    # sf0.1). One window partition holds at most max_shingle_df rows (the
+    # cap is exactly what bounds it), so the unordered count window is
+    # skew-safe by construction. Same _df values, one exchange, no join.
+    ranked = capped.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).withColumn(
         "_rk",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy("_df", "shingle")

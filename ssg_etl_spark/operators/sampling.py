@@ -380,11 +380,18 @@ def token_budget_selection(
     """
     from ssg_etl_spark.operators.analytics import ordered_prefix_offsets
 
+    from ssg_etl_spark.cache import persist_tracked
+
     base = df.filter(F.col(score_col).isNotNull()).select(
         F.col(id_col), F.col(score_col), F.col(token_col)
     )
     neg = (-F.col(score_col)).alias("_neg")
-    rows = base.select("*", neg)
+    # Persisted (r13): both the offsets aggregation and the final join
+    # consume these rows, and the caller's score column is typically a
+    # derived metric (text_metrics regex passes) — unpersisted, that
+    # featurization ran twice (two identical 15 s executorRunTime stages
+    # at sf0.1). Narrow rows: (id, score, tokens, _neg).
+    rows = persist_tracked(base.select("*", neg))
     offsets = ordered_prefix_offsets(
         rows,
         "_neg",

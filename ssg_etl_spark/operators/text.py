@@ -1019,7 +1019,12 @@ def lm_quality_cut(df: DataFrame, keep_frac: float = 0.2) -> DataFrame:
     """
     if not 0.0 < keep_frac < 1.0:
         raise ValueError("keep_frac must be in (0, 1)")
-    scores = unigram_logprob(df)
+    from ssg_etl_spark.cache import persist_tracked
+
+    # Persisted (r13): the threshold aggregate and the final projection
+    # both consume the scores; unpersisted, the LM scoring joins ran
+    # twice. Doc-sized (id, n_tokens, score) rows.
+    scores = persist_tracked(unigram_logprob(df))
     thr = scores.agg(
         F.expr(
             f"percentile(mean_logprob, {1.0 - keep_frac!r})"

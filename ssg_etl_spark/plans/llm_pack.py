@@ -4119,26 +4119,28 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "label"), "vec_id"
     )
     lc = asg.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n"))
-    tot = lc.groupBy("cluster_id").agg(F.sum("n").alias("n_points"))
+    # Cluster totals ride a window over the SAME cluster_id partitioning
+    # as the majority pick (r13): the former groupBy + join-back consumed
+    # the (cluster, label) table twice, and lc was unpersisted, so the
+    # whole assignment subtree evaluated twice (duplicated stages in the
+    # metrics). One window partitioning serves both the sum and the
+    # row_number; same rows out.
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
-    top = (
-        lc.withColumn("_rn", F.row_number().over(w))
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        lc.withColumn("n_points", F.sum("n").over(w_all))
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
             "cluster_id",
+            "n_points",
             F.col("label").alias("majority_label"),
             F.col("n").alias("n_majority"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_points").cast("double"),
+                4,
+            ).alias("purity"),
         )
-    )
-    return top.join(tot, "cluster_id").select(
-        "cluster_id",
-        "n_points",
-        "majority_label",
-        "n_majority",
-        F.round(
-            F.col("n_majority").cast("double") / F.col("n_points").cast("double"),
-            4,
-        ).alias("purity"),
     )
 
 
