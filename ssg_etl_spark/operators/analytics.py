@@ -348,6 +348,8 @@ def ordered_prefix_offsets(
     (weight = token count); keep the NULL-sentinel and offset arithmetic
     HERE so the two can't drift.
     """
+    from ssg_etl_spark.cache import persist_tracked
+
     measure = (
         F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
     ).alias("_cnt")
@@ -356,7 +358,11 @@ def ordered_prefix_offsets(
     coarse = F.coalesce(
         coarse_fn(prefix_col).cast("int"), F.lit(null_bucket)
     ).alias("_coarse")
-    hist = hist.select("*", coarse)
+    # Persisted (r13): the driver-collected bucket aggregate AND the final
+    # offset projection both consume the histogram; unpersisted, the
+    # input's prefix aggregation ran twice in every global-rank/cumsum
+    # consumer. Prefix-cardinality-sized (dates/score bands), never rows.
+    hist = persist_tracked(hist.select("*", coarse))
     bucket_rows = sorted(
         (r["_coarse"], r["_n"])
         for r in hist.groupBy("_coarse").agg(F.sum("_cnt").alias("_n")).collect()

@@ -479,7 +479,15 @@ def build_minhash_index(
             .filter(F.col("_df") > max_shingle_df)
             .select("shingle")
         )
-    shingles = raw.join(hot, "shingle", "left_anti")
+    # Persisted (r13): when the index is consumed IN-PLAN (the registered
+    # dedup_incremental_precomputed composition, rather than the
+    # write-to-parquet bench form), `hot` feeds the delta cap AND this
+    # anti-join, and `shingles` feeds the signature aggregation AND the
+    # verification side — unpersisted, the base shingle scan re-ran per
+    # consumer (three identical 3.5 MB-exchange stages in the metrics).
+    # In the parquet form the persists are read once and released.
+    hot = persist_tracked(hot)
+    shingles = persist_tracked(raw.join(hot, "shingle", "left_anti"))
     sig = minhash_signature(shingles, "doc_id", "shingle", num_hashes)
     buckets = persist_tracked(
         band_buckets(sig, "doc_id", num_hashes, rows_per_band)

@@ -339,13 +339,24 @@ def knn_label_agreement_lsh(
         b, ["table", "bucket"], "vec_id", "_u", "_v",
         DEFAULT_MAX_BUCKET_OCCUPANCY,
     )
+    # Both orientations via a per-row explode, not a union of two scans
+    # (r13): the union form evaluated the whole occupancy-guarded
+    # candidate join twice (the branches differ by a projection, so
+    # exchange reuse cannot fire) — stage metrics showed the bucket
+    # self-join exchanges quadrupled (2 sides × 2 evaluations). Same
+    # rows, same multiplicity, one evaluation.
     directed = undirected.select(
-        F.col("_u").alias("vec_id"), F.col("_v").alias("nbr_id")
-    ).unionAll(
-        undirected.select(
-            F.col("_v").alias("vec_id"), F.col("_u").alias("nbr_id")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_u").alias("vec_id"), F.col("_v").alias("nbr_id")
+                ),
+                F.struct(
+                    F.col("_v").alias("vec_id"), F.col("_u").alias("nbr_id")
+                ),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.vec_id").alias("vec_id"), F.col("_e.nbr_id").alias("nbr_id"))
     ea = embeddings.select(
         F.col("vec_id"),
         F.col(label_col).alias("label"),

@@ -839,8 +839,14 @@ def bpe_pair_counts(
     # WindowExecs, bounded or not (plan-audit contract). count DESC ==
     # negated count ASC; arithmetic shiftright keeps the coarse buckets
     # order-aligned for negatives (floor division by 1024).
+    from ssg_etl_spark.cache import persist_tracked
     from ssg_etl_spark.operators.analytics import global_row_number
 
+    # Persisted (r13): the rank machinery consumes its input twice, and
+    # this input's lineage is the whole vocabulary reduction — stage
+    # metrics showed the corpus word-explode aggregation running twice.
+    # ≤ alphabet² rows.
+    agg = persist_tracked(agg)
     ranked = global_row_number(
         agg.withColumn("_neg", -F.col("pair_count")),
         "_neg",

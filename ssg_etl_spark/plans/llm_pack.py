@@ -1862,8 +1862,15 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed histogram-offset form (no single-partition window; the
     coarse shard is floor(score*10)), and the total count broadcasts as
     a one-row aggregate."""
+    from ssg_etl_spark.cache import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    m = text.text_metrics(docs).select("doc_id", "quality_score")
+    # Persisted (r13): the rank machinery consumes its input twice
+    # (prefix histogram + final join) and the decile denominator adds a
+    # third — unpersisted, the text_metrics regex featurization ran 3×.
+    m = persist_tracked(
+        text.text_metrics(docs).select("doc_id", "quality_score")
+    )
     ranked = analytics.global_row_number(
         m,
         "quality_score",
