@@ -896,31 +896,58 @@ def quantiles_exact(
     # member-min), which is what lets every round scan ONLY the union of
     # active ranges — a pushable OR-of-BETWEENs, so parquet row-group
     # min/max pruning shrinks each subsequent pass's I/O with the spans.
-    def _finish(lo2: float, hi2: float, below: int, rank: int) -> float:
-        vals = sorted(
-            r[0]
-            for r in base.filter(
-                (F.col("_v") >= lo2) & (F.col("_v") <= hi2)
-            ).collect()
-        )
-        return vals[rank - below - 1]
-
-    def _finish_distinct(lo2: float, hi2: float, below: int, rank: int) -> float:
-        # Range at double resolution: few representable values; collect
-        # the distinct ones with counts and walk exactly.
-        dv = sorted(
-            (float(r["_v"]), int(r["n"]))
-            for r in base.filter((F.col("_v") >= lo2) & (F.col("_v") <= hi2))
-            .groupBy("_v")
+    def _drain(fin: list[tuple[float, float, float, int]]) -> None:
+        # Batched finisher (r13): every q that resolves this round queues
+        # its (q, lo2, hi2, below) here and ONE job answers them all,
+        # replacing a sequential collect job per finishing q (at 4 qs the
+        # old shape paid 4 extra driver round-trips per query). The
+        # grouped distinct-value walk is the same order statistic both
+        # former finishers computed: the final-range collect's
+        # vals[rank - below - 1] is, by definition, the first value whose
+        # cumulative multiset count (starting at `below`) reaches the
+        # rank — identical whether the range is a located bin or a span
+        # at double resolution (few representable values), so the two
+        # modes collapse into one groupBy(value) + count collect. Bound:
+        # ≤ len(qs) · collect_threshold distinct values per drain.
+        if not fin:
+            return
+        conds = []
+        structs = []
+        for i, (_q, lo2, hi2, _below) in enumerate(fin):
+            in_r = (F.col("_v") >= lo2) & (F.col("_v") <= hi2)
+            conds.append(in_r)
+            structs.append(
+                F.struct(
+                    F.lit(i).alias("fid"), F.when(in_r, F.lit(1)).alias("m")
+                )
+            )
+        filt = conds[0]
+        for c in conds[1:]:
+            filt = filt | c
+        rows = (
+            base.filter(filt)
+            .select("_v", F.explode(F.array(*structs)).alias("c"))
+            .filter(F.col("c.m").isNotNull())
+            .groupBy(F.col("c.fid").alias("fid"), "_v")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        cum = below
-        for val, nv in dv:
-            cum += nv
-            if cum >= rank:
-                return val
-        raise RuntimeError("rank outside collected range")  # unreachable
+        byf: dict[int, list[tuple[float, int]]] = {}
+        for r in rows:
+            byf.setdefault(int(r["fid"]), []).append(
+                (float(r["_v"]), int(r["n"]))
+            )
+        for i, (q, _lo2, _hi2, below) in enumerate(fin):
+            cum = below
+            for val, nv in sorted(byf.get(i, [])):
+                cum += nv
+                if cum >= ranks[q]:
+                    done[q] = val
+                    break
+            else:
+                raise RuntimeError(
+                    "rank outside collected range"
+                )  # unreachable
 
     # Active state per q: (lo, hi, below) — [lo, hi] is guaranteed to
     # contain the target order statistic and ``below`` is the EXACT count
@@ -940,13 +967,18 @@ def quantiles_exact(
         # pushable OR-of-BETWEENs): each in-range row emits (qid, bin)
         # per range it falls in; map-side combinable groupBy over
         # ≤ len(qs)·n_bins cells, each carrying count + member min/max.
+        # Every q that resolves this round queues into `fin`, drained in
+        # one batched job at the end of the round.
+        fin: list[tuple[float, float, float, int]] = []
+        prequeued: set[float] = set()
         structs = []
         conds = []
         for qi, q in enumerate(active):
             lo, hi, below = state[q]
             w = (hi - lo) / n_bins
             if w <= 0.0:  # span below double resolution around lo
-                done[q] = _finish_distinct(lo, hi, below, ranks[q])
+                fin.append((q, lo, hi, below))
+                prequeued.add(q)
                 continue
             bin_idx = F.least(
                 F.floor((F.col("_v") - F.lit(lo)) / F.lit(w)).cast("int"),
@@ -960,56 +992,57 @@ def quantiles_exact(
                     F.when(in_range, bin_idx).alias("bin"),
                 )
             )
-        if not structs:
-            continue
-        scan_filter = conds[0]
-        for c in conds[1:]:
-            scan_filter = scan_filter | c
-        cells = (
-            base.filter(scan_filter)
-            .select("_v", F.explode(F.array(*structs)).alias("c"))
-            .select("c.qid", "c.bin", "_v")
-            .filter(F.col("bin").isNotNull())
-            .groupBy("qid", "bin")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("_v").alias("vmin"),
-                F.max("_v").alias("vmax"),
+        if structs:
+            scan_filter = conds[0]
+            for c in conds[1:]:
+                scan_filter = scan_filter | c
+            cells = (
+                base.filter(scan_filter)
+                .select("_v", F.explode(F.array(*structs)).alias("c"))
+                .select("c.qid", "c.bin", "_v")
+                .filter(F.col("bin").isNotNull())
+                .groupBy("qid", "bin")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("_v").alias("vmin"),
+                    F.max("_v").alias("vmax"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        hist: dict[int, dict[int, tuple[int, float, float]]] = {}
-        for r in cells:
-            hist.setdefault(int(r["qid"]), {})[int(r["bin"])] = (
-                int(r["n"]),
-                float(r["vmin"]),
-                float(r["vmax"]),
-            )
-        for qi, q in enumerate(active):
-            if q in done:
-                continue
-            lo, hi, below = state[q]
-            h = hist.get(qi, {})
-            cum = below
-            for bi in sorted(h):
-                nbin, vmin, vmax = h[bi]
-                if cum + nbin >= ranks[q]:
-                    # Narrow to the bin's MEMBER span: cum is the exact
-                    # count of values < vmin (monotone binning), and any
-                    # outlier-empty gap inside the bin's arithmetic edges
-                    # vanishes immediately.
-                    if vmin == vmax:
-                        done[q] = vmin  # all bin members identical
-                    elif nbin <= collect_threshold:
-                        done[q] = _finish(vmin, vmax, cum, ranks[q])
-                    elif vmin <= lo and vmax >= hi:
-                        # No numeric shrink possible: resolve by distinct
-                        # values (few representable doubles in the span).
-                        done[q] = _finish_distinct(lo, hi, cum, ranks[q])
-                    else:
-                        state[q] = (vmin, vmax, cum)
-                    break
-                cum += nbin
+            hist: dict[int, dict[int, tuple[int, float, float]]] = {}
+            for r in cells:
+                hist.setdefault(int(r["qid"]), {})[int(r["bin"])] = (
+                    int(r["n"]),
+                    float(r["vmin"]),
+                    float(r["vmax"]),
+                )
+            for qi, q in enumerate(active):
+                if q in done or q in prequeued:
+                    continue
+                lo, hi, below = state[q]
+                h = hist.get(qi, {})
+                cum = below
+                for bi in sorted(h):
+                    nbin, vmin, vmax = h[bi]
+                    if cum + nbin >= ranks[q]:
+                        # Narrow to the bin's MEMBER span: cum is the
+                        # exact count of values < vmin (monotone binning),
+                        # and any outlier-empty gap inside the bin's
+                        # arithmetic edges vanishes immediately.
+                        if vmin == vmax:
+                            done[q] = vmin  # all bin members identical
+                        elif nbin <= collect_threshold:
+                            fin.append((q, vmin, vmax, cum))
+                        elif vmin <= lo and vmax >= hi:
+                            # No numeric shrink possible: resolve by
+                            # distinct values (few representable doubles
+                            # in the span).
+                            fin.append((q, lo, hi, cum))
+                        else:
+                            state[q] = (vmin, vmax, cum)
+                        break
+                    cum += nbin
+        _drain(fin)
     missing = [q for q in state if q not in done]
     if missing:
         raise RuntimeError(f"quantile zoom did not converge for qs={missing}")
@@ -1115,14 +1148,6 @@ def quantiles_exact_grouped(
         )
     gschema = base.select(*group_cols).schema
 
-    def _gcond(gvals) -> "F.Column":
-        cond = F.lit(True)
-        for c, val in zip(group_cols, gvals):
-            cond = cond & (
-                F.col(c).isNull() if val is None else (F.col(c) == F.lit(val))
-            )
-        return cond
-
     qlist = [float(q) for q in qs]
     # (group, q) -> (lo, hi, below): below is the exact count of the
     # group's values < lo, carried across rounds exactly as in the
@@ -1145,39 +1170,79 @@ def quantiles_exact_grouped(
             else:
                 state[key] = (mn, mx, 0)
 
-    def _finish(gvals, lo2, hi2, below, rank) -> float:
-        vals = sorted(
-            r[0]
-            for r in base.filter(
-                _gcond(gvals) & (F.col("_v") >= lo2) & (F.col("_v") <= hi2)
-            )
-            .select("_v")
-            .collect()
-        )
-        return vals[rank - below - 1]
+    rename = {c: f"_g{i}" for i, c in enumerate(group_cols)}
+    from pyspark.sql import types as T
 
-    def _finish_distinct(gvals, lo2, hi2, below, rank) -> float:
-        dv = sorted(
-            (float(r["_v"]), int(r["n"]))
-            for r in base.filter(
-                _gcond(gvals) & (F.col("_v") >= lo2) & (F.col("_v") <= hi2)
+    rschema = T.StructType(
+        [T.StructField(rename[f.name], f.dataType) for f in gschema.fields]
+        + [
+            T.StructField("_rid", T.IntegerType()),
+            T.StructField("_lo", T.DoubleType()),
+            T.StructField("_hi", T.DoubleType()),
+        ]
+    )
+
+    def _drain(fin: list[tuple[tuple, tuple, float, float, int]]) -> None:
+        # Batched finisher (r13): every (group, q) that resolves this
+        # round queues its (key, gvals, lo2, hi2, below) here and ONE
+        # broadcast-joined job answers them all — the old shape paid a
+        # sequential collect job per finishing pair, |groups|·len(qs) of
+        # them (12 driver round-trips for 3 status groups × 4 qs). The
+        # finish ranges ride the same broadcast-range mechanism as the
+        # zoom scan (eqNullSafe group match + BETWEEN), and the sorted
+        # (value, count) walk is the identical order statistic both
+        # former finishers computed — the final-range collect's
+        # vals[rank - below - 1] is the first value whose cumulative
+        # multiset count (starting at `below`) reaches the rank. Bound:
+        # ≤ |finishing pairs| · collect_threshold distinct values.
+        if not fin:
+            return
+        env_lo = min(e[2] for e in fin)
+        env_hi = max(e[3] for e in fin)
+        franges = spark.createDataFrame(
+            [
+                (*gvals, i, lo2, hi2)
+                for i, (_k, gvals, lo2, hi2, _b) in enumerate(fin)
+            ],
+            rschema,
+        )
+        pruned = base.filter(
+            (F.col("_v") >= env_lo) & (F.col("_v") <= env_hi)
+        )
+        joined = pruned.join(
+            F.broadcast(franges),
+            on=[pruned[c].eqNullSafe(franges[rename[c]]) for c in group_cols],
+        )
+        rows = (
+            joined.filter(
+                (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
             )
-            .groupBy("_v")
+            .groupBy("_rid", "_v")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        cum = below
-        for val, nv in dv:
-            cum += nv
-            if cum >= rank:
-                return val
-        raise RuntimeError("rank outside collected range")  # unreachable
+        byf: dict[int, list[tuple[float, int]]] = {}
+        for r in rows:
+            byf.setdefault(int(r["_rid"]), []).append(
+                (float(r["_v"]), int(r["n"]))
+            )
+        for i, (key, _gvals, _lo2, _hi2, below) in enumerate(fin):
+            cum = below
+            for val, nv in sorted(byf.get(i, [])):
+                cum += nv
+                if cum >= ranks[key]:
+                    done[key] = val
+                    break
+            else:
+                raise RuntimeError(
+                    "rank outside collected range"
+                )  # unreachable
 
-    rename = {c: f"_g{i}" for i, c in enumerate(group_cols)}
     for _ in range(max_iters):
         active = [k for k in state if k not in done]
         if not active:
             break
+        fin: list[tuple[tuple, tuple, float, float, int]] = []
         range_rows = []
         key_of: dict[int, tuple] = {}
         env_lo, env_hi = float("inf"), float("-inf")
@@ -1185,90 +1250,77 @@ def quantiles_exact_grouped(
             gvals, q = key
             lo, hi, below = state[key]
             if (hi - lo) / n_bins <= 0.0:  # span below double resolution
-                done[key] = _finish_distinct(gvals, lo, hi, below, ranks[key])
+                fin.append((key, gvals, lo, hi, below))
                 continue
             key_of[idx] = key
             env_lo, env_hi = min(env_lo, lo), max(env_hi, hi)
             range_rows.append((*gvals, idx, lo, hi))
-        if not range_rows:
-            continue
-        from pyspark.sql import types as T
-
-        rschema = T.StructType(
-            [
-                T.StructField(rename[f.name], f.dataType)
-                for f in gschema.fields
-            ]
-            + [
-                T.StructField("_rid", T.IntegerType()),
-                T.StructField("_lo", T.DoubleType()),
-                T.StructField("_hi", T.DoubleType()),
-            ]
-        )
-        ranges = spark.createDataFrame(range_rows, rschema)
-        wcol = (F.col("_hi") - F.col("_lo")) / n_bins
-        bin_idx = F.least(
-            F.floor((F.col("_v") - F.col("_lo")) / wcol).cast("int"),
-            F.lit(n_bins - 1),
-        )
-        # The envelope filter over all active ranges is group-independent
-        # and therefore pushable to the scan (row-group pruning); the
-        # per-range BETWEEN lives in the bin condition after the join.
-        pruned = base.filter(
-            (F.col("_v") >= env_lo) & (F.col("_v") <= env_hi)
-        )
-        joined = pruned.join(
-            F.broadcast(ranges),
-            on=[
-                pruned[c].eqNullSafe(ranges[rename[c]]) for c in group_cols
-            ],
-        )
-        cells = (
-            joined.select(
-                "_rid",
-                F.when(
-                    (F.col("_v") >= F.col("_lo"))
-                    & (F.col("_v") <= F.col("_hi")),
-                    bin_idx,
-                ).alias("bin"),
-                "_v",
+        if range_rows:
+            ranges = spark.createDataFrame(range_rows, rschema)
+            wcol = (F.col("_hi") - F.col("_lo")) / n_bins
+            bin_idx = F.least(
+                F.floor((F.col("_v") - F.col("_lo")) / wcol).cast("int"),
+                F.lit(n_bins - 1),
             )
-            .filter(F.col("bin").isNotNull())
-            .groupBy("_rid", "bin")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("_v").alias("vmin"),
-                F.max("_v").alias("vmax"),
+            # The envelope filter over all active ranges is group-
+            # independent and therefore pushable to the scan (row-group
+            # pruning); the per-range BETWEEN lives in the bin condition
+            # after the join.
+            pruned = base.filter(
+                (F.col("_v") >= env_lo) & (F.col("_v") <= env_hi)
             )
-            .collect()
-        )
-        hist: dict[int, dict[int, tuple[int, float, float]]] = {}
-        for r in cells:
-            hist.setdefault(int(r["_rid"]), {})[int(r["bin"])] = (
-                int(r["n"]),
-                float(r["vmin"]),
-                float(r["vmax"]),
+            joined = pruned.join(
+                F.broadcast(ranges),
+                on=[
+                    pruned[c].eqNullSafe(ranges[rename[c]])
+                    for c in group_cols
+                ],
             )
-        for idx, key in key_of.items():
-            gvals, q = key
-            lo, hi, below = state[key]
-            h = hist.get(idx, {})
-            cum = below
-            for bi in sorted(h):
-                nbin, vmin, vmax = h[bi]
-                if cum + nbin >= ranks[key]:
-                    if vmin == vmax:
-                        done[key] = vmin
-                    elif nbin <= collect_threshold:
-                        done[key] = _finish(gvals, vmin, vmax, cum, ranks[key])
-                    elif vmin <= lo and vmax >= hi:
-                        done[key] = _finish_distinct(
-                            gvals, lo, hi, cum, ranks[key]
-                        )
-                    else:
-                        state[key] = (vmin, vmax, cum)
-                    break
-                cum += nbin
+            cells = (
+                joined.select(
+                    "_rid",
+                    F.when(
+                        (F.col("_v") >= F.col("_lo"))
+                        & (F.col("_v") <= F.col("_hi")),
+                        bin_idx,
+                    ).alias("bin"),
+                    "_v",
+                )
+                .filter(F.col("bin").isNotNull())
+                .groupBy("_rid", "bin")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("_v").alias("vmin"),
+                    F.max("_v").alias("vmax"),
+                )
+                .collect()
+            )
+            hist: dict[int, dict[int, tuple[int, float, float]]] = {}
+            for r in cells:
+                hist.setdefault(int(r["_rid"]), {})[int(r["bin"])] = (
+                    int(r["n"]),
+                    float(r["vmin"]),
+                    float(r["vmax"]),
+                )
+            for idx, key in key_of.items():
+                gvals, q = key
+                lo, hi, below = state[key]
+                h = hist.get(idx, {})
+                cum = below
+                for bi in sorted(h):
+                    nbin, vmin, vmax = h[bi]
+                    if cum + nbin >= ranks[key]:
+                        if vmin == vmax:
+                            done[key] = vmin
+                        elif nbin <= collect_threshold:
+                            fin.append((key, gvals, vmin, vmax, cum))
+                        elif vmin <= lo and vmax >= hi:
+                            fin.append((key, gvals, lo, hi, cum))
+                        else:
+                            state[key] = (vmin, vmax, cum)
+                        break
+                    cum += nbin
+        _drain(fin)
     missing = [k for k in state if k not in done]
     if missing:
         raise RuntimeError(

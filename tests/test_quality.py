@@ -612,6 +612,74 @@ def test_quantiles_exact_grouped(spark):
         quantiles_exact_grouped(df, "v", [], (0.5,))
 
 
+def test_quantiles_exact_batched_finish(spark, monkeypatch):
+    """r13 optimization pin: every (group,) q that resolves in a round is
+    answered by ONE batched drain job, not one collect per finishing q.
+    With data where all qs finish in round 1, the whole zoom costs exactly
+    3 driver actions — head, zoom scan, batched drain — independent of
+    len(qs) (the pre-r13 shape paid 2 + len(qs)); same for the grouped
+    form independent of |groups|·len(qs). Exactness is asserted alongside,
+    including overlapping finish ranges (adjacent quantiles landing in
+    bins that share values) which the per-range explode must keep
+    separate."""
+    import random
+
+    # Spark 4: sessions hand out the classic implementation subclass,
+    # which overrides collect — patch it, not the pyspark.sql.DataFrame
+    # facade.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from ssg_etl_spark.operators.analytics import (
+        quantile_rank,
+        quantiles_exact,
+        quantiles_exact_grouped,
+    )
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counted(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counted)
+
+    rng = random.Random(11)
+    vals = [rng.uniform(0.0, 100.0) for _ in range(2000)]
+    sv = sorted(vals)
+    df = spark.createDataFrame([(x,) for x in vals], "v double").repartition(7)
+    qs = (0.1, 0.25, 0.5, 0.9, 0.99)  # all finish in round 1 at defaults
+    calls["n"] = 0
+    got = {r.q: r.value for r in quantiles_exact(df, "v", qs).collect()}
+    # head + one zoom scan + ONE batched drain + the result collect above.
+    assert calls["n"] == 4, calls["n"]
+    for q in qs:
+        assert got[q] == sv[quantile_rank(q, len(vals)) - 1], q
+
+    rows = []
+    for g in ("a", "b", None):
+        for _ in range(500):
+            rows.append((g, rng.uniform(0.0, 100.0)))
+    gdf = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    calls["n"] = 0
+    ggot = {
+        (r.g, r.q): r.value
+        for r in quantiles_exact_grouped(gdf, "v", ["g"], qs).collect()
+    }
+    # heads + one zoom scan + ONE batched drain (15 finishing pairs incl.
+    # the null group's, all in it) + the result collect above.
+    assert calls["n"] == 4, calls["n"]
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, val in rows:
+        byg[g].append(val)
+    for g, vs in byg.items():
+        s = sorted(vs)
+        for q in qs:
+            assert ggot[(g, q)] == s[quantile_rank(q, len(s)) - 1], (g, q)
+
+
 def test_histogram_quantiles_grouped_per_group_bounds(spark):
     """Grouped quantiles: each group's p50 tracks ITS OWN distribution
     (bins are globally aligned, counts per group), within one global bin
