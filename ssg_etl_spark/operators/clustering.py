@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ssg_etl_spark.cache import persist_tracked
 from ssg_etl_spark.operators.similarity import _to_double, dot
-from ssg_etl_spark.partitioning import fan_out
+from ssg_etl_spark.partitioning import VECTOR_BYTES_PER_TASK, fan_out
 
 # Wide enough that summing billions of unit-scale components cannot
 # overflow the integral part (38-12 = 26 digits) while keeping 12
@@ -62,7 +62,17 @@ def _assign(
 ) -> DataFrame:
     """Add ``cluster_id`` (argmin of squared L2, ties → lowest id) and
     ``d2``. Pure projection: the centroid table rides inside the
-    expression as folded literals — no join, no shuffle."""
+    expression as folded literals — no join, no shuffle.
+
+    The argmin rides through an INTERMEDIATE ``_best`` projection: field
+    extraction from one aliased evaluation. Extracting ``best["cid"]``
+    and ``best["d2"]`` directly in one projection duplicated the whole
+    k-dot array_sort per output column (2 ``array_sort`` nodes in the
+    executed plan — the k×dim distance work per row, twice); the
+    two-step form evaluates it once (CollapseProject keeps the split:
+    it does not inline non-cheap expressions consumed more than once).
+    Same rows bit-for-bit — it is one evaluation of the identical
+    deterministic expression."""
     best = F.array_sort(
         F.array(
             *[
@@ -74,18 +84,30 @@ def _assign(
             ]
         )
     )[0]
-    return vecs.withColumn("cluster_id", best["cid"]).withColumn(
-        "d2", best["d2"]
+    cols = vecs.columns
+    return vecs.withColumn("_best", best).select(
+        *cols,
+        F.col("_best")["cid"].alias("cluster_id"),
+        F.col("_best")["d2"].alias("d2"),
     )
 
 
 def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Normalized working shape: (_id, _v double[], _xx self-dot)."""
+    """Normalized working shape: (_id, _v double[], _xx self-dot).
+
+    Size-aware fan (r13): k-means per-row work is a handful of
+    dim-length dot products — proportional to bytes — so the fan width
+    derives from the estimated input size instead of the blanket
+    default-parallelism fan (which shredded the small-corpus regime into
+    sub-KB tasks whose fixed cost tripled every Lloyd-iteration job;
+    measured 1.8 s → 0.6 s per iteration at sf0.1). Multi-split
+    production inputs are unaffected (the fan no-ops either way)."""
     return fan_out(
         embeddings.select(
             F.col(id_col).alias("_id"),
             _to_double(F.col(vec_col)).alias("_v"),
-        )
+        ),
+        bytes_per_task=VECTOR_BYTES_PER_TASK,
     ).withColumn("_xx", dot(F.col("_v"), F.col("_v")))
 
 
@@ -306,14 +328,26 @@ def kmeans_silhouette(
             ]
         )
     )
-    a = F.sqrt(F.greatest(ranked[0]["d2"], F.lit(0.0)))
-    b = F.sqrt(F.greatest(ranked[1]["d2"], F.lit(0.0)))
+    # Three-step projection so the k-dot array_sort evaluates ONCE per
+    # row (same fix as _assign): inlining `ranked[...]` into the `s`
+    # expression repeated the whole ranked-distance array once per
+    # reference — 7 evaluations per row in the single-projection form.
+    # The sqrt/greatest legs are likewise named once and extracted.
+    ranked_pt = vecs.withColumn("_ranked", ranked).select(
+        F.col("_ranked")[0]["cid"].alias("cluster_id"),
+        F.col("_ranked")[0]["d2"].alias("_d2a"),
+        F.col("_ranked")[1]["d2"].alias("_d2b"),
+    )
+    ab = ranked_pt.select(
+        "cluster_id",
+        F.sqrt(F.greatest(F.col("_d2a"), F.lit(0.0))).alias("_a"),
+        F.sqrt(F.greatest(F.col("_d2b"), F.lit(0.0))).alias("_b"),
+    )
+    a, b = F.col("_a"), F.col("_b")
     s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
         (b - a) / F.greatest(a, b)
     )
-    per_point = vecs.select(
-        ranked[0]["cid"].alias("cluster_id"), s.alias("_s")
-    )
+    per_point = ab.select("cluster_id", s.alias("_s"))
     return (
         per_point.groupBy("cluster_id")
         .agg(

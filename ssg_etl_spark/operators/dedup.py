@@ -1220,11 +1220,26 @@ def semdedup_flags(
         .withColumn("_rk", rk)
         .withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v"))))
     )
+    # Slice the within-cluster pairwise join (r13): joining on cluster_id
+    # alone exchanges into only k distinct keys, so at small k the whole
+    # Σ|cluster|² cosine stage runs on k of the session's cores (measured
+    # at sf0.1/k=4: ~6 s of executorCpuTime serialized onto 4 tasks —
+    # the dominant semdedup stage). Each earlier-ranked row is replicated
+    # into S deterministic slices and each later-ranked row lands in
+    # exactly one (its rank mod S), so every (earlier, later) pair is
+    # produced exactly once and the SAME pair set spreads over k×S keys.
+    # S scales inversely with k — at corpus scale k ~ N/target_size is
+    # large, S collapses to 1, and the plan is unchanged (the replication
+    # never multiplies a big-k join).
+    n_slices = max(1, -(-members.sparkSession.sparkContext.defaultParallelism // max(1, int(k))))
     a = members.select(
         F.col("cluster_id"),
         F.col("_rk").alias("_rk_a"),
         F.col("_v").alias("_va"),
         F.col("_n").alias("_na"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_slices) - 1))
+        ).alias("_sl"),
     )
     b = members.select(
         F.col("cluster_id"),
@@ -1232,12 +1247,13 @@ def semdedup_flags(
         F.col("_rk").alias("_rk_b"),
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
+        F.pmod(F.col("_rk"), F.lit(int(n_slices))).alias("_sl"),
     )
     cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     # Zero-norm vectors cannot be dup sources/targets (cosine undefined;
     # NaN ordering differs across engines) but still appear in the output.
     dup_ids = (
-        a.join(b, "cluster_id")
+        a.join(b, ["cluster_id", "_sl"])
         .filter(F.col("_rk_a") < F.col("_rk_b"))
         .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
         .filter(cos >= F.lit(tau))

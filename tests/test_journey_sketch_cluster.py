@@ -60,6 +60,32 @@ def test_kmeans_rejects_k_larger_than_corpus(spark):
         clustering.kmeans_assign(_vec_df(spark, [(0, [1.0])]), k=2, n_iter=1)
 
 
+def test_kmeans_assign_evaluates_argmin_once(spark):
+    """The k-dot argmin (array_sort over the per-centroid distance
+    structs) must appear exactly ONCE in the executed plan: extracting
+    cluster_id and d2 straight off the expression duplicated the whole
+    per-row distance computation per output column (r13 fix — the
+    intermediate `_best` projection pins single evaluation)."""
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    out = clustering.kmeans_assign(_vec_df(spark, rows), k=2, n_iter=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("array_sort") == 1
+
+
+def test_fan_out_size_aware_width(spark):
+    """fan_out(bytes_per_task=...) derives the fan width from the plan's
+    size estimate: a tiny input is NOT shredded to default parallelism
+    (the r13 small-corpus fix), while a tiny bytes_per_task still caps
+    at the session parallelism; the blanket form fans regardless."""
+    from ssg_etl_spark.partitioning import fan_out
+
+    one = spark.range(100).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert fan_out(one).rdd.getNumPartitions() == target
+    assert fan_out(one, bytes_per_task=1 << 30).rdd.getNumPartitions() == 1
+    assert fan_out(one, bytes_per_task=1).rdd.getNumPartitions() == target
+
+
 # ------------------------------------------------------------ HLL sketch
 
 
