@@ -235,8 +235,16 @@ def label_votes_from_candidates(candidates: DataFrame, k: int = 5) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine_sim"), F.asc("nbr_id")
     )
-    knn = candidates.withColumn("_rank", F.row_number().over(w)).filter(
-        F.col("_rank") <= k
+    # Persisted (r13): the top-k set feeds BOTH the majority vote and the
+    # agreement aggregate — unpersisted, the entire candidate-scoring
+    # pipeline (bucket join + per-pair cosines upstream) evaluated twice
+    # (two identical heavy stages in the metrics: 22.6 s executorCpuTime
+    # each at sf0.1, byte-identical shuffle writes). k rows per vector —
+    # k× smaller than the candidate set it reduces.
+    knn = persist_tracked(
+        candidates.withColumn("_rank", F.row_number().over(w)).filter(
+            F.col("_rank") <= k
+        )
     )
     votes = knn.groupBy("vec_id", "label", "nbr_label").agg(
         F.count(F.lit(1)).alias("_votes")
@@ -634,6 +642,7 @@ def ivf_topk_vs_index(
         .select(
             "query_id",
             "query_vec",
+            norm(F.col("query_vec")).alias("_qnorm"),
             F.explode(
                 F.transform(
                     F.slice(_cells_by_distance(F.col("_unit")), 1, n_probe),
@@ -642,10 +651,16 @@ def ivf_topk_vs_index(
             ).alias("cell"),
         )
     )
-    candidates = cells.join(F.broadcast(query_probes), "cell").filter(
+    # Norms once per row (query side above, corpus side here), not per
+    # candidate pair inside cosine(): identical value, one interpreted
+    # dot per (query, cell-mate) instead of three.
+    cells_n = cells.withColumn("_cnorm", norm(F.col("embedding")))
+    candidates = cells_n.join(F.broadcast(query_probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    sim = cosine(F.col("query_vec"), F.col("embedding"))
+    sim = dot(_to_double(F.col("query_vec")), _to_double(F.col("embedding"))) / (
+        F.col("_qnorm") * F.col("_cnorm")
+    )
     return _rank_topk(
         candidates.select("query_id", "vec_id", sim.alias("cosine_sim")), k
     )
@@ -716,18 +731,25 @@ def _bucketize(
     n_tables: int,
     bits_per_table: int,
 ) -> DataFrame:
-    """One row per (id, table, bucket), vector carried along for scoring.
+    """One row per (id, table, bucket), vector carried along for scoring,
+    plus ``_vnorm`` — the vector's L2 norm computed ONCE per input row,
+    BEFORE the n_tables-way explode (r13): verification stages used to
+    recompute both norms per candidate pair inside ``cosine()``, tripling
+    the per-pair interpreted dot-product work; scoring now divides by the
+    carried norms (bit-identical — the same norm expression on the same
+    row, evaluated once).
     fan_out: the per-row × per-anchor dot products are the CPU stage."""
     return (
         fan_out(df).crossJoin(anchor_list)
         .select(
             id_col,
             vec_col,
+            norm(F.col(vec_col)).alias("_vnorm"),
             F.explode(
                 _table_buckets(F.col(vec_col), n_tables, bits_per_table)
             ).alias("tb"),
         )
-        .select(id_col, vec_col, "tb.table", "tb.bucket")
+        .select(id_col, vec_col, "_vnorm", "tb.table", "tb.bucket")
     )
 
 
@@ -769,17 +791,21 @@ def lsh_bucketed_topk(
     anchor_list = _hyperplane_anchor_list(embeddings, n_tables * bits_per_table)
     emb_b = _bucketize(
         embeddings, anchor_list, "vec_id", "embedding", n_tables, bits_per_table
-    )
+    ).withColumnRenamed("_vnorm", "_enorm")
     q_b = _bucketize(
         queries, anchor_list, "query_id", "query_vec", n_tables, bits_per_table
-    )
+    ).withColumnRenamed("_vnorm", "_qnorm")
 
     candidates = (
         emb_b.join(F.broadcast(q_b), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
     )
-    sim = cosine(F.col("query_vec"), F.col("embedding"))
+    # Per-pair dot over per-row carried norms (see _bucketize): identical
+    # value to cosine(), one interpreted dot per pair instead of three.
+    sim = dot(_to_double(F.col("query_vec")), _to_double(F.col("embedding"))) / (
+        F.col("_qnorm") * F.col("_enorm")
+    )
     return _rank_topk(
         candidates.select("query_id", "vec_id", sim.alias("cosine_sim")), k
     )
@@ -829,13 +855,23 @@ def lsh_near_dup_pairs(
         b, ["table", "bucket"], "vec_id", "vec_a", "vec_b",
         max_bucket_occupancy,
     )
+    # Norms once per corpus row, not per candidate pair inside cosine():
+    # identical value, one interpreted dot per pair instead of three
+    # (the verification stage was the query's dominant CPU — 45.7 s
+    # executorCpuTime at sf0.1, ~2/3 of it the two per-pair self-dots).
     ea = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("_ea"),
+        norm(F.col("embedding")).alias("_na"),
     )
     eb = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("_eb"),
+        norm(F.col("embedding")).alias("_nb"),
     )
-    sim = cosine(F.col("_ea"), F.col("_eb"))
+    sim = dot(_to_double(F.col("_ea")), _to_double(F.col("_eb"))) / (
+        F.col("_na") * F.col("_nb")
+    )
     return (
         candidates.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -934,13 +970,20 @@ def lsh_near_dup_pairs_incremental(
         db, bb, ["table", "bucket"], "vec_new", "vec_base",
         "vec_new", "vec_base", DEFAULT_MAX_BUCKET_OCCUPANCY,
     )
+    # Same per-row-norm verification as lsh_near_dup_pairs (r13).
     en = delta.select(
-        F.col("vec_id").alias("vec_new"), F.col("embedding").alias("_en")
+        F.col("vec_id").alias("vec_new"),
+        F.col("embedding").alias("_en"),
+        norm(F.col("embedding")).alias("_nn"),
     )
     eb = base.select(
-        F.col("vec_id").alias("vec_base"), F.col("embedding").alias("_eb")
+        F.col("vec_id").alias("vec_base"),
+        F.col("embedding").alias("_eb"),
+        norm(F.col("embedding")).alias("_nb"),
     )
-    sim = cosine(F.col("_en"), F.col("_eb"))
+    sim = dot(_to_double(F.col("_en")), _to_double(F.col("_eb"))) / (
+        F.col("_nn") * F.col("_nb")
+    )
     return (
         candidates.join(en, "vec_new")
         .join(eb, "vec_base")

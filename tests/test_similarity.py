@@ -559,3 +559,59 @@ def test_streaming_ivf_append_compacts_and_bounds_files(spark, sf_dir, tmp_path)
 
     with _p.raises(ValueError):
         foreach_batch_ivf_append(cent_path, cells_path, compact_every=0)
+
+
+def test_precomputed_norm_scoring_bit_equal_to_cosine(spark):
+    """The r13 verification rewrite divides a single per-pair dot by
+    per-ROW precomputed norms instead of evaluating cosine() (three dots)
+    per pair. Same expressions on the same rows ⇒ bit-equal values —
+    pinned here over every pair of a fixture that includes a zero vector
+    (the NaN edge) and negative/large components."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ssg_etl_spark.operators.similarity import (
+        _to_double,
+        cosine,
+        dot,
+        norm,
+    )
+
+    rows = [
+        (1, [0.1, -0.2, 0.3]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [2.5, 1.0, -3.0]),
+        (4, [1e-8, 2e-8, -1e-8]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = df.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        _to_double(F.col("embedding")).alias("da"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        _to_double(F.col("embedding")).alias("db"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    got = (
+        a.crossJoin(b)
+        .select(
+            cosine(F.col("va"), F.col("vb")).alias("full"),
+            (dot(F.col("da"), F.col("db")) / (F.col("na") * F.col("nb"))).alias(
+                "pre"
+            ),
+        )
+        .collect()
+    )
+    assert len(got) == 16
+    for r in got:
+        if r["full"] is None:  # zero denominator: Spark's / yields NULL
+            assert r["pre"] is None
+        elif math.isnan(r["full"]):
+            assert math.isnan(r["pre"])
+        else:
+            assert r["full"] == r["pre"]  # bit-exact, not approx
