@@ -780,6 +780,16 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     # dedup_clusters showed every verification stage doubled. One explode
     # emits both orientations from a single evaluation; the distinct and
     # everything downstream are unchanged.
+    # Checkpoints are LAZY (r13): eager localCheckpoint runs a dedicated
+    # materialization job per call, so every pointer-jumping round paid
+    # TWO sequential driver jobs (checkpoint + convergence count) and the
+    # sym/labels bootstrap paid two more — at fixture scale the rounds
+    # are latency-bound, not compute-bound (56-stage queries whose stage
+    # CPU sums to a fraction of the wall). The convergence count now
+    # materializes each round's checkpoint as a side effect (count scans
+    # every partition), and the changed-row test reads an _old column
+    # carried through the round instead of re-joining the previous
+    # labels: ONE job per round, same fixpoint test, same labels.
     sym = (
         pairs.select(
             F.explode(
@@ -795,13 +805,13 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
         )
         .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iters):
@@ -817,6 +827,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
                 F.least(
                     labels.label, F.coalesce(nbr.nbr_label, labels.label)
                 ).alias("label"),
+                labels.label.alias("_old"),
             )
         )
         # Pointer jump: label ← min(label, hop-label of the label node).
@@ -834,15 +845,11 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
                 F.least(hop.label, F.coalesce(F.col("p_label"), hop.label)).alias(
                     "label"
                 ),
+                F.col("_old"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -72,6 +72,14 @@ def fan_out(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    # The guard matches BroadcastExchange too, deliberately (re-confirmed
+    # r13): a broadcast build sounds cheap to materialize during the
+    # .rdd probe, but its LINEAGE need not be (the keep-list compositions
+    # broadcast an aggregate over a corpus-wide normalize/md5 pass —
+    # letting broadcast plans through the probe re-ran that pass once per
+    # fan_out call and measured SLOWER end-to-end than the serial stage
+    # it rescued). Callers whose dense work sits behind a broadcast join
+    # must fan the probe-side INPUT instead (see dedup_keep_list).
     if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
         return df
     if bytes_per_task:

@@ -17,6 +17,7 @@ from ssg_etl_spark.operators import (
     text,
     web,
 )
+from ssg_etl_spark.partitioning import fan_out
 from ssg_etl_spark.plans.registry import register
 from ssg_etl_spark.sources.tables import load_table
 
@@ -2049,6 +2050,15 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     single window partition — same skew contract as
     :func:`dedup_keep_list_longest`."""
     docs = load_table(spark, sf_dir, "documents")
+    # fan_out the SHARED docs input once (r13): the digest projection is
+    # regex-dense per row and ran as the groupBy exchange's ONE map task
+    # on a single-split fixture scan (2.5 s serial in the stage metrics);
+    # survivors inherits the fanned partitioning through the broadcast
+    # semi-join, so the downstream shingle pipeline (whose own fan_out
+    # correctly refuses plans that already contain an Exchange) is
+    # parallel too. Same rows everywhere — every consumer is
+    # partitioning-independent.
+    docs = fan_out(docs)
     norm = docs.select(
         "doc_id",
         F.md5(text.normalize_text(F.col("text")).cast("binary")).alias("h"),
@@ -2614,6 +2624,8 @@ def dedup_keep_list_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     group in a single window partition — the same skew contract as
     chunk_keep_list."""
     docs = load_table(spark, sf_dir, "documents")
+    # fan_out the shared docs input once — see dedup_keep_list.
+    docs = fan_out(docs)
     norm = docs.select(
         "doc_id",
         "n_chars",
