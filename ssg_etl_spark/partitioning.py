@@ -71,7 +71,18 @@ def fan_out(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     regime the blanket fan was over-shooting.
     """
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    parallelism = spark.sparkContext.defaultParallelism
+    target = parallelism
+    size_target = None
+    if bytes_per_task:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        # Missing/degenerate estimates (<=0, or the 8 EB "unknown"
+        # sentinel) fall back to the blanket fan rather than a bogus width.
+        if 0 < est < (1 << 60):
+            size_target = max(1, min(parallelism, -(-est // int(bytes_per_task))))
+            target = size_target
     # The guard matches BroadcastExchange too, deliberately (re-confirmed
     # r13): a broadcast build sounds cheap to materialize during the
     # .rdd probe, but its LINEAGE need not be (the keep-list compositions
@@ -81,15 +92,29 @@ def fan_out(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     # it rescued). Callers whose dense work sits behind a broadcast join
     # must fan the probe-side INPUT instead (see dedup_keep_list).
     if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        # Size-aware callers still get the NARROWING half on shuffled
+        # inputs (r13): a CACHED plan does not apply AQE partition
+        # coalescing (`spark.sql.optimizer.canChangeCachedPlanOutput
+        # Partitioning` defaults to false), so a small aggregated vector
+        # table persists at the static shuffle width — 32 sub-KB tasks
+        # whose per-task fixed cost dominates every downstream iteration
+        # job (the same pathology the size-aware fan fixed on bare
+        # scans). `coalesce` narrows without a shuffle and without the
+        # .rdd probe (the width decision needs only the optimizer's size
+        # estimate); it only ever REDUCES the partition count, and the
+        # size_target < parallelism condition means it cannot fire on a
+        # production-sized input (estimate >= bytes_per_task × session
+        # parallelism ⇒ no-op). The narrow side is FLOORED at
+        # parallelism/8: aggregate-plan size estimates run coarse (the
+        # hashed-TF table estimates 0.17 MB against ~1 MB actual, width
+        # 1), and a 1-task coalesce SERIALIZES every downstream job —
+        # measured interleaved at sf0.1, width-1 walls were +15% over
+        # the uncoalesced form while the floored widths beat it by ~7%
+        # (hashed_tf_kmeans medians: old 3.07 s, width-1 3.63,
+        # floor-4 2.87, floor-8 2.89).
+        if size_target is not None and size_target < parallelism:
+            return df.coalesce(max(parallelism // 8, size_target))
         return df
-    if bytes_per_task:
-        est = int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
-        # Missing/degenerate estimates (<=0, or the 8 EB "unknown"
-        # sentinel) fall back to the blanket fan rather than a bogus width.
-        if 0 < est < (1 << 60):
-            target = max(1, min(target, -(-est // int(bytes_per_task))))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -86,6 +86,32 @@ def test_fan_out_size_aware_width(spark):
     assert fan_out(one, bytes_per_task=1).rdd.getNumPartitions() == target
 
 
+def test_fan_out_size_coalesces_small_shuffled_input(spark):
+    """The NARROWING half (r13): a size-aware caller whose input plan
+    contains an Exchange gets a shuffle-free coalesce down to the
+    size-derived width, floored at parallelism/8 — cached plans skip AQE
+    partition coalescing, so a tiny aggregated vector table otherwise
+    persists at the full static shuffle width. Without bytes_per_task
+    (or when the size-derived width is not below the session
+    parallelism) the shuffled plan is returned UNCHANGED — the
+    production regime must never be narrowed."""
+    from ssg_etl_spark.partitioning import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(100).repartition(max(par, 8))
+    n_wide = wide.rdd.getNumPartitions()
+    # Blanket form: shuffled plan untouched (the probe-materialization fix).
+    assert fan_out(wide).rdd.getNumPartitions() == n_wide
+    # Size-aware: tiny estimate -> coalesced to max(par // 8, width).
+    narrow = fan_out(wide, bytes_per_task=1 << 30)
+    assert narrow.rdd.getNumPartitions() == min(n_wide, max(par // 8, 1))
+    # Size-aware but big-enough estimate (size_target == parallelism):
+    # unchanged — a production-sized input is never coalesced.
+    assert (
+        fan_out(wide, bytes_per_task=1).rdd.getNumPartitions() == n_wide
+    )
+
+
 # ------------------------------------------------------------ HLL sketch
 
 
