@@ -41,7 +41,7 @@ from ssg_etl_spark.operators.lsh import (
     capped_probe_join_pairs,
     capped_self_join_pairs,
 )
-from ssg_etl_spark.partitioning import fan_out
+from ssg_etl_spark.partitioning import VECTOR_BYTES_PER_TASK, fan_out
 
 
 # Target mean bucket occupancy for auto-scaled sign-pattern LSH: small
@@ -477,8 +477,17 @@ def _unit_corpus(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
     Zero-norm vectors are dropped: cosine is undefined for them, and an
     all-NULL unit vector would otherwise poison centroid seeding and make
-    cell assignment NULL-ordering-driven."""
-    d = fan_out(df).select(
+    cell assignment NULL-ordering-driven.
+
+    Size-aware fan (r13, measured per-site): every `_unit_corpus`
+    consumer is the k-means-style small-vector regime — iterative
+    assignment/probe jobs whose per-task fixed cost dominates sub-KB
+    tasks — and the size-derived width beat the blanket fan interleaved
+    at sf0.1 (ann_ivf_topk medians 2.79 → 2.26 s). The LSH `_bucketize`
+    path measured the OTHER way (blanket 1.30 vs sized 1.60 — its
+    n_tables-way explode work needs the full fan) and keeps the blanket
+    form."""
+    d = fan_out(df, bytes_per_task=VECTOR_BYTES_PER_TASK).select(
         id_col,
         F.col(vec_col),
         _to_double(F.col(vec_col)).alias("_d"),
