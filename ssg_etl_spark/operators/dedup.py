@@ -163,6 +163,65 @@ def _shingle_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
     return jacc.filter(F.col("jaccard") >= threshold)
 
 
+def _pair_jaccard(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    threshold: float,
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Exact Jaccard for EXACTLY the candidate pairs (r14): per-doc shingle
+    ARRAYS + ``array_intersect`` instead of a shingle-level self-join.
+
+    :func:`_shingle_jaccard` pairs ALL candidate docs sharing a shingle —
+    a superset of the candidate pairs that the callers then semi-join away
+    — and costs two full exchanges of the candidate shingle stream (both
+    self-join sides), a per-pair groupBy, a separate sizes aggregation and
+    two join-backs. Driving verification from the pair table computes one
+    ``|A∩B|`` per candidate pair: one groupBy of the candidate shingle
+    stream into per-doc arrays, two equi-joins to attach them, and a
+    codegen'd ``array_intersect`` per pair. The candidate generators emit
+    per-doc-DISTINCT shingles (``word_shingles`` array_distinct + the df
+    cap), so ``size(array_intersect)`` equals the self-join's match count
+    and ``J = |∩| / (|A|+|B|-|∩|)`` is the identical double.
+
+    Scale shape: the heavy stream crosses the network once (the array
+    groupBy) instead of twice, pair cost tracks the CANDIDATE count (not
+    the co-shingle superset), and per-doc arrays are bounded by document
+    length — the occupancy/df guards upstream keep per-doc pair fan-out
+    bounded exactly as before.
+    """
+    sets_ = shingles.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("_sh")
+    )
+    a = sets_.select(
+        F.col("doc_id").alias(left), F.col("_sh").alias("_sha")
+    )
+    b = sets_.select(
+        F.col("doc_id").alias(right), F.col("_sh").alias("_shb")
+    )
+    paired = pairs.join(a, left).join(b, right)
+    # Intermediate projection pins ONE evaluation of the intersection
+    # (CollapseProject does not inline non-cheap expressions consumed
+    # more than once — the jaccard expression reads _ni twice).
+    withn = paired.select(
+        left,
+        right,
+        F.size(F.array_intersect("_sha", "_shb")).alias("_ni"),
+        F.size("_sha").alias("_na"),
+        F.size("_shb").alias("_nb"),
+    )
+    jacc = withn.select(
+        left,
+        right,
+        (
+            F.col("_ni").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double")
+        ).alias("jaccard"),
+    )
+    return jacc.filter(F.col("jaccard") >= threshold)
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -269,16 +328,11 @@ def ngram_jaccard_pairs_prefix(
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    # Persisted (r13): _shingle_jaccard consumes its input three times
-    # (sizes + both self-join sides); unpersisted, the semi-join chain —
-    # including the union+distinct over candidates — re-ran per consumer
-    # (stage metrics showed the candidate-shingle compute duplicated and
-    # the cand_docs distinct run 4×).
-    cand_shingles = persist_tracked(
-        capped.join(cand_docs, "doc_id", "left_semi")
-    )
-    verified = _shingle_jaccard(cand_shingles, threshold)
-    return verified.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    # Pair-driven verification (r14, _pair_jaccard): one consumer, so the
+    # candidate shingle stream needs no persist — it flows straight into
+    # the per-doc array groupBy.
+    cand_shingles = capped.join(cand_docs, "doc_id", "left_semi")
+    return _pair_jaccard(candidates, cand_shingles, threshold)
 
 
 def minhash_lsh_pairs(
@@ -334,19 +388,17 @@ def minhash_lsh_pairs(
         )
     )
 
-    # Exact verification restricted to candidate docs only.
+    # Exact verification restricted to candidate docs only — pair-driven
+    # (r14, _pair_jaccard): Jaccard is computed for exactly the candidate
+    # pairs via per-doc arrays, not for every co-shingle pair among
+    # candidate docs.
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    # Persisted (r13): three _shingle_jaccard consumers — see
-    # ngram_jaccard_pairs_prefix for the duplicated-subtree evidence.
-    cand_shingles = persist_tracked(
-        shingles.join(cand_docs, "doc_id", "left_semi")
-    )
-    verified = _shingle_jaccard(cand_shingles, threshold)
-    return verified.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    cand_shingles = shingles.join(cand_docs, "doc_id", "left_semi")
+    return _pair_jaccard(candidates, cand_shingles, threshold)
 
 
 def minhash_lsh_pairs_incremental(
@@ -395,44 +447,24 @@ def minhash_lsh_pairs_incremental(
     # Base-side occupancy guard (lsh.capped_probe_join_pairs): a
     # degenerate BASE bucket meets each delta posting through its
     # representative only, bounding the occupancy_base × occupancy_delta
-    # term. Normalized (lo, hi) so verification (which emits
-    # doc_a < doc_b) can semi-join back; orientation is restored at the
-    # end.
-    probe = capped_probe_join_pairs(
-        new_side, base_side, ["band", "bucket"], "doc_id", "doc_id",
-        "doc_new", "doc_base", max_bucket_occupancy,
-    )
+    # term. Pair-driven verification (r14, _pair_jaccard) keys directly
+    # on (doc_new, doc_base), so the (lo, hi) normalization and the
+    # orientation-restore join of the _shingle_jaccard era are gone —
+    # delta-first orientation flows straight through.
     candidates = persist_tracked(
-        probe.select(
-            F.least("doc_new", "doc_base").alias("doc_a"),
-            F.greatest("doc_new", "doc_base").alias("doc_b"),
-        ).distinct()
+        capped_probe_join_pairs(
+            new_side, base_side, ["band", "bucket"], "doc_id", "doc_id",
+            "doc_new", "doc_base", max_bucket_occupancy,
+        )
     )
     cand_docs = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .union(candidates.select("doc_b"))
+        candidates.select(F.col("doc_new").alias("doc_id"))
+        .union(candidates.select("doc_base"))
         .distinct()
     )
-    cand_shingles = persist_tracked(
-        shingles.join(cand_docs, "doc_id", "left_semi")
-    )
-    # _shingle_jaccard pairs ALL candidate docs sharing a shingle (it
-    # cannot see delta/base membership); the semi-join keeps only true
-    # delta×base candidate pairs.
-    verified = _shingle_jaccard(cand_shingles, threshold).join(
-        candidates, ["doc_a", "doc_b"], "left_semi"
-    )
-    oriented = verified.join(
-        delta_ids.select(F.col("doc_id").alias("doc_a")).withColumn(
-            "_a_new", F.lit(True)
-        ),
-        "doc_a",
-        "left",
-    )
-    return oriented.select(
-        F.when(F.col("_a_new"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_new"),
-        F.when(F.col("_a_new"), F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_base"),
-        "jaccard",
+    cand_shingles = shingles.join(cand_docs, "doc_id", "left_semi")
+    return _pair_jaccard(
+        candidates, cand_shingles, threshold, left="doc_new", right="doc_base"
     )
 
 
@@ -551,8 +583,10 @@ def minhash_lsh_pairs_vs_index(
         )
     )
     # Verification shingle sets: base side from the index (semi-joined to
-    # candidate base docs), delta side from this batch. Sizes/intersections
-    # run on the union, exactly like the recompute form's capped universe.
+    # candidate base docs), delta side from this batch. Pair-driven
+    # verification (r14, _pair_jaccard) keys directly on
+    # (doc_new, doc_base) over the union of both sides' capped universes —
+    # the (lo, hi) normalization join of the _shingle_jaccard era is gone.
     base_cand = base_shingles.join(
         candidates.select(F.col("doc_base").alias("doc_id")).distinct(),
         "doc_id",
@@ -563,18 +597,9 @@ def minhash_lsh_pairs_vs_index(
         "doc_id",
         "left_semi",
     )
-    cand_shingles = persist_tracked(base_cand.unionByName(delta_cand))
-    verified = _shingle_jaccard(cand_shingles, threshold)
-    # _shingle_jaccard emits doc_a < doc_b; restore delta-first orientation
-    # and keep only true delta×base pairs.
-    normalized = candidates.select(
-        F.least("doc_new", "doc_base").alias("doc_a"),
-        F.greatest("doc_new", "doc_base").alias("doc_b"),
-        "doc_new",
-        "doc_base",
-    )
-    return verified.join(normalized, ["doc_a", "doc_b"]).select(
-        "doc_new", "doc_base", "jaccard"
+    cand_shingles = base_cand.unionByName(delta_cand)
+    return _pair_jaccard(
+        candidates, cand_shingles, threshold, left="doc_new", right="doc_base"
     )
 
 
